@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Benchmark harness: run every declared query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], median of
+N_RUNS warm runs each, and print ONE JSON line:
+
+  {"metric": "...", "value": <total median sec>, "unit": "sec",
+   "queries": {"q": sec, ...}, "sf": ...}
+
+Each timing covers plan + execute + result materialization (count or
+collect of the already-small result) — the end-to-end latency a user
+sees, not just job time.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+import spark_graft
+from spark_graft.registry import REGISTRY
+from spark_graft.session import get_spark
+
+N_RUNS = 3
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark_graft.load_all_queries()
+    spark = get_spark("spark-graft-bench")
+
+    only = set(sys.argv[1:])  # optional: bench a subset by name
+    names = [n for n in sorted(REGISTRY) if not only or n in only]
+
+    timings: dict[str, float] = {}
+    for name in names:
+        spec = REGISTRY[name]
+        runs = []
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            df = spec.fn(spark, sf_dir)
+            # Materialize fully but cheaply: aggregates/topk collect small
+            # results; row-returning queries count (still executes the
+            # whole plan).
+            df.count()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(runs), 3)
+        print(f"# {name}: {timings[name]}s (runs: {[round(r, 3) for r in runs]})", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "declared-query wall-clock (median of 3) at sf" + sf,
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

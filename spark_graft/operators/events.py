@@ -1,0 +1,97 @@
+"""Event-stream queries, batch form: tumbling windows and gap-based
+sessionization.
+
+These are the oracle-checkable twins of the Structured Streaming
+variants in spark_graft.streaming — same logical results, so streaming
+correctness is established by equivalence to these (tested in
+tests/test_streaming.py), and these are established against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from spark_graft.registry import query
+from spark_graft.sources import table
+
+SESSION_GAP_MIN = 30
+
+
+@query(
+    "stream_tumbling",
+    oracle="""
+        SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+               event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute tumbling window counts+sums per event type. F.window
+    buckets are epoch-aligned UTC — identical to DuckDB's time_bucket.
+    In streaming form this is an incremental stateful agg with
+    watermark-bounded state; the batch plan is a plain hash aggregate."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+@query(
+    "stream_session",
+    oracle=f"""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTE
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sessions AS (
+            SELECT user_id, ts,
+                   CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+            FROM flagged
+        )
+        SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+               count(*) AS n_events
+        FROM sessions
+        GROUP BY user_id, session_id
+    """,
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): the lag-flag +
+    running-sum idiom — the reference's adjacent-key carry (R8,
+    MapReduce.h:200-205) applied to time gaps. Partitioned by user_id:
+    one shuffle, per-user sorts, no global ordering. Streaming twin uses
+    session_window with a watermark (spark_graft.streaming)."""
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_sec = SESSION_GAP_MIN * 60
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)) > gap_sec),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

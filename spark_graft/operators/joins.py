@@ -1,0 +1,174 @@
+"""Join operators: equi (shuffle + broadcast), multi-way, semi/anti, outer,
+theta/range.
+
+The reference has no joins — but its key-grouped shuffle (R7,
+MapReduce.h:263-330: equal keys always land in the same reduce file) is
+exactly the co-location contract every shuffle join relies on. Scale
+notes per query; small dims are broadcast so the 100 TB fact side never
+shuffles for them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_graft.functions import dsum
+from spark_graft.registry import query
+from spark_graft.sources import table
+
+
+@query(
+    "join_inner",
+    oracle="""
+        SELECT o.o_orderkey, c.c_custkey, c.c_mktsegment, o.o_totalprice
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain equi-join. Both sides hash-partition on the key (the R7
+    invariant); AQE converts to broadcast at runtime if one side turns
+    out small. At 100 TB: bucket both tables on the key to skip the
+    shuffle entirely."""
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    return orders.join(cust, orders.o_custkey == cust.c_custkey, "inner").select(
+        "o_orderkey", "c_custkey", "c_mktsegment", "o_totalprice"
+    )
+
+
+@query(
+    "join_broadcast",
+    oracle="""
+        SELECT p.p_brand,
+               count(*) AS n_items,
+               CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ broadcast(dim): the big side never shuffles for the join —
+    the only shuffle is the final tiny groupBy(p_brand). This is THE
+    100 TB join pattern for dimension lookups (map-side join in
+    MapReduce terms)."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.select("l_partkey", "l_quantity")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_items"), dsum("l_quantity").alias("sum_qty"))
+    )
+
+
+@query(
+    "join_multi",
+    oracle="""
+        SELECT r.r_name, n.n_name,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM region r
+        JOIN nation n   ON n.n_regionkey = r.r_regionkey
+        JOIN customer c ON c.c_nationkey = n.n_nationkey
+        JOIN orders o   ON o.o_custkey   = c.c_custkey
+        GROUP BY r.r_name, n.n_name
+    """,
+)
+def join_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-way snowflake chain. region/nation are broadcast (tiny dims);
+    only customer⋈orders shuffles. Catalyst's join reordering + AQE keep
+    the plan shaped this way at any scale."""
+    r = F.broadcast(table(spark, sf_dir, "region"))
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("sum_price"))
+    )
+
+
+@query(
+    "join_semi_anti",
+    oracle="""
+        SELECT 'with_orders' AS kind, count(*) AS n FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        UNION ALL
+        SELECT 'without_orders' AS kind, count(*) AS n FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI / LEFT ANTI — existence joins that never duplicate the
+    left side and only ship the join key of the right side."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").select("o_custkey")
+    on = cust.c_custkey == orders.o_custkey
+    semi = cust.join(orders, on, "left_semi").agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("with_orders").alias("kind"), "n"
+    )
+    anti = cust.join(orders, on, "left_anti").agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("without_orders").alias("kind"), "n"
+    )
+    return semi.unionAll(anti)
+
+
+@query(
+    "join_outer",
+    oracle="""
+        SELECT o.o_orderkey,
+               count(l.l_orderkey) AS n_items,
+               CAST(coalesce(sum(CAST(l.l_quantity AS DECIMAL(18,2))), 0) AS DOUBLE) AS sum_qty
+        FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey
+    """,
+)
+def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER with null-aware aggregation: orders with no lineitems
+    survive with n_items=0, sum 0 (count(col) skips nulls; sum of none
+    coalesced)."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left")
+        .groupBy("o_orderkey")
+        .agg(
+            F.count("l_orderkey").alias("n_items"),
+            F.coalesce(dsum("l_quantity"), F.lit(0.0)).alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "join_theta_range",
+    oracle="""
+        SELECT a.user_id, count(*) AS n_followups
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND b.ts > a.ts
+         AND b.ts <= a.ts + INTERVAL 1 HOUR
+        GROUP BY a.user_id
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/theta self-join: follow-up events within 1h per user. The
+    equi conjunct (user_id) anchors a hash join; the range predicate is
+    applied post-match, so work stays proportional to per-user pairs —
+    bounded by the hour window, never a cross product."""
+    ev = table(spark, sf_dir, "events").select("user_id", "ts")
+    a = ev.alias("a")
+    b = ev.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.ts") > F.col("a.ts"))
+            & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .groupBy(F.col("a.user_id").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_followups"))
+    )

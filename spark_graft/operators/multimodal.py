@@ -1,0 +1,105 @@
+"""Multimodal columns: opaque binary payloads + typed metadata, with the
+decode/feature-extract stage as an Arrow-batched mapInPandas operator.
+
+This container has no image/audio codecs, so the actual byte->pixels
+decode is STUBBED (see `decode_payload`) behind a deterministic fake that
+derives plausible metadata from the payload bytes. Everything Spark-side
+— binary column handling, schema, partitioning, Arrow batch shape, UDF
+signature — is real and oracle-tested, so swapping in a real decoder
+(PIL/ffmpeg) changes one marked function and nothing else.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_graft.registry import query
+from spark_graft.sources import table
+
+DECODE_SCHEMA = "doc_id long, n_bytes int, width int, height int, n_frames int"
+
+
+@query(
+    "multimodal_meta",
+    oracle="""
+        SELECT doc_id,
+               octet_length(encode(text)) AS n_bytes,
+               md5(text) AS digest,
+               CASE octet_length(encode(text)) % 3
+                    WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind
+        FROM documents
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over an opaque binary column. The payload is the
+    utf-8 bytes of `text` standing in for real media bytes; metadata
+    (size, digest, modality tag) is computed JVM-side without ever
+    decoding — the pattern that lets 100 TB of media flow through
+    relational plumbing with metadata-only predicates pushed to parquet."""
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode("text", "utf-8")
+    )
+    nb = F.octet_length("payload")
+    return docs.select(
+        "doc_id",
+        nb.alias("n_bytes"),
+        F.md5("payload").alias("digest"),
+        F.when(nb % 3 == 0, "image").when(nb % 3 == 1, "audio").otherwise("video").alias("kind"),
+    )
+
+
+def decode_payload(payload: bytes) -> tuple[int, int, int]:
+    """STUB — deterministic fake decoder.
+
+    A real implementation would decode image/video bytes (PIL, ffmpeg)
+    and return (width, height, n_frames); those libraries are not in
+    this container. The fake derives stable pseudo-dimensions from the
+    byte length so the full pipeline stays testable end-to-end. Replace
+    the body (and delete the fake) to productionize:
+
+        raise NotImplementedError("real codec goes here")
+    """
+    n = len(payload)
+    return (n * 7919) % 640 + 16, (n * 104729) % 480 + 16, n % 30 + 1
+
+
+@query(
+    "multimodal_decode",
+    oracle="""
+        SELECT doc_id,
+               octet_length(encode(text)) AS n_bytes,
+               (octet_length(encode(text)) * 7919) % 640 + 16 AS width,
+               (octet_length(encode(text)) * 104729) % 480 + 16 AS height,
+               octet_length(encode(text)) % 30 + 1 AS n_frames
+        FROM documents
+    """,
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode/feature-extract via mapInPandas: binary payloads arrive as
+    Arrow batches, the (stubbed) decoder runs per element, and results
+    come back as a typed DataFrame. mapInPandas (not a scalar UDF)
+    because real decoders return variable-shape data and may need to
+    drop/expand rows (frame sampling). The oracle reproduces the fake
+    decoder's arithmetic — proving batch shape, schema, and plumbing."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = [decode_payload(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
+                    "width": [m[0] for m in meta],
+                    "height": [m[1] for m in meta],
+                    "n_frames": [m[2] for m in meta],
+                }
+            )
+
+    return docs.mapInPandas(decode_batches, DECODE_SCHEMA)

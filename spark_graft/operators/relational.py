@@ -1,0 +1,395 @@
+"""Core relational operators: scans, filters, aggregations, sorts, set ops,
+and the flagship iterative min-unique-prefix query.
+
+Reference parity (SURVEY.md §2a): the reference's map stage is a projection
+(R3, MapReduce.h:178-190), its reduce stage a sorted-group aggregation
+(R8, MapReduce.h:192-208) with a bool-AND collapse (R9, MapReduce.h:
+348-371), its merge a global sort (R5, ExternalMergeSort.h:39-118), and
+its driver an iterative multi-job loop (R12, main.cpp:28-68). Each is
+re-expressed declaratively so Catalyst picks the physical strategy:
+filters/projections push into the parquet scan, aggregations get map-side
+partial aggregation (the combiner the reference lacks), sorts get
+range-partitioned TakeOrderedAndProject for top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_graft.functions import davg, dsum, tokens
+from spark_graft.registry import query
+from spark_graft.sources import table
+
+# ------------------------------------------------------------------ sources
+
+
+@query(
+    "scan_project",
+    oracle="SELECT l_orderkey, l_partkey, l_quantity FROM lineitem",
+)
+def scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection scan (ref R1/R3: text scan + per-record map).
+
+    Catalyst prunes the parquet read to exactly these 3 columns
+    (ReadSchema in the physical plan) — the columnar analogue of the
+    reference's line-by-line projection."""
+    return table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+
+
+@query(
+    "text_lines",
+    oracle="SELECT count(*) AS n_lines FROM documents WHERE length(text) > 0",
+)
+def text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-empty line count (ref R1: blank lines dropped, MapReduce.h:227-241)."""
+    return (
+        table(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+# ------------------------------------------------------------------ filters
+
+
+@query(
+    "filter_pred",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+        FROM lineitem
+        WHERE l_quantity > 30 AND l_discount BETWEEN 0.02 AND 0.06
+    """,
+)
+def filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound predicate; both conjuncts reach the scan as PushedFilters."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_quantity") > 30) & F.col("l_discount").between(0.02, 0.06)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+
+
+@query(
+    "filter_in_null",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_orderpriority
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') AND o_custkey IS NOT NULL
+    """,
+)
+def filter_in_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-list + null-safe predicate (pushed down as In + IsNotNull)."""
+    return (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH") & F.col("o_custkey").isNotNull())
+        .select("o_orderkey", "o_custkey", "o_orderpriority")
+    )
+
+
+# ------------------------------------------------------------- aggregations
+
+
+@query(
+    "agg_q1",
+    oracle="""
+        SELECT
+            l_returnflag,
+            l_linestatus,
+            CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+            CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+            CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+            round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity), 6) AS avg_qty,
+            round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(l_discount), 6) AS avg_disc,
+            count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape (ref R8 generalized: sorted-group reduce -> hash agg).
+
+    groupBy().agg() gives map-side partial aggregation — the combiner the
+    reference explicitly lacks (SURVEY.md §2a quirks) — so the shuffle
+    carries one row per (group, map partition), not per input row.
+    Decimal-exact sums keep the result order-insensitive for hashing."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            # scale 6 >= exact decimal count of products of 2-decimal
+            # inputs -> the decimal cast never lands on a rounding
+            # half-boundary (where Spark HALF_UP and DuckDB disagree)
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=6).alias("sum_disc_price"),
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")),
+                scale=6,
+            ).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+        SELECT c_nationkey,
+               count(DISTINCT c_mktsegment) AS n_segments,
+               count(*) AS n_customers
+        FROM customer GROUP BY c_nationkey
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT DISTINCT per group — Catalyst expands to a two-stage
+    partial/final aggregate (Expand + HashAggregate), keeping the distinct
+    de-dup distributed instead of collecting per-group sets."""
+    return (
+        table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )
+
+
+@query(
+    "agg_bool_all",
+    oracle="""
+        SELECT l_returnflag, bool_and(l_discount <= 0.08) AS all_low_disc,
+               bool_or(l_quantity >= 49) AS any_huge_qty
+        FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_bool_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ALL/ANY aggregate (ref R9: reducer output collapsed to
+    '1' iff no false, MapReduce.h:348-371 — bool_and is its exact
+    algebraic form, here with map-side partials)."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.every(F.col("l_discount") <= 0.08).alias("all_low_disc"),
+            F.some(F.col("l_quantity") >= 49).alias("any_huge_qty"),
+        )
+    )
+
+
+@query("agg_approx", tags=("rows-only",))
+def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct count — constant memory per
+    group at any scale (the 100 TB substitute for exact countDistinct).
+    Sketch values are engine-specific -> rows-only check."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"))
+    )
+
+
+@query(
+    "grouping_rollup",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n_rows,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def grouping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals in one pass (Expand operator — each input
+    row fans out to its grouping sets; no second scan)."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_rows"), dsum("l_quantity").alias("sum_qty"))
+    )
+
+
+@query(
+    "grouping_cube",
+    oracle="""
+        SELECT o_orderpriority, o_orderstatus,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+    """,
+)
+def grouping_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions — all 4 grouping sets in one shuffle."""
+    return (
+        table(spark, sf_dir, "orders")
+        .cube("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("sum_price"))
+    )
+
+
+@query(
+    "word_count",
+    oracle="""
+        SELECT word, count(*) AS n
+        FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS word
+              FROM documents)
+        WHERE word <> ''
+        GROUP BY word
+    """,
+)
+def word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical MapReduce job (Dean & Ghemawat §2.1) as 3 Catalyst
+    operators: split (narrow) -> explode (narrow) -> hash agg (one
+    shuffle, with map-side combine the reference never had)."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# -------------------------------------------------------- sort / limit / topk
+
+
+@query(
+    "global_sort",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_extendedprice
+        FROM lineitem
+        ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        LIMIT 100
+    """,
+)
+def global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sort + limit (ref R4/R5: per-mapper sort + k-way merge,
+    ExternalMergeSort.h:39-118). Catalyst turns orderBy().limit() into
+    TakeOrderedAndProject: per-partition top-100 then a single merge —
+    no full global sort is ever materialized, at any scale. Tie-broken
+    on (l_orderkey, l_linenumber) so the limit is deterministic."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+@query(
+    "topk_per_group",
+    oracle="""
+        SELECT p_brand, p_partkey, p_retailprice
+        FROM (
+            SELECT p_brand, p_partkey, p_retailprice,
+                   row_number() OVER (PARTITION BY p_brand
+                                      ORDER BY p_retailprice DESC, p_partkey) AS rk
+            FROM part
+        ) WHERE rk <= 3
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 per group via ranked window; one hash-partitioned shuffle on
+    the group key. Spark 3.5+ plans a WindowGroupLimit (per-partition
+    early pruning) before the final window — top-k never materializes
+    whole groups."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc(), "p_partkey")
+    return (
+        table(spark, sf_dir, "part")
+        .select("p_brand", "p_partkey", "p_retailprice")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .drop("rk")
+    )
+
+
+# ------------------------------------------------------------------- set ops
+
+
+@query(
+    "set_ops",
+    oracle="""
+        WITH a AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+             b AS (SELECT c_custkey FROM customer WHERE c_acctbal > 0)
+        SELECT 'union' AS op, c_custkey FROM (SELECT c_custkey FROM a UNION SELECT c_custkey FROM b)
+        UNION ALL
+        SELECT 'intersect' AS op, c_custkey FROM (SELECT c_custkey FROM a INTERSECT SELECT c_custkey FROM b)
+        UNION ALL
+        SELECT 'except' AS op, c_custkey FROM (SELECT c_custkey FROM a EXCEPT SELECT c_custkey FROM b)
+    """,
+)
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT (distinct semantics, matching SQL).
+    Catalyst rewrites intersect/except to semi/anti joins — set algebra
+    becomes shuffle-parallel join work, no driver-side sets."""
+    cust = table(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = cust.filter(F.col("c_acctbal") > 0).select("c_custkey")
+    return (
+        a.union(b).distinct().select(F.lit("union").alias("op"), "c_custkey")
+        .unionAll(a.intersect(b).select(F.lit("intersect").alias("op"), "c_custkey"))
+        .unionAll(a.exceptAll(b).distinct().select(F.lit("except").alias("op"), "c_custkey"))
+    )
+
+
+# ------------------------------------------------ flagship: min unique prefix
+
+
+def min_unique_prefix_len(spark: SparkSession, strings_df: DataFrame, col: str) -> int | None:
+    """Iterative driver loop of the reference's flagship job (main.cpp:
+    28-68): find minimal L such that all length-L prefixes are distinct.
+
+    Each iteration is one Spark job — groupBy(substring(c,1,L)) with a
+    short-circuit `any duplicate?` aggregate, mirroring mapper
+    main.cpp:35-38 (substr clamps for short strings — so does Spark's
+    substring) and reducer main.cpp:44-49 (adjacent-equal detection; here
+    the algebraic form max(count)>1). The input is cached across
+    iterations (the reference re-reads its input file every job).
+    Returns None when no finite prefix works (exact duplicates — the
+    reference would loop forever; FIXTURES.md §A mandates reporting
+    'no finite prefix' instead).
+    """
+    df = strings_df.select(F.col(col).alias("s")).cache()
+    try:
+        max_len_row = df.agg(F.max(F.length("s")).alias("m")).collect()[0]
+        max_len = max_len_row["m"] or 0
+        length = 1
+        while length <= max_len:
+            dup = (
+                df.groupBy(F.substring("s", 1, length).alias("p"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .filter(F.col("n") > 1)
+                .limit(1)
+                .count()
+            )
+            if dup == 0:
+                return length
+            length += 1
+        return None
+    finally:
+        df.unpersist()
+
+
+@query(
+    "min_unique_prefix",
+    oracle="""
+        SELECT min(len) AS min_prefix_len
+        FROM generate_series(1, 64) AS t(len)
+        WHERE len <= (SELECT max(length(c_name)) FROM customer)
+          AND (SELECT count(DISTINCT substr(c_name, 1, len)) FROM customer)
+              = (SELECT count(*) FROM customer)
+    """,
+)
+def min_unique_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship (ref R13): minimal L with all substr(c_name,1,L) distinct.
+
+    Spark side runs the faithful iterative loop (one job per candidate L,
+    like main.cpp's one full MapReduce per L); the oracle uses the
+    closed form. Returns a 1-row DataFrame."""
+    cust = table(spark, sf_dir, "customer")
+    result = min_unique_prefix_len(spark, cust, "c_name")
+    return spark.createDataFrame([(result,)], "min_prefix_len int")

@@ -1,0 +1,147 @@
+"""Scalar function library: string / datetime / math / JSON / array.
+
+Generalizes the reference's only scalar op — substr in the flagship
+mapper (main.cpp:35-38) — to the full built-in function surface. All
+expressions are JVM-side and codegen'd; nothing here leaves
+WholeStageCodegen, so these run at columnar scan speed on any data size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_graft.registry import query
+from spark_graft.sources import table
+
+
+@query(
+    "fn_string",
+    oracle=r"""
+        SELECT p_partkey,
+               upper(substr(p_name, 1, 10)) AS name10,
+               trim(concat(p_brand, ' ', p_type)) AS brand_type,
+               regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+               length(p_name) AS name_len
+        FROM part
+    """,
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """substring/upper/trim/concat/regexp_extract/length (ref R13's
+    substr generalized; Spark substring clamps like std::substr)."""
+    return table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.upper(F.substring("p_name", 1, 10)).alias("name10"),
+        F.trim(F.concat_ws(" ", "p_brand", "p_type")).alias("brand_type"),
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        F.length("p_name").alias("name_len"),
+    )
+
+
+@query(
+    "fn_datetime",
+    oracle="""
+        SELECT o_orderkey,
+               year(o_orderdate) AS o_year,
+               month(o_orderdate) AS o_month,
+               date_trunc('month', o_orderdate) AS month_start,
+               datediff('day', DATE '1995-01-01', o_orderdate) AS days_since_epoch
+        FROM orders
+    """,
+)
+def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """year/month/date_trunc/datediff. Session TZ pinned to UTC so
+    truncation boundaries match the oracle exactly."""
+    return table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_epoch"
+        ),
+    )
+
+
+@query(
+    "fn_math_decimal",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               CAST(round(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                               AS DECIMAL(18,6)), 2) AS DOUBLE) AS revenue,
+               CAST(ceil(l_quantity / 7.0) AS BIGINT) AS qty_bucket,
+               abs(l_discount - 0.05) AS disc_dev,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price_dec
+        FROM lineitem
+    """,
+)
+def fn_math_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """round/ceil/abs + the TPC-H revenue expression + decimal cast.
+    Per-row double arithmetic is IEEE-deterministic, so row-level math
+    hash-matches without decimal tricks."""
+    return table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        # exact-decimal capture (scale 6 holds the full product of
+        # 2-decimal inputs) BEFORE rounding to 2: decimal HALF_UP agrees
+        # across engines; rounding the raw double does not at .xx5000
+        F.round(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))).cast(
+                "decimal(18,6)"
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.ceil(F.col("l_quantity") / 7.0).alias("qty_bucket"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        # decimal cast demo; final type double (decimal round-trips to
+        # engine-specific pandas types, double is portable)
+        F.col("l_extendedprice").cast("decimal(18,2)").cast("double").alias("price_dec"),
+    )
+
+
+@query(
+    "fn_json",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+               (json_extract_string(props, '$.k') IS NOT NULL) AS has_k
+        FROM events
+    """,
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from events.props (semi-structured column).
+    get_json_object evaluates without full schema inference — per-row,
+    codegen'd, no driver-side sampling pass."""
+    k = F.get_json_object("props", "$.k")
+    return table(spark, sf_dir, "events").select(
+        "event_id",
+        k.cast("int").alias("k_val"),
+        k.isNotNull().alias("has_k"),
+    )
+
+
+@query(
+    "fn_array",
+    oracle="""
+        SELECT vec_id,
+               len(embedding) AS dim,
+               round(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
+               round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                                  x -> x * x))), 4) AS l2_norm
+        FROM embeddings
+    """,
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array ops over array<float> embeddings: size, element access, and
+    an L2 norm folded entirely in SQL expressions (no UDF) — the same
+    higher-order-function machinery the similarity operators build on."""
+    from spark_graft.functions import norm
+
+    return table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 4).alias("first_val"),
+        F.round(norm(F.col("embedding")), 4).alias("l2_norm"),
+    )

@@ -1,0 +1,167 @@
+"""Similarity search over embeddings: brute-force cosine top-k (the
+exact baseline), random-hyperplane LSH (the bucketed scale path), and an
+IVF-style coarse-quantizer probe.
+
+Probe selection is deterministic (the embedding with the minimum vec_id)
+so every variant — and the oracle — scores against the same vector.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_graft.functions import cosine, dot
+from spark_graft.registry import query
+from spark_graft.sources import table
+
+TOP_K = 10
+N_PLANES = 8
+
+
+def _probe_vector(spark: SparkSession, sf_dir: str) -> list[float]:
+    """The query vector: embedding of the minimum vec_id. One tiny
+    driver-side lookup (TakeOrderedAndProject of a single row) — the rest
+    of the search ships the probe to executors as a literal, never the
+    other way around."""
+    row = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(1)
+        .collect()[0]
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+def _lit_vec(vec: list[float]):
+    return F.array(*[F.lit(x) for x in vec])
+
+
+@query(
+    "sim_cosine_topk",
+    oracle=f"""
+        WITH probe AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS pv
+            FROM embeddings ORDER BY vec_id LIMIT 1
+        )
+        SELECT e.vec_id,
+               round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pv), 4) AS cos_sim
+        FROM embeddings e CROSS JOIN probe p
+        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pv) DESC, e.vec_id
+        LIMIT {TOP_K}
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k — the exact-ANN baseline. The probe is a
+    broadcast literal; scoring is a narrow map over the table and the
+    top-k is TakeOrderedAndProject (per-partition heaps, single merge) —
+    no global sort, no shuffle of vectors. Scales linearly to any corpus
+    size; this is also the recall=1.0 yardstick for the ANN variants."""
+    probe = _lit_vec(_probe_vector(spark, sf_dir))
+    e = table(spark, sf_dir, "embeddings")
+    cos = cosine(F.col("embedding"), probe)
+    return (
+        e.select("vec_id", F.round(cos, 4).alias("cos_sim"), cos.alias("_c"))
+        .orderBy(F.col("_c").desc(), "vec_id")
+        .limit(TOP_K)
+        .drop("_c")
+    )
+
+
+def _planes(dim: int) -> list[list[float]]:
+    """Fixed public hash family: plane[p][d] derived from md5(p:d),
+    mapped to [-1, 1). Deterministic across runs/engines — no RNG."""
+    return [
+        [
+            int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8], 16) / 2**32 * 2 - 1
+            for d in range(dim)
+        ]
+        for p in range(N_PLANES)
+    ]
+
+
+def lsh_bucket_col(vec_col, planes: list[list[float]]):
+    """Sign-bit bucket id: bit p = (v . plane_p >= 0). A narrow,
+    codegen'd expression — bucketing 100 TB of vectors is a map-only
+    stage."""
+    bucket = F.lit(0)
+    for p, plane in enumerate(planes):
+        bucket = bucket + F.when(dot(vec_col, _lit_vec(plane)) >= 0, F.lit(2**p)).otherwise(
+            F.lit(0)
+        )
+    return bucket
+
+
+@query("sim_ann_lsh", tags=("rows-only",))
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane LSH: bucket every vector by 8 sign bits
+    (buckets ~ corpus/256), search only the probe's bucket, exact-rescore
+    candidates. At 100 TB: bucket once, write bucketed/partitioned by
+    bucket id, and each query touches one partition — the candidate scan
+    is O(corpus/2^bits) with recall tunable via multi-probe (flipping
+    low-margin bits). Engine-specific plane constants -> rows-only."""
+    probe = _probe_vector(spark, sf_dir)
+    planes = _planes(len(probe))
+    # python-side bucket of the probe (same arithmetic as the column expr)
+    probe_bucket = sum(
+        2**p
+        for p, plane in enumerate(planes)
+        if sum(a * b for a, b in zip(probe, plane)) >= 0
+    )
+    e = table(spark, sf_dir, "embeddings")
+    bucketed = e.withColumn("bucket", lsh_bucket_col(F.col("embedding"), planes))
+    cand = bucketed.filter(F.col("bucket") == probe_bucket)
+    cos = cosine(F.col("embedding"), _lit_vec(probe))
+    return (
+        cand.select("vec_id", F.round(cos, 4).alias("cos_sim"), cos.alias("_c"))
+        .orderBy(F.col("_c").desc(), "vec_id")
+        .limit(TOP_K)
+        .drop("_c")
+    )
+
+
+N_PROBE_CLUSTERS = 3
+
+
+@query("sim_ann_ivf", tags=("rows-only",))
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: `label` is the coarse quantizer's cluster id;
+    centroids = per-cluster mean vectors (one tiny aggregation), probe
+    the nprobe nearest clusters, exact-rescore inside them. The inverted
+    list = partition-by-cluster layout; at scale each query reads only
+    nprobe partitions. Centroid table is centroids(n_clusters) rows —
+    always broadcastable."""
+    e = table(spark, sf_dir, "embeddings")
+    # centroids via posexplode -> avg per (label, dim) -> rebuild vectors
+    cent_rows = (
+        e.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.avg("val").alias("v"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pv"))
+        .select("label", F.transform("pv", lambda s: s["v"]).alias("centroid"))
+        .collect()
+    )
+    probe = _probe_vector(spark, sf_dir)
+
+    def py_cos(a: list[float], b: list[float]) -> float:
+        d = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(y * y for y in b) ** 0.5
+        return d / (na * nb) if na and nb else 0.0
+
+    nearest = sorted(
+        cent_rows, key=lambda r: (-py_cos(probe, list(r["centroid"])), r["label"])
+    )[:N_PROBE_CLUSTERS]
+    probe_labels = [r["label"] for r in nearest]
+    cos = cosine(F.col("embedding"), _lit_vec(probe))
+    return (
+        e.filter(F.col("label").isin(probe_labels))
+        .select("vec_id", F.round(cos, 4).alias("cos_sim"), cos.alias("_c"))
+        .orderBy(F.col("_c").desc(), "vec_id")
+        .limit(TOP_K)
+        .drop("_c")
+    )

@@ -1,0 +1,230 @@
+"""Text analysis for training-data pipelines: stats, token counting,
+quality scoring, language-ID, fingerprinting, and the Arrow/pandas-UDF
+tokenizer.
+
+All pure-SQL variants stay in whole-stage codegen; the one pandas UDF
+(udf_pandas_tokens) exists to exercise the Arrow-batched Python path and
+is oracle-checked against the SQL tokenizer to prove equivalence.
+At 100 TB these are all narrow per-row transforms — no shuffle except the
+final small groupBys — so they scale linearly with input splits.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from spark_graft.functions import tokens, word_shingles
+from spark_graft.registry import query
+from spark_graft.sources import table
+
+# DuckDB fragment equivalent to spark_graft.functions.tokens("text")
+_TOK = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+STOPWORDS = {
+    "en": ("the", "a", "and", "of", "to", "in", "is"),
+    "es": ("el", "la", "de", "que", "y", "en"),
+    "fr": ("le", "la", "et", "les", "des", "un"),
+    "de": ("der", "die", "und", "das", "ist", "ein"),
+}
+
+
+@query(
+    "text_stats",
+    oracle=f"""
+        SELECT lang,
+               count(*) AS n_docs,
+               round(sum(n_chars) * 1.0 / count(*), 4) AS avg_chars,
+               round(sum(len({_TOK})) * 1.0 / count(*), 4) AS avg_tokens
+        FROM documents
+        GROUP BY lang
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus stats. Integer sums are exact -> deterministic
+    averages via a single double division."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", "n_chars", F.size(tokens("text")).alias("n_tok"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.sum("n_chars") * 1.0 / F.count(F.lit(1)), 4).alias("avg_chars"),
+            F.round(F.sum("n_tok") * 1.0 / F.count(F.lit(1)), 4).alias("avg_tokens"),
+        )
+    )
+
+
+@query(
+    "text_tokens",
+    oracle=f"""
+        SELECT doc_id,
+               len({_TOK}) AS n_tokens,
+               len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_pieces
+        FROM documents
+    """,
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace/alnum tokens and a BPE-ish
+    piece count (letter runs, digit runs, single symbols) — the standard
+    pre-tokenization used to budget LLM training tokens."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(tokens("text")).alias("n_tokens"),
+        F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)
+        ).alias("n_bpe_pieces"),
+    )
+
+
+def _sw_sql(lang: str) -> str:
+    inlist = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter({_TOK}, t -> t IN ({inlist})))"
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+        SELECT doc_id,
+               n_tokens,
+               round(CASE WHEN n_tokens = 0 THEN 0.0
+                          ELSE tok_chars * 1.0 / n_tokens END, 4) AS avg_token_len,
+               round(CASE WHEN n_tokens = 0 THEN 0.0
+                          ELSE n_stop * 1.0 / n_tokens END, 4) AS stopword_ratio,
+               round(0.5 * least(n_tokens / 64.0, 1.0)
+                     + 0.5 * least(CASE WHEN n_tokens = 0 THEN 0.0
+                                        ELSE tok_chars * 1.0 / n_tokens END / 8.0, 1.0),
+                     4) AS quality_score
+        FROM (
+            SELECT doc_id,
+                   len({_TOK}) AS n_tokens,
+                   list_sum(list_transform({_TOK}, t -> length(t))) AS tok_chars,
+                   {_sw_sql('en')} AS n_stop
+            FROM documents
+        )
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality score: length saturation + mean token
+    length (the classic Gopher/C4-style rule family), all in codegen'd
+    array expressions."""
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    en = F.array([F.lit(w) for w in STOPWORDS["en"]])
+    base = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.coalesce(
+            F.aggregate(F.transform(toks, F.length), F.lit(0), lambda a, x: a + x), F.lit(0)
+        ).alias("tok_chars"),
+        F.size(F.filter(toks, lambda t: F.array_contains(en, t))).alias("n_stop"),
+    )
+    atl = F.when(F.col("n_tokens") == 0, 0.0).otherwise(
+        F.col("tok_chars") * 1.0 / F.col("n_tokens")
+    )
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        F.round(atl, 4).alias("avg_token_len"),
+        F.round(
+            F.when(F.col("n_tokens") == 0, 0.0).otherwise(F.col("n_stop") * 1.0 / F.col("n_tokens")),
+            4,
+        ).alias("stopword_ratio"),
+        F.round(
+            0.5 * F.least(F.col("n_tokens") / 64.0, F.lit(1.0))
+            + 0.5 * F.least(atl / 8.0, F.lit(1.0)),
+            4,
+        ).alias("quality_score"),
+    )
+
+
+@query(
+    "text_langid",
+    oracle=f"""
+        SELECT doc_id,
+               CASE WHEN c_en > 0 AND c_en >= greatest(c_es, c_fr, c_de) THEN 'en'
+                    WHEN c_es > 0 AND c_es >= greatest(c_fr, c_de) THEN 'es'
+                    WHEN c_fr > 0 AND c_fr >= c_de THEN 'fr'
+                    WHEN c_de > 0 THEN 'de'
+                    ELSE 'und' END AS predicted_lang
+        FROM (
+            SELECT doc_id,
+                   {_sw_sql('en')} AS c_en,
+                   {_sw_sql('es')} AS c_es,
+                   {_sw_sql('fr')} AS c_fr,
+                   {_sw_sql('de')} AS c_de
+            FROM documents
+        )
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID (deterministic n-gram heuristic with a
+    fixed priority tie-break en>es>fr>de>und). Pure per-row array
+    expressions — linear scan at any scale."""
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    def stop_count(ws: tuple[str, ...]):
+        arr = F.array([F.lit(w) for w in ws])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    counts = {lang: stop_count(ws).alias(f"c_{lang}") for lang, ws in STOPWORDS.items()}
+    base = docs.select("doc_id", *counts.values())
+    pred = (
+        F.when(
+            (F.col("c_en") > 0) & (F.col("c_en") >= F.greatest("c_es", "c_fr", "c_de")), "en"
+        )
+        .when((F.col("c_es") > 0) & (F.col("c_es") >= F.greatest("c_fr", "c_de")), "es")
+        .when((F.col("c_fr") > 0) & (F.col("c_fr") >= F.col("c_de")), "fr")
+        .when(F.col("c_de") > 0, "de")
+        .otherwise("und")
+    )
+    return base.select("doc_id", pred.alias("predicted_lang"))
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+        SELECT doc_id,
+               md5(array_to_string({_TOK}, ' ')) AS content_fp,
+               list_min(list_transform(
+                   list_distinct(list_transform(
+                       generate_series(1, greatest(len({_TOK}) - 2, 0)),
+                       i -> {_TOK}[i] || ' ' || {_TOK}[i+1] || ' ' || {_TOK}[i+2])),
+                   s -> md5(s))) AS min_shingle_fp
+        FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over the token-normalized text
+    (exact-dup key robust to whitespace/punctuation) plus the minimum
+    word-3-gram hash (a 1-hash MinHash — winnowing's degenerate case).
+    md5 is engine-portable, unlike Spark's murmur3 `hash()`."""
+    docs = table(spark, sf_dir, "documents")
+    sh = word_shingles("text", 3)
+    return docs.select(
+        "doc_id",
+        F.md5(F.array_join(tokens("text"), " ")).alias("content_fp"),
+        F.array_min(F.transform(sh, F.md5)).alias("min_shingle_fp"),
+    )
+
+
+@query(
+    "udf_pandas_tokens",
+    oracle=f"SELECT doc_id, len({_TOK}) AS n_tokens FROM documents",
+)
+def udf_pandas_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched pandas UDF tokenizer, oracle-matched against the SQL
+    tokenizer — the template for Python-side text ops (real BPE, model
+    scoring) that can't be expressed in SQL. Vectorized per Arrow batch;
+    never row-at-a-time Python."""
+
+    @pandas_udf("int")
+    def n_tokens(s: pd.Series) -> pd.Series:
+        return s.str.lower().str.findall("[a-z0-9]+").str.len().astype("int32")
+
+    return table(spark, sf_dir, "documents").select(
+        "doc_id", n_tokens("text").alias("n_tokens")
+    )

@@ -1,0 +1,97 @@
+"""Window operators: rank, running aggregate, lag.
+
+The lag idiom is the reference's reducer in disguise: reducer_do_work
+streams sorted (k,v) pairs carrying the previous key and compares
+adjacent keys (R8, MapReduce.h:192-208, carry at 200-205). lag(k) OVER
+(ORDER BY k) is that exact computation, distributed: Spark
+hash-partitions on the PARTITION BY key and sorts within partitions —
+the same partition-then-sort the reference builds by hand (R4+R7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from spark_graft.registry import query
+from spark_graft.sources import table
+
+
+@query(
+    "win_rank",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_totalprice
+        FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+            FROM orders
+        ) WHERE rk = 1
+    """,
+)
+def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top order per customer. Deterministic tie-break on o_orderkey."""
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+
+
+@query(
+    "win_running",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                    OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                   AS running_spend
+        FROM orders
+    """,
+)
+def win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum per customer by order date (decimal-exact running
+    frame so every prefix sum hash-matches)."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").alias("running_spend"),
+    )
+
+
+@query(
+    "win_lag",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               lag(o_totalprice) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey)
+                   AS prev_price,
+               (o_orderstatus = lag(o_orderstatus) OVER (PARTITION BY o_custkey
+                                                         ORDER BY o_orderdate, o_orderkey))
+                   AS same_status_as_prev
+        FROM orders
+    """,
+)
+def win_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-row compare (ref R8's previous-key carry, MapReduce.h:
+    200-205). Partitioned by o_custkey so the sort is per-group — scales
+    as pure shuffle parallelism, no global order needed. Ordering ends
+    on the unique o_orderkey, making lag deterministic (lineitem has no
+    unique sort key in this dataset)."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        (F.col("o_orderstatus") == F.lag("o_orderstatus").over(w)).alias("same_status_as_prev"),
+    )

@@ -1,0 +1,13 @@
+from spark_graft.streaming.structured import (
+    events_stream,
+    tumbling_counts_stream,
+    session_counts_stream,
+    run_stream_to_memory,
+)
+
+__all__ = [
+    "events_stream",
+    "tumbling_counts_stream",
+    "session_counts_stream",
+    "run_stream_to_memory",
+]

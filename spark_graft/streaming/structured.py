@@ -1,0 +1,83 @@
+"""Structured Streaming variants of the event queries (SURVEY.md §7 M6).
+
+The batch twins in spark_graft.operators.events define the semantics and
+carry the DuckDB oracles; these streaming versions are verified by
+equivalence to them (tests/test_streaming.py) using the file source in
+`availableNow` mode + a memory sink — the same incremental plans that
+run unbounded in production.
+
+Watermarking: 1 hour on event time. In production the watermark bounds
+window/session state eviction; with availableNow replay of a finite
+directory it admits every row, so streaming results equal batch results
+exactly — which is what makes the equivalence test sound.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_graft.operators.events import SESSION_GAP_MIN
+from spark_graft.sources.tables import table
+
+WATERMARK = "1 hour"
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as an unbounded file stream. The static read
+    supplies the schema (streaming sources require one up front)."""
+    schema = table(spark, sf_dir, "events").schema
+    return (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .load(f"{sf_dir}/events.parquet")
+    )
+
+
+def tumbling_counts_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of operators.events.stream_tumbling: watermarked
+    5-minute tumbling windows. State per (window, event_type) is evicted
+    once the watermark passes window end — bounded memory forever."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def session_counts_stream(events: DataFrame) -> DataFrame:
+    """Streaming sessionization via session_window — Spark's native
+    gap-based session operator (state merges windows closer than the
+    gap; watermark closes sessions)."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy("user_id", F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def run_stream_to_memory(stream_df: DataFrame, complete: bool = True) -> DataFrame:
+    """Drain a finite stream through a memory sink with availableNow
+    (process-everything-then-stop) and return the sink contents as a
+    DataFrame. The streaming query plan is the real incremental one."""
+    name = f"sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if complete else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
