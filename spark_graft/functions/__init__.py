@@ -69,10 +69,11 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     caller chooses to; keeps shingling a narrow, codegen'd operation.
     """
     toks = tokens(col)
-    # for i in 0..len-n: concat_ws(' ', slice(toks, i+1, n))
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    # guard: sequence(1, 0) is DESCENDING [1,0] in Spark, not empty —
+    # docs with fewer than n tokens must yield [] explicitly
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))))
     )
 
 

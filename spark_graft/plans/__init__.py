@@ -33,6 +33,14 @@ def assert_not_in_plan(df: DataFrame, *needles: str, mode: str = "formatted") ->
     return plan
 
 
+def executed_plan_str(df: DataFrame) -> str:
+    """Execute the plan and return the FINAL (post-AQE) physical plan.
+    Codegen markers (`*(n)`) and runtime join selections only appear
+    here — unexecuted AQE plans hide them."""
+    df.collect()  # count() would build a DIFFERENT QueryExecution
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
 def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in explain_str(df, "simple")
 

@@ -26,14 +26,23 @@ WATERMARK = "1 hour"
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet as an unbounded file stream. The static read
-    supplies the schema (streaming sources require one up front)."""
-    schema = table(spark, sf_dir, "events").schema
-    return (
-        spark.readStream.schema(schema)
+    """events.parquet as an unbounded file stream. The file source needs
+    a directory (basePath) + glob, and the declared schema must be the
+    RAW parquet schema — ts arrives as nanos-as-long (see
+    sources.tables) and is converted on the stream itself."""
+    from spark_graft.sources.tables import ensure_session_confs
+
+    ensure_session_confs(spark)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
         .format("parquet")
-        .load(f"{sf_dir}/events.parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
     )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
 
 
 def tumbling_counts_stream(events: DataFrame) -> DataFrame:

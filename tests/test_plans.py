@@ -1,0 +1,89 @@
+"""Physical-plan assertions: the properties that make these queries
+scale are pinned here, so a regression (lost pushdown, lost broadcast,
+a full sort sneaking in) fails CI instead of melting a cluster."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_graft.plans import assert_in_plan, explain_str, has_broadcast_join
+from spark_graft.registry import REGISTRY
+from spark_graft.sources import table
+
+
+def q(name, spark, sf_dir):
+    return REGISTRY[name].fn(spark, sf_dir)
+
+
+def test_scan_project_prunes_columns(spark, sf_dir):
+    """Column pruning must reach the parquet scan: ReadSchema lists only
+    the 3 projected columns (of lineitem's 11)."""
+    plan = explain_str(q("scan_project", spark, sf_dir))
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema and "l_shipdate" not in read_schema
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = explain_str(q("filter_pred", spark, sf_dir))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    assert "GreaterThan(l_quantity" in pushed
+    assert "GreaterThanOrEqual(l_discount" in pushed
+
+
+def test_broadcast_join_is_broadcast(spark, sf_dir):
+    assert has_broadcast_join(q("join_broadcast", spark, sf_dir))
+
+
+def test_multi_join_broadcasts_dims(spark, sf_dir):
+    """region/nation sides must be broadcast, not shuffled."""
+    plan = explain_str(q("join_multi", spark, sf_dir), "simple")
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_global_sort_is_topk_not_full_sort(spark, sf_dir):
+    """orderBy().limit() must plan as TakeOrderedAndProject — a full
+    global Sort+Exchange on 100 TB for a LIMIT 100 is the classic
+    scale-killer."""
+    assert_in_plan(q("global_sort", spark, sf_dir), "TakeOrderedAndProject", mode="simple")
+
+
+def test_agg_has_partial_aggregation(spark, sf_dir):
+    """Map-side combine (the combiner the reference lacks): two
+    HashAggregate levels around the exchange."""
+    plan = explain_str(q("agg_q1", spark, sf_dir), "simple")
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_" in plan
+
+
+def test_wordcount_wholestage_codegen(spark, sf_dir):
+    """The tokenize-explode-count hot path stays inside whole-stage
+    codegen (no Python boundary)."""
+    from spark_graft.plans import executed_plan_str
+
+    plan = executed_plan_str(q("word_count", spark, sf_dir))
+    assert "*(" in plan  # whole-stage codegen stage markers
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sql_only_queries_have_no_python_udfs(spark, sf_dir):
+    """Everything except the declared UDF/pandas operators must stay
+    JVM-side — Python in the hot path is the #1 silent 100x slowdown."""
+    allowed_python = {"udf_pandas_tokens", "multimodal_decode", "udf_compat"}
+    for name, spec in REGISTRY.items():
+        if name in allowed_python:
+            continue
+        plan = explain_str(spec.fn(spark, sf_dir), "simple")
+        assert "EvalPython" not in plan, f"{name} runs Python in the plan"
+
+
+def test_topk_per_group_uses_window_group_limit(spark, sf_dir):
+    """rank<=k filter should plan WindowGroupLimit (partial top-k before
+    the shuffle) on Spark 3.5+."""
+    plan = explain_str(q("topk_per_group", spark, sf_dir), "simple")
+    assert "WindowGroupLimit" in plan
+
+
+def test_semi_anti_plan_shapes(spark, sf_dir):
+    plan = explain_str(q("join_semi_anti", spark, sf_dir), "simple")
+    assert "LeftSemi" in plan and "LeftAnti" in plan

@@ -1,0 +1,78 @@
+"""Unit tests on tiny literal DataFrames: edge cases per shared function
+(nulls, empties, ties, clamping)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Row, functions as F
+
+from spark_graft.functions import cosine, dsum, tokens, word_shingles
+from spark_graft.operators.dedup import simhash16
+
+
+def test_tokens_edges(spark):
+    df = spark.createDataFrame(
+        [("Hello, World!",), ("  a  b ",), ("",), ("123-abc",), ("...",)], "text string"
+    )
+    out = [r[0] for r in df.select(tokens("text")).collect()]
+    assert out == [["hello", "world"], ["a", "b"], [], ["123", "abc"], []]
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",), ("",)], "text string")
+    out = [r[0] for r in df.select(word_shingles("text", 3)).collect()]
+    assert out[0] == ["a b c", "b c d"]
+    assert out[1] == []  # fewer tokens than n -> no shingles
+    assert out[2] == []
+
+
+def test_cosine_known_values(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 1.0])],
+        "a array<float>, b array<float>",
+    )
+    out = [r[0] for r in df.select(cosine(F.col("a"), F.col("b"))).collect()]
+    assert abs(out[0] - 1.0) < 1e-12
+    assert abs(out[1]) < 1e-12
+    assert abs(out[2] - 1.0) < 1e-12
+
+
+def test_dsum_is_exact_and_order_insensitive(spark):
+    # 0.1 + 0.2 != 0.3 in doubles; decimal sum is exact
+    df = spark.createDataFrame([(0.1,), (0.2,)], "x double")
+    assert df.agg(dsum("x", scale=1).alias("s")).collect()[0]["s"] == 0.3
+    vals = [(float(i) + 0.01,) for i in range(1000)]
+    a = spark.createDataFrame(vals, "x double").agg(dsum("x").alias("s")).collect()[0]["s"]
+    b = (
+        spark.createDataFrame(list(reversed(vals)), "x double")
+        .repartition(7)
+        .agg(dsum("x").alias("s"))
+        .collect()[0]["s"]
+    )
+    assert a == b
+
+
+def test_simhash_similar_docs_close(spark):
+    """Near-identical token sets -> identical signature; disjoint token
+    sets -> (almost surely) different signature."""
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "entirely different words about spark engines"),
+        ],
+        "id int, text string",
+    )
+    out = {r["id"]: r["s"] for r in df.select("id", simhash16(tokens("text")).alias("s")).collect()}
+    ham12 = bin(out[1] ^ out[2]).count("1")
+    ham13 = bin(out[1] ^ out[3]).count("1")
+    assert ham12 < ham13  # 1 token differs vs all tokens differ
+
+
+def test_min_unique_prefix_none_branch_short_circuit(spark):
+    """Duplicates bounded by max length — terminates (no ref-style hang)."""
+    from spark_graft.operators.relational import min_unique_prefix_len
+
+    df = spark.createDataFrame([("zz",)] * 5, "s string")
+    assert min_unique_prefix_len(spark, df, "s") is None
