@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spark_graft.functions import dot, tokens, word_shingles
+from spark_graft.functions import dot, shingles_from_tokens, tokens
 from spark_graft.registry import query
 from spark_graft.sources import table
 
@@ -32,6 +32,17 @@ _SHINGLES = (
 N_PERMS = 12
 N_BANDS = 4  # 3 rows per band
 JACCARD_THRESHOLD = 0.8
+
+
+def shingle_rows(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """(doc_id, s): exploded distinct word-n-gram shingles.
+
+    Tokens are staged as their own projection so the shingling lambdas
+    reference a materialized array attribute — see
+    `shingles_from_tokens`' performance contract (8.8x at sf0.1)."""
+    return docs.select("doc_id", tokens(text_col).alias("toks")).select(
+        "doc_id", F.explode(shingles_from_tokens("toks", n)).alias("s")
+    )
 
 
 def pair_combinations(ds: Column) -> Column:
@@ -91,7 +102,7 @@ def minhash_bands(docs: DataFrame, text_col: str = "text") -> DataFrame:
     CollapseProject inlines the whole tokenize->shingle pipeline into
     every one of the 12 signature expressions."""
     rows_per_band = N_PERMS // N_BANDS
-    sh = docs.select("doc_id", F.explode(word_shingles(text_col, 3)).alias("s"))
+    sh = shingle_rows(docs, text_col)
     per_doc = sh.groupBy("doc_id").agg(
         F.collect_set("s").alias("shingles"),
         *[
@@ -167,8 +178,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.doc_a", "p.doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    sh = docs.select("doc_id", F.explode(word_shingles("text", 3)).alias("s"))
-    sets = sh.groupBy("doc_id").agg(F.collect_set("s").alias("sh"))
+    sets = shingle_rows(docs).groupBy("doc_id").agg(F.collect_set("s").alias("sh"))
     jac = (
         F.size(F.array_intersect("sa.sh", "sb.sh"))
         * 1.0
@@ -192,24 +202,31 @@ def _hex4_to_int_sql(expr: str) -> str:
     return "(" + " + ".join(digits) + ")"
 
 
-def simhash16(toks: Column) -> Column:
-    """16-bit SimHash over distinct tokens, as one codegen'd expression.
-
-    Token hash = first 4 hex chars of md5 -> int via conv(); bit j of the
-    signature is the sign of sum over tokens of (2*bit_j(hash) - 1).
-    Engine-portable: the oracle rebuilds the identical integer from md5
-    hex digits (DuckDB lacks conv(); instr-based digit arithmetic
-    produces the same value)."""
-    ints = F.transform(
-        F.array_distinct(toks),
+def token_hash_ints(toks: Column | str) -> Column:
+    """Per-distinct-token 16-bit hash: first 4 hex chars of md5 -> int
+    via conv(). Engine-portable: the oracle rebuilds the identical
+    integer from md5 hex digits (DuckDB lacks conv(); instr-based digit
+    arithmetic produces the same value)."""
+    tc = F.col(toks) if isinstance(toks, str) else toks
+    return F.transform(
+        F.array_distinct(tc),
         lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("int"),
     )
+
+
+def simhash16(ints: Column | str) -> Column:
+    """16-bit SimHash from a MATERIALIZED token-hash array (stage
+    `token_hash_ints` in its own projection first — the signature
+    references the array in 16 aggregate lambdas, and interpreted HOFs
+    re-evaluate an inlined argument tree per reference). Bit j of the
+    signature is the sign of sum over tokens of (2*bit_j(hash) - 1)."""
+    ic = F.col(ints) if isinstance(ints, str) else ints
 
     def bit_vote(j: int):
         # factory (not a default-arg lambda): pyspark HOF lambdas must
         # take only positional Column params
         return F.aggregate(
-            ints,
+            ic,
             F.lit(0),
             lambda acc, d: acc + (F.shiftright(d, j).bitwiseAND(F.lit(1)) * 2 - 1),
         )
@@ -250,7 +267,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     from pyspark.sql.window import Window
 
-    sigs = docs.select("doc_id", simhash16(tokens("text")).alias("simhash"))
+    sigs = (
+        docs.select("doc_id", tokens("text").alias("toks"))
+        .select("doc_id", token_hash_ints("toks").alias("ints"))
+        .select("doc_id", simhash16("ints").alias("simhash"))
+    )
     return sigs.withColumn("n_bucket", F.count(F.lit(1)).over(Window.partitionBy("simhash")))
 
 
@@ -297,7 +318,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ceil(t*n) is computed in integer arithmetic ((4n+4) div 5) so both
     engines prune identically."""
     docs = table(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", F.explode(word_shingles("text", 3)).alias("s"))
+    sh = shingle_rows(docs)
     # global shingle document-frequencies; small (vocab^n bounded), so
     # broadcast — at web scale this becomes a pre-computed frequency
     # table joined by bucket instead.

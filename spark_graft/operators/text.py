@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from spark_graft.functions import tokens, word_shingles
+from spark_graft.functions import shingles_from_tokens, tokens
 from spark_graft.registry import query
 from spark_graft.sources import table
 
@@ -112,9 +112,11 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     length (the classic Gopher/C4-style rule family), all in codegen'd
     array expressions."""
     docs = table(spark, sf_dir, "documents")
-    toks = tokens("text")
+    # tokens staged once: the three measures below reference the array in
+    # interpreted HOF lambdas, which re-evaluate inlined argument trees
+    toks = F.col("toks")
     en = F.array([F.lit(w) for w in STOPWORDS["en"]])
-    base = docs.select(
+    base = docs.select("doc_id", tokens("text").alias("toks")).select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.coalesce(
@@ -165,13 +167,16 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed priority tie-break en>es>fr>de>und). Pure per-row array
     expressions — linear scan at any scale."""
     docs = table(spark, sf_dir, "documents")
-    toks = tokens("text")
+    toks = F.col("toks")  # staged: 4 filter-lambdas share one tokenize
+
     def stop_count(ws: tuple[str, ...]):
         arr = F.array([F.lit(w) for w in ws])
         return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
 
     counts = {lang: stop_count(ws).alias(f"c_{lang}") for lang, ws in STOPWORDS.items()}
-    base = docs.select("doc_id", *counts.values())
+    base = docs.select("doc_id", tokens("text").alias("toks")).select(
+        "doc_id", *counts.values()
+    )
     pred = (
         F.when(
             (F.col("c_en") > 0) & (F.col("c_en") >= F.greatest("c_es", "c_fr", "c_de")), "en"
@@ -203,11 +208,12 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     word-3-gram hash (a 1-hash MinHash — winnowing's degenerate case).
     md5 is engine-portable, unlike Spark's murmur3 `hash()`."""
     docs = table(spark, sf_dir, "documents")
-    sh = word_shingles("text", 3)
-    return docs.select(
+    return docs.select("doc_id", tokens("text").alias("toks")).select(
         "doc_id",
-        F.md5(F.array_join(tokens("text"), " ")).alias("content_fp"),
-        F.array_min(F.transform(sh, F.md5)).alias("min_shingle_fp"),
+        F.md5(F.array_join("toks", " ")).alias("content_fp"),
+        F.array_min(F.transform(shingles_from_tokens("toks", 3), F.md5)).alias(
+            "min_shingle_fp"
+        ),
     )
 
 

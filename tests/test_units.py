@@ -8,7 +8,7 @@ import math
 from pyspark.sql import Row, functions as F
 
 from spark_graft.functions import cosine, dsum, tokens, word_shingles
-from spark_graft.operators.dedup import simhash16
+from spark_graft.operators.dedup import simhash16, token_hash_ints
 
 
 def test_tokens_edges(spark):
@@ -64,7 +64,12 @@ def test_simhash_similar_docs_close(spark):
         ],
         "id int, text string",
     )
-    out = {r["id"]: r["s"] for r in df.select("id", simhash16(tokens("text")).alias("s")).collect()}
+    out = {
+        r["id"]: r["s"]
+        for r in df.select(
+            "id", simhash16(token_hash_ints(tokens("text"))).alias("s")
+        ).collect()
+    }
     ham12 = bin(out[1] ^ out[2]).count("1")
     ham13 = bin(out[1] ^ out[3]).count("1")
     assert ham12 < ham13  # 1 token differs vs all tokens differ
