@@ -30,7 +30,18 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     spark_graft.load_all_queries()
-    spark = get_spark("spark-graft-bench")
+    # The JVM inherits our fds at launch and log4j writes some lines
+    # (e.g. the NativeCodeLoader warning) to ITS stdout — which would
+    # corrupt the one-JSON-line stdout contract. Point fd 1 at stderr
+    # while the JVM starts, then restore it for the final JSON print.
+    sys.stdout.flush()
+    real_stdout = os.dup(1)
+    os.dup2(2, 1)
+    try:
+        spark = get_spark("spark-graft-bench")
+    finally:
+        os.dup2(real_stdout, 1)
+        os.close(real_stdout)
 
     only = set(sys.argv[1:])  # optional: bench a subset by name
     names = [n for n in sorted(REGISTRY) if not only or n in only]

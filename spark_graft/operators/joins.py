@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from spark_graft.functions import dsum
 from spark_graft.registry import query
@@ -140,6 +141,62 @@ def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("l_orderkey").alias("n_items"),
             F.coalesce(dsum("l_quantity"), F.lit(0.0)).alias("sum_qty"),
         )
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+        SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+               c.event_id AS click_id, c.ts AS click_ts
+        FROM events p
+        LEFT JOIN LATERAL (
+            SELECT event_id, ts FROM events c
+            WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+            ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
+        ) c ON true
+        WHERE p.event_type = 'purchase'
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (point-in-time) join: each purchase matched to the user's
+    most recent click at-or-before it. Spark has no ASOF JOIN, and the
+    naive form (range self-join + per-row max) re-scans the right side
+    per probe. The scalable composition: tag both sides, union, and
+    carry the last click forward with a running `last(..., ignorenulls)`
+    window — ONE shuffle on user_id, linear in events, the same plan at
+    100 TB. Ties break deterministically: at equal ts the click sorts
+    before the purchase it matches, and the highest click event_id wins
+    (mirrored in the oracle's ORDER BY ... DESC LIMIT 1)."""
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")
+    sided = ev.filter(F.col("event_type").isin("purchase", "click")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "click", 0).otherwise(1).alias("side"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = sided.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "side",
+        F.last(
+            F.when(F.col("side") == 0, F.struct("ts", "event_id")), ignorenulls=True
+        )
+        .over(w)
+        .alias("m"),
+    )
+    return carried.filter(F.col("side") == 1).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("m.event_id").alias("click_id"),
+        F.col("m.ts").alias("click_ts"),
     )
 
 

@@ -2,6 +2,7 @@ from spark_graft.streaming.structured import (
     events_stream,
     tumbling_counts_stream,
     session_counts_stream,
+    user_totals_stream,
     run_stream_to_memory,
 )
 
@@ -9,5 +10,6 @@ __all__ = [
     "events_stream",
     "tumbling_counts_stream",
     "session_counts_stream",
+    "user_totals_stream",
     "run_stream_to_memory",
 ]

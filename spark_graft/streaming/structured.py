@@ -76,7 +76,47 @@ def session_counts_stream(events: DataFrame) -> DataFrame:
     )
 
 
-def run_stream_to_memory(stream_df: DataFrame, complete: bool = True) -> DataFrame:
+def user_totals_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user
+    running event count and max value, emitted as cumulative totals
+    after every micro-batch.
+
+    This is the template for stateful logic Spark's built-in windowed
+    aggregates can't express (per-key ML feature state, decaying
+    counters, custom session logic): state is an explicit per-key tuple,
+    updates arrive as Arrow batches, and the store shuffles once on the
+    grouping key — the same bounded-state plan at any scale. Emitted
+    fields are order-insensitive (count/max), so the equivalence test
+    against the batch groupBy is exact, not approximate."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, mx = state.get if state.exists else (0, None)
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                batch_max = float(pdf["value"].max())
+                mx = batch_max if mx is None else max(mx, batch_max)
+        state.update((n, mx))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "max_value": [mx]}
+        )
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            "user_id bigint, n_events bigint, max_value double",
+            "n bigint, mx double",
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_stream_to_memory(stream_df: DataFrame, mode: str = "complete") -> DataFrame:
     """Drain a finite stream through a memory sink with availableNow
     (process-everything-then-stop) and return the sink contents as a
     DataFrame. The streaming query plan is the real incremental one."""
@@ -84,7 +124,7 @@ def run_stream_to_memory(stream_df: DataFrame, complete: bool = True) -> DataFra
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete" if complete else "append")
+        .outputMode(mode)
         .trigger(availableNow=True)
         .start()
     )

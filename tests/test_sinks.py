@@ -1,0 +1,56 @@
+"""Sink-side scale behaviors: partitioned parquet layout with partition
+pruning on read-back, and bucketed tables that co-locate a join so it
+needs no shuffle. At 100 TB these two layouts are what turn full-corpus
+scans/shuffles into touch-only-what-you-need plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_graft.plans import explain_str
+from spark_graft.sources import table
+
+
+def test_partitioned_write_roundtrip_and_pruning(spark, sf_dir, tmp_path):
+    ev = table(spark, sf_dir, "events")
+    out = str(tmp_path / "events_by_type")
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(out)
+
+    back = spark.read.parquet(out)
+    assert back.count() == ev.count()
+
+    pruned = back.filter(F.col("event_type") == "click").select("event_id")
+    plan = explain_str(pruned, "formatted")
+    # the predicate must become a PartitionFilter (directory pruning),
+    # not a row-level PushedFilter over all files
+    assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters", 1)[1].split("\n", 1)[0]
+    n_click = back.filter(F.col("event_type") == "click").count()
+    assert n_click == ev.filter(F.col("event_type") == "click").count()
+
+
+def test_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key join WITHOUT an exchange —
+    the pre-shuffled layout is the 100 TB answer to repeated big joins."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+        # external tables (explicit path): spark.sql.warehouse.dir is a
+        # static conf that can't be pointed at tmp_path after startup
+        orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").option(
+            "path", str(tmp_path / "orders_b")
+        ).mode("overwrite").saveAsTable("orders_b")
+        li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").option(
+            "path", str(tmp_path / "lineitem_b")
+        ).mode("overwrite").saveAsTable("lineitem_b")
+        ob, lb = spark.table("orders_b"), spark.table("lineitem_b")
+        joined = ob.join(lb, ob.o_orderkey == lb.l_orderkey)
+        plan = explain_str(joined, "formatted")
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+        assert joined.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")

@@ -15,6 +15,7 @@ from spark_graft.streaming import (
     run_stream_to_memory,
     session_counts_stream,
     tumbling_counts_stream,
+    user_totals_stream,
 )
 from tests.compare import assert_frames_match
 
@@ -40,6 +41,27 @@ def test_session_stream_equals_batch(spark, sf_dir):
         .select("user_id", "session_start", "n_events")
     )
     assert_frames_match(stream_out.toPandas(), batch.toPandas(), "session stream==batch")
+
+
+def test_stateful_user_totals_equals_batch(spark, sf_dir):
+    """applyInPandasWithState emits cumulative per-user totals each
+    micro-batch; the final (max) emission per user must equal the batch
+    groupBy. count/max are order-insensitive, so equality is exact."""
+    from spark_graft.sources import table
+
+    emitted = run_stream_to_memory(
+        user_totals_stream(events_stream(spark, sf_dir)), mode="update"
+    )
+    # cumulative counts are monotone: last emission == max(n_events)
+    final = emitted.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"), F.max("max_value").alias("max_value")
+    )
+    batch = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.max("value").alias("max_value"))
+    )
+    assert_frames_match(final.toPandas(), batch.toPandas(), "stateful stream==batch")
 
 
 def test_watermark_present_in_plan(spark, sf_dir):
