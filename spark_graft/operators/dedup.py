@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spark_graft.functions import dot, shingles_from_tokens, tokens
+from spark_graft.functions import shingles_from_tokens, tokens
 from spark_graft.registry import query
 from spark_graft.sources import table
 
@@ -46,7 +46,8 @@ def shingle_rows(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFra
 
 
 def pair_combinations(ds: Column) -> Column:
-    """array<struct<doc_a,doc_b>> of all i<j pairs from an array of ids.
+    """array<struct<a,b>> of all i<j pairs (after sorting) from an array
+    of any orderable element type (ids, or structs carrying payloads).
 
     Used to expand candidate buckets (docs sharing an LSH band or a
     prefix shingle) into pairs WITHOUT a self-join — the bucket rows
@@ -62,7 +63,7 @@ def pair_combinations(ds: Column) -> Column:
             lambda i: F.transform(
                 F.slice(sorted_ds, i + 1, n),
                 lambda other: F.struct(
-                    F.element_at(sorted_ds, i).alias("doc_a"), other.alias("doc_b")
+                    F.element_at(sorted_ds, i).alias("a"), other.alias("b")
                 ),
             ),
         )
@@ -91,25 +92,38 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def minhash_bands(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, shingles, band, sig): LSH band signatures, one row per
-    (doc, band).
-
-    Shape matters: shingles are exploded once and the 12 minhash minima
-    are computed in a single hash aggregate (one shuffle on doc_id, each
-    shingle md5-hashed exactly 12 times). The naive all-array-expression
-    form is quadratically worse in practice because Catalyst's
-    CollapseProject inlines the whole tokenize->shingle pipeline into
-    every one of the 12 signature expressions."""
-    rows_per_band = N_PERMS // N_BANDS
-    sh = shingle_rows(docs, text_col)
-    per_doc = sh.groupBy("doc_id").agg(
-        F.collect_set("s").alias("shingles"),
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{p}:"), F.col("s")))).alias(f"mh{p}")
-            for p in range(N_PERMS)
-        ],
+def shingle_sets(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, shingles): the per-doc distinct-shingle set, built with
+    ONE shuffle. Both the signature path and the Jaccard-verify path of
+    dedup_minhash derive from this exact plan, so Spark's ReuseExchange
+    materializes the aggregate once per query."""
+    return (
+        shingle_rows(docs, text_col)
+        .groupBy("doc_id")
+        .agg(F.collect_set("s").alias("shingles"))
     )
+
+
+def minhash_bands(per_doc: DataFrame) -> DataFrame:
+    """(doc_id, band, sig): LSH band signatures, one row per (doc, band),
+    from `shingle_sets` output.
+
+    Signatures are narrow array expressions over the MATERIALIZED
+    shingles attribute (see shingles_from_tokens' performance contract)
+    — each perm is min over shingles of md5(perm:s), banded by hashing
+    rows_per_band consecutive minima together. No extra shuffle: the
+    only wide op was the shingle_sets aggregate upstream."""
+    rows_per_band = N_PERMS // N_BANDS
+
+    def _mh(p: int):
+        # factory (not a default-arg lambda): pyspark HOF lambdas must
+        # take only positional Column params
+        return F.array_min(
+            F.transform(F.col("shingles"), lambda s: F.md5(F.concat(F.lit(f"{p}:"), s)))
+        )
+
+    mins = [_mh(p).alias(f"mh{p}") for p in range(N_PERMS)]
+    sigs = per_doc.select("doc_id", *mins)
     bands = F.array(
         *[
             F.struct(
@@ -123,8 +137,8 @@ def minhash_bands(docs: DataFrame, text_col: str = "text") -> DataFrame:
             for b in range(N_BANDS)
         ]
     )
-    return per_doc.select("doc_id", "shingles", F.explode(bands).alias("bs")).select(
-        "doc_id", "shingles", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    return sigs.select("doc_id", F.explode(bands).alias("bs")).select(
+        "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
     )
 
 
@@ -169,16 +183,19 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts) is oracle-verified against an independent SQL implementation.
     """
     docs = table(spark, sf_dir, "documents")
-    bands = minhash_bands(docs).select("doc_id", "band", "sig")
+    per_doc = shingle_sets(docs)
+    bands = minhash_bands(per_doc)
     cand = (
         bands.groupBy("band", "sig")
         .agg(F.collect_list("doc_id").alias("ds"))
         .filter(F.size("ds") > 1)
         .select(F.explode(pair_combinations(F.col("ds"))).alias("p"))
-        .select("p.doc_a", "p.doc_b")
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    sets = shingle_rows(docs).groupBy("doc_id").agg(F.collect_set("s").alias("sh"))
+    # same plan as the signature path -> ReuseExchange: the shingle
+    # aggregate is computed once and read twice
+    sets = per_doc.select("doc_id", F.col("shingles").alias("sh"))
     jac = (
         F.size(F.array_intersect("sa.sh", "sb.sh"))
         * 1.0
@@ -336,25 +353,37 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(F.col("ranked"), 1, n - F.expr("(4 * size(ranked) + 4) div 5") + 1),
         lambda x: x["s"],
     )
-    cand = (
-        ranked_sets.select("doc_id", F.explode(prefix_arr).alias("s"))
-        .groupBy("s")
-        .agg(F.collect_list("doc_id").alias("ds"))
+    # Carry each doc's full shingle array THROUGH the prefix buckets:
+    # exchange reuse across three references to ranked_sets is not
+    # guaranteed (measured: the whole scan->freq->agg pipeline re-ran
+    # per reference), so ship (doc_id, sh) into the bucket aggregate
+    # once and verify in-place — one pass over documents, zero joins
+    # back. Shuffle volume grows by |prefix| * |sh| strings per doc
+    # (~20% of the n^2 a full inverted index would ship), the price of
+    # single-pass verify; the alternative at petabyte scale is a
+    # persisted shingle-set table joined by doc_id.
+    staged = ranked_sets.select(
+        "doc_id",
+        F.transform("ranked", lambda x: x["s"]).alias("sh"),
+        F.explode(prefix_arr).alias("s"),
+    )
+    pairs = (
+        staged.groupBy("s")
+        .agg(F.collect_list(F.struct("doc_id", "sh")).alias("ds"))
         .filter(F.size("ds") > 1)
         .select(F.explode(pair_combinations(F.col("ds"))).alias("p"))
-        .select("p.doc_a", "p.doc_b")
+        .select(
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
+            F.col("p.a.sh").alias("sa"),
+            F.col("p.b.sh").alias("sb"),
+        )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    sets = ranked_sets.select(
-        "doc_id", F.transform("ranked", lambda x: x["s"]).alias("sh")
-    )
-    inter = F.size(F.array_intersect("sa.sh", "sb.sh"))
-    jac = inter * 1.0 / (F.size("sa.sh") + F.size("sb.sh") - inter)
-    return (
-        cand.join(sets.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sets.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
-        .filter(jac >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    jac = inter * 1.0 / (F.size("sa") + F.size("sb") - inter)
+    return pairs.filter(jac >= JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
     )
 
 
@@ -373,32 +402,47 @@ COSINE_THRESHOLD = 0.4
 )
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked by `label` (the cluster
-    id): the equi-join on the block key keeps pairwise work inside
+    id): the groupBy on the block key keeps pairwise work inside
     buckets — the same blocking trick as LSH bands, with the ANN index's
     cluster assignment as the band.
 
-    Norms are precomputed once per VECTOR (below the join), so per-PAIR
-    work is a single dot product — 3x cheaper than evaluating full
-    cosine per pair, and the kind of move that matters when blocks hold
-    millions of vectors. dot/(na*nb) in double equals DuckDB's
-    list_cosine_similarity bit-for-bit (same fold order)."""
-    from spark_graft.functions import norm
+    Dense pairwise math is the one place interpreted SQL expressions
+    lose badly (measured 2.6s for 200k pair-dots at sf0.1), so each
+    block is an Arrow batch into numpy: all i<j products in one
+    broadcasted elementwise multiply. Exactness is preserved — float32
+    widens to float64 losslessly, and cumsum along the vector axis adds
+    left-to-right, the same fold order as DuckDB's
+    list_cosine_similarity — so the oracle hash-match is bit-for-bit,
+    not approximate. At 100 TB block sizes are bounded by the clustering
+    (salt or split oversized clusters upstream), so per-task memory
+    stays flat."""
+    import numpy as np
+    import pandas as pd
 
-    e = table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", "embedding", norm(F.col("embedding")).alias("nrm")
-    )
-    a = e.alias("a")
-    b = e.alias("b")
-    cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (F.col("a.nrm") * F.col("b.nrm"))
-    return (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.col("a.label").alias("label"),
-            F.round(cos, 4).alias("cos_sim"),
-            cos.alias("_c"),
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"vec_a": pd.Series(dtype="int64"), "vec_b": pd.Series(dtype="int64"),
+                 "label": pd.Series(dtype="int32"), "cos_sim": pd.Series(dtype="float64")}
+            )
+        m = np.stack(pdf["embedding"].to_list()).astype(np.float64)
+        ia, ib = np.triu_indices(len(pdf), k=1)
+        dots = np.cumsum(m[ia] * m[ib], axis=1)[:, -1]
+        nrm = np.sqrt(np.cumsum(m * m, axis=1)[:, -1])
+        cos = dots / (nrm[ia] * nrm[ib])
+        keep = cos >= COSINE_THRESHOLD
+        ids = pdf["vec_id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "vec_a": ids[ia[keep]],
+                "vec_b": ids[ib[keep]],
+                "label": pdf["label"].iloc[0],
+                "cos_sim": np.round(cos[keep], 4),
+            }
         )
-        .filter(F.col("_c") >= COSINE_THRESHOLD)
-        .drop("_c")
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    return e.groupBy("label").applyInPandas(
+        block_pairs, "vec_a bigint, vec_b bigint, label int, cos_sim double"
     )
