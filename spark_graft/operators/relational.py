@@ -231,6 +231,75 @@ def grouping_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_percentile",
+    oracle="""
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+               round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+               round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+               round(median(l_extendedprice), 4) AS med
+        FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group. Spark's percentile()
+    and DuckDB's quantile_cont use the same linear interpolation, so
+    the results hash-match after rounding. At 100 TB exact percentiles
+    buffer each group's values — switch to approx_percentile (t-digest,
+    mergeable, bounded memory) when groups stop fitting; same query
+    shape."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99"),
+        F.round(F.median("l_extendedprice"), 4).alias("med"),
+    )
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+        SELECT o_orderpriority,
+               count(*) FILTER (o_orderstatus = 'F') AS n_f,
+               count(*) FILTER (o_orderstatus = 'O') AS n_o,
+               count(*) FILTER (o_orderstatus = 'P') AS n_p,
+               CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                    FILTER (o_orderstatus = 'F'), 0) AS DOUBLE) AS price_f,
+               CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                    FILTER (o_orderstatus = 'O'), 0) AS DOUBLE) AS price_o,
+               CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                    FILTER (o_orderstatus = 'P'), 0) AS DOUBLE) AS price_p
+        FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide) with an EXPLICIT pivot-value list — without
+    it Spark runs an extra distinct job to discover values, and the
+    output schema becomes data-dependent (a correctness hazard and a
+    scheduling barrier at scale). Conditional aggregation per cell, one
+    shuffle total."""
+    o = table(spark, sf_dir, "orders")
+    out = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(dsum("o_totalprice"), F.lit(0.0)).alias("price"),
+        )
+    )
+    return out.select(
+        "o_orderpriority",
+        F.col("F_n").alias("n_f"),
+        F.col("O_n").alias("n_o"),
+        F.col("P_n").alias("n_p"),
+        F.col("F_price").alias("price_f"),
+        F.col("O_price").alias("price_o"),
+        F.col("P_price").alias("price_p"),
+    )
+
+
+@query(
     "word_count",
     oracle="""
         SELECT word, count(*) AS n
