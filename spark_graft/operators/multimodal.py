@@ -103,3 +103,55 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(decode_batches, DECODE_SCHEMA)
+
+
+FRAME_STRIDE = 10
+
+
+@query(
+    "multimodal_frames",
+    oracle=f"""
+        WITH meta AS (
+            SELECT doc_id,
+                   octet_length(encode(text)) % 30 + 1 AS n_frames
+            FROM documents
+            WHERE octet_length(encode(text)) % 3 = 2
+        )
+        SELECT m.doc_id, f.frame_idx,
+               (m.doc_id * 31 + f.frame_idx) % 256 AS frame_fp
+        FROM meta m,
+             LATERAL (SELECT unnest(range(0, m.n_frames, {FRAME_STRIDE})) AS frame_idx) f
+    """,
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling — the ROW-EXPANDING multimodal case: each video
+    payload yields one row per sampled frame (every FRAME_STRIDE-th).
+    mapInPandas is the right operator because the output row count is
+    data-dependent (a scalar UDF can't change cardinality); each Arrow
+    batch expands in memory-bounded chunks, and downstream ops see an
+    ordinary (doc_id, frame_idx, frame_fp) DataFrame. The frame
+    "fingerprint" is the stubbed stand-in for a real per-frame decode
+    (see decode_payload's contract)."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids, idxs, fps = [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(p)
+                if len(payload) % 3 != 2:  # only 'video' modality
+                    continue
+                n_frames = len(payload) % 30 + 1
+                for i in range(0, n_frames, FRAME_STRIDE):
+                    doc_ids.append(doc_id)
+                    idxs.append(i)
+                    fps.append((int(doc_id) * 31 + i) % 256)
+            yield pd.DataFrame(
+                {"doc_id": doc_ids, "frame_idx": idxs, "frame_fp": fps},
+            ).astype({"doc_id": "int64", "frame_idx": "int32", "frame_fp": "int32"})
+
+    return docs.mapInPandas(
+        sample_frames, "doc_id long, frame_idx int, frame_fp int"
+    )
