@@ -37,4 +37,5 @@ def load_all_queries() -> None:
         multimodal,
         events,
         compat_queries,
+        skew,
     )

@@ -29,6 +29,42 @@ def test_partitioned_write_roundtrip_and_pruning(spark, sf_dir, tmp_path):
     assert n_click == ev.filter(F.col("event_type") == "click").count()
 
 
+def test_text_lines_roundtrip(spark, tmp_path):
+    """read_lines/write_lines preserve the reference's record model:
+    one line one record, blanks dropped on read (MapReduce.h:227-241)."""
+    from spark_graft.sources import read_lines, write_lines
+
+    src = tmp_path / "in.txt"
+    src.write_text("alpha\n\nbeta\ngamma\n\n")
+    df = read_lines(spark, str(src))
+    assert sorted(r["value"] for r in df.collect()) == ["alpha", "beta", "gamma"]
+
+    out = tmp_path / "out"
+    write_lines(df, str(out), single_file=True)
+    back = read_lines(spark, str(out))
+    assert back.count() == 3
+
+
+def test_salted_agg_equals_plain_groupby(spark, sf_dir):
+    """Salting is a physical rewrite only: the two-stage plan must equal
+    the direct aggregate exactly (decimal sums keep it bit-identical)."""
+    from spark_graft.operators.skew import salted_agg
+    from spark_graft.sources import table
+    from tests.compare import assert_frames_match
+
+    ev = table(spark, sf_dir, "events")
+    salted = salted_agg(ev, "event_type", "event_id", "value")
+    plain = ev.select(
+        "event_type", F.col("value").cast("decimal(18,2)").alias("v")
+    ).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("v").cast("double").alias("sum_value"),
+        F.min("v").cast("double").alias("min_value"),
+        F.max("v").cast("double").alias("max_value"),
+    )
+    assert_frames_match(salted.toPandas(), plain.toPandas(), "salted==plain")
+
+
 def test_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path):
     """Two tables bucketed on the join key join WITHOUT an exchange —
     the pre-shuffled layout is the 100 TB answer to repeated big joins."""
