@@ -145,3 +145,27 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("embedding", 1).cast("double"), 4).alias("first_val"),
         F.round(norm(F.col("embedding")), 4).alias("l2_norm"),
     )
+
+
+@query(
+    "fn_map",
+    oracle="""
+        SELECT event_id,
+               CAST(json_keys(props) AS VARCHAR[]) AS ks,
+               CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+               len(json_keys(props)) AS n_keys
+        FROM events
+    """,
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: parse the JSON props into map<string,int> and
+    operate on it natively (map_keys, element_at, size) — the pattern
+    for ragged per-row key-value metadata where a struct schema would be
+    too rigid. from_json to a map needs no schema inference pass."""
+    m = F.from_json("props", "map<string,int>")
+    return table(spark, sf_dir, "events").select(
+        "event_id",
+        F.array_sort(F.map_keys(m)).alias("ks"),
+        F.element_at(m, "k").alias("k_val"),
+        F.size(m).alias("n_keys"),
+    )

@@ -95,3 +95,61 @@ def win_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("o_totalprice").over(w).alias("prev_price"),
         (F.col("o_orderstatus") == F.lag("o_orderstatus").over(w)).alias("same_status_as_prev"),
     )
+
+
+@query(
+    "win_range",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                   PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+                   RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS spend_30d
+        FROM orders
+    """,
+)
+def win_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame: trailing-30-day spend per customer. Unlike a ROWS
+    frame, the bound is a VALUE distance — Spark needs a numeric
+    orderBy, so the date becomes epoch days (unix_date) with
+    rangeBetween(-30, 0); DuckDB's INTERVAL frame is the same
+    predicate. Decimal sum keeps every frame's total exact, so the two
+    engines hash-match even though each row sums a different subset."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_date(F.to_date("o_orderdate")))
+        .rangeBetween(-30, 0)
+    )
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").alias("spend_30d"),
+    )
+
+
+@query(
+    "win_dist",
+    oracle="""
+        SELECT c_custkey,
+               ntile(4) OVER w AS quartile,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume
+        FROM customer
+        WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def win_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (quartile assignment, percentile
+    position) over a GLOBAL order — the one window class that genuinely
+    needs a total ordering. At scale this is a range-partitioned sort
+    (Spark samples boundaries), not a single-task sort; the deterministic
+    c_custkey tie-break makes ntile's quartile edges reproducible."""
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
