@@ -142,9 +142,9 @@ def minhash_bands(per_doc: DataFrame) -> DataFrame:
     )
 
 
-@query(
-    "dedup_minhash",
-    oracle=f"""
+# the full minhash near-dup pair query as a standalone SQL text — shared
+# by the dedup_minhash oracle and (as the edge set) dedup_clusters'
+_MINHASH_PAIRS_SQL = f"""
         WITH toks AS (SELECT doc_id, {_TOK} AS toks FROM documents),
         sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM toks),
         shs AS (SELECT doc_id, unnest(sh) AS s FROM sh),
@@ -171,8 +171,10 @@ def minhash_bands(per_doc: DataFrame) -> DataFrame:
         JOIN sh sb ON sb.doc_id = c.doc_b
         WHERE len(list_intersect(sa.sh, sb.sh)) * 1.0
               / len(list_distinct(list_concat(sa.sh, sb.sh))) >= {JACCARD_THRESHOLD}
-    """,
-)
+"""
+
+
+@query("dedup_minhash", oracle=_MINHASH_PAIRS_SQL)
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (shingle -> 12-perm minhash -> 4 bands
     -> band-bucket equi-join -> exact-Jaccard verify at >= 0.8).
@@ -445,4 +447,90 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
     return e.groupBy("label").applyInPandas(
         block_pairs, "vec_a bigint, vec_b bigint, label int, cos_sim double"
+    )
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+        WITH RECURSIVE
+        pairs AS (SELECT doc_a, doc_b FROM ({_MINHASH_PAIRS_SQL}) p),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION
+            SELECT doc_b, doc_a FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT src AS id FROM edges),
+        reach(id, r) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.id
+        ),
+        labels AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+        SELECT doc_id, cluster_id,
+               count(*) OVER (PARTITION BY cluster_id) AS n_members
+        FROM labels
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the MinHash pair
+    graph via iterative min-label propagation — the step that turns
+    pairwise dedup output into actionable keep/drop groups (keep
+    cluster_id, drop the rest).
+
+    This is the reference's iterative multi-job driver pattern (R12,
+    main.cpp:28-68) generalized: each iteration is one distributed
+    Spark job (join labels to edges, take the min neighbor label),
+    looping until a fixpoint; convergence needs O(log(component
+    diameter)) rounds. Only the FINAL label table is collected, and it
+    is bounded by the number of near-duplicate docs (not the corpus) —
+    at 100 TB each iteration would checkpoint labels to storage instead,
+    with the identical per-round plan. Oracle: transitive closure by
+    recursive CTE, min reachable id per node."""
+    pairs = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .toDF("src", "dst")
+        .persist()
+    )
+    try:
+        labels = (
+            edges.select(F.col("src").alias("id"))
+            .distinct()
+            .withColumn("label", F.col("id"))
+            .persist()
+        )
+        labels.count()
+        while True:
+            prop = edges.join(labels, edges.src == labels.id).select(
+                F.col("dst").alias("id"), F.col("label")
+            )
+            new_labels = (
+                labels.select("id", "label")
+                .union(prop)
+                .groupBy("id")
+                .agg(F.min("label").alias("label"))
+                .persist()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        rows = labels.collect()
+        labels.unpersist()
+    finally:
+        edges.unpersist()
+    from collections import Counter
+
+    sizes = Counter(r["label"] for r in rows)
+    # collect() order varies run to run; sort so reruns are identical
+    data = sorted((r["id"], r["label"], sizes[r["label"]]) for r in rows)
+    return spark.createDataFrame(
+        data, "doc_id bigint, cluster_id bigint, n_members bigint"
     )
