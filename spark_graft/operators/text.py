@@ -234,3 +234,36 @@ def udf_pandas_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table(spark, sf_dir, "documents").select(
         "doc_id", n_tokens("text").alias("n_tokens")
     )
+
+
+EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+LONGNUM_RE = "[0-9]{6,}"
+
+
+@query(
+    "text_scrub",
+    oracle=f"""
+        SELECT doc_id,
+               regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{LONGNUM_RE}', '<NUM>', 'g') AS scrubbed,
+               len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+               len(regexp_extract_all(text, '{LONGNUM_RE}')) AS n_longnums
+        FROM documents
+    """,
+)
+def text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: replace email addresses and long digit runs with
+    typed placeholders, and count what was removed (the audit trail a
+    compliance pipeline needs). Pure regexp_replace — narrow, codegen'd,
+    linear at any scale; the removal counts let downstream filters drop
+    documents that were mostly PII."""
+    docs = table(spark, sf_dir, "documents")
+    scrub = F.regexp_replace(
+        F.regexp_replace("text", EMAIL_RE, "<EMAIL>"), LONGNUM_RE, "<NUM>"
+    )
+    return docs.select(
+        "doc_id",
+        scrub.alias("scrubbed"),
+        F.size(F.regexp_extract_all("text", F.lit(EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(LONGNUM_RE), 0)).alias("n_longnums"),
+    )

@@ -1,4 +1,5 @@
 from spark_graft.streaming.structured import (
+    dedup_stream,
     events_stream,
     tumbling_counts_stream,
     session_counts_stream,
@@ -7,6 +8,7 @@ from spark_graft.streaming.structured import (
 )
 
 __all__ = [
+    "dedup_stream",
     "events_stream",
     "tumbling_counts_stream",
     "session_counts_stream",

@@ -116,6 +116,18 @@ def user_totals_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def dedup_stream(events: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """Streaming deduplication: dropDuplicatesWithinWatermark keeps one
+    row per key and — unlike plain dropDuplicates on a stream — EVICTS
+    each key's state once the watermark passes its event time. That
+    bound is what lets exactly-once dedup of an at-least-once source
+    (replayed files, Kafka redeliveries) run forever at 100 TB/day
+    instead of accumulating every key ever seen."""
+    return events.withWatermark("ts", WATERMARK).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
 def run_stream_to_memory(stream_df: DataFrame, mode: str = "complete") -> DataFrame:
     """Drain a finite stream through a memory sink with availableNow
     (process-everything-then-stop) and return the sink contents as a

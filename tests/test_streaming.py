@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from spark_graft.registry import REGISTRY
 from spark_graft.streaming import (
+    dedup_stream,
     events_stream,
     run_stream_to_memory,
     session_counts_stream,
@@ -62,6 +63,19 @@ def test_stateful_user_totals_equals_batch(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_events"), F.max("value").alias("max_value"))
     )
     assert_frames_match(final.toPandas(), batch.toPandas(), "stateful stream==batch")
+
+
+def test_stream_dedup_collapses_duplicated_source(spark, sf_dir):
+    """A self-unioned stream (every event delivered twice — the
+    at-least-once failure mode) must dedup back to exactly the batch
+    row count."""
+    from spark_graft.sources import table
+
+    doubled = events_stream(spark, sf_dir).union(events_stream(spark, sf_dir))
+    out = run_stream_to_memory(
+        dedup_stream(doubled).select("event_id"), mode="append"
+    )
+    assert out.count() == table(spark, sf_dir, "events").count()
 
 
 def test_watermark_present_in_plan(spark, sf_dir):
