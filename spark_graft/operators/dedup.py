@@ -500,7 +500,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("label", F.col("id"))
             .persist()
         )
-        labels.count()
+        # convergence check: per-node labels only ever DECREASE (min of
+        # self + neighbors), so sum(label) strictly decreases until the
+        # fixpoint — one cheap aggregate per round instead of a
+        # changed-rows join.
+        label_sum = labels.agg(F.sum("label")).collect()[0][0]
         while True:
             prop = edges.join(labels, edges.src == labels.id).select(
                 F.col("dst").alias("id"), F.col("label")
@@ -512,16 +516,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(F.min("label").alias("label"))
                 .persist()
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
-                .filter(F.col("n.label") != F.col("o.label"))
-                .count()
-            )
+            new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
             labels.unpersist()
             labels = new_labels
-            if changed == 0:
+            if new_sum == label_sum:
                 break
+            label_sum = new_sum
         rows = labels.collect()
         labels.unpersist()
     finally:

@@ -212,17 +212,28 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Range/theta self-join: follow-up events within 1h per user. The
-    equi conjunct (user_id) anchors a hash join; the range predicate is
-    applied post-match, so work stays proportional to per-user pairs —
-    bounded by the hour window, never a cross product."""
+    """Range/theta self-join: follow-up events within 1h per user.
+
+    Joining on user_id alone compares O(per-user-events^2) pairs — fine
+    for sparse users, quadratic for chatty ones. The interval-join
+    binning trick (what Flink's interval join does internally) adds a
+    coarse time bucket to the equi key: bucket width = the range width
+    (1h), the probe side explodes to its own and the next bucket, and a
+    match's buckets can then only be equal — so the hash join compares
+    only temporally-adjacent events and the residual range filter runs
+    on candidates already ~within range. Same result, join key
+    (user_id, hour) instead of (user_id)."""
     ev = table(spark, sf_dir, "events").select("user_id", "ts")
-    a = ev.alias("a")
-    b = ev.alias("b")
+    bkt = F.floor(F.unix_timestamp("ts") / 3600)
+    a = ev.select(
+        "user_id", "ts", F.explode(F.array(bkt, bkt + 1)).alias("bkt")
+    ).alias("a")
+    b = ev.select("user_id", "ts", bkt.alias("bkt")).alias("b")
     return (
         a.join(
             b,
             (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.bkt") == F.col("b.bkt"))
             & (F.col("b.ts") > F.col("a.ts"))
             & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 1 HOUR")),
         )
