@@ -57,11 +57,15 @@ def pair_combinations(ds: Column) -> Column:
     100 TB would be capped/salted upstream."""
     sorted_ds = F.array_sort(ds)
     n = F.size(sorted_ds)
+    # upper bound clamped to >= 1: sequence(1, n-1) would be DESCENDING
+    # (not empty) for n < 2 — Spark quirk — and its i=0 makes slice()
+    # throw. With the clamp, size-0/1 arrays take slice(ds, 2, n) = []
+    # and the lambdas never run: zero pairs, no special-casing.
     return F.flatten(
         F.transform(
-            F.sequence(F.lit(1), n - 1),
+            F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
             lambda i: F.transform(
-                F.slice(sorted_ds, i + 1, n),
+                F.slice(sorted_ds, i + 1, F.greatest(n, F.lit(0))),
                 lambda other: F.struct(
                     F.element_at(sorted_ds, i).alias("a"), other.alias("b")
                 ),

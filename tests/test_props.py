@@ -72,3 +72,85 @@ def test_dsum_partition_invariance(spark, data):
     a = df.agg(dsum("x").alias("s")).collect()[0]["s"]
     b = df.repartition(5).agg(dsum("x").alias("s")).collect()[0]["s"]
     assert a == b
+
+
+@given(ids=st.lists(st.integers(min_value=0, max_value=50), min_size=0, max_size=12))
+@SETTINGS
+def test_pair_combinations_equals_itertools(spark, ids):
+    """pair_combinations == itertools.combinations over sorted distinct
+    ids, for any bucket contents."""
+    import itertools
+
+    from spark_graft.operators.dedup import pair_combinations
+
+    df = spark.createDataFrame([(ids,)], "ds array<bigint>")
+    got = sorted(
+        (r["p"]["a"], r["p"]["b"])
+        for r in df.select(F.explode(pair_combinations(F.col("ds"))).alias("p")).collect()
+    )
+    # array_sort keeps duplicates; i<j positional pairs over the sorted list
+    expect = sorted(itertools.combinations(sorted(ids), 2))
+    assert got == expect
+
+
+@given(texts=st.lists(st.text(alphabet="ab c", min_size=0, max_size=30), min_size=1, max_size=8))
+@SETTINGS
+def test_shingles_match_python_reference(spark, texts):
+    """Staged shingling == a plain python n-gram implementation for any
+    text (the staging is performance-only, never semantic)."""
+    import re
+
+    from spark_graft.functions import shingles_from_tokens, tokens
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
+    got = {
+        r["i"]: sorted(r["sh"])
+        for r in df.select("i", tokens("text").alias("toks"))
+        .select("i", shingles_from_tokens("toks", 3).alias("sh"))
+        .collect()
+    }
+    for i, t in enumerate(texts):
+        toks = [w for w in re.split("[^a-z0-9]+", t.lower()) if w]
+        expect = sorted({" ".join(toks[j : j + 3]) for j in range(len(toks) - 2)})
+        assert got[i] == expect, (t, got[i], expect)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 10**6)), min_size=1, max_size=40
+    )
+)
+@SETTINGS
+def test_asof_matches_python_reference(spark, rows):
+    """The union+window as-of join == a per-row python scan for any
+    event sequence (ties included: latest at-or-before, max id wins)."""
+    from pyspark.sql.window import Window
+
+    data = [(i, uid, ts, "click" if i % 2 == 0 else "purchase") for i, (uid, ts) in enumerate(rows)]
+    df = spark.createDataFrame(data, "event_id long, user_id long, ts long, event_type string")
+    sided = df.filter(F.col("event_type").isin("purchase", "click")).select(
+        "event_id", "user_id", "ts",
+        F.when(F.col("event_type") == "click", 0).otherwise(1).alias("side"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        sided.select(
+            "event_id", "user_id", "ts", "side",
+            F.last(F.when(F.col("side") == 0, F.struct("ts", "event_id")), ignorenulls=True)
+            .over(w).alias("m"),
+        )
+        .filter(F.col("side") == 1)
+        .select("event_id", F.col("m.event_id").alias("click_id"))
+    )
+    got = {r["event_id"]: r["click_id"] for r in out.collect()}
+    clicks = [(e, u, t) for (e, u, t, k) in data if k == "click"]
+    for e, u, t, k in data:
+        if k != "purchase":
+            continue
+        cand = [(ct, ce) for (ce, cu, ct) in clicks if cu == u and ct <= t]
+        expect = max(cand)[1] if cand else None
+        assert got[e] == expect
