@@ -336,7 +336,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     oracle=f"""
         WITH toks AS (SELECT doc_id, {_TOK} AS toks FROM documents),
-        sets AS (SELECT doc_id, {_SHINGLES} AS sh FROM toks WHERE len({_SHINGLES}) > 0),
+        sets0 AS (SELECT doc_id, {_SHINGLES} AS sh0 FROM toks WHERE len({_SHINGLES}) > 0),
+        sets AS (
+            SELECT doc_id,
+                   list_transform(sh0,
+                       s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS sh
+            FROM sets0
+        ),
         sh AS (SELECT doc_id, unnest(sh) AS s FROM sets),
         freq AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
         ranked AS (
@@ -373,9 +379,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays proportional to true candidates. No false negatives — the
     exact-Jaccard verify on full shingle sets runs only on candidates.
     ceil(t*n) is computed in integer arithmetic ((4n+4) div 5) so both
-    engines prune identically."""
+    engines prune identically.
+
+    Shingles are replaced by 60-bit md5-derived integers BEFORE any wide
+    op: the shuffles/joins/intersections move 8-byte longs instead of
+    ~20-byte strings and compare integers instead of strings. Both
+    engines apply the identical mapping, so the hash-match is unaffected
+    (even a collision — ~n^2/2^61 odds — would alter both sides
+    identically)."""
     docs = table(spark, sf_dir, "documents")
-    sh = shingle_rows(docs)
+    sh = shingle_rows(docs).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("bigint").alias("s"),
+    )
     # global shingle document-frequencies; small (vocab^n bounded), so
     # broadcast — at web scale this becomes a pre-computed frequency
     # table joined by bucket instead.
