@@ -267,3 +267,58 @@ def text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all("text", F.lit(EMAIL_RE), 0)).alias("n_emails"),
         F.size(F.regexp_extract_all("text", F.lit(LONGNUM_RE), 0)).alias("n_longnums"),
     )
+
+
+SPLIT_PCT_TRAIN = 90
+SPLIT_PCT_VAL = 5  # remainder = test
+
+
+@query(
+    "text_split",
+    oracle=f"""
+        WITH assigned AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 100 AS bucket
+            FROM documents
+        )
+        SELECT CASE WHEN bucket < {SPLIT_PCT_TRAIN} THEN 'train'
+                    WHEN bucket < {SPLIT_PCT_TRAIN + SPLIT_PCT_VAL} THEN 'val'
+                    ELSE 'test' END AS split,
+               count(*) AS n_docs,
+               min(doc_id) AS min_doc,
+               max(doc_id) AS max_doc
+        FROM assigned GROUP BY 1
+    """,
+)
+def text_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by content-stable hash — THE
+    way to partition a training corpus: adding or re-ordering data never
+    reassigns an existing document (no RNG, no global shuffle, no state),
+    so splits stay stable across pipeline reruns and incremental loads.
+    The md5-derived bucket is engine-portable (Spark's rand(seed) and
+    xxhash64 are not), which is also what makes the assignment
+    oracle-checkable rather than merely 'random-looking'."""
+    docs = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    split = (
+        F.when(bucket < SPLIT_PCT_TRAIN, "train")
+        .when(bucket < SPLIT_PCT_TRAIN + SPLIT_PCT_VAL, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select("doc_id", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
