@@ -4,10 +4,12 @@ from spark_graft.streaming.structured import (
     tumbling_counts_stream,
     session_counts_stream,
     user_totals_stream,
+    run_stream_foreach_batch_to_parquet,
     run_stream_to_memory,
 )
 
 __all__ = [
+    "run_stream_foreach_batch_to_parquet",
     "dedup_stream",
     "events_stream",
     "tumbling_counts_stream",

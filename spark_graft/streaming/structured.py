@@ -128,6 +128,29 @@ def dedup_stream(events: DataFrame, keys: list[str] | None = None) -> DataFrame:
     )
 
 
+def run_stream_foreach_batch_to_parquet(
+    stream_df: DataFrame, out_dir: str, checkpoint_dir: str
+) -> None:
+    """foreachBatch sink: each micro-batch lands as parquet stamped with
+    its batch_id. foreachBatch is the production escape hatch for sinks
+    Spark lacks connectors for (JDBC upserts, external indexes) — the
+    batch_id makes retried batches idempotently detectable, and the
+    checkpoint directory carries exactly-once progress across restarts."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            out_dir
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_stream_to_memory(stream_df: DataFrame, mode: str = "complete") -> DataFrame:
     """Drain a finite stream through a memory sink with availableNow
     (process-everything-then-stop) and return the sink contents as a

@@ -83,3 +83,69 @@ def test_watermark_present_in_plan(spark, sf_dir):
     eviction at scale depends on it)."""
     s = tumbling_counts_stream(events_stream(spark, sf_dir))
     assert "EventTimeWatermark" in s._jdf.queryExecution().logical().toString()
+
+
+def test_foreach_batch_parquet_sink(spark, sf_dir, tmp_path):
+    """foreachBatch parquet sink: the drained stream's rows equal the
+    batch source, and every row carries its micro-batch id."""
+    from spark_graft.sources import table
+    from spark_graft.streaming import run_stream_foreach_batch_to_parquet
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    run_stream_foreach_batch_to_parquet(
+        events_stream(spark, sf_dir).select("event_id"), out, ckpt
+    )
+    back = spark.read.parquet(out)
+    assert back.count() == table(spark, sf_dir, "events").count()
+    assert "batch_id" in back.columns
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """An event older than the advancing watermark must be DROPPED, not
+    aggregated. Three single-file micro-batches (maxFilesPerTrigger=1,
+    mtimes force the order): A (12:00, 12:01) advances the watermark to
+    11:01; B (14:00) advances it to 13:00; C delivers a 09:00 straggler
+    — now far below the watermark — plus an on-time 15:00 event. The
+    late-row filter lags the watermark update by one batch (measured),
+    which is why the straggler arrives two batches after the rows that
+    made it late. Append mode emits only finalized windows, so the
+    expected output is exactly the 12:00 window with both on-time rows
+    and NO 09:00 window."""
+    import os
+    import time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write_file(name: str, rows: list[tuple[int, str]]) -> None:
+        pdf = pd.DataFrame(
+            {"id": [r[0] for r in rows], "ts": pd.to_datetime([r[1] for r in rows])}
+        )
+        t = pa.Table.from_pandas(pdf, preserve_index=False).cast(
+            pa.schema([("id", pa.int64()), ("ts", pa.timestamp("us"))])
+        )
+        pq.write_table(t, str(src / name))
+
+    write_file("a.parquet", [(1, "2024-01-01 12:00:00"), (2, "2024-01-01 12:01:00")])
+    write_file("b.parquet", [(3, "2024-01-01 14:00:00")])
+    write_file("c.parquet", [(4, "2024-01-01 09:00:00"), (5, "2024-01-01 15:00:00")])
+    now = time.time()
+    for i, name in enumerate(["a.parquet", "b.parquet", "c.parquet"]):
+        os.utime(src / name, (now + i * 10, now + i * 10))
+
+    stream = (
+        spark.readStream.schema("id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    out = run_stream_to_memory(stream, mode="append").collect()
+    got = sorted((str(r["ws"]), r["n"]) for r in out)
+    assert got == [("2024-01-01 12:00:00", 2)], got
