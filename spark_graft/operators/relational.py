@@ -478,3 +478,24 @@ def min_unique_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("mx") == 1)
         .agg(F.min("l").cast("bigint").alias("min_prefix_len"))
     )
+
+
+@query("agg_sketch_hll", tags=("rows-only",))
+def agg_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches (Apache DataSketches HLL):
+    build one sketch per segment, estimate per segment, then merge the
+    per-segment sketches into a global estimate WITHOUT rescanning the
+    data. Mergeability is the property that matters at 100 TB — sketches
+    combine across partitions, days, or tables in O(sketch bytes), so
+    incremental pipelines keep distinct counts without ever re-reading
+    history. Sketch binaries are engine-specific -> rows-only check."""
+    c = table(spark, sf_dir, "customer")
+    seg = c.groupBy("c_mktsegment").agg(F.hll_sketch_agg("c_custkey").alias("sk"))
+    per = seg.select(
+        "c_mktsegment", F.hll_sketch_estimate("sk").alias("approx_customers")
+    )
+    total = seg.agg(F.hll_union_agg("sk").alias("u")).select(
+        F.lit("_ALL_").alias("c_mktsegment"),
+        F.hll_sketch_estimate("u").alias("approx_customers"),
+    )
+    return per.unionAll(total)
