@@ -67,3 +67,17 @@ def test_reducer_count_respected(spark):
     mr.set_reducer(lambda prev, kv: True)
     out = mr.run_on_lines(spark, [str(i) for i in range(20)])
     assert len(out) == 5  # one line per reducer, like reduce_<i>_output files
+
+
+def test_cli_matches_reference_output(spark, tmp_path, capsys):
+    """`python -m spark_graft.compat <file> M R` prints the reference
+    binary's exact line (main.cpp:70) with the golden answer."""
+    from spark_graft.compat.__main__ import main
+
+    src = tmp_path / "emails_short.txt"
+    src.write_text(
+        "adillon@x.com\n\nadams@y.org\nbob@z.net\ncarol@w.io\ndave@v.dev\n"
+    )
+    rc = main(["prog", str(src), "2", "2"])
+    assert rc == 0
+    assert capsys.readouterr().out.strip() == "Minimal prefix len = 3"

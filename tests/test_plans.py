@@ -87,3 +87,32 @@ def test_topk_per_group_uses_window_group_limit(spark, sf_dir):
 def test_semi_anti_plan_shapes(spark, sf_dir):
     plan = explain_str(q("join_semi_anti", spark, sf_dir), "simple")
     assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_asof_join_has_no_join_operator(spark, sf_dir):
+    """join_asof must stay the union+window plan — a single shuffle on
+    user_id, never a physical join (the naive range-join shape)."""
+    df = REGISTRY["join_asof"].fn(spark, sf_dir)
+    plan = explain_str(df, "formatted")
+    assert "Window" in plan
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin", "NestedLoop"):
+        assert j not in plan, f"unexpected {j} in as-of plan:\n{plan}"
+
+
+def test_theta_range_joins_on_time_bucket(spark, sf_dir):
+    """The interval self-join's equi key must include the hour bucket —
+    that composite key is what bounds per-match comparisons."""
+    df = REGISTRY["join_theta_range"].fn(spark, sf_dir)
+    plan = explain_str(df, "formatted")
+    assert "bkt" in plan and ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan)
+
+
+def test_dedup_queries_never_cross_product(spark, sf_dir):
+    """Every dedup variant must reduce pair discovery to equi-join /
+    bucket-aggregate shapes — a nested-loop or cartesian node means an
+    O(n^2) cross product snuck in."""
+    for name in ("dedup_exact", "dedup_minhash", "dedup_ngram_jaccard",
+                 "dedup_simhash", "dedup_embedding"):
+        plan = explain_str(REGISTRY[name].fn(spark, sf_dir), "formatted")
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
