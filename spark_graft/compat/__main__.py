@@ -30,7 +30,10 @@ def main(argv: list[str]) -> int:
 
     spark = get_spark("mapreduce-compat")
     lines = read_lines(spark, path, min_partitions=mappers_count)
-    max_len = lines.agg(F.max(F.length("value"))).collect()[0][0] or 0
+    # max_len floor of 1: on an empty input the reference still runs the
+    # L=1 job, every reducer vacuously reports "1", and it converges and
+    # prints 1 (main.cpp:30-68) — parity requires the same
+    max_len = max(lines.agg(F.max(F.length("value"))).collect()[0][0] or 0, 1)
     result = min_unique_prefix_mr(
         spark, lines, max_len=max_len, reducers_count=reducers_count
     )

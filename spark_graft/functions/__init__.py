@@ -12,9 +12,9 @@ same semantics are expressible in ANSI SQL for the DuckDB oracle:
 - cosine similarity over array<float> in pure SQL expressions
   (zip_with + aggregate), computed in double in array order so Spark and
   DuckDB produce bit-identical results.
-- md5-based MinHash: engine-portable hashing (Spark's murmur3 `hash()`
-  and DuckDB's `hash()` differ; md5 hex strings are identical), with the
-  minimum taken in lexicographic string order.
+- engine-portable hashing built on md5 (Spark's murmur3 `hash()` and
+  DuckDB's `hash()` differ; md5 digests are identical) — the MinHash
+  family itself lives in operators.dedup (double-hash construction).
 """
 
 from __future__ import annotations
@@ -131,14 +131,3 @@ def cosine(a: Column, b: Column) -> Column:
 # ------------------------------------------------------------------ hashing
 
 
-def md5_min_signature(shingles: Column, perm: int) -> Column:
-    """One MinHash component: min over shingles of md5(perm || ':' || s).
-
-    Using the md5 *hex string* minimum (lexicographic) makes the
-    signature engine-portable: DuckDB computes the identical value with
-    min(md5(perm || ':' || s)). Seeded by the perm index — a fixed,
-    public hash family.
-    """
-    return F.array_min(
-        F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{perm}:"), s)))
-    )

@@ -489,12 +489,22 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         cos = dots / (nrm[ia] * nrm[ib])
         keep = cos >= COSINE_THRESHOLD
         ids = pdf["vec_id"].to_numpy()
+        # round exactly like Spark's F.round (BigDecimal HALF_UP on the
+        # shortest decimal repr) — np.round is half-to-even and would
+        # diverge from the oracle on exact .00005 boundaries. Kept pairs
+        # are few, so per-value Decimal is free.
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q = Decimal("0.0001")
+        rounded = [
+            float(Decimal(repr(v)).quantize(q, ROUND_HALF_UP)) for v in cos[keep]
+        ]
         return pd.DataFrame(
             {
                 "vec_a": ids[ia[keep]],
                 "vec_b": ids[ib[keep]],
                 "label": pdf["label"].iloc[0],
-                "cos_sim": np.round(cos[keep], 4),
+                "cos_sim": pd.Series(rounded, dtype="float64"),
             }
         )
 
@@ -535,8 +545,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the reference's iterative multi-job driver pattern (R12,
     main.cpp:28-68) generalized: each iteration is one distributed
     Spark job (join labels to edges, take the min neighbor label),
-    looping until a fixpoint; convergence needs O(log(component
-    diameter)) rounds. Only the FINAL label table is collected, and it
+    looping until a fixpoint. Plain min-label propagation converges in
+    O(component diameter) rounds — near-dup clusters are dense and
+    shallow in practice, but a chain-shaped component takes one round
+    per hop; the scale upgrade is pointer-doubling (large-star/
+    small-star contraction, Kiveris et al.), same per-round plan shape.
+    Only the FINAL label table is collected, and it
     is bounded by the number of near-duplicate docs (not the corpus) —
     at 100 TB each iteration would checkpoint labels to storage instead,
     with the identical per-round plan. Oracle: transitive closure by

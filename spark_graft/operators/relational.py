@@ -285,17 +285,20 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("o_orderstatus", ["F", "O", "P"])
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.coalesce(dsum("o_totalprice"), F.lit(0.0)).alias("price"),
+            dsum("o_totalprice").alias("price"),
         )
     )
+    # 0-fill AFTER the pivot: Spark fills combinations with no rows with
+    # NULL post-aggregation, so a coalesce inside .agg() never fires —
+    # the oracle's FILTER aggregates produce 0 for empty cells
     return out.select(
         "o_orderpriority",
-        F.col("F_n").alias("n_f"),
-        F.col("O_n").alias("n_o"),
-        F.col("P_n").alias("n_p"),
-        F.col("F_price").alias("price_f"),
-        F.col("O_price").alias("price_o"),
-        F.col("P_price").alias("price_p"),
+        F.coalesce("F_n", F.lit(0)).alias("n_f"),
+        F.coalesce("O_n", F.lit(0)).alias("n_o"),
+        F.coalesce("P_n", F.lit(0)).alias("n_p"),
+        F.coalesce("F_price", F.lit(0.0)).alias("price_f"),
+        F.coalesce("O_price", F.lit(0.0)).alias("price_o"),
+        F.coalesce("P_price", F.lit(0.0)).alias("price_p"),
     )
 
 

@@ -143,9 +143,15 @@ def win_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 def win_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions (quartile assignment, percentile
     position) over a GLOBAL order — the one window class that genuinely
-    needs a total ordering. At scale this is a range-partitioned sort
-    (Spark samples boundaries), not a single-task sort; the deterministic
-    c_custkey tie-break makes ntile's quartile edges reproducible."""
+    needs a total ordering. CAVEAT: Spark plans a no-PARTITION-BY window
+    as Exchange SinglePartition — one task sees every row — so this
+    exact shape caps out at what a single executor can sort. The 100 TB
+    form is two-pass: range-partition by the order key, compute
+    per-partition ranks/counts, then add broadcast per-partition offsets
+    (or accept approximation via approx_percentile buckets). Kept here
+    in the direct form because the semantics — and the deterministic
+    c_custkey tie-break that makes ntile edges reproducible — are the
+    contract; the rewrite is mechanical."""
     w = Window.orderBy("c_acctbal", "c_custkey")
     return table(spark, sf_dir, "customer").select(
         "c_custkey",

@@ -95,9 +95,9 @@ def user_totals_stream(events: DataFrame) -> DataFrame:
         n, mx = state.get if state.exists else (0, None)
         for pdf in pdfs:
             n += len(pdf)
-            if len(pdf):
-                batch_max = float(pdf["value"].max())
-                mx = batch_max if mx is None else max(mx, batch_max)
+            batch_max = pdf["value"].max()  # skips nulls; NaN if all-null
+            if len(pdf) and not pd.isna(batch_max):
+                mx = float(batch_max) if mx is None else max(mx, float(batch_max))
         state.update((n, mx))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "max_value": [mx]}
