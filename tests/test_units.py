@@ -81,3 +81,37 @@ def test_min_unique_prefix_none_branch_short_circuit(spark):
 
     df = spark.createDataFrame([("zz",)] * 5, "s string")
     assert min_unique_prefix_len(spark, df, "s") is None
+
+
+def test_pivot_empty_cells_zero_filled(spark):
+    """A pivot value with no rows for some group must come back 0, not
+    NULL (regression: coalesce must sit AFTER the pivot)."""
+    from spark_graft.operators.relational import agg_pivot  # noqa: F401  (shape source)
+    df = spark.createDataFrame(
+        [("1-URGENT", "F", 10.0), ("1-URGENT", "O", 5.0), ("2-HIGH", "F", 7.0)],
+        "o_orderpriority string, o_orderstatus string, o_totalprice double",
+    )
+    out = (
+        df.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("price"))
+        .select(
+            "o_orderpriority",
+            F.coalesce("F_n", F.lit(0)).alias("n_f"),
+            F.coalesce("O_n", F.lit(0)).alias("n_o"),
+            F.coalesce("P_n", F.lit(0)).alias("n_p"),
+        )
+    )
+    got = {r["o_orderpriority"]: (r["n_f"], r["n_o"], r["n_p"]) for r in out.collect()}
+    assert got == {"1-URGENT": (1, 1, 0), "2-HIGH": (1, 0, 0)}
+
+
+def test_map_keys_sorted_multi_key(spark):
+    """fn_map's sorted-keys contract on JSON whose document order is not
+    sorted (regression: the oracle pins the same order via list_sort)."""
+    df = spark.createDataFrame([('{"z": 1, "a": 2}',)], "props string")
+    m = F.from_json("props", "map<string,int>")
+    row = df.select(
+        F.array_sort(F.map_keys(m)).alias("ks"), F.element_at(m, "a").alias("v")
+    ).collect()[0]
+    assert row["ks"] == ["a", "z"] and row["v"] == 2
