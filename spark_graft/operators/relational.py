@@ -502,3 +502,31 @@ def agg_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate("u").alias("approx_customers"),
     )
     return per.unionAll(total)
+
+
+@query(
+    "grouping_sets",
+    oracle="""
+        SELECT o_orderpriority, o_orderstatus,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+               grouping(o_orderpriority) + 2 * grouping(o_orderstatus) AS gid
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form rollup/cube sugar over)
+    with grouping() flags to disambiguate NULL-as-group from NULL-as-
+    aggregate-marker — issued through spark.sql over a temp view, the
+    SQL-string half of the declared API surface. One Expand + one
+    shuffle for all three sets, same as rollup/cube."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql("""
+        SELECT o_orderpriority, o_orderstatus,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+               CAST(grouping(o_orderpriority) + 2 * grouping(o_orderstatus) AS BIGINT) AS gid
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """)

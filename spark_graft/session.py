@@ -33,7 +33,7 @@ def get_spark(app_name: str = "spark-graft", shuffle_partitions: int | None = No
         # events.parquet stores TIMESTAMP(NANOS), which Spark's reader
         # rejects; read as long and convert in sources.tables.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.sql.shuffle.spill.compress", "true")
+        .config("spark.shuffle.spill.compress", "true")
         # local runs: keep the UI off and logs quiet
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Dlog4j2.level=warn")

@@ -116,3 +116,15 @@ def test_dedup_queries_never_cross_product(spark, sf_dir):
         plan = explain_str(REGISTRY[name].fn(spark, sf_dir), "formatted")
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_full_sort_is_range_partitioned(spark, sf_dir):
+    """A no-limit global orderBy must plan a rangepartitioning Exchange
+    (sampled boundaries, parallel sort) — the built-in equivalent of the
+    reference's k-way ExternalMergeSort — not a single partition."""
+    from spark_graft.sources import table
+
+    df = table(spark, sf_dir, "lineitem").orderBy("l_extendedprice", "l_orderkey")
+    plan = explain_str(df, "formatted")
+    assert "rangepartitioning" in plan, plan
+    assert "SinglePartition" not in plan, plan
