@@ -423,7 +423,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("ranked", lambda x: x["s"]).alias("sh"),
         F.explode(prefix_arr).alias("s"),
     )
-    pairs = (
+    # Jaccard is computed and thresholded IN the bucket-pair expansion,
+    # before any further shuffle: the only wide op after the buckets is
+    # a dropDuplicates over (doc_a, doc_b, jaccard) scalars for the few
+    # TRUE near-dup pairs — never the candidate pairs carrying their
+    # ~50-element shingle arrays (measured ~100 MB of shuffle at sf0.1
+    # when the distinct ran first). Duplicate candidates (pairs sharing
+    # several prefix shingles) re-verify redundantly, but verification
+    # is a narrow array op and redundancy is bounded by prefix length.
+    inter = F.size(F.array_intersect("p.a.sh", "p.b.sh"))
+    jac = inter * 1.0 / (F.size("p.a.sh") + F.size("p.b.sh") - inter)
+    return (
         staged.groupBy("s")
         .agg(F.collect_list(F.struct("doc_id", "sh")).alias("ds"))
         .filter(F.size("ds") > 1)
@@ -431,15 +441,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("p.a.doc_id").alias("doc_a"),
             F.col("p.b.doc_id").alias("doc_b"),
-            F.col("p.a.sh").alias("sa"),
-            F.col("p.b.sh").alias("sb"),
+            jac.alias("_j"),
         )
+        .filter(F.col("_j") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round("_j", 4).alias("jaccard"))
         .dropDuplicates(["doc_a", "doc_b"])
-    )
-    inter = F.size(F.array_intersect("sa", "sb"))
-    jac = inter * 1.0 / (F.size("sa") + F.size("sb") - inter)
-    return pairs.filter(jac >= JACCARD_THRESHOLD).select(
-        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
     )
 
 
