@@ -143,19 +143,83 @@ def win_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 def win_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions (quartile assignment, percentile
     position) over a GLOBAL order — the one window class that genuinely
-    needs a total ordering. CAVEAT: Spark plans a no-PARTITION-BY window
-    as Exchange SinglePartition — one task sees every row — so this
-    exact shape caps out at what a single executor can sort. The 100 TB
-    form is two-pass: range-partition by the order key, compute
-    per-partition ranks/counts, then add broadcast per-partition offsets
-    (or accept approximation via approx_percentile buckets). Kept here
-    in the direct form because the semantics — and the deterministic
-    c_custkey tie-break that makes ntile edges reproducible — are the
-    contract; the rewrite is mechanical."""
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return table(spark, sf_dir, "customer").select(
+    needs a total ordering. Spark plans a bare `Window.orderBy` as
+    Exchange SinglePartition (one task sorts everything), so this runs
+    the scalable two-pass form instead: global_rank() below assigns
+    deterministic range buckets from approxQuantile cut points, ranks
+    within buckets in parallel, and adds broadcast bucket offsets; the
+    distribution functions are then closed-form in (global rank, n) —
+    exact, because the (c_acctbal, c_custkey) order is a total order
+    (no ties), which also makes ntile's quartile edges reproducible."""
+    ranked, n = global_rank(
+        table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal"),
+        value_col="c_acctbal",
+        order_cols=("c_acctbal", "c_custkey"),
+    )
+    grn = F.col("_grn")
+    return ranked.select(
         "c_custkey",
-        F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        ntile_from_rank(grn, n, 4).alias("quartile"),
+        F.round((grn - 1) / (n - 1 if n > 1 else 1), 6).alias("pct_rank"),
+        F.round(grn / F.lit(float(n)), 6).alias("cume"),
+    )
+
+
+def global_rank(
+    df: DataFrame,
+    value_col: str,
+    order_cols: tuple[str, ...],
+    n_buckets: int = 32,
+):
+    """(df + `_grn` global row number, total n) WITHOUT a single-task
+    sort: the 100 TB global-ranking pattern.
+
+    1. Cut points from approxQuantile become LITERALS in the plan, so
+       bucket assignment is deterministic across re-executions (a
+       repartitionByRange would re-sample boundaries per action and
+       desynchronize the offset pass from the rank pass).
+    2. row_number per bucket — parallel, one shuffle on the bucket id.
+       Equal values always share a bucket (assignment compares only the
+       value), so the within-bucket order concatenated in bucket order
+       IS the global order.
+    3. Per-bucket counts (one tiny aggregate) become broadcast literal
+       offsets; _grn = offset[bucket] + local rank."""
+    bounds = sorted(
+        set(
+            df.stat.approxQuantile(
+                value_col, [i / n_buckets for i in range(1, n_buckets)], 0.001
+            )
+        )
+    )
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + F.when(F.col(value_col) > F.lit(b), 1).otherwise(0)
+    bucketed = df.withColumn("_bkt", bucket)
+    w_local = Window.partitionBy("_bkt").orderBy(*order_cols)
+    ranked = bucketed.withColumn("_lrn", F.row_number().over(w_local))
+    counts = {
+        r["_bkt"]: r["n"]
+        for r in bucketed.groupBy("_bkt").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    off_expr = F.lit(0)
+    for b, off in offsets.items():
+        if off:
+            off_expr = F.when(F.col("_bkt") == b, F.lit(off)).otherwise(off_expr)
+    return ranked.withColumn("_grn", F.col("_lrn") + off_expr).drop("_bkt", "_lrn"), acc
+
+
+def ntile_from_rank(grn, n: int, k: int):
+    """SQL ntile(k) as a closed form over a global row number with no
+    ties: the first n%k buckets get floor(n/k)+1 rows, the rest
+    floor(n/k)."""
+    q, r = divmod(n, k)
+    big = r * (q + 1)
+    return (
+        F.when(grn <= big, F.floor((grn - 1) / (q + 1)) + 1)
+        .otherwise(F.lit(r) + F.floor((grn - big - 1) / q) + 1 if q else F.lit(r))
+        .cast("int")
     )

@@ -128,3 +128,11 @@ def test_full_sort_is_range_partitioned(spark, sf_dir):
     plan = explain_str(df, "formatted")
     assert "rangepartitioning" in plan, plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_win_dist_avoids_single_partition_window(spark, sf_dir):
+    """The distribution-function query must use the bucketed two-pass
+    rank — a SinglePartition window would bottleneck one task."""
+    df = REGISTRY["win_dist"].fn(spark, sf_dir)
+    plan = explain_str(df, "formatted")
+    assert "SinglePartition" not in plan, plan

@@ -115,3 +115,29 @@ def test_map_keys_sorted_multi_key(spark):
         F.array_sort(F.map_keys(m)).alias("ks"), F.element_at(m, "a").alias("v")
     ).collect()[0]
     assert row["ks"] == ["a", "z"] and row["v"] == 2
+
+
+def test_global_rank_equals_single_partition_window(spark):
+    """Two-pass global_rank (bucketed, no SinglePartition) must equal the
+    direct global window exactly — including duplicated values that
+    cluster around bucket cut points."""
+    from pyspark.sql.window import Window
+
+    from spark_graft.operators.windows import global_rank, ntile_from_rank
+
+    rows = [(i, float(v)) for i, v in enumerate([5, 5, 5, 1, 9, 9, 2, 7, 7, 7, 7, 3, 0, 5])]
+    df = spark.createDataFrame(rows, "id long, v double")
+    ranked, n = global_rank(df, "v", ("v", "id"), n_buckets=4)
+    got = ranked.select(
+        "id",
+        F.col("_grn").alias("rn"),
+        ntile_from_rank(F.col("_grn"), n, 4).alias("q"),
+    )
+    w = Window.orderBy("v", "id")
+    expect = df.select(
+        "id",
+        F.row_number().over(w).alias("rn"),
+        F.ntile(4).over(w).alias("q"),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))
+    assert n == len(rows)
