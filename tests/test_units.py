@@ -141,3 +141,31 @@ def test_global_rank_equals_single_partition_window(spark):
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))
     assert n == len(rows)
+
+
+def test_connected_components_chain_converges_fast(spark):
+    """A 33-node chain (diameter 32): pointer jumping must find the
+    single component in ~log rounds, not one round per hop, and every
+    node must get the minimum label."""
+    from spark_graft.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(32)], "doc_a bigint, doc_b bigint"
+    )
+    rows, n_rounds = connected_components(chain)
+    assert {r["id"] for r in rows} == set(range(33))
+    assert {r["label"] for r in rows} == {0}
+    assert n_rounds <= 8, f"took {n_rounds} rounds for diameter 32"
+
+
+def test_connected_components_multiple_clusters(spark):
+    """Disjoint components keep distinct minimum labels."""
+    from spark_graft.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)],
+        "doc_a bigint, doc_b bigint",
+    )
+    rows, _ = connected_components(pairs)
+    got = {r["id"]: r["label"] for r in rows}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
