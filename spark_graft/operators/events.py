@@ -77,14 +77,16 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     session_window with a watermark (spark_graft.streaming)."""
     ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_sec = SESSION_GAP_MIN * 60
+    # exact timestamp-difference comparison (microsecond precision):
+    # unix_timestamp() truncates to whole seconds and silently disagrees
+    # with the oracle's INTERVAL compare for gaps within a second of the
+    # threshold — the event data is microsecond-grained
+    gap = F.col("ts") - F.lag("ts").over(w) > F.expr(
+        f"INTERVAL {SESSION_GAP_MIN} MINUTES"
+    )
     flagged = ev.withColumn(
         "new_session",
-        F.when(
-            F.lag("ts").over(w).isNull()
-            | (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)) > gap_sec),
-            1,
-        ).otherwise(0),
+        F.when(F.lag("ts").over(w).isNull() | gap, 1).otherwise(0),
     )
     sessions = flagged.withColumn(
         "session_id",
