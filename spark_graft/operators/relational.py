@@ -404,7 +404,7 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.union(b).distinct().select(F.lit("union").alias("op"), "c_custkey")
         .unionAll(a.intersect(b).select(F.lit("intersect").alias("op"), "c_custkey"))
-        .unionAll(a.exceptAll(b).distinct().select(F.lit("except").alias("op"), "c_custkey"))
+        .unionAll(a.subtract(b).select(F.lit("except").alias("op"), "c_custkey"))
     )
 
 
@@ -449,10 +449,12 @@ def min_unique_prefix_len(spark: SparkSession, strings_df: DataFrame, col: str) 
 @query(
     "min_unique_prefix",
     oracle="""
+        WITH lens AS (
+            SELECT unnest(generate_series(1, (SELECT max(length(c_name)) FROM customer))) AS len
+        )
         SELECT min(len) AS min_prefix_len
-        FROM generate_series(1, 64) AS t(len)
-        WHERE len <= (SELECT max(length(c_name)) FROM customer)
-          AND (SELECT count(DISTINCT substr(c_name, 1, len)) FROM customer)
+        FROM lens
+        WHERE (SELECT count(DISTINCT substr(c_name, 1, len)) FROM customer)
               = (SELECT count(*) FROM customer)
     """,
 )

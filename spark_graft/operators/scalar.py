@@ -151,7 +151,7 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_map",
     oracle="""
         SELECT event_id,
-               list_sort(CAST(json_keys(props) AS VARCHAR[])) AS ks,
+               array_to_string(list_sort(CAST(json_keys(props) AS VARCHAR[])), ',') AS ks,
                CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
                len(json_keys(props)) AS n_keys
         FROM events
@@ -165,7 +165,7 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = F.from_json("props", "map<string,int>")
     return table(spark, sf_dir, "events").select(
         "event_id",
-        F.array_sort(F.map_keys(m)).alias("ks"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("ks"),
         F.element_at(m, "k").alias("k_val"),
         F.size(m).alias("n_keys"),
     )
