@@ -6,9 +6,12 @@ N_RUNS warm runs each, and print ONE JSON line:
   {"metric": "...", "value": <total median sec>, "unit": "sec",
    "queries": {"q": sec, ...}, "sf": ...}
 
-Each timing covers plan + execute + result materialization (count or
-collect of the already-small result) — the end-to-end latency a user
-sees, not just job time.
+Each timing covers plan + execute + FULL result materialization via a
+noop-format write: every output row is produced and serialized, then
+discarded. A count() here would be dishonest — Catalyst prunes
+deterministic projection/window columns under Aggregate[count(1)], so
+map-only queries would time a bare parquet row-count instead of their
+actual expressions.
 """
 
 from __future__ import annotations
@@ -53,10 +56,9 @@ def main() -> None:
         for _ in range(N_RUNS):
             t0 = time.perf_counter()
             df = spec.fn(spark, sf_dir)
-            # Materialize fully but cheaply: aggregates/topk collect small
-            # results; row-returning queries count (still executes the
-            # whole plan).
-            df.count()
+            # Materialize EVERY output row (expressions included) without
+            # paying for storage: the noop sink consumes and discards.
+            df.write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(runs), 3)
         print(f"# {name}: {timings[name]}s (runs: {[round(r, 3) for r in runs]})", file=sys.stderr)

@@ -392,15 +392,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("bigint").alias("s"),
     )
-    # global shingle document-frequencies; small (vocab^n bounded), so
-    # broadcast — at web scale this becomes a pre-computed frequency
-    # table joined by bucket instead.
+    # global shingle document-frequencies. NOT broadcast: distinct
+    # shingles grow with the corpus (billions on web-scale text), so a
+    # broadcast hint would be a hard-coded scale ceiling. Both the
+    # aggregate and the join key on `s`, so the one hash shuffle of `sh`
+    # serves freq-build and probe alike (ReuseExchange); AQE is still
+    # free to downgrade to a runtime broadcast when freq actually fits.
     freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     # one aggregate builds the rarity-ranked shingle list per doc
     # (struct sort = (df, s) lexicographic) — no window functions, no
     # per-row sort shuffles.
     ranked_sets = (
-        sh.join(F.broadcast(freq), "s")
+        sh.join(freq, "s")
         .groupBy("doc_id")
         .agg(F.array_sort(F.collect_list(F.struct("df", "s"))).alias("ranked"))
     )
@@ -557,32 +560,45 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(log diameter) rounds (the Kiveris et al. star-contraction family)
     instead of the O(diameter) of plain propagation; a 1M-doc duplicate
     chain converges in ~20 rounds, not 1M.
-    Only the FINAL label table is collected, and it
-    is bounded by the number of near-duplicate docs (not the corpus) —
-    at 100 TB each iteration would checkpoint labels to storage instead,
-    with the identical per-round plan. Oracle: transitive closure by
-    recursive CTE, min reachable id per node."""
+
+    Everything stays distributed: the label table is never collected —
+    membership counts come from one more shuffle on cluster_id, and the
+    only values that ever reach the driver are the per-round convergence
+    scalar and the round count. At 100 TB each iteration would checkpoint
+    labels to durable storage instead of localCheckpoint, with the
+    identical per-round plan. Oracle: transitive closure by recursive
+    CTE, min reachable id per node."""
+    from pyspark.sql.window import Window
+
     pairs = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
-    rows, n_rounds = connected_components(pairs)
-    from collections import Counter
-
-    sizes = Counter(r["label"] for r in rows)
-    # collect() order varies run to run; sort so reruns are identical
-    data = sorted((r["id"], r["label"], sizes[r["label"]]) for r in rows)
-    return spark.createDataFrame(
-        data, "doc_id bigint, cluster_id bigint, n_members bigint"
+    labels, _ = connected_components(pairs)
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        F.count(F.lit(1)).over(Window.partitionBy("label")).alias("n_members"),
     )
 
 
-def connected_components(pairs: DataFrame) -> tuple[list, int]:
+def connected_components(pairs: DataFrame) -> tuple[DataFrame, int]:
     """Min-label propagation with pointer jumping over an undirected
-    pair list; returns (collected (id, label) rows, rounds used). See
-    dedup_clusters for the full algorithmic contract."""
-    edges = (
-        pairs.union(pairs.select(pairs.columns[1], pairs.columns[0]))
-        .toDF("src", "dst")
-        .persist()
-    )
+    pair list; returns (labels DataFrame with columns (id, label), rounds
+    used). The returned frame is localCheckpoint-materialized — its
+    lineage no longer references the input, so callers may unpersist or
+    discard `pairs` freely. See dedup_clusters for the full algorithmic
+    contract."""
+    # symmetrize with ONE reference to `pairs` (explode of a 2-struct
+    # array), not a self-union: a union's two branches would each embed
+    # — and execute — the full upstream pair-derivation pipeline (the
+    # whole minhash band/verify DAG when called from dedup_clusters).
+    a, b = pairs.columns
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(a).alias("src"), F.col(b).alias("dst")),
+                F.struct(F.col(b).alias("src"), F.col(a).alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst").persist()
     try:
         # localCheckpoint (not just persist) each round: the label table
         # references ITSELF three times per round (self, edge
@@ -591,17 +607,28 @@ def connected_components(pairs: DataFrame) -> tuple[list, int]:
         # 6 (caching stores data, not plans). Checkpointing replaces the
         # plan with the materialized result — at 100 TB this becomes a
         # durable checkpoint to storage, same loop.
+        # labels0 folds the first propagation round into initialization:
+        # min(self, neighbors) from one groupBy over edges (every node
+        # appears as src after symmetrization). Starting from label=id,
+        # round 1's pointer jump would be an identity join anyway, so
+        # a plain-propagation round here loses nothing and saves one
+        # full O(E) loop iteration.
         labels = (
-            edges.select(F.col("src").alias("id"))
-            .distinct()
-            .withColumn("label", F.col("id"))
+            edges.groupBy(F.col("src").alias("id"))
+            .agg(F.min("dst").alias("_mn"))
+            .select("id", F.least("id", "_mn").alias("label"))
             .localCheckpoint()
         )
         # convergence check: per-node labels only ever DECREASE (min of
         # self + neighbors + label's label), so sum(label) strictly
         # decreases until the fixpoint — one cheap aggregate per round
-        # instead of a changed-rows join.
-        label_sum = labels.agg(F.sum("label")).collect()[0][0]
+        # instead of a changed-rows join. Summed as decimal(38,0): an
+        # int64 sum would overflow silently at ~1e12 large doc ids and
+        # could alias a changed label set to an unchanged sum.
+        def _label_sum(df: DataFrame):
+            return df.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+
+        label_sum = _label_sum(labels)
         n_rounds = 0
         while True:
             n_rounds += 1
@@ -624,11 +651,10 @@ def connected_components(pairs: DataFrame) -> tuple[list, int]:
                 .agg(F.min("label").alias("label"))
                 .localCheckpoint()
             )
-            new_sum = labels.agg(F.sum("label")).collect()[0][0]
+            new_sum = _label_sum(labels)
             if new_sum == label_sum:
                 break
             label_sum = new_sum
-        rows = labels.collect()
     finally:
         edges.unpersist()
-    return rows, n_rounds
+    return labels, n_rounds

@@ -118,6 +118,38 @@ def test_dedup_queries_never_cross_product(spark, sf_dir):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+def test_ngram_jaccard_freq_join_not_hint_broadcast(spark, sf_dir):
+    """The shingle-frequency join must not carry a hard broadcast HINT:
+    distinct shingles grow with the corpus, so a hint is a scale
+    ceiling. The optimized logical plan must contain no broadcast hint
+    resolution (AQE may still choose a runtime broadcast from measured
+    size — that's the scalable behavior)."""
+    df = REGISTRY["dedup_ngram_jaccard"].fn(spark, sf_dir)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in logical, logical
+
+
+def test_dedup_clusters_stays_distributed(spark, sf_dir):
+    """dedup_clusters must never funnel the label table through the
+    driver: no full-result collect(), no Counter, no createDataFrame in
+    the query path (the round-scalar convergence aggregate is the one
+    permitted driver value). Pinned at the source level because the
+    final frame is localCheckpoint-backed (its physical plan is an RDD
+    scan either way, so plan text can't distinguish driver round-trips)."""
+    import inspect
+
+    from spark_graft.operators import dedup
+
+    src = inspect.getsource(dedup.dedup_clusters)
+    assert ".collect()" not in src, src
+    assert "createDataFrame" not in src, src
+    cc = inspect.getsource(dedup.connected_components)
+    # the only collects in the CC loop are single-row scalar aggregates
+    for line in cc.splitlines():
+        if ".collect()" in line:
+            assert "agg(" in line, f"non-scalar collect in connected_components: {line}"
+
+
 def test_full_sort_is_range_partitioned(spark, sf_dir):
     """A no-limit global orderBy must plan a rangepartitioning Exchange
     (sampled boundaries, parallel sort) — the built-in equivalent of the

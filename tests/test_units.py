@@ -152,7 +152,8 @@ def test_connected_components_chain_converges_fast(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(32)], "doc_a bigint, doc_b bigint"
     )
-    rows, n_rounds = connected_components(chain)
+    labels, n_rounds = connected_components(chain)
+    rows = labels.collect()
     assert {r["id"] for r in rows} == set(range(33))
     assert {r["label"] for r in rows} == {0}
     assert n_rounds <= 8, f"took {n_rounds} rounds for diameter 32"
@@ -166,6 +167,6 @@ def test_connected_components_multiple_clusters(spark):
         [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)],
         "doc_a bigint, doc_b bigint",
     )
-    rows, _ = connected_components(pairs)
-    got = {r["id"]: r["label"] for r in rows}
+    labels, _ = connected_components(pairs)
+    got = {r["id"]: r["label"] for r in labels.collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
