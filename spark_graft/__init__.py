@@ -39,6 +39,7 @@ def load_all_queries() -> None:
         multimodal,
         events,
         compat_queries,
+        pipeline,
         text,
         scalar,
         similarity,

@@ -1,0 +1,170 @@
+"""End-to-end training-data pipeline operators: deterministic stratified
+sampling and the composed clean-corpus pipeline (quality floor -> langid
+-> exact dedup -> split assignment).
+
+These are the shapes a 100 TB data-curation run is actually made of.
+Everything is hash-based and RNG-free, so assignments are stable under
+incremental loads and re-runs — the property that keeps eval sets from
+leaking into training data when the corpus grows. Narrow per-row
+expressions except the one dedup shuffle (16-byte fingerprints, never
+documents).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from spark_graft.functions import tokens
+from spark_graft.operators.text import (
+    _TOK,
+    SPLIT_PCT_TRAIN,
+    SPLIT_PCT_VAL,
+    STOPWORDS,
+    stopword_count_cols,
+)
+from spark_graft.registry import query
+from spark_graft.sources import table
+
+# per-stratum sampling rates (percent); strata absent from the map get
+# the default — the mixture-rebalancing knob of a training pipeline
+SAMPLE_RATES = {"BUILDING": 10, "MACHINERY": 30}
+SAMPLE_DEFAULT = 20
+
+
+def _md5_bucket(prefix: str, key_col) -> F.Column:
+    """Engine-portable 0..99 bucket from md5(prefix || key). The same
+    construction as text_split's assignment; DuckDB reproduces it with
+    CAST('0x' || substr(md5(...), 1, 8) AS BIGINT) % 100."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(prefix), key_col.cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+
+
+@query(
+    "sample_stratified",
+    oracle=f"""
+        SELECT c_custkey, c_mktsegment, c_acctbal
+        FROM customer
+        WHERE CAST(('0x' || substr(md5('sample:' || CAST(c_custkey AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 100
+              < CASE c_mktsegment WHEN 'BUILDING' THEN {SAMPLE_RATES["BUILDING"]}
+                                  WHEN 'MACHINERY' THEN {SAMPLE_RATES["MACHINERY"]}
+                                  ELSE {SAMPLE_DEFAULT} END
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: each stratum (market segment)
+    keeps its own exact rate via a content-stable md5 bucket on the row
+    key — no RNG, no takeSample, no driver round-trip. A pure narrow
+    filter: zero shuffles at any scale, rows keep or drop themselves
+    independently, and re-running (or appending data) never flips an
+    existing row's membership. This is how a training mixture is
+    rebalanced (upsample rare strata, downsample dominant ones) without
+    sacrificing reproducibility."""
+    rate = F.coalesce(
+        *[
+            F.when(F.col("c_mktsegment") == seg, F.lit(pct))
+            for seg, pct in SAMPLE_RATES.items()
+        ],
+        F.lit(SAMPLE_DEFAULT),
+    )
+    cust = table(spark, sf_dir, "customer")
+    return cust.filter(_md5_bucket("sample:", F.col("c_custkey")) < rate).select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+
+
+MIN_TOKENS = 8
+
+
+def _lang_stop_sql(lang: str) -> str:
+    # like text._sw_sql but over the CTE-staged `toks` list, not an
+    # inline re-tokenize — the oracle mirrors the staged-once plan
+    inlist = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter(toks, t -> t IN ({inlist})))"
+
+
+@query(
+    "pipeline_clean_corpus",
+    oracle=f"""
+        WITH base AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+        feat AS (
+            SELECT doc_id,
+                   len(toks) AS n_tokens,
+                   md5(array_to_string(toks, ' ')) AS fp,
+                   {_lang_stop_sql("en")} AS c_en,
+                   {_lang_stop_sql("es")} AS c_es,
+                   {_lang_stop_sql("fr")} AS c_fr,
+                   {_lang_stop_sql("de")} AS c_de
+            FROM base
+        ),
+        kept AS (
+            SELECT doc_id, n_tokens, fp FROM feat
+            WHERE n_tokens >= {MIN_TOKENS}
+              AND c_en > 0 AND c_en >= greatest(c_es, c_fr, c_de)
+        ),
+        dd AS (
+            SELECT doc_id, n_tokens,
+                   row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+            FROM kept
+        )
+        SELECT doc_id, n_tokens,
+               CASE WHEN bucket < {SPLIT_PCT_TRAIN} THEN 'train'
+                    WHEN bucket < {SPLIT_PCT_TRAIN + SPLIT_PCT_VAL} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT doc_id, n_tokens,
+                   CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 100 AS bucket
+            FROM dd WHERE rk = 1
+        )
+    """,
+)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus-curation pipeline, end to end in ONE logical
+    plan: tokenize -> quality floor (n_tokens >= {MIN_TOKENS}) -> keep
+    English (stopword vote, same rule as text_langid's 'en' branch) ->
+    exact dedup keep-first by normalized-content fingerprint -> stable
+    train/val/test assignment (same bucket construction as text_split).
+
+    Composition is the point: every stage is a narrow expression over
+    the staged token array, so Catalyst fuses filter+project into one
+    codegen'd pass over the scan, and the ONLY shuffle in the whole
+    pipeline is the dedup's window on the 16-byte fingerprint. A user
+    chains independently-tested stages and the optimizer still sees one
+    flat plan — that's the Spark-first contract at 100 TB."""
+    docs = table(spark, sf_dir, "documents")
+    counts = stopword_count_cols(F.col("toks"))
+    feat = docs.select("doc_id", tokens("text").alias("toks")).select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.md5(F.array_join("toks", " ")).alias("fp"),
+        *counts.values(),
+    )
+    kept = feat.filter(
+        (F.col("n_tokens") >= MIN_TOKENS)
+        & (F.col("c_en") > 0)
+        & (F.col("c_en") >= F.greatest("c_es", "c_fr", "c_de"))
+    )
+    first = (
+        kept.withColumn(
+            "rk", F.row_number().over(Window.partitionBy("fp").orderBy("doc_id"))
+        )
+        .filter(F.col("rk") == 1)
+    )
+    split = (
+        F.when(_md5_bucket("split:", F.col("doc_id")) < SPLIT_PCT_TRAIN, "train")
+        .when(
+            _md5_bucket("split:", F.col("doc_id")) < SPLIT_PCT_TRAIN + SPLIT_PCT_VAL,
+            "val",
+        )
+        .otherwise("test")
+    )
+    return first.select("doc_id", "n_tokens", split.alias("split"))

@@ -85,6 +85,19 @@ def _sw_sql(lang: str) -> str:
     return f"len(list_filter({_TOK}, t -> t IN ({inlist})))"
 
 
+def stopword_count_cols(toks) -> dict[str, "F.Column"]:
+    """{lang: count-of-lang-stopwords} expressions over a STAGED token
+    array column (stage it as its own projection first — interpreted HOF
+    lambdas re-evaluate inlined argument trees per reference). Shared by
+    text_langid and the end-to-end corpus pipeline."""
+
+    def stop_count(ws: tuple[str, ...]):
+        arr = F.array([F.lit(w) for w in ws])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    return {lang: stop_count(ws).alias(f"c_{lang}") for lang, ws in STOPWORDS.items()}
+
+
 @query(
     "text_quality",
     oracle=f"""
@@ -167,13 +180,8 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed priority tie-break en>es>fr>de>und). Pure per-row array
     expressions — linear scan at any scale."""
     docs = table(spark, sf_dir, "documents")
-    toks = F.col("toks")  # staged: 4 filter-lambdas share one tokenize
-
-    def stop_count(ws: tuple[str, ...]):
-        arr = F.array([F.lit(w) for w in ws])
-        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
-
-    counts = {lang: stop_count(ws).alias(f"c_{lang}") for lang, ws in STOPWORDS.items()}
+    # staged: 4 filter-lambdas share one tokenize
+    counts = stopword_count_cols(F.col("toks"))
     base = docs.select("doc_id", tokens("text").alias("toks")).select(
         "doc_id", *counts.values()
     )

@@ -168,3 +168,27 @@ def test_win_dist_avoids_single_partition_window(spark, sf_dir):
     df = REGISTRY["win_dist"].fn(spark, sf_dir)
     plan = explain_str(df, "formatted")
     assert "SinglePartition" not in plan, plan
+
+
+def test_pipeline_clean_corpus_single_shuffle(spark, sf_dir):
+    """The composed corpus pipeline must fuse to ONE shuffle (the dedup
+    window on the 16-byte fingerprint) — every other stage is a narrow
+    expression Catalyst folds into the scan pass. A second Exchange
+    means a stage broke fusion and the pipeline re-shuffles documents."""
+    df = q("pipeline_clean_corpus", spark, sf_dir)
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = sum(
+        1 for line in physical.splitlines() if "Exchange" in line and "Reused" not in line
+    )
+    assert n_exchanges == 1, physical
+
+
+def test_sample_stratified_is_shuffle_free_and_pushes_scan(spark, sf_dir):
+    """Stratified sampling is a pure narrow filter: zero Exchanges, and
+    column pruning reaches the parquet scan."""
+    df = q("sample_stratified", spark, sf_dir)
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in physical, physical
+    plan = explain_str(df)
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "c_name" not in read_schema and "c_custkey" in read_schema

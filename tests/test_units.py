@@ -170,3 +170,65 @@ def test_connected_components_multiple_clusters(spark):
     labels, _ = connected_components(pairs)
     got = {r["id"]: r["label"] for r in labels.collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_ann_recall_at_k(spark, sf_dir):
+    """Measured recall@k of the ANN variants against the brute-force
+    yardstick (sim_cosine_topk, recall=1.0 by definition) — the regime
+    claims in similarity.py are numbers, not narration. On the diffuse
+    fixture corpus (best cosine ~0.4) sign-LSH retains little by design;
+    IVF's coarse quantizer keeps a real fraction."""
+    from spark_graft.registry import REGISTRY
+
+    exact = {r["vec_id"] for r in REGISTRY["sim_cosine_topk"].fn(spark, sf_dir).collect()}
+    lsh = {r["vec_id"] for r in REGISTRY["sim_ann_lsh"].fn(spark, sf_dir).collect()}
+    ivf = {r["vec_id"] for r in REGISTRY["sim_ann_ivf"].fn(spark, sf_dir).collect()}
+    assert exact, "brute-force baseline returned nothing"
+    lsh_recall = len(lsh & exact) / len(exact)
+    ivf_recall = len(ivf & exact) / len(exact)
+    # floors from measured values (lsh 0.1-0.2, ivf 0.5 across sf0.001/sf0.01)
+    assert ivf_recall >= 0.3, f"ivf recall@10 {ivf_recall}"
+    assert lsh_recall >= 0.05, f"lsh recall@10 {lsh_recall}"
+    # the brute-force baseline must dominate both
+    assert lsh_recall <= 1.0 and ivf_recall <= 1.0
+
+
+def test_lsh_high_similarity_regime(spark):
+    """The documented LSH regime claim, measured: for genuinely NEAR
+    neighbors (cos >= ~0.95, per-bit agreement ~0.9), the probe's bucket
+    plus 3 multi-probe flips retains most of them — sign-LSH is the
+    right tool exactly there."""
+    import hashlib
+
+    from spark_graft.operators.similarity import _planes
+
+    dim = 16
+
+    def fake_vec(seed: str) -> list[float]:
+        return [
+            int(hashlib.md5(f"{seed}:{d}".encode()).hexdigest()[:8], 16) / 2**32 - 0.5
+            for d in range(dim)
+        ]
+
+    probe = fake_vec("probe")
+    # 20 near-dups: tiny deterministic perturbations of the probe
+    near = [
+        [v + (int(hashlib.md5(f"{i}:{d}".encode()).hexdigest()[:8], 16) / 2**32 - 0.5) * 0.02
+         for d, v in enumerate(probe)]
+        for i in range(20)
+    ]
+    planes = _planes(dim)
+
+    def bucket(vec: list[float]) -> int:
+        return sum(
+            2**p
+            for p, plane in enumerate(planes)
+            if sum(a * b for a, b in zip(vec, plane)) >= 0
+        )
+
+    margins = [sum(a * b for a, b in zip(probe, plane)) for plane in planes]
+    pb = bucket(probe)
+    flip_order = sorted(range(len(planes)), key=lambda p: abs(margins[p]))
+    probed = {pb} | {pb ^ (1 << p) for p in flip_order[:3]}
+    hit = sum(1 for v in near if bucket(v) in probed)
+    assert hit / len(near) >= 0.8, f"high-sim recall {hit / len(near)}"
