@@ -392,18 +392,26 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("bigint").alias("s"),
     )
-    # global shingle document-frequencies. NOT broadcast: distinct
-    # shingles grow with the corpus (billions on web-scale text), so a
-    # broadcast hint would be a hard-coded scale ceiling. Both the
-    # aggregate and the join key on `s`, so the one hash shuffle of `sh`
-    # serves freq-build and probe alike (ReuseExchange); AQE is still
-    # free to downgrade to a runtime broadcast when freq actually fits.
-    freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    # global shingle document-frequencies, REPEATED-ONLY: a shingle
+    # absent from this table has df=1 by construction, so filtering to
+    # df>1 and left-join + coalesce(df,1) is EXACTLY equivalent to the
+    # full table — zero information loss — while shrinking the join side
+    # to the repeated minority of the vocabulary. No broadcast hint
+    # (distinct repeated shingles still grow with the corpus — a hint
+    # would be a hard-coded scale ceiling); AQE sees the post-filter
+    # size at runtime and broadcasts when it fits, falls back to a
+    # shuffle join when it doesn't.
+    freq = (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > 1)
+    )
     # one aggregate builds the rarity-ranked shingle list per doc
     # (struct sort = (df, s) lexicographic) — no window functions, no
     # per-row sort shuffles.
     ranked_sets = (
-        sh.join(freq, "s")
+        sh.join(freq, "s", "left")
+        .select("doc_id", "s", F.coalesce("df", F.lit(1)).alias("df"))
         .groupBy("doc_id")
         .agg(F.array_sort(F.collect_list(F.struct("df", "s"))).alias("ranked"))
     )

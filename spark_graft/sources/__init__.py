@@ -7,7 +7,18 @@ FileSourceScanExec provides exactly that split logic for free; on top we
 standardize the driver-provided parquet star schema (TESTDATA.md).
 """
 
+from spark_graft.sources.formats import read_csv, read_jsonl, write_csv, write_jsonl
 from spark_graft.sources.tables import TABLES, table, load_all
 from spark_graft.sources.text import read_lines, write_lines
 
-__all__ = ["TABLES", "table", "load_all", "read_lines", "write_lines"]
+__all__ = [
+    "TABLES",
+    "table",
+    "load_all",
+    "read_lines",
+    "write_lines",
+    "read_csv",
+    "write_csv",
+    "read_jsonl",
+    "write_jsonl",
+]

@@ -90,3 +90,30 @@ def test_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_csv_jsonl_roundtrip_schema_stable(spark, sf_dir, tmp_path):
+    """CSV and JSON-lines interchange: write in parallel, read back with
+    an EXPLICIT schema (the formats module refuses inference by design),
+    values and dtypes identical to the parquet original."""
+    from spark_graft.sources import read_csv, read_jsonl, write_csv, write_jsonl, table
+
+    src = (
+        table(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    )
+    want = [tuple(r) for r in src.collect()]
+    schema = src.schema
+
+    csv_path = str(tmp_path / "nation_csv")
+    write_csv(src, csv_path)
+    got_csv = read_csv(spark, csv_path, schema)
+    assert got_csv.schema == schema
+    assert sorted(tuple(r) for r in got_csv.collect()) == want
+
+    jl_path = str(tmp_path / "nation_jsonl")
+    write_jsonl(src, jl_path)
+    got_jl = read_jsonl(spark, jl_path, schema)
+    assert got_jl.schema == schema
+    assert sorted(tuple(r) for r in got_jl.collect()) == want
