@@ -81,6 +81,54 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NEW_BATCH_MOD = 10  # doc_id % 10 == 9 plays the "newly arrived" batch
+
+
+@query(
+    "dedup_incremental",
+    oracle=f"""
+        WITH fp AS (
+            SELECT doc_id, md5(array_to_string({_TOK}, ' ')) AS fp FROM documents
+        ),
+        existing AS (SELECT fp FROM fp WHERE doc_id % {NEW_BATCH_MOD} < {NEW_BATCH_MOD - 1}),
+        new_batch AS (SELECT doc_id, fp FROM fp WHERE doc_id % {NEW_BATCH_MOD} = {NEW_BATCH_MOD - 1}),
+        dd AS (
+            SELECT doc_id, fp,
+                   row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+            FROM new_batch
+        )
+        SELECT doc_id, fp FROM dd d
+        WHERE rk = 1
+          AND NOT EXISTS (SELECT 1 FROM existing e WHERE e.fp = d.fp)
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup — the only dedup that runs in production at
+    100 TB: a newly-arrived batch is deduped within itself (keep-first
+    per fingerprint) and then anti-joined against the accumulated
+    fingerprint table of everything already ingested. The corpus is
+    never re-scanned: the existing side is a persisted 16-byte-key
+    table, the anti-join ships hashes only, and accepted fingerprints
+    append to the table for the next batch. Here both sides derive from
+    the documents table split deterministically by doc_id (last decile
+    plays the new batch), so the whole contract is oracle-checkable."""
+    docs = table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", F.md5(F.array_join(tokens("text"), " ")).alias("fp")
+    )
+    is_new = (F.col("doc_id") % NEW_BATCH_MOD) == (NEW_BATCH_MOD - 1)
+    existing = fp.filter(~is_new).select("fp")
+    new_batch = fp.filter(is_new)
+    first_in_batch = (
+        new_batch.withColumn(
+            "rk", F.row_number().over(Window.partitionBy("fp").orderBy("doc_id"))
+        )
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    return first_in_batch.join(existing, "fp", "left_anti").select("doc_id", "fp")
+
+
 MIN_TOKENS = 8
 
 
