@@ -96,62 +96,49 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def shingle_sets(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, shingles): the per-doc distinct-shingle set, built with
-    ONE shuffle. Both the signature path and the Jaccard-verify path of
-    dedup_minhash derive from this exact plan, so Spark's ReuseExchange
-    materializes the aggregate once per query."""
-    return (
-        shingle_rows(docs, text_col)
-        .groupBy("doc_id")
-        .agg(F.collect_set("s").alias("shingles"))
-    )
-
-
 MINHASH_PRIME = 2147483647  # 2^31 - 1; h1 + p*h2 stays far below 2^63
 
 
-def minhash_bands(per_doc: DataFrame) -> DataFrame:
-    """(doc_id, band, sig): LSH band signatures, one row per (doc, band),
-    from `shingle_sets` output.
+def minhash_doc_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, shingles, mh0..mh{N_PERMS-1}): the per-doc
+    distinct-shingle set AND its minhash signature from ONE shuffle.
 
     One md5 per shingle, not one per (shingle, perm): the N_PERMS hash
     family is built by double hashing (Kirsch & Mitzenmacher, ESA'06 —
     g_p(x) = h1(x) + p*h2(x) mod prime) from two 32-bit halves of the
-    single md5 digest. Cuts the dominant signature cost 12x while
-    keeping the family fixed, public, and reproducible in the DuckDB
-    oracle with identical integer arithmetic. All stages are staged
-    projections (attribute references in the HOF lambdas — see
-    shingles_from_tokens' performance contract); no extra shuffle beyond
-    the shingle_sets aggregate upstream."""
-    rows_per_band = N_PERMS // N_BANDS
+    single md5 digest, keeping the family fixed, public, and
+    reproducible in the DuckDB oracle with identical integer arithmetic.
 
-    def _mh(p: int):
-        # factory (not a default-arg lambda): pyspark HOF lambdas must
-        # take only positional Column params
-        return F.array_min(
-            F.transform(
-                F.col("hs"), lambda h: (h["h1"] + F.lit(p) * h["h2"]) % MINHASH_PRIME
-            )
-        )
-
-    mins = [_mh(p).alias(f"mh{p}") for p in range(N_PERMS)]
-    sigs = (
-        per_doc.select(
-            "doc_id", F.transform("shingles", F.md5).alias("dg")
-        )
+    The per-perm minima are plain `min()` AGGREGATES over the exploded
+    (doc_id, shingle) rows — whole-stage-codegen'd, with map-side
+    partial aggregation — computed in the SAME groupBy that collects the
+    shingle set for the Jaccard verify. The previous form collected the
+    set first and folded 12 interpreted HOF lambdas over each doc's
+    array (measured ~1.0s of the sf0.1 query); aggregate-min does the
+    identical arithmetic JVM-side for free. Same values: shingle rows
+    are distinct per doc, so row-min == set-min."""
+    hashed = (
+        shingle_rows(docs, text_col)
+        .select("doc_id", "s", F.md5("s").alias("dg"))
         .select(
             "doc_id",
-            F.transform(
-                "dg",
-                lambda d: F.struct(
-                    F.conv(F.substring(d, 1, 8), 16, 10).cast("bigint").alias("h1"),
-                    F.conv(F.substring(d, 9, 8), 16, 10).cast("bigint").alias("h2"),
-                ),
-            ).alias("hs"),
+            "s",
+            F.conv(F.substring("dg", 1, 8), 16, 10).cast("bigint").alias("h1"),
+            F.conv(F.substring("dg", 9, 8), 16, 10).cast("bigint").alias("h2"),
         )
-        .select("doc_id", *mins)
     )
+    mins = [
+        F.min((F.col("h1") + F.lit(p) * F.col("h2")) % MINHASH_PRIME).alias(f"mh{p}")
+        for p in range(N_PERMS)
+    ]
+    return hashed.groupBy("doc_id").agg(F.collect_set("s").alias("shingles"), *mins)
+
+
+def minhash_bands(per_doc: DataFrame) -> DataFrame:
+    """(doc_id, band, sig): LSH band signatures, one row per (doc, band),
+    from `minhash_doc_table` output. Narrow expressions only — one
+    md5'd concat per band, exploded; no shuffle of its own."""
+    rows_per_band = N_PERMS // N_BANDS
     bands = F.array(
         *[
             F.struct(
@@ -169,7 +156,7 @@ def minhash_bands(per_doc: DataFrame) -> DataFrame:
             for b in range(N_BANDS)
         ]
     )
-    return sigs.select("doc_id", F.explode(bands).alias("bs")).select(
+    return per_doc.select("doc_id", F.explode(bands).alias("bs")).select(
         "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
     )
 
@@ -223,7 +210,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts) is oracle-verified against an independent SQL implementation.
     """
     docs = table(spark, sf_dir, "documents")
-    per_doc = shingle_sets(docs)
+    per_doc = minhash_doc_table(docs)
     bands = minhash_bands(per_doc)
     cand = (
         bands.groupBy("band", "sig")
@@ -259,31 +246,31 @@ def _hex4_to_int_sql(expr: str) -> str:
     return "(" + " + ".join(digits) + ")"
 
 
-def token_hash_ints(toks: Column | str) -> Column:
-    """Per-distinct-token 16-bit hash: first 4 hex chars of md5 -> int
-    via conv(). Engine-portable: the oracle rebuilds the identical
-    integer from md5 hex digits (DuckDB lacks conv(); instr-based digit
-    arithmetic produces the same value)."""
-    tc = F.col(toks) if isinstance(toks, str) else toks
-    return F.transform(
-        F.array_distinct(tc),
-        lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("int"),
-    )
+def simhash_table(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, simhash): 16-bit SimHash signatures. Bit j of the signature
+    is the sign of sum over distinct tokens of (2*bit_j(hash(token))-1);
+    the token hash is the first 4 hex chars of md5 (engine-portable —
+    the oracle rebuilds the identical integer from md5 hex digits with
+    instr-based digit arithmetic, since DuckDB lacks conv()).
 
-
-def simhash16(ints: Column | str) -> Column:
-    """16-bit SimHash from a MATERIALIZED token-hash array (stage
-    `token_hash_ints` in its own projection first — the signature
-    references the array in 16 aggregate lambdas, and interpreted HOFs
-    re-evaluate an inlined argument tree per reference). Bit j of the
-    signature is the sign of sum over tokens of (2*bit_j(hash) - 1)."""
-    ic = F.col(ints) if isinstance(ints, str) else ints
+    Deliberately NARROW: staged token-hash array + 16 HOF folds, zero
+    exchanges — signature computation of 100 TB is a map-only stage.
+    The exploded-rows + 16-sum-aggregates alternative (the minhash
+    trick, minhash_doc_table) was measured and REJECTED here: it adds a
+    real aggregate exchange where this plan has none, and benched ~0.25s
+    SLOWER at sf0.1 — fusing into an existing shuffle wins, introducing
+    a new one loses. The hash array is staged as its own projection
+    first (interpreted HOF lambdas re-evaluate inlined argument trees
+    per reference)."""
+    ints = F.col("_ints")
 
     def bit_vote(j: int):
         # factory (not a default-arg lambda): pyspark HOF lambdas must
         # take only positional Column params
         return F.aggregate(
-            ic,
+            ints,
             F.lit(0),
             lambda acc, d: acc + (F.shiftright(d, j).bitwiseAND(F.lit(1)) * 2 - 1),
         )
@@ -291,7 +278,17 @@ def simhash16(ints: Column | str) -> Column:
     sig = F.lit(0)
     for j in range(16):
         sig = sig + F.when(bit_vote(j) > 0, F.lit(2**j)).otherwise(F.lit(0))
-    return sig
+    return (
+        docs.select(F.col(id_col), tokens(text_col).alias("_toks"))
+        .select(
+            id_col,
+            F.transform(
+                F.array_distinct("_toks"),
+                lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("int"),
+            ).alias("_ints"),
+        )
+        .select(id_col, sig.alias("simhash"))
+    )
 
 
 def _simhash_sql() -> str:
@@ -324,11 +321,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     from pyspark.sql.window import Window
 
-    sigs = (
-        docs.select("doc_id", tokens("text").alias("toks"))
-        .select("doc_id", token_hash_ints("toks").alias("ints"))
-        .select("doc_id", simhash16("ints").alias("simhash"))
-    )
+    sigs = simhash_table(docs)
     return sigs.withColumn("n_bucket", F.count(F.lit(1)).over(Window.partitionBy("simhash")))
 
 

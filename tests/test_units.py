@@ -8,7 +8,7 @@ import math
 from pyspark.sql import Row, functions as F
 
 from spark_graft.functions import cosine, dsum, tokens, word_shingles
-from spark_graft.operators.dedup import simhash16, token_hash_ints
+from spark_graft.operators.dedup import simhash_table
 
 
 def test_tokens_edges(spark):
@@ -64,12 +64,7 @@ def test_simhash_similar_docs_close(spark):
         ],
         "id int, text string",
     )
-    out = {
-        r["id"]: r["s"]
-        for r in df.select(
-            "id", simhash16(token_hash_ints(tokens("text"))).alias("s")
-        ).collect()
-    }
+    out = {r["id"]: r["simhash"] for r in simhash_table(df, id_col="id").collect()}
     ham12 = bin(out[1] ^ out[2]).count("1")
     ham13 = bin(out[1] ^ out[3]).count("1")
     assert ham12 < ham13  # 1 token differs vs all tokens differ
