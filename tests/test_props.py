@@ -154,3 +154,35 @@ def test_asof_matches_python_reference(spark, rows):
         cand = [(ct, ce) for (ce, cu, ct) in clicks if cu == u and ct <= t]
         expect = max(cand)[1] if cand else None
         assert got[e] == expect
+
+
+@given(texts=st.lists(st.text(alphabet="ab c", min_size=0, max_size=40), min_size=1, max_size=6))
+@SETTINGS
+def test_minhash_signature_matches_python_reference(spark, texts):
+    """The fused aggregate-min minhash (minhash_doc_table) == a plain
+    python implementation of the same double-hash family, for any text.
+    Pins that the codegen'd min() rewrite is arithmetic-identical to
+    min-over-the-shingle-set (docs with no shingles drop out in both)."""
+    import hashlib
+    import re
+
+    from spark_graft.operators.dedup import MINHASH_PRIME, N_PERMS, minhash_doc_table
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {
+        r["doc_id"]: [r[f"mh{p}"] for p in range(N_PERMS)]
+        for r in minhash_doc_table(df).collect()
+    }
+    for i, t in enumerate(texts):
+        toks = [w for w in re.split("[^a-z0-9]+", t.lower()) if w]
+        sh = {" ".join(toks[j : j + 3]) for j in range(len(toks) - 2)}
+        if not sh:
+            assert i not in got, (t, got.get(i))
+            continue
+        hs = [
+            (int(hashlib.md5(s.encode()).hexdigest()[:8], 16),
+             int(hashlib.md5(s.encode()).hexdigest()[8:16], 16))
+            for s in sh
+        ]
+        expect = [min((h1 + p * h2) % MINHASH_PRIME for h1, h2 in hs) for p in range(N_PERMS)]
+        assert got[i] == expect, (t, got[i], expect)
