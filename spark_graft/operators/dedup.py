@@ -210,6 +210,14 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts) is oracle-verified against an independent SQL implementation.
     """
     docs = table(spark, sf_dir, "documents")
+    # The doc table is referenced three times (band path + both verify
+    # sides); column pruning specializes each reference's aggregate, so
+    # exchange reuse does NOT deduplicate them — the pipeline executes
+    # per reference, each pruned to the columns that reference needs.
+    # Measured and kept: a localCheckpoint that materializes it once was
+    # ~25% SLOWER (it ships full shingle arrays and defeats pruning).
+    # At 100 TB the verify sides read a persisted doc-signature table
+    # instead of recomputing — the band path alone stays in-plan.
     per_doc = minhash_doc_table(docs)
     bands = minhash_bands(per_doc)
     cand = (
