@@ -330,3 +330,44 @@ def text_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc"),
         )
     )
+
+
+@query(
+    "text_repetition",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, unnest({_TOK}) AS tok FROM documents),
+        c AS (SELECT doc_id, tok, count(*) AS n FROM t GROUP BY doc_id, tok)
+        SELECT doc_id,
+               CAST(sum(n) AS BIGINT) AS n_tokens,
+               count(*) AS n_distinct,
+               round(count(*) * 1.0 / sum(n), 4) AS distinct_ratio,
+               round(max(n) * 1.0 / sum(n), 4) AS top_token_frac
+        FROM c GROUP BY doc_id
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition signals (the Gopher repetition-filter family):
+    distinct-token ratio and the most-frequent-token fraction per doc —
+    high top_token_frac / low distinct_ratio flags boilerplate and
+    degenerate pages for removal before training.
+
+    Shaped as explode -> two-stage aggregation on (doc_id, token) keys
+    rather than per-row HOF scans: the mode-of-tokens via array lambdas
+    is O(distinct x length) PER ROW, quadratic for long repetitive
+    documents — exactly the documents this filter exists to catch. The
+    keyed aggregate is linear, partial-aggregated map-side, and its key
+    cardinality is bounded by document length, so no hot keys at any
+    corpus size. Token-less docs drop out of the explode on both the
+    Spark and oracle sides."""
+    docs = table(spark, sf_dir, "documents")
+    per_tok = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return per_tok.groupBy("doc_id").agg(
+        F.sum("n").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.round(F.count(F.lit(1)) * 1.0 / F.sum("n"), 4).alias("distinct_ratio"),
+        F.round(F.max("n") * 1.0 / F.sum("n"), 4).alias("top_token_frac"),
+    )
