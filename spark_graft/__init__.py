@@ -32,8 +32,10 @@ def load_all_queries() -> None:
     # below decides which get a driver-side green row this round. Round 1
     # checked the first 50 (relational/joins/windows/scalar/dedup/similarity
     # + the head of text); round 2 rotates the previously-unchecked modules
-    # (skew, multimodal, events, compat, text tail) to the FRONT so every
-    # declared query accumulates a green CORRECTNESS row across rounds.
+    # (skew, multimodal, events, compat, pipeline, text tail) to the FRONT
+    # so every declared query accumulates a green CORRECTNESS row across
+    # rounds. ROUND 3: rotate relational (whose tail falls outside the
+    # round-2 window), joins, and windows back to the front.
     from spark_graft.operators import (  # noqa: F401
         skew,
         multimodal,
