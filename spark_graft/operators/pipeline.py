@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from spark_graft.functions import tokens
+from spark_graft.functions import shingles_from_tokens, tokens
 from spark_graft.operators.text import (
     _TOK,
     SPLIT_PCT_TRAIN,
@@ -127,6 +127,72 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rk")
     )
     return first_in_batch.join(existing, "fp", "left_anti").select("doc_id", "fp")
+
+
+EVAL_MOD = 10  # doc_id % 10 == 0 plays the held-out benchmark/eval set
+DECON_N = 4  # token n-gram size for overlap matching
+
+
+@query(
+    "decontaminate",
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+        grams AS (
+            SELECT doc_id, array_to_string(ts[i : i + {DECON_N - 1}], ' ') AS g
+            FROM toks,
+                 unnest(generate_series(1, greatest(len(ts) - {DECON_N - 1}, 0))) AS u(i)
+        ),
+        eval_g AS (SELECT DISTINCT g FROM grams WHERE doc_id % {EVAL_MOD} = 0),
+        agg AS (
+            SELECT t.doc_id,
+                   count(DISTINCT t.g) AS n_grams,
+                   count(DISTINCT CASE WHEN e.g IS NOT NULL THEN t.g END) AS n_hit
+            FROM grams t LEFT JOIN eval_g e USING (g)
+            WHERE t.doc_id % {EVAL_MOD} <> 0
+            GROUP BY t.doc_id
+        )
+        SELECT doc_id, n_grams, n_hit,
+               round(CAST(n_hit AS DOUBLE) / n_grams, 4) AS contam_frac
+        FROM agg WHERE n_hit > 0
+    """,
+)
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    {DECON_N}-token n-gram with the held-out eval set (GPT-3 appendix-C
+    style, scaled-down gram length for the synthetic corpus). Here the
+    eval set is the deterministic doc_id % {EVAL_MOD} == 0 decile of the
+    same table so the whole contract is oracle-checkable; in production
+    it is an external benchmark-suite table.
+
+    Shape: tokens staged once per doc, distinct n-grams exploded
+    (array_distinct inside the shingle expression, so the per-doc gram
+    stream is already deduped — no countDistinct needed Spark-side),
+    then ONE equi-join on the gram string and ONE groupBy(doc_id) with
+    map-side partial aggregation. No broadcast hint: derived in-corpus,
+    the eval side is not bounded by construction — but when the eval set
+    is a real external benchmark suite (millions of grams at most), wrap
+    it in F.broadcast() and the train-side grams never shuffle at all.
+    At 100 TB, additionally hash grams to int64 before the join so the
+    shuffle ships 8-byte keys, not strings."""
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", tokens("text").alias("ts"))
+    grams = base.select(
+        "doc_id", F.explode(shingles_from_tokens(F.col("ts"), DECON_N)).alias("g")
+    )
+    is_eval = (F.col("doc_id") % EVAL_MOD) == 0
+    eval_g = grams.filter(is_eval).select("g").distinct().withColumn("hit", F.lit(1))
+    agg = (
+        grams.filter(~is_eval)
+        .join(eval_g, "g", "left")
+        .groupBy("doc_id")
+        .agg(F.count("g").alias("n_grams"), F.count("hit").alias("n_hit"))
+    )
+    return agg.filter(F.col("n_hit") > 0).select(
+        "doc_id",
+        "n_grams",
+        "n_hit",
+        F.round(F.col("n_hit") / F.col("n_grams"), 4).alias("contam_frac"),
+    )
 
 
 MIN_TOKENS = 8
