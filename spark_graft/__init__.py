@@ -42,6 +42,7 @@ def load_all_queries() -> None:
         events,
         compat_queries,
         pipeline,
+        graph,
         text,
         scalar,
         similarity,

@@ -162,8 +162,10 @@ def minhash_bands(per_doc: DataFrame) -> DataFrame:
 
 
 # the full minhash near-dup pair query as a standalone SQL text — shared
-# by the dedup_minhash oracle and (as the edge set) dedup_clusters'
-_MINHASH_PAIRS_SQL = f"""
+# by the dedup_minhash oracle and (as the edge set) dedup_clusters'.
+# Split into WITH-clauses + final SELECT so other oracles (dedup_clusters,
+# graph_pagerank) can embed the pair set as a CTE of their own pipeline.
+MINHASH_PAIRS_CTES = f"""
         WITH toks AS (SELECT doc_id, {_TOK} AS toks FROM documents),
         sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM toks),
         shs AS (SELECT doc_id, unnest(sh) AS s FROM sh),
@@ -188,6 +190,9 @@ _MINHASH_PAIRS_SQL = f"""
             FROM bands a JOIN bands b
               ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
         )
+"""
+
+MINHASH_PAIRS_SELECT = f"""
         SELECT c.doc_a, c.doc_b,
                round(len(list_intersect(sa.sh, sb.sh)) * 1.0
                      / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) AS jaccard
@@ -197,6 +202,8 @@ _MINHASH_PAIRS_SQL = f"""
         WHERE len(list_intersect(sa.sh, sb.sh)) * 1.0
               / len(list_distinct(list_concat(sa.sh, sb.sh))) >= {JACCARD_THRESHOLD}
 """
+
+_MINHASH_PAIRS_SQL = MINHASH_PAIRS_CTES + MINHASH_PAIRS_SELECT
 
 
 @query("dedup_minhash", oracle=_MINHASH_PAIRS_SQL)
