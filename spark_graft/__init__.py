@@ -43,6 +43,7 @@ def load_all_queries() -> None:
         compat_queries,
         pipeline,
         graph,
+        clustering,
         text,
         scalar,
         similarity,
