@@ -371,3 +371,72 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.count(F.lit(1)) * 1.0 / F.sum("n"), 4).alias("distinct_ratio"),
         F.round(F.max("n") * 1.0 / F.sum("n"), 4).alias("top_token_frac"),
     )
+
+
+TFIDF_TOP_K = 3
+TFIDF_SCALE = 1000000  # fixed-point idf scale
+
+
+@query(
+    "text_tfidf",
+    oracle=f"""
+        WITH tf AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM (SELECT doc_id, unnest({_TOK}) AS term FROM documents)
+            GROUP BY doc_id, term
+        ),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT doc_id, term, tf,
+                   count(*) OVER (PARTITION BY term) AS df,
+                   CAST((tf * {TFIDF_SCALE} * (SELECT n_docs FROM n))
+                        // count(*) OVER (PARTITION BY term) AS BIGINT) AS score_fx
+            FROM tf
+        )
+        SELECT doc_id, term, tf, df, score_fx
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY score_fx DESC, term) AS rk
+            FROM scored
+        ) WHERE rk <= {TFIDF_TOP_K}
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TFIDF_TOP_K} salient terms per document by tf-idf with a
+    LOG-FREE idf (score = tf * N/df, fixed-point integer): the log in
+    classic idf is monotone, so per-document top-k ranking only changes
+    where two terms' scores cross — and a float log cannot be hash-gated
+    cross-engine (libm ulp differences flip ranks precisely when scores
+    tie mathematically, e.g. 2*ln(5) vs ln(25)). Integer scoring makes
+    the ranking — and the hash — exact everywhere; ties break on term.
+
+    Shape: explode -> keyed (doc_id, term) count with map-side partials,
+    document frequency as a window over the tf table partitioned by term
+    (no second aggregate, no join), then the top-k window per doc_id —
+    Spark plans the rank filter as WindowGroupLimit, so only {TFIDF_TOP_K}
+    rows per doc survive the final shuffle's map side. The corpus size N
+    is the single driver-side scalar. Vocabulary-keyed stages have no
+    hot keys worse than the corpus' most common word; at 100 TB the tf
+    table is the thing to persist, since tf, df, and top-k all derive
+    from it in one lineage."""
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar-only driver traffic
+    tf = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_w = F.count(F.lit(1)).over(Window.partitionBy("term"))
+    scored = tf.withColumn("df", df_w).withColumn(
+        "score_fx", F.expr(f"(tf * CAST({TFIDF_SCALE * n_docs} AS BIGINT)) div df")
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.desc("score_fx"), F.asc("term"))
+    )
+    return (
+        scored.withColumn("rk", rk)
+        .filter(F.col("rk") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tf", "df", "score_fx")
+    )
