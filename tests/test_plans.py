@@ -192,3 +192,52 @@ def test_sample_stratified_is_shuffle_free_and_pushes_scan(spark, sf_dir):
     plan = explain_str(df)
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "c_name" not in read_schema and "c_custkey" in read_schema
+
+
+def test_decontaminate_no_hint_and_pushdown(spark, sf_dir):
+    """decontaminate: the eval-gram side must not carry a broadcast HINT
+    (in-corpus eval split is unbounded; AQE may still promote at
+    runtime), the eval/train doc_id predicates must push to the scans,
+    and pair matching must stay an equi-join."""
+    df = q("decontaminate", spark, sf_dir)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in logical, logical
+    plan = explain_str(df, "formatted")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "PushedFilters: [IsNotNull(doc_id)]" in plan
+
+
+def test_text_tfidf_topk_is_window_group_limit(spark, sf_dir):
+    """text_tfidf's per-doc top-k must plan as WindowGroupLimit (rank
+    filter pushed into the window's map side), and document frequency
+    must come from a window over the tf table — no extra join."""
+    df = q("text_tfidf", spark, sf_dir)
+    plan = explain_str(df, "formatted")
+    assert "WindowGroupLimit" in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_kmeans_assignment_is_narrow(spark, sf_dir):
+    """kmeans_lloyd's returned assignment plan: centroids are literals,
+    so the plan must contain NO join and NO shuffle — one narrow map
+    over the staged quantized arrays (the per-round update aggregates
+    run eagerly inside the loop; this pins the assignment shape)."""
+    df = q("kmeans_lloyd", spark, sf_dir)
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in physical, physical
+    assert "Exchange" not in physical, physical
+
+
+def test_graph_pagerank_stays_distributed(spark, sf_dir):
+    """graph_pagerank's loop: only scalar/count driver traffic (the
+    node count), ranks localCheckpoint'ed per round, edge+degree table
+    persisted once. Source-pinned like dedup_clusters because the
+    returned frame is checkpoint-backed."""
+    import inspect
+
+    from spark_graft.operators import graph
+
+    src = inspect.getsource(graph.graph_pagerank)
+    assert ".collect()" not in src, src
+    assert "localCheckpoint" in src
+    assert ".persist()" in src
