@@ -99,17 +99,23 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     # one persisted (src, dst, d) table feeds every round: the expensive
-    # pair derivation runs once, and each round's join reads the cache
+    # pair derivation runs once, and each round's join reads the cache.
+    # Everything downstream (node count, initial ranks, round joins) MUST
+    # derive from edges_d, not from edges/deg — those lineages bypass the
+    # cache and re-execute the whole minhash pipeline per reference.
     edges_d = edges.join(deg, "src").persist()
     try:
-        n_nodes = deg.count()  # scalar-only driver traffic
+        # first action: materializes the cache AND yields the node count
+        n_nodes = edges_d.select("src").distinct().count()
         if n_nodes == 0:
             return spark.createDataFrame(
                 [], "doc_id bigint, rank_fx bigint, rank double"
             )
         init = UNIT // n_nodes
         teleport = ((DAMP_DEN - DAMP_NUM) * init) // DAMP_DEN
-        ranks = deg.select(F.col("src").alias("id"), F.lit(init).alias("r"))
+        ranks = edges_d.select(F.col("src").alias("id")).distinct().select(
+            "id", F.lit(init).alias("r")
+        )
         for _ in range(N_ITERS):
             # localCheckpoint per round = one eagerly-executed job per
             # iteration (the R12 driver-loop shape) AND a lineage cut:
