@@ -7,7 +7,14 @@ FileSourceScanExec provides exactly that split logic for free; on top we
 standardize the driver-provided parquet star schema (TESTDATA.md).
 """
 
-from spark_graft.sources.formats import read_csv, read_jsonl, write_csv, write_jsonl
+from spark_graft.sources.formats import (
+    read_csv,
+    read_jsonl,
+    read_orc,
+    write_csv,
+    write_jsonl,
+    write_orc,
+)
 from spark_graft.sources.tables import TABLES, table, load_all
 from spark_graft.sources.text import read_lines, write_lines
 
@@ -21,4 +28,6 @@ __all__ = [
     "write_csv",
     "read_jsonl",
     "write_jsonl",
+    "read_orc",
+    "write_orc",
 ]

@@ -40,3 +40,19 @@ def write_jsonl(df: DataFrame, path: str) -> None:
 def read_jsonl(spark: SparkSession, path: str, schema: StructType | str) -> DataFrame:
     """Explicit-schema JSON-lines scan."""
     return spark.read.schema(schema).json(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC sink (native Spark, no extra packages). Unlike the text
+    formats above, ORC is columnar with embedded statistics: reads get
+    column pruning, predicate pushdown, and stripe skipping — the same
+    scan-side behaviors the parquet tables rely on. Offered because
+    mixed lakes are real; parquet stays this repo's default."""
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan. No schema parameter on purpose — columnar self-described
+    metadata makes reading the footer free, unlike CSV/JSON inference's
+    full data pass."""
+    return spark.read.orc(path)

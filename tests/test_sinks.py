@@ -117,3 +117,26 @@ def test_csv_jsonl_roundtrip_schema_stable(spark, sf_dir, tmp_path):
     got_jl = read_jsonl(spark, jl_path, schema)
     assert got_jl.schema == schema
     assert sorted(tuple(r) for r in got_jl.collect()) == want
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    """ORC roundtrip preserves values/dtypes, and — the reason ORC is in
+    the formats module at all — predicate pushdown and column pruning
+    reach the ORC scan just like parquet."""
+    from spark_graft.sources import read_orc, write_orc, table
+
+    src = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    out = str(tmp_path / "orders_orc")
+    write_orc(src, out)
+    back = read_orc(spark, out)
+    assert back.schema == src.schema
+    assert back.count() == src.count()
+
+    pruned = back.filter(F.col("o_custkey") == 1).select("o_orderkey")
+    plan = explain_str(pruned, "formatted")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    assert "EqualTo(o_custkey,1)" in pushed, plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "o_totalprice" not in read_schema, read_schema
