@@ -97,3 +97,69 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@query(
+    "events_funnel",
+    oracle="""
+        WITH s1 AS (
+            SELECT user_id, min(ts) AS t_view FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        s2 AS (
+            SELECT e.user_id, min(e.ts) AS t_click
+            FROM events e JOIN s1 USING (user_id)
+            WHERE e.event_type = 'click' AND e.ts > s1.t_view
+            GROUP BY e.user_id
+        ),
+        s3 AS (
+            SELECT e.user_id, min(e.ts) AS t_purchase
+            FROM events e JOIN s2 USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts > s2.t_click
+            GROUP BY e.user_id
+        )
+        SELECT s1.user_id, s1.t_view, s2.t_click, s3.t_purchase
+        FROM s1
+        LEFT JOIN s2 ON s2.user_id = s1.user_id
+        LEFT JOIN s3 ON s3.user_id = s1.user_id
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED conversion funnel (view -> click -> purchase): per user,
+    the first view, the first click strictly AFTER that view, and the
+    first purchase strictly after that click — order matters, so this is
+    not three independent mins (a click preceding every view must not
+    count). NULL at step k means the user fell out of the funnel there.
+
+    Shape: a chain of filter -> groupBy(user_id) -> join(user_id)
+    stages. EVERY stage keys on user_id, so after the first aggregate's
+    Exchange the join and the next aggregate inherit that partitioning —
+    Catalyst plans the chain with no re-shuffle of the user-keyed side,
+    and the event_type filters push to the scan. That single-key
+    pipeline is the 100 TB shape for any multi-step sequence analysis;
+    AQE handles the power-law user (one hot key's events still spread
+    over input splits, and each stage's aggregate is map-side partial
+    first)."""
+    ev = table(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return s1.join(s2, "user_id", "left").join(s3, "user_id", "left").select(
+        "user_id", "t_view", "t_click", "t_purchase"
+    )

@@ -33,18 +33,21 @@ SAMPLE_RATES = {"BUILDING": 10, "MACHINERY": 30}
 SAMPLE_DEFAULT = 20
 
 
+def _md5_bucket_raw(prefix: str, key_col) -> F.Column:
+    """Engine-portable non-negative bigint from md5(prefix || key) —
+    the base of every deterministic assignment in this module. DuckDB
+    reproduces it with CAST('0x' || substr(md5(...), 1, 8) AS BIGINT)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(prefix), key_col.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+
+
 def _md5_bucket(prefix: str, key_col) -> F.Column:
-    """Engine-portable 0..99 bucket from md5(prefix || key). The same
-    construction as text_split's assignment; DuckDB reproduces it with
-    CAST('0x' || substr(md5(...), 1, 8) AS BIGINT) % 100."""
-    return (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit(prefix), key_col.cast("string"))), 1, 8),
-            16,
-            10,
-        ).cast("bigint")
-        % 100
-    )
+    """0..99 bucket form of `_md5_bucket_raw` — the same construction as
+    text_split's assignment."""
+    return _md5_bucket_raw(prefix, key_col) % 100
 
 
 @query(
@@ -282,3 +285,70 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
     )
     return first.select("doc_id", "n_tokens", split.alias("split"))
+
+
+PACK_BUDGET = 2048  # tokens per packed training sequence
+PACK_SHARDS = 8  # independent packing streams
+
+
+@query(
+    "pipeline_pack_sequences",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   len({_TOK}) AS n_tokens,
+                   CAST(('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % {PACK_SHARDS} AS shard
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, shard, n_tokens,
+                   sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING) - n_tokens
+                       AS start_tok
+            FROM t
+        )
+        SELECT doc_id, shard, n_tokens,
+               CAST(start_tok // {PACK_BUDGET} AS BIGINT) AS chunk_id,
+               CAST(start_tok % {PACK_BUDGET} AS BIGINT) AS tok_offset
+        FROM c
+    """,
+)
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the step between a cleaned corpus and a
+    training run: documents are concatenated per shard in stable doc_id
+    order and chopped into {PACK_BUDGET}-token chunks; each doc gets the
+    chunk id and token offset where it starts. This is the streaming
+    concatenate-then-chunk packing LLM pipelines use (docs spanning a
+    boundary continue into the next chunk).
+
+    The shard is the scale lever: a single global running sum would be a
+    SinglePartition window (one task sees the whole corpus). Hashing
+    docs into {PACK_SHARDS} content-stable md5 shards makes each shard
+    an INDEPENDENT packing stream — one shuffle on shard, windows run
+    per-shard in parallel, and shard count scales with the cluster
+    (thousands at 100 TB; {PACK_SHARDS} here only to keep the oracle
+    comparison dense). All-integer arithmetic, so chunk assignment is
+    exact and rerun-stable — append new docs and no existing (chunk_id,
+    tok_offset) moves unless a new doc_id sorts into the middle of a
+    shard, which the doc_id-ordered contract makes visible rather than
+    silent."""
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.size(tokens("text")).alias("n_tokens"),
+        (_md5_bucket_raw("pack:", F.col("doc_id")) % PACK_SHARDS).alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("start_tok", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return c.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.expr(f"start_tok div {PACK_BUDGET}").alias("chunk_id"),
+        (F.col("start_tok") % PACK_BUDGET).alias("tok_offset"),
+    )
