@@ -83,9 +83,22 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     with ranks checkpointed to durable storage per round and the edge
     table bucketed by src so the per-round join never re-shuffles."""
     pairs = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    return pagerank(spark, pairs, n_iters=N_ITERS)
+
+
+def pagerank(
+    spark: SparkSession, pairs: DataFrame, n_iters: int = N_ITERS
+) -> DataFrame:
+    """The fixed-point PageRank core over ANY undirected pair list
+    (columns: two node-id bigints). See graph_pagerank for the loop
+    contract; split out so other pair sources (and the property tests,
+    which run it against a pure-python reference on arbitrary graphs)
+    can reuse it."""
     # single-reference symmetrization — same rationale as
-    # connected_components: a self-union would run the whole minhash
-    # band/verify pipeline once per branch
+    # connected_components: a self-union would run the whole upstream
+    # pair-derivation pipeline once per branch
+    a, b = pairs.columns
+    pairs = pairs.select(F.col(a).alias("doc_a"), F.col(b).alias("doc_b"))
     edges = (
         pairs.select(
             F.explode(
@@ -116,7 +129,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranks = edges_d.select(F.col("src").alias("id")).distinct().select(
             "id", F.lit(init).alias("r")
         )
-        for _ in range(N_ITERS):
+        for _ in range(n_iters):
             # localCheckpoint per round = one eagerly-executed job per
             # iteration (the R12 driver-loop shape) AND a lineage cut:
             # the returned frame no longer references edges_d, so the

@@ -237,7 +237,8 @@ def test_graph_pagerank_stays_distributed(spark, sf_dir):
 
     from spark_graft.operators import graph
 
-    src = inspect.getsource(graph.graph_pagerank)
-    assert ".collect()" not in src, src
-    assert "localCheckpoint" in src
-    assert ".persist()" in src
+    for fn in (graph.graph_pagerank, graph.pagerank):
+        assert ".collect()" not in inspect.getsource(fn), fn.__name__
+    core = inspect.getsource(graph.pagerank)
+    assert "localCheckpoint" in core
+    assert ".persist()" in core

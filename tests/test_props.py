@@ -186,3 +186,109 @@ def test_minhash_signature_matches_python_reference(spark, texts):
         ]
         expect = [min((h1 + p * h2) % MINHASH_PRIME for h1, h2 in hs) for p in range(N_PERMS)]
         assert got[i] == expect, (t, got[i], expect)
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(lambda p: p[0] < p[1]),
+        min_size=1,
+        max_size=20,
+        unique=True,
+    )
+)
+@SETTINGS
+def test_pagerank_matches_python_reference(spark, pairs):
+    """The distributed fixed-point PageRank loop equals a pure-python
+    dict implementation exactly — bit-identical integer ranks for any
+    graph (the reproducibility claim the fixed-point design makes)."""
+    from spark_graft.operators.graph import (
+        DAMP_DEN,
+        DAMP_NUM,
+        N_ITERS,
+        UNIT,
+        pagerank,
+    )
+
+    df = spark.createDataFrame(pairs, "doc_a bigint, doc_b bigint")
+    got = {
+        r["doc_id"]: r["rank_fx"] for r in pagerank(spark, df, N_ITERS).collect()
+    }
+
+    edges: dict[int, list[int]] = {}
+    for x, y in pairs:
+        edges.setdefault(x, []).append(y)
+        edges.setdefault(y, []).append(x)
+    init = UNIT // len(edges)
+    teleport = ((DAMP_DEN - DAMP_NUM) * init) // DAMP_DEN
+    ranks = {n: init for n in edges}
+    for _ in range(N_ITERS):
+        in_mass = {n: 0 for n in edges}
+        for src, dsts in edges.items():
+            c = ranks[src] // len(dsts)
+            for dst in dsts:
+                in_mass[dst] += c
+        ranks = {n: teleport + (DAMP_NUM * m) // DAMP_DEN for n, m in in_mass.items()}
+    assert got == ranks
+
+
+@given(
+    vecs=st.lists(
+        st.tuples(
+            *[st.floats(-0.875, 0.875, allow_nan=False, width=32) for _ in range(4)]
+        ),
+        min_size=8,
+        max_size=24,
+    )
+)
+@SETTINGS
+def test_kmeans_matches_python_reference(spark, tmp_path_factory, vecs):
+    """kmeans_lloyd end-to-end on generated data equals a pure-python
+    Lloyd's loop on the same quantization — assignments AND distances,
+    exactly, including ties (lowest cluster id) and empty clusters."""
+    from spark_graft.operators.clustering import K, N_ITERS, Q_SCALE, Q_SHIFT, kmeans_lloyd
+
+    d = tmp_path_factory.mktemp("km")
+    spark.createDataFrame(
+        [(i, list(v), 0) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<float>, label int",
+    ).write.mode("overwrite").parquet(str(d / "embeddings.parquet"))
+    got = {
+        r["vec_id"]: (r["cluster"], r["d2"])
+        for r in kmeans_lloyd(spark, str(d)).collect()
+    }
+
+    import numpy as np
+
+    import math
+
+    # HALF_UP like Spark/DuckDB — python round() is HALF_EVEN and
+    # diverges on exact .5 quantization boundaries (e.g. x=0.0078125)
+    q = [
+        [math.floor((float(np.float32(x)) + Q_SHIFT) * Q_SCALE + 0.5) for x in v]
+        for v in vecs
+    ]
+    cents = {i: q[i] for i in range(K)}
+
+    def assign(cents):
+        out = {}
+        for vid, vec in enumerate(q):
+            best = min(
+                (sum((a - b) ** 2 for a, b in zip(vec, cv)), cid)
+                for cid, cv in sorted(cents.items())
+            )
+            out[vid] = (best[1], best[0])
+        return out
+
+    for _ in range(N_ITERS - 1):
+        a = assign(cents)
+        members: dict[int, list[int]] = {}
+        for vid, (cid, _) in a.items():
+            members.setdefault(cid, []).append(vid)
+        cents = {
+            cid: [
+                sum(q[v][p] for v in vs) // len(vs) for p in range(len(q[0]))
+            ]
+            for cid, vs in members.items()
+        }
+    want = {vid: (cid, d2) for vid, (cid, d2) in assign(cents).items()}
+    assert got == want
