@@ -37,6 +37,7 @@ def load_all_queries() -> None:
     # rounds. ROUND 3: rotate relational (whose tail falls outside the
     # round-2 window), joins, and windows back to the front.
     from spark_graft.operators import (  # noqa: F401
+        vocab,
         skew,
         multimodal,
         events,

@@ -163,3 +163,68 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s1.join(s2, "user_id", "left").join(s3, "user_id", "left").select(
         "user_id", "t_view", "t_click", "t_purchase"
     )
+
+
+@query(
+    "ts_resample",
+    oracle="""
+        WITH c AS (
+            SELECT user_id, date_trunc('hour', ts) AS hour,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1, 2
+        ),
+        s AS (SELECT user_id, min(hour) AS h0, max(hour) AS h1 FROM c GROUP BY user_id),
+        h AS (
+            SELECT user_id,
+                   unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+            FROM s
+        )
+        SELECT h.user_id, h.hour,
+               coalesce(c.n_events, 0) AS n_events,
+               coalesce(c.sum_value, 0.0) AS sum_value
+        FROM h LEFT JOIN c ON c.user_id = h.user_id AND c.hour = h.hour
+    """,
+)
+def ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with gap fill: per-user HOURLY event
+    counts and value sums, with every empty hour between a user's first
+    and last activity emitted explicitly as a zero row — the dense
+    regular grid that forecasting/feature pipelines require (a model
+    reading sparse buckets silently treats 'no data' as 'no row', which
+    is a different thing than zero).
+
+    Shape: one aggregate to (user_id, hour) buckets; per-user spans from
+    a second, much smaller aggregate over the buckets; the dense hour
+    grid is a narrow sequence-explode of each span (INTERVAL arithmetic,
+    no calendar table join); then a left join back on (user_id, hour).
+    Every stage keys on user_id(+hour) — the bucket aggregate's Exchange
+    satisfies the final join's distribution on the probe side, so
+    Catalyst re-shuffles only the thin generated grid. Gap explosion is
+    bounded by construction: a user's grid is span-hours rows regardless
+    of raw event count, and users parallelize independently (at 100 TB
+    the grid side is ~5 orders of magnitude smaller than the events
+    scanned)."""
+    ev = table(spark, sf_dir, "events")
+    counts = (
+        ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+    )
+    spans = counts.groupBy("user_id").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    hours = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    return hours.join(counts, ["user_id", "hour"], "left").select(
+        "user_id",
+        "hour",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+    )

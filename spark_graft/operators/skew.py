@@ -11,9 +11,13 @@ Works for any MERGEABLE aggregate (count->sum, sum->sum, min->min,
 max->max); sums stay in exact decimal through both stages so the result
 is bit-identical to the unsalted plan.
 
-JOIN-side skew needs no hand-rolling: AQE's skew-join optimization
+JOIN-side skew has two answers, both here: AQE's skew-join optimization
 (spark.sql.adaptive.skewJoin.enabled, on by default) splits oversized
-shuffle partitions at runtime.
+shuffle partitions at runtime with zero code; `join_skew_salted` is the
+static rewrite for when the skew is known up front — salt the fact
+side's key space and replicate the dimension over the salt range, so a
+hot key's probe rows spread across n_salts reduce tasks instead of one
+straggler.
 """
 
 from __future__ import annotations
@@ -75,3 +79,60 @@ def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     values) whose groups each land on a single task unsalted."""
     ev = table(spark, sf_dir, "events")
     return salted_agg(ev, "event_type", "event_id", "value")
+
+
+JOIN_SALTS = 8
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+        SELECT p_brand,
+               count(*) AS n_items,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_price
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted shuffle join vs a plain-join oracle: the hash-match proves
+    salting a JOIN, like salting an aggregate, is a pure physical rewrite.
+    The fact side (lineitem) gets a deterministic per-row salt; the
+    dimension side (part) is replicated once per salt value via a narrow
+    posexplode; the join key becomes (partkey, salt), so a hot part's
+    probe rows land on JOIN_SALTS different reduce tasks instead of one.
+    The merge hint pins sort-merge: a broadcast would bypass the shuffle
+    being demonstrated (and at 100 TB the dim that needs this treatment
+    is exactly the one too big to broadcast).
+
+    Scale ledger: replicating the FULL dimension multiplies its shuffle
+    volume by n_salts — the right trade when dim ≪ fact (here 1:30).
+    When the dimension is itself large, salt only the measured hot keys
+    (split dim into hot×n_salts + cold×1 and union) or let AQE's runtime
+    skew split handle it; this query pins the general mechanism with an
+    exact oracle."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_extendedprice",
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(JOIN_SALTS)).alias(
+            "_salt"
+        ),
+    )
+    pt = table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        F.explode(F.sequence(F.lit(0), F.lit(JOIN_SALTS - 1)).cast("array<bigint>")).alias(
+            "_salt"
+        ),
+    )
+    joined = li.hint("merge").join(
+        pt,
+        (li["l_partkey"] == pt["p_partkey"]) & (li["_salt"] == pt["_salt"]),
+    )
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )

@@ -1,0 +1,131 @@
+"""Tokenizer-training and retrieval-prep operators: BPE-style adjacent
+pair counting and sliding-window document chunking.
+
+Both are per-document narrow expression pipelines over the staged token
+array (the reference's map stage, R3/MapReduce.h:178-190, generalized to
+one-to-many with explode), followed by at most one keyed aggregate —
+the canonical MapReduce shape the reference exists to teach, applied to
+the two steps that sit directly upstream of LLM training: inducing a
+tokenizer vocabulary and cutting documents into retrieval/context
+windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_graft.functions import tokens
+from spark_graft.operators.text import _TOK
+from spark_graft.registry import query
+from spark_graft.sources import table
+
+PAIR_TOP_K = 20
+
+
+@query(
+    "vocab_pair_counts",
+    oracle=f"""
+        WITH toks AS (SELECT {_TOK} AS ts FROM documents),
+        pairs AS (
+            SELECT ts[i] || ' ' || ts[i + 1] AS pair
+            FROM toks, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+        )
+        SELECT pair, count(*) AS n_occurrences
+        FROM pairs GROUP BY pair
+        ORDER BY n_occurrences DESC, pair
+        LIMIT {PAIR_TOP_K}
+    """,
+)
+def vocab_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE merge-selection round over the corpus: count every
+    ADJACENT token pair occurrence (not distinct-per-doc — frequency is
+    the merge criterion) and return the top-{PAIR_TOP_K} candidates with
+    a total order (count desc, pair asc) so the result is deterministic
+    under ties.
+
+    Shape: pair generation is a narrow transform over the staged token
+    array (element_at indexing — the array is an attribute, so each
+    lambda access is O(1); see shingles_from_tokens' staging contract),
+    then ONE groupBy with map-side partial aggregation and a
+    TakeOrderedAndProject for the top-k — no global sort. At 100 TB this
+    is the exact plan you want: the only shuffle ships (pair, partial
+    count) rows already collapsed per map task, and the real BPE loop
+    re-runs this query per merge round on the re-tokenized corpus (the
+    reference's iterative-driver shape, main.cpp:28-68)."""
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select(tokens("text").alias("ts"))
+    pairs = base.select(
+        F.explode(
+            F.when(F.size("ts") < 2, F.array().cast("array<string>")).otherwise(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ts") - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("ts", i), F.element_at("ts", i + F.lit(1))
+                    ),
+                )
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "pair")
+        .limit(PAIR_TOP_K)
+    )
+
+
+CHUNK_SIZE = 32  # tokens per chunk (a context/retrieval window)
+CHUNK_STRIDE = 24  # window step; CHUNK_SIZE - CHUNK_STRIDE tokens overlap
+
+
+@query(
+    "text_chunks",
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+        st AS (
+            SELECT doc_id, ts, i,
+                   CAST((i - 1) // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx
+            FROM toks, unnest(generate_series(1, len(ts), {CHUNK_STRIDE})) AS u(i)
+        )
+        SELECT doc_id, chunk_idx, CAST(i AS BIGINT) AS start_tok,
+               CAST(len(ts[i : i + {CHUNK_SIZE - 1}]) AS BIGINT) AS n_chunk_tokens,
+               md5(array_to_string(ts[i : i + {CHUNK_SIZE - 1}], ' ')) AS chunk_md5
+        FROM st
+    """,
+)
+def text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking for retrieval/context windows: each doc
+    becomes ceil-ish(n_tokens / {CHUNK_STRIDE}) chunks of up to
+    {CHUNK_SIZE} tokens stepping by {CHUNK_STRIDE} (so consecutive chunks
+    overlap by {CHUNK_SIZE - CHUNK_STRIDE} tokens — boundary sentences
+    appear in both neighbors). Emits the chunk's identity — (doc_id,
+    chunk_idx) — plus start offset, actual length (the tail chunk is
+    short), and a content md5 that downstream dedup/embedding stages key
+    on.
+
+    ZERO shuffles: tokenize, start-index generation (posexplode), and
+    per-chunk slice/hash are all narrow per-row expressions — every doc
+    chunks itself inside its input split, which is what makes chunking
+    free at 100 TB (it pipelines into the scan). Empty docs produce no
+    chunks (posexplode of an empty array drops the row, matching the
+    oracle's empty generate_series)."""
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", tokens("text").alias("ts"))
+    starts = base.select(
+        "doc_id",
+        "ts",
+        F.posexplode(
+            F.when(F.size("ts") < 1, F.array().cast("array<int>")).otherwise(
+                F.sequence(F.lit(1), F.size("ts"), F.lit(CHUNK_STRIDE))
+            )
+        ).alias("chunk_idx", "start_tok"),
+    )
+    chunk = F.slice(F.col("ts"), F.col("start_tok"), CHUNK_SIZE)
+    return starts.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.col("start_tok").cast("bigint").alias("start_tok"),
+        F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )

@@ -242,3 +242,33 @@ def test_graph_pagerank_stays_distributed(spark, sf_dir):
     core = inspect.getsource(graph.pagerank)
     assert "localCheckpoint" in core
     assert ".persist()" in core
+
+
+def test_text_chunks_is_shuffle_free(spark, sf_dir):
+    """Chunking must pipeline into the scan: tokenize, start-index
+    generation, and per-chunk slice/hash are all narrow — an Exchange
+    here means chunking stopped being free at scale."""
+    df = q("text_chunks", spark, sf_dir)
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in physical, physical
+
+
+def test_vocab_pair_counts_partial_agg_then_topk(spark, sf_dir):
+    """BPE pair counting: the shuffle must carry per-task partial counts
+    (HashAggregate below the Exchange), and the top-k must be
+    TakeOrderedAndProject, never a global Sort."""
+    plan = explain_str(q("vocab_pair_counts", spark, sf_dir), "formatted")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Sort " not in plan.replace("TakeOrderedAndProject", ""), plan
+    exchange_at = plan.index("Exchange")
+    assert "HashAggregate" in plan[exchange_at:], plan
+
+
+def test_join_skew_salted_is_sort_merge(spark, sf_dir):
+    """The salted join demonstrates the shuffle being spread: the merge
+    hint must hold (a broadcast would bypass it), and the dim side must
+    carry the salt-replicating Generate."""
+    plan = explain_str(q("join_skew_salted", spark, sf_dir), "formatted")
+    assert "SortMergeJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "Generate" in plan, plan
