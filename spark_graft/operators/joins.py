@@ -20,6 +20,40 @@ from spark_graft.sources import table
 
 
 @query(
+    "join_q2_shape",
+    oracle="""
+        SELECT r.r_name, n.n_name, s.s_suppkey, s.s_name, s.s_acctbal
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE s.s_acctbal = (SELECT max(s2.s_acctbal) FROM supplier s2
+                             WHERE s2.s_nationkey = s.s_nationkey)
+    """,
+)
+def join_q2_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2's shape on the supplier dimension chain: a correlated
+    max subquery (best-funded supplier(s) per nation) plus a broadcast
+    chain through nation and region. The correlated subquery is resolved
+    as a window max over the group key — one shuffle of supplier on
+    s_nationkey, no self-join, no re-aggregation — and the dim chain
+    never shuffles the supplier side. Ties on the max keep every
+    witness, exactly like the SQL form."""
+    s = table(spark, sf_dir, "supplier")
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    r = F.broadcast(table(spark, sf_dir, "region"))
+    best = (
+        s.withColumn("_mx", F.max("s_acctbal").over(Window.partitionBy("s_nationkey")))
+        .filter(F.col("s_acctbal") == F.col("_mx"))
+        .drop("_mx")
+    )
+    return (
+        best.join(n, best.s_nationkey == n.n_nationkey)
+        .join(r, F.col("n_regionkey") == r.r_regionkey)
+        .select("r_name", "n_name", "s_suppkey", "s_name", "s_acctbal")
+    )
+
+
+@query(
     "join_inner",
     oracle="""
         SELECT o.o_orderkey, c.c_custkey, c.c_mktsegment, o.o_totalprice
@@ -242,35 +276,3 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "join_q2_shape",
-    oracle="""
-        SELECT r.r_name, n.n_name, s.s_suppkey, s.s_name, s.s_acctbal
-        FROM supplier s
-        JOIN nation n ON s.s_nationkey = n.n_nationkey
-        JOIN region r ON n.n_regionkey = r.r_regionkey
-        WHERE s.s_acctbal = (SELECT max(s2.s_acctbal) FROM supplier s2
-                             WHERE s2.s_nationkey = s.s_nationkey)
-    """,
-)
-def join_q2_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q2's shape on the supplier dimension chain: a correlated
-    max subquery (best-funded supplier(s) per nation) plus a broadcast
-    chain through nation and region. The correlated subquery is resolved
-    as a window max over the group key — one shuffle of supplier on
-    s_nationkey, no self-join, no re-aggregation — and the dim chain
-    never shuffles the supplier side. Ties on the max keep every
-    witness, exactly like the SQL form."""
-    s = table(spark, sf_dir, "supplier")
-    n = F.broadcast(table(spark, sf_dir, "nation"))
-    r = F.broadcast(table(spark, sf_dir, "region"))
-    best = (
-        s.withColumn("_mx", F.max("s_acctbal").over(Window.partitionBy("s_nationkey")))
-        .filter(F.col("s_acctbal") == F.col("_mx"))
-        .drop("_mx")
-    )
-    return (
-        best.join(n, best.s_nationkey == n.n_nationkey)
-        .join(r, F.col("n_regionkey") == r.r_regionkey)
-        .select("r_name", "n_name", "s_suppkey", "s_name", "s_acctbal")
-    )
