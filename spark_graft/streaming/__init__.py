@@ -1,4 +1,5 @@
 from spark_graft.streaming.structured import (
+    attribution_join_stream,
     dedup_stream,
     events_stream,
     tumbling_counts_stream,
@@ -9,6 +10,7 @@ from spark_graft.streaming.structured import (
 )
 
 __all__ = [
+    "attribution_join_stream",
     "run_stream_foreach_batch_to_parquet",
     "dedup_stream",
     "events_stream",

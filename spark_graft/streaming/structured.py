@@ -128,6 +128,60 @@ def dedup_stream(events: DataFrame, keys: list[str] | None = None) -> DataFrame:
     )
 
 
+ATTRIB_WINDOW_MIN = 30
+
+
+def attribution_join_stream(events: DataFrame) -> DataFrame:
+    """Stream-stream inner join: each purchase joined to every click by
+    the same user in the preceding {ATTRIB_WINDOW_MIN} minutes — the
+    attribution join of an event pipeline, run as two unbounded streams.
+
+    The two requirements that make an unbounded stream-stream join
+    feasible are both visible here: a watermark on EACH side, and a
+    time-range predicate tying the sides together. Spark derives the
+    state-retention bound from them (a buffered click can only ever
+    match purchases within the window, so once the purchase watermark
+    passes click_ts + window + watermark the click's state is evicted).
+    Without either, state grows forever. The equi-key (user_id) keeps it
+    one hash-partitioned shuffle per side — the same keyed-join shape as
+    the batch twin, just with buffering instead of a sort."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", WATERMARK)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", WATERMARK)
+    )
+    return clicks.join(
+        purchases,
+        F.expr(
+            f"""c_user_id = p_user_id
+            AND purchase_ts >= click_ts
+            AND purchase_ts <= click_ts + INTERVAL {ATTRIB_WINDOW_MIN} MINUTES"""
+        ),
+        "inner",
+    ).select(
+        F.col("c_user_id").alias("user_id"),
+        "click_id",
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
 def run_stream_foreach_batch_to_parquet(
     stream_df: DataFrame, out_dir: str, checkpoint_dir: str
 ) -> None:

@@ -149,3 +149,40 @@ def test_watermark_drops_late_data(spark, tmp_path):
     out = run_stream_to_memory(stream, mode="append").collect()
     got = sorted((str(r["ws"]), r["n"]) for r in out)
     assert got == [("2024-01-01 12:00:00", 2)], got
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir):
+    """The watermarked stream-stream attribution join must produce
+    exactly the batch interval join's pairs: with availableNow replay
+    the watermark admits every row, so buffering-based matching and
+    sort-based matching see the same data."""
+    from spark_graft.sources import table
+    from spark_graft.streaming.structured import ATTRIB_WINDOW_MIN, attribution_join_stream
+
+    stream_out = run_stream_to_memory(
+        attribution_join_stream(events_stream(spark, sf_dir)), mode="append"
+    )
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    batch = (
+        clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr(f"INTERVAL {ATTRIB_WINDOW_MIN} MINUTES")
+            ),
+        )
+        .select("user_id", "click_id", "click_ts", "purchase_id", "purchase_ts", "purchase_value")
+    )
+    assert batch.count() > 0
+    assert_frames_match(stream_out.toPandas(), batch.toPandas(), "attribution stream==batch")
