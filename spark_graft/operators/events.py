@@ -228,3 +228,48 @@ def ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
         F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
     )
+
+
+@query(
+    "fill_forward",
+    oracle="""
+        SELECT event_id, user_id, ts, event_type,
+               last_value(CASE WHEN event_type = 'purchase' THEN value END
+                          IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS last_purchase_value
+        FROM events
+    """,
+)
+def fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward: annotate every event with the
+    user's most recent purchase value at that moment (NULL until the
+    first purchase) — the standard way sparse observations become a
+    dense per-row feature ('customer's current basket value') without a
+    point-in-time join.
+
+    One window, one shuffle on user_id: last(..., ignorenulls=True)
+    over a running frame streams each user's timeline once with O(1)
+    state — the reference's prev-key carry (R8, MapReduce.h:200-205)
+    generalized from 'previous key' to 'previous non-null observation'.
+    The equivalent as-of self-join (join_asof's shape) would shuffle
+    events twice; LOCF as a window is strictly cheaper and the value is
+    carried verbatim (no arithmetic), so the hash-match is exact on raw
+    doubles."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.last(
+            F.when(F.col("event_type") == "purchase", F.col("value")), ignorenulls=True
+        )
+        .over(w)
+        .alias("last_purchase_value"),
+    )

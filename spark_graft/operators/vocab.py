@@ -129,3 +129,65 @@ def text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
         F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
     )
+
+
+LM_TOP_K = 3
+
+
+@query(
+    "lm_next_token",
+    oracle=f"""
+        WITH toks AS (SELECT {_TOK} AS ts FROM documents),
+        pairs AS (
+            SELECT ts[i] AS head, ts[i + 1] AS nxt
+            FROM toks, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+        ),
+        counted AS (
+            SELECT head, nxt, count(*) AS n
+            FROM pairs GROUP BY head, nxt
+        ),
+        ranked AS (
+            SELECT head, nxt, n,
+                   row_number() OVER (PARTITION BY head ORDER BY n DESC, nxt) AS rk
+            FROM counted
+        )
+        SELECT head, nxt, n, rk FROM ranked WHERE rk <= {LM_TOP_K}
+    """,
+)
+def lm_next_token(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language model head: for every token, the top-{LM_TOP_K}
+    most frequent FOLLOWING tokens with a total order (count desc, token
+    asc) — the conditional-frequency table a count-based LM (or a
+    speculative-decoding draft table) is built from.
+
+    Same narrow pair generation as vocab_pair_counts, but the top-k is
+    PER GROUP: one groupBy(head, nxt) with map-side partials, then a
+    rank window partitioned by head that Spark executes as
+    WindowGroupLimit (plan-pinned) — each task keeps only {LM_TOP_K}
+    rows per head as it streams, so nothing ever materializes the full
+    per-head distribution. Both shuffles key on head, so the window
+    reuses the aggregate's partitioning without a third exchange."""
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select(tokens("text").alias("ts"))
+    pairs = base.select(
+        F.explode(
+            F.when(F.size("ts") < 2, F.array().cast("array<struct<head:string,nxt:string>>")).otherwise(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ts") - 1),
+                    lambda i: F.struct(
+                        F.element_at("ts", i).alias("head"),
+                        F.element_at("ts", i + F.lit(1)).alias("nxt"),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.head", "p.nxt")
+    counted = pairs.groupBy("head", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("head").orderBy(F.desc("n"), "nxt")
+    return (
+        counted.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= LM_TOP_K)
+        .select("head", "nxt", "n", "rk")
+    )

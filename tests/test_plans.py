@@ -272,3 +272,11 @@ def test_join_skew_salted_is_sort_merge(spark, sf_dir):
     assert "SortMergeJoin" in plan, plan
     assert "BroadcastHashJoin" not in plan, plan
     assert "Generate" in plan, plan
+
+
+def test_lm_next_token_uses_window_group_limit(spark, sf_dir):
+    """Per-head top-k must be WindowGroupLimit (rank pushed into the
+    window sort) — without it every head's full next-token distribution
+    materializes before the filter."""
+    plan = explain_str(q("lm_next_token", spark, sf_dir), "formatted")
+    assert "WindowGroupLimit" in plan, plan
