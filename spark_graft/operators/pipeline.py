@@ -352,3 +352,86 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"start_tok div {PACK_BUDGET}").alias("chunk_id"),
         (F.col("start_tok") % PACK_BUDGET).alias("tok_offset"),
     )
+
+
+def _lang_case_sql() -> str:
+    return """CASE WHEN c_en > 0 AND c_en >= greatest(c_es, c_fr, c_de) THEN 'en'
+                    WHEN c_es > 0 AND c_es >= greatest(c_fr, c_de) THEN 'es'
+                    WHEN c_fr > 0 AND c_fr >= c_de THEN 'fr'
+                    WHEN c_de > 0 THEN 'de'
+                    ELSE 'und' END"""
+
+
+@query(
+    "mixture_weights",
+    oracle=f"""
+        WITH base AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+        lang AS (
+            SELECT doc_id, len(toks) AS n_tokens, {_lang_case_sql()} AS lang
+            FROM (
+                SELECT doc_id, toks,
+                       {_lang_stop_sql("en")} AS c_en,
+                       {_lang_stop_sql("es")} AS c_es,
+                       {_lang_stop_sql("fr")} AS c_fr,
+                       {_lang_stop_sql("de")} AS c_de
+                FROM base
+            )
+        ),
+        agg AS (
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+            FROM lang GROUP BY lang
+        )
+        SELECT lang, n_docs, n_tokens,
+               round(n_tokens / sum(n_tokens) OVER (), 6) AS token_share,
+               round(sum(n_tokens) OVER () / (count(*) OVER () * n_tokens), 6)
+                   AS uniform_weight
+        FROM agg
+    """,
+)
+def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture accounting: per detected language (same stopword
+    vote as text_langid), document and token counts, each domain's share
+    of total tokens, and the sampling weight that would rebalance the
+    corpus to a UNIFORM token mixture (weight = target_share /
+    actual_share). This is the table a training run's data-mixing config
+    is derived from — swap the uniform target for any published mixture
+    recipe and the weights feed sample_stratified's per-stratum rates.
+
+    Shape: one linear pass classifies every doc (narrow expressions),
+    one groupBy(lang) with map-side partials collapses 100 TB to a
+    handful of rows, and only THEN does an unpartitioned window compute
+    the totals — a SinglePartition over n_languages rows, which is the
+    one place a global window is fine (input cardinality is bounded by
+    the domain alphabet, not the data)."""
+    docs = table(spark, sf_dir, "documents")
+    counts = stopword_count_cols(F.col("toks"))
+    base = docs.select("doc_id", tokens("text").alias("toks")).select(
+        "doc_id", F.size("toks").alias("n_tokens"), *counts.values()
+    )
+    pred = (
+        F.when(
+            (F.col("c_en") > 0) & (F.col("c_en") >= F.greatest("c_es", "c_fr", "c_de")),
+            "en",
+        )
+        .when((F.col("c_es") > 0) & (F.col("c_es") >= F.greatest("c_fr", "c_de")), "es")
+        .when((F.col("c_fr") > 0) & (F.col("c_fr") >= F.col("c_de")), "fr")
+        .when(F.col("c_de") > 0, "de")
+        .otherwise("und")
+    )
+    agg = (
+        base.select(pred.alias("lang"), "n_tokens")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("n_tokens"))
+    )
+    w = Window.partitionBy()
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.sum("n_tokens").over(w), 6).alias("token_share"),
+        F.round(
+            F.sum("n_tokens").over(w) / (F.count(F.lit(1)).over(w) * F.col("n_tokens")),
+            6,
+        ).alias("uniform_weight"),
+    )
