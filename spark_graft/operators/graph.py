@@ -156,3 +156,97 @@ def pagerank(
         )
     finally:
         edges_d.unpersist()
+
+
+@query(
+    "graph_triangles",
+    oracle=f"""
+        WITH pairs AS (SELECT doc_a, doc_b FROM ({_MINHASH_PAIRS_SQL}) p),
+        sym AS (
+            SELECT doc_a AS u, doc_b AS v FROM pairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM pairs
+        ),
+        deg AS (SELECT u, count(*) AS d FROM sym GROUP BY u),
+        e AS (
+            SELECT CASE WHEN (da.d, p.doc_a) < (db.d, p.doc_b)
+                        THEN p.doc_a ELSE p.doc_b END AS src,
+                   CASE WHEN (da.d, p.doc_a) < (db.d, p.doc_b)
+                        THEN p.doc_b ELSE p.doc_a END AS dst
+            FROM pairs p
+            JOIN deg da ON da.u = p.doc_a
+            JOIN deg db ON db.u = p.doc_b
+        ),
+        ed AS (SELECT e.src, e.dst, d.d AS dst_d FROM e JOIN deg d ON d.u = e.dst),
+        tri AS (
+            SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+            FROM ed e1
+            JOIN ed e2 ON e1.src = e2.src
+                      AND (e1.dst_d, e1.dst) < (e2.dst_d, e2.dst)
+            JOIN e e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+        ),
+        nodes AS (
+            SELECT a AS doc_id FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        )
+        SELECT doc_id, count(*) AS n_triangles FROM nodes GROUP BY doc_id
+    """,
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document triangle participation in the near-dup graph — the
+    local clustering signal that separates a tight plagiarism cluster
+    (every pair near-dup, many triangles) from a hub-and-spoke chain of
+    borderline matches (none).
+
+    This is the degree-oriented (Schank/node-iterator++) algorithm, the
+    one that survives power-law graphs at scale: every edge is oriented
+    from its (degree, id)-SMALLER endpoint to the larger, so each
+    wedge-generating join fans out by oriented OUT-degree, bounded by
+    O(sqrt(edges)) — a celebrity node with 10^6 neighbors generates no
+    10^12-row wedge explosion because almost all its edges point INTO
+    it. Each triangle {{a,b,c}} is then found exactly once: two oriented
+    edges sharing the low vertex plus one equi-join probing the closing
+    edge (itself canonically oriented, so the probe is a plain
+    equi-key). Everything is joins + groupBys on node ids; the pair
+    derivation runs once (localCheckpoint cuts the minhash lineage
+    before the three reuses)."""
+    base = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
+    sym = base.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")),
+                F.struct(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")),
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    da, db = deg.alias("da"), deg.alias("db")
+    a_first = (F.col("da.d") < F.col("db.d")) | (
+        (F.col("da.d") == F.col("db.d")) & (F.col("doc_a") < F.col("doc_b"))
+    )
+    e = (
+        base.join(da, F.col("doc_a") == F.col("da.u"))
+        .join(db, F.col("doc_b") == F.col("db.u"))
+        .select(
+            F.when(a_first, F.col("doc_a")).otherwise(F.col("doc_b")).alias("src"),
+            F.when(a_first, F.col("doc_b")).otherwise(F.col("doc_a")).alias("dst"),
+        )
+    )
+    ed = e.join(deg, e.dst == deg.u).select("src", "dst", F.col("d").alias("dst_d"))
+    e1, e2 = ed.alias("e1"), ed.alias("e2")
+    wedge_lt = (F.col("e1.dst_d") < F.col("e2.dst_d")) | (
+        (F.col("e1.dst_d") == F.col("e2.dst_d")) & (F.col("e1.dst") < F.col("e2.dst"))
+    )
+    wedges = e1.join(e2, (F.col("e1.src") == F.col("e2.src")) & wedge_lt).select(
+        F.col("e1.src").alias("a"), F.col("e1.dst").alias("b"), F.col("e2.dst").alias("c")
+    )
+    tri = wedges.join(
+        e.alias("e3"),
+        (F.col("b") == F.col("e3.src")) & (F.col("c") == F.col("e3.dst")),
+        "left_semi",
+    )
+    nodes = tri.select(
+        F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("doc_id")
+    )
+    return nodes.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_triangles"))

@@ -280,3 +280,12 @@ def test_lm_next_token_uses_window_group_limit(spark, sf_dir):
     materializes before the filter."""
     plan = explain_str(q("lm_next_token", spark, sf_dir), "formatted")
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_graph_triangles_all_joins_are_equi(spark, sf_dir):
+    """Degree-oriented triangle counting must stay equi-join shaped:
+    the orientation inequality lives in wedge-join residual conditions,
+    never as a nested-loop or cartesian plan."""
+    plan = explain_str(q("graph_triangles", spark, sf_dir), "formatted")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
