@@ -273,3 +273,73 @@ def fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w)
         .alias("last_purchase_value"),
     )
+
+
+Z_THRESHOLD = 2.0
+
+
+@query(
+    "ts_anomaly",
+    oracle=f"""
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   count(*) AS n_events
+            FROM events GROUP BY 1, 2
+        ),
+        stats AS (
+            SELECT event_type, hour, n_events,
+                   CAST(count(*) OVER w AS BIGINT) AS n,
+                   CAST(sum(n_events) OVER w AS BIGINT) AS s,
+                   CAST(sum(n_events * n_events) OVER w AS BIGINT) AS ss
+            FROM hourly
+            WINDOW w AS (PARTITION BY event_type)
+        )
+        SELECT event_type, hour, n_events,
+               round((n_events - s / n)
+                     / sqrt((n * ss - s * s) / (n * (n - 1.0))), 4) AS z
+        FROM stats
+        WHERE n > 1 AND n * ss > s * s
+          AND abs((n_events - s / n)
+                  / sqrt((n * ss - s * s) / (n * (n - 1.0)))) > {Z_THRESHOLD}
+    """,
+)
+def ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly detection on event-rate time series: hours whose
+    event count sits more than {Z_THRESHOLD} sample standard deviations
+    from that event type's hourly mean.
+
+    The statistics are DERIVED FROM INTEGER SUMS (n, Σx, Σx²) so the
+    mean/variance are bit-identical across engines and partitionings —
+    stddev_samp() cannot be hash-gated (its partial-merge order changes
+    the low bits), but (n·Σx² − (Σx)²) / (n·(n−1)) from exact bigint
+    accumulators can, and the same property makes the detector
+    reproducible on a 1000-executor run. One shuffle: the hourly
+    aggregate keys on (event_type, hour); the stats window re-keys on
+    event_type's prefix, and the per-type series a window task holds is
+    bounded by the calendar, not the event volume."""
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("event_type")
+    stats = hourly.select(
+        "event_type",
+        "hour",
+        "n_events",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("n_events").over(w).alias("s"),
+        F.sum(F.col("n_events") * F.col("n_events")).over(w).alias("ss"),
+    )
+    mean = F.col("s") / F.col("n")
+    var = (F.col("n") * F.col("ss") - F.col("s") * F.col("s")) / (
+        F.col("n") * (F.col("n") - F.lit(1.0))
+    )
+    z = (F.col("n_events") - mean) / F.sqrt(var)
+    return (
+        stats.filter(
+            (F.col("n") > 1)
+            & (F.col("n") * F.col("ss") > F.col("s") * F.col("s"))
+            & (F.abs(z) > Z_THRESHOLD)
+        )
+        .select("event_type", "hour", "n_events", F.round(z, 4).alias("z"))
+    )
