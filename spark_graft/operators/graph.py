@@ -250,3 +250,49 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("doc_id")
     )
     return nodes.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+MAX_HOPS = 4
+
+_REACH_SQL_BODY = f"""
+    WITH RECURSIVE
+    sym AS (
+        SELECT doc_a AS src, doc_b AS dst FROM {{pairs}}
+        UNION ALL
+        SELECT doc_b, doc_a FROM {{pairs}}
+    ),
+    walk(doc_id, hops) AS (
+        SELECT min(doc_a), 0 FROM {{pairs}}
+        UNION ALL
+        SELECT e.dst, w.hops + 1
+        FROM walk w JOIN sym e ON e.src = w.doc_id
+        WHERE w.hops < {MAX_HOPS}
+    )
+    SELECT doc_id, CAST(min(hops) AS BIGINT) AS hops
+    FROM walk GROUP BY doc_id
+"""
+
+
+@query(
+    "recursive_reachability",
+    oracle=_REACH_SQL_BODY.format(pairs=f"(SELECT doc_a, doc_b FROM ({_MINHASH_PAIRS_SQL}) p)"),
+)
+def recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth BFS via WITH RECURSIVE (new SQL surface in Spark
+    4): every document within {MAX_HOPS} hops of the seed (the smallest
+    doc id in the pair set) over the symmetrized near-dup graph, with
+    its shortest hop distance.
+
+    The recursion is hop-bounded with min-aggregation AFTER, because the
+    recursive member is UNION ALL: it enumerates walks, not vertices —
+    correct and engine-portable, but path counts grow with clique size,
+    which is why UNBOUNDED transitive closure at 100 TB belongs to the
+    frontier-dedup loop (`dedup_clusters`' pointer jumping: O(log d)
+    rounds over vertices). This query pins the declarative capability
+    and its honest scale envelope: short-radius neighborhood expansion
+    (ego networks, recall-graph hops), where the walk count stays near
+    the edge count."""
+    pairs = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
+    view = "reach_pairs"
+    pairs.createOrReplaceTempView(view)
+    return spark.sql(_REACH_SQL_BODY.format(pairs=view))

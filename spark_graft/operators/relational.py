@@ -546,3 +546,47 @@ def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders_gs
         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
     """)
+
+
+UNPIVOT_MEASURES = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@query(
+    "unpivot_measures",
+    oracle=f"""
+        WITH long AS (
+            {" UNION ALL ".join(
+                f"SELECT l_returnflag, '{m}' AS measure, {m} AS v FROM lineitem"
+                for m in UNPIVOT_MEASURES
+            )}
+        )
+        SELECT l_returnflag, measure,
+               count(*) AS n,
+               round(CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6)
+                   AS avg_value
+        FROM long GROUP BY l_returnflag, measure
+    """,
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long UNPIVOT (melt) — agg_pivot's inverse: the four
+    lineitem measures become (measure, value) rows, then one aggregate
+    per (returnflag, measure). The long layout is how a metrics store
+    or feature-stats job wants its input, and computing all per-measure
+    stats in ONE pass beats four separate aggregates.
+
+    Spark plans df.unpivot as a single Expand over one scan — the
+    oracle's 4× UNION ALL re-scans the table per measure; at 100 TB the
+    Expand's 4× row amplification is collapsed immediately by map-side
+    partial aggregation (groups × measures reach the shuffle, not
+    rows × measures), so the cost stays one scan + one tiny exchange."""
+    li = table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        "l_returnflag", list(UNPIVOT_MEASURES), "measure", "v"
+    )
+    return long.groupBy("l_returnflag", "measure").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("v").cast("decimal(18,2)")).cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("avg_value"),
+    )
