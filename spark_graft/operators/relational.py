@@ -590,3 +590,125 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_value"),
     )
+
+
+PROFILE_COLS = ("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus", "o_orderdate")
+
+
+@query(
+    "profile_table",
+    oracle=f"""
+        {" UNION ALL ".join(
+            f'''SELECT '{c}' AS col,
+                   count(*) AS n_rows,
+                   count({c}) AS n_nonnull,
+                   count(DISTINCT {c}) AS n_distinct,
+                   CAST(min({c}) AS VARCHAR) AS min_str,
+                   CAST(max({c}) AS VARCHAR) AS max_str
+            FROM orders'''
+            for c in PROFILE_COLS
+        )}
+    """,
+)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile of the orders table: per column,
+    row/non-null/distinct counts and min/max (stringified so one schema
+    carries every type) — the statistics a query optimizer, data-quality
+    monitor, or ingestion gate reads first.
+
+    ONE pass, one shuffle: every per-column aggregate (including the
+    count-distincts) computes in a single multi-aggregate over one scan
+    — Catalyst plans multi-distinct with one Expand — and the wide
+    1-row result is unpivoted to the long (col, stats) layout AFTER
+    aggregation, when it is 1 row x k columns. The oracle's UNION ALL
+    form re-scans the table per column; at 100 TB the single-pass form
+    is k scans cheaper, which is the point of emitting it this way."""
+    o = table(spark, sf_dir, "orders")
+    aggs = []
+    for c in PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n_rows"),
+            F.count(c).alias(f"{c}__n_nonnull"),
+            F.countDistinct(c).alias(f"{c}__n_distinct"),
+            F.min(c).cast("string").alias(f"{c}__min_str"),
+            F.max(c).cast("string").alias(f"{c}__max_str"),
+        ]
+    wide = o.agg(*aggs)
+    stat_struct = [
+        F.struct(
+            F.lit(c).alias("col"),
+            F.col(f"{c}__n_rows").alias("n_rows"),
+            F.col(f"{c}__n_nonnull").alias("n_nonnull"),
+            F.col(f"{c}__n_distinct").alias("n_distinct"),
+            F.col(f"{c}__min_str").alias("min_str"),
+            F.col(f"{c}__max_str").alias("max_str"),
+        )
+        for c in PROFILE_COLS
+    ]
+    return wide.select(F.explode(F.array(*stat_struct)).alias("s")).select("s.*")
+
+
+HIST_N_BUCKETS = 10
+
+
+@query(
+    "agg_histogram",
+    oracle=f"""
+        WITH b AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+                   FROM lineitem),
+        assigned AS (
+            SELECT least(CAST(floor((l_extendedprice - b.lo) * {HIST_N_BUCKETS}
+                                    / (b.hi - b.lo)) AS BIGINT),
+                         {HIST_N_BUCKETS - 1}) AS bucket,
+                   b.lo, b.hi
+            FROM lineitem, b
+        )
+        SELECT bucket,
+               round(lo + bucket * (hi - lo) / {HIST_N_BUCKETS}, 4) AS bucket_lo,
+               round(lo + (bucket + 1) * (hi - lo) / {HIST_N_BUCKETS}, 4) AS bucket_hi,
+               count(*) AS n
+        FROM assigned GROUP BY bucket, lo, hi
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of l_extendedprice in {HIST_N_BUCKETS}
+    equal buckets over the observed [min, max] — the distribution
+    profile behind optimizer statistics and drift monitors.
+
+    Two linear jobs: a 2-value global (min, max) aggregate, then bucket
+    assignment as a narrow expression and one groupBy(bucket) whose
+    cardinality is the bucket count. The range reaches the second pass
+    as a 1-row broadcast-joined relation (never a driver literal), so
+    the whole thing stays one declarative plan; bucket edges are
+    recomputed from (lo, hi, index) identically in both engines, and
+    the max value clamps into the last bucket (the standard half-open
+    ranges with a closed final edge)."""
+    li = table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    b = li.agg(
+        F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi")
+    )
+    assigned = li.crossJoin(F.broadcast(b)).select(
+        F.least(
+            F.floor(
+                (F.col("l_extendedprice") - F.col("lo"))
+                * HIST_N_BUCKETS
+                / (F.col("hi") - F.col("lo"))
+            ).cast("bigint"),
+            F.lit(HIST_N_BUCKETS - 1),
+        ).alias("bucket"),
+        "lo",
+        "hi",
+    )
+    return assigned.groupBy("bucket", "lo", "hi").agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(
+        "bucket",
+        F.round(
+            F.col("lo") + F.col("bucket") * (F.col("hi") - F.col("lo")) / HIST_N_BUCKETS, 4
+        ).alias("bucket_lo"),
+        F.round(
+            F.col("lo") + (F.col("bucket") + 1) * (F.col("hi") - F.col("lo")) / HIST_N_BUCKETS,
+            4,
+        ).alias("bucket_hi"),
+        "n",
+    )
