@@ -292,3 +292,81 @@ def test_kmeans_matches_python_reference(spark, tmp_path_factory, vecs):
         }
     want = {vid: (cid, d2) for vid, (cid, d2) in assign(cents).items()}
     assert got == want
+
+
+doc_texts = st.lists(
+    st.text(alphabet="ab cd", min_size=0, max_size=40), min_size=1, max_size=12
+)
+
+
+@given(texts=doc_texts)
+@SETTINGS
+def test_text_chunks_cover_and_tile(spark, tmp_path_factory, texts):
+    """Chunking invariants for any corpus: chunk starts advance by
+    exactly the stride, every token index is covered by some chunk,
+    every chunk is non-empty and at most CHUNK_SIZE long, and the tail
+    chunk reaches exactly the last token."""
+    from spark_graft.operators.vocab import CHUNK_SIZE, CHUNK_STRIDE, text_chunks
+
+    d = tmp_path_factory.mktemp("chunks")
+    spark.createDataFrame(
+        [(i, t, "en", 0) for i, t in enumerate(texts)],
+        "doc_id bigint, text string, lang string, quality int",
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    rows = text_chunks(spark, str(d)).collect()
+
+    import re
+
+    n_tok = {
+        i: len([w for w in re.split(r"[^a-z0-9]+", t.lower()) if w])
+        for i, t in enumerate(texts)
+    }
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, n in n_tok.items():
+        chunks = sorted(by_doc.get(i, []), key=lambda r: r["chunk_idx"])
+        if n == 0:
+            assert not chunks, (texts[i], chunks)
+            continue
+        assert [c["chunk_idx"] for c in chunks] == list(range(len(chunks)))
+        assert [c["start_tok"] for c in chunks] == [
+            1 + k * CHUNK_STRIDE for k in range(len(chunks))
+        ]
+        for c in chunks:
+            assert 1 <= c["n_chunk_tokens"] <= CHUNK_SIZE
+            assert c["start_tok"] + c["n_chunk_tokens"] - 1 <= n
+        last = chunks[-1]
+        assert last["start_tok"] + last["n_chunk_tokens"] - 1 == n
+        # stride coverage: next chunk starts inside/adjacent to the
+        # previous chunk's span, so no token index is skipped
+        for a, b in zip(chunks, chunks[1:]):
+            assert b["start_tok"] <= a["start_tok"] + CHUNK_SIZE
+
+
+@given(texts=doc_texts)
+@SETTINGS
+def test_vocab_pairs_match_python_reference(spark, tmp_path_factory, texts):
+    """vocab_pair_counts == a pure-python Counter over adjacent pairs,
+    including the (count desc, pair asc) total order and the top-k cut."""
+    import re
+    from collections import Counter
+
+    from spark_graft.operators.vocab import PAIR_TOP_K, vocab_pair_counts
+
+    d = tmp_path_factory.mktemp("pairs")
+    spark.createDataFrame(
+        [(i, t, "en", 0) for i, t in enumerate(texts)],
+        "doc_id bigint, text string, lang string, quality int",
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    got = [
+        (r["pair"], r["n_occurrences"])
+        for r in vocab_pair_counts(spark, str(d)).collect()
+    ]
+
+    c: Counter = Counter()
+    for t in texts:
+        ws = [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+        c.update(f"{a} {b}" for a, b in zip(ws, ws[1:]))
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:PAIR_TOP_K]
+    assert got == want
