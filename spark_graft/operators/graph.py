@@ -212,6 +212,19 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     derivation runs once (localCheckpoint cuts the minhash lineage
     before the three reuses)."""
     base = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
+    return triangle_counts(base)
+
+
+def triangle_counts(base: DataFrame) -> DataFrame:
+    """The degree-oriented triangle core over ANY distinct undirected
+    pair list with columns (doc_a, doc_b), doc_a != doc_b, each
+    unordered pair appearing once. See graph_triangles for the
+    algorithm contract; split out so other pair sources (and the
+    property tests, which compare against itertools over arbitrary
+    graphs) can reuse it. Callers whose `base` lineage is expensive
+    should localCheckpoint it first — it is referenced three times."""
+    a, b = base.columns
+    base = base.select(F.col(a).alias("doc_a"), F.col(b).alias("doc_b"))
     sym = base.select(
         F.explode(
             F.array(

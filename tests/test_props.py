@@ -370,3 +370,35 @@ def test_vocab_pairs_match_python_reference(spark, tmp_path_factory, texts):
         c.update(f"{a} {b}" for a, b in zip(ws, ws[1:]))
     want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:PAIR_TOP_K]
     assert got == want
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(lambda p: p[0] < p[1]),
+        min_size=1,
+        max_size=25,
+        unique=True,
+    )
+)
+@SETTINGS
+def test_triangle_counts_match_itertools(spark, pairs):
+    """Degree-oriented triangle counting == brute-force enumeration of
+    all 3-subsets, for any graph: every triangle found exactly once,
+    per-node participation exact."""
+    from itertools import combinations
+
+    from spark_graft.operators.graph import triangle_counts
+
+    df = spark.createDataFrame(pairs, "doc_a bigint, doc_b bigint")
+    got = {
+        r["doc_id"]: r["n_triangles"] for r in triangle_counts(df).collect()
+    }
+
+    es = set(pairs)
+    nodes = sorted({n for p in pairs for n in p})
+    want: dict[int, int] = {}
+    for x, y, z in combinations(nodes, 3):
+        if (x, y) in es and (y, z) in es and (x, z) in es:
+            for n in (x, y, z):
+                want[n] = want.get(n, 0) + 1
+    assert got == want
