@@ -289,3 +289,58 @@ def test_graph_triangles_all_joins_are_equi(spark, sf_dir):
     plan = explain_str(q("graph_triangles", spark, sf_dir), "formatted")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_fill_forward_single_exchange(spark, sf_dir):
+    """LOCF is one user-keyed window: a second Exchange would mean the
+    as-of-join shape crept back in."""
+    df = q("fill_forward", spark, sf_dir)
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    n = sum(1 for l in physical.splitlines() if "Exchange" in l and "Reused" not in l)
+    assert n == 1, physical
+
+
+def test_unpivot_single_scan_single_exchange(spark, sf_dir):
+    """The melt must be one Expand over ONE scan (the oracle's UNION ALL
+    form re-scans per measure) and one aggregate exchange."""
+    df = q("unpivot_measures", spark, sf_dir)
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    assert physical.count("Scan parquet") == 1, physical
+    n = sum(1 for l in physical.splitlines() if "Exchange" in l and "Reused" not in l)
+    assert n == 1, physical
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """The runtime half of the skew story (join_skew_salted is the
+    static half): a hot key whose shuffle partition dwarfs the median
+    must be split by AQE's skew-join optimization — the final adaptive
+    plan marks the join skew=true. Thresholds are lowered so the local
+    fixture trips the same code path a 100 TB hot key would."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        big = spark.range(240_000).select(
+            F.when(F.col("id") < 200_000, F.lit(7))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            (F.col("id") * 2).alias("payload"),
+        )
+        small = spark.range(1000).select(F.col("id").alias("k"), F.lit("x").alias("tag"))
+        j = big.join(small, "k").select(F.sum("payload").alias("s"))
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+        assert "skewed" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
