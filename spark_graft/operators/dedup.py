@@ -674,3 +674,66 @@ def connected_components(pairs: DataFrame) -> tuple[DataFrame, int]:
     finally:
         edges.unpersist()
     return labels, n_rounds
+
+
+SPAN_N = 8  # token span length for cross-doc repeated-span detection
+
+
+@query(
+    "dedup_span_fraction",
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+        grams AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(ts[i : i + {SPAN_N - 1}], ' ') AS g
+            FROM toks,
+                 unnest(generate_series(1, greatest(len(ts) - {SPAN_N - 1}, 0))) AS u(i)
+        ),
+        counted AS (
+            SELECT doc_id, count(*) OVER (PARTITION BY g) AS n_docs
+            FROM grams
+        )
+        SELECT doc_id,
+               count(*) AS n_spans,
+               count(CASE WHEN n_docs > 1 THEN 1 END) AS n_shared,
+               round(count(CASE WHEN n_docs > 1 THEN 1 END)
+                     / CAST(count(*) AS DOUBLE), 4) AS dup_fraction
+        FROM counted GROUP BY doc_id
+    """,
+)
+def dedup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span pressure (the metric behind
+    'Deduplicating Training Data Makes Language Models Better', Lee et
+    al. 2022): the fraction of a doc's distinct {SPAN_N}-token spans
+    that also occur in at least one OTHER document. Whole-doc dedup
+    (exact/minhash) misses boilerplate stitched into otherwise-unique
+    pages; a high dup_fraction with no near-dup pair is exactly that
+    case, and is the doc you send to span-level excision.
+
+    Shape: distinct spans per doc from the staged token array (the
+    shingle expression dedups in-array — no distributed DISTINCT), span
+    doc-frequency as a count window over the span key (no self-join —
+    the same df-as-window trick as text_tfidf), then one groupBy(doc).
+    Two keyed shuffles total, both on bounded-width keys; at 100 TB
+    hash the span strings to int64 first (as dedup_ngram_jaccard does)
+    so the exchanges ship 8-byte keys, and a doc's span list streams —
+    nothing holds a whole document's grams in one buffer except its own
+    window partition, which is span-count bounded."""
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", tokens("text").alias("toks"))
+    grams = base.select(
+        "doc_id", F.explode(shingles_from_tokens("toks", SPAN_N)).alias("g")
+    )
+    from pyspark.sql.window import Window
+
+    counted = grams.withColumn(
+        "n_docs", F.count(F.lit(1)).over(Window.partitionBy("g"))
+    )
+    return counted.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.count(F.when(F.col("n_docs") > 1, 1)).alias("n_shared"),
+        F.round(
+            F.count(F.when(F.col("n_docs") > 1, 1)) / F.count(F.lit(1)).cast("double"),
+            4,
+        ).alias("dup_fraction"),
+    )
