@@ -227,3 +227,94 @@ def test_lsh_high_similarity_regime(spark):
     probed = {pb} | {pb ^ (1 << p) for p in flip_order[:3]}
     hit = sum(1 for v in near if bucket(v) in probed)
     assert hit / len(near) >= 0.8, f"high-sim recall {hit / len(near)}"
+
+
+def _write_events(spark, d, rows):
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(d / "events.parquet"))
+    return str(d)
+
+
+def test_ts_resample_gap_and_single_event(spark, tmp_path):
+    """A 3-hour gap yields exactly the two zero rows between the
+    endpoints; a single-event user yields exactly one grid row."""
+    from datetime import datetime
+
+    from spark_graft.operators.events import ts_resample
+
+    sf = _write_events(
+        spark,
+        tmp_path,
+        [
+            (1, datetime(2024, 1, 1, 0, 10), 1, "view", 1.0, "{}"),
+            (2, datetime(2024, 1, 1, 3, 50), 1, "view", 2.0, "{}"),
+            (3, datetime(2024, 1, 2, 9, 30), 2, "click", 5.0, "{}"),
+        ],
+    )
+    out = {
+        (r["user_id"], r["hour"].hour): (r["n_events"], r["sum_value"])
+        for r in ts_resample(spark, sf).collect()
+    }
+    assert out == {
+        (1, 0): (1, 1.0),
+        (1, 1): (0, 0.0),
+        (1, 2): (0, 0.0),
+        (1, 3): (1, 2.0),
+        (2, 9): (1, 5.0),
+    }
+
+
+def test_fill_forward_no_purchase_stays_null(spark, tmp_path):
+    """Users without purchases carry NULL forever; a purchase value
+    persists across later events and is replaced by the next one."""
+    from datetime import datetime
+
+    from spark_graft.operators.events import fill_forward
+
+    sf = _write_events(
+        spark,
+        tmp_path,
+        [
+            (1, datetime(2024, 1, 1, 0, 0), 1, "view", 1.0, "{}"),
+            (2, datetime(2024, 1, 1, 0, 5), 1, "purchase", 9.5, "{}"),
+            (3, datetime(2024, 1, 1, 0, 9), 1, "view", 2.0, "{}"),
+            (4, datetime(2024, 1, 1, 0, 12), 1, "purchase", 4.0, "{}"),
+            (5, datetime(2024, 1, 1, 0, 15), 1, "click", 0.0, "{}"),
+            (6, datetime(2024, 1, 1, 1, 0), 2, "view", 3.0, "{}"),
+        ],
+    )
+    out = {r["event_id"]: r["last_purchase_value"] for r in fill_forward(spark, sf).collect()}
+    assert out == {1: None, 2: 9.5, 3: 9.5, 4: 4.0, 5: 4.0, 6: None}
+
+
+def test_ts_anomaly_zero_variance_emits_nothing(spark, tmp_path):
+    """A perfectly flat series has zero variance: the integer guard
+    (n·Σx² > (Σx)²) must drop it rather than divide by zero."""
+    from datetime import datetime
+
+    from spark_graft.operators.events import ts_anomaly
+
+    rows = [
+        (i, datetime(2024, 1, 1, h, 0), 1, "view", 1.0, "{}")
+        for i, h in enumerate(range(10))
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    assert ts_anomaly(spark, sf).count() == 0
+
+
+def test_mixture_weights_single_domain(spark, tmp_path):
+    """A one-language corpus gets token_share 1.0 and uniform weight
+    1.0 — rebalancing a homogeneous corpus is the identity."""
+    from spark_graft.operators.pipeline import mixture_weights
+
+    spark.createDataFrame(
+        [(1, "the cat and the dog", "en", "s", 1), (2, "a man is in the house", "en", "s", 1)],
+        "doc_id bigint, text string, lang string, source string, n_chars int",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = mixture_weights(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["lang"] == "en" and r["token_share"] == 1.0 and r["uniform_weight"] == 1.0
