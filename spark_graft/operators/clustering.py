@@ -68,74 +68,58 @@ def _dist_cte(cent: str, dist: str, assign: str) -> str:
         )"""
 
 
-@query(
-    "kmeans_lloyd",
-    oracle=f"""
-        WITH q AS (
-            SELECT vec_id, i AS pos, {_QV} AS qv
-            FROM embeddings,
-                 unnest(generate_series(1, len(embedding))) AS u(i)
-        ),
-        c0 AS (SELECT vec_id AS cluster, pos, qv AS qc FROM q WHERE vec_id < {K}),
-        {_dist_cte("c0", "d1", "a1")},
-        c1 AS (
-            SELECT a.cluster, q.pos,
-                   CAST(sum(q.qv) // count(*) AS BIGINT) AS qc
-            FROM a1 a JOIN q ON q.vec_id = a.vec_id
-            WHERE a.rk = 1
-            GROUP BY a.cluster, q.pos
-        ),
-        {_dist_cte("c1", "d2_", "a2")}
-        SELECT vec_id, cluster, d2 FROM a2 WHERE rk = 1
-    """,
-)
-def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """{N_ITERS} unrolled Lloyd rounds, k={K}, deterministic init (the
-    {K} lowest vec_ids as seed centroids). Returns each vector's final
-    cluster and its squared fixed-point distance to that centroid. See
-    the module docstring for the scale shape and why the arithmetic is
-    integer. The oracle re-derives the same rounds relationally
-    (position-exploded join instead of array ops) — two independent
-    implementations, one hash."""
-    emb = table(spark, sf_dir, "embeddings")
-    # staged projection: every HOF below references the materialized
-    # attribute, never the quantization expression tree (see
-    # functions.shingles_from_tokens for the measured trap)
-    qdf = emb.select(
-        "vec_id",
-        F.transform(
-            "embedding",
-            lambda x: F.round((x.cast("double") + F.lit(Q_SHIFT)) * F.lit(Q_SCALE))
-            .cast("long"),
-        ).alias("q"),
+def quantized_col():
+    """The fixed-point quantization of the embedding column — ALWAYS
+    stage the result as its own projection before handing it to the HOF
+    expressions below (see functions.shingles_from_tokens for the
+    measured trap)."""
+    return F.transform(
+        "embedding",
+        lambda x: F.round((x.cast("double") + F.lit(Q_SHIFT)) * F.lit(Q_SCALE))
+        .cast("long"),
     )
 
-    def d2_to(cvals: list[int]):
-        carr = F.array(*[F.lit(int(v)) for v in cvals])
-        return F.aggregate(
-            F.zip_with("q", carr, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
 
-    def best_of(cents: dict[int, list[int]]):
-        return F.array_min(
-            F.array(
-                *[
-                    F.struct(
-                        d2_to(cvals).alias("d2"),
-                        F.lit(cid).cast("long").alias("cluster"),
-                    )
-                    for cid, cvals in sorted(cents.items())
-                ]
-            )
-        )
+def d2_to(cvals: list[int]):
+    """Integer squared distance from the staged `q` array to a centroid
+    literal — the centroid rides into the plan as k×dim literals, the
+    degenerate broadcast."""
+    carr = F.array(*[F.lit(int(v)) for v in cvals])
+    return F.aggregate(
+        F.zip_with("q", carr, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
 
+
+def best_assignment(cents: dict[int, list[int]]):
+    """struct(d2, cluster) of the nearest centroid (ties -> lowest
+    cluster id, via array_min over (d2, cluster) structs)."""
+    return F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    d2_to(cvals).alias("d2"),
+                    F.lit(cid).cast("long").alias("cluster"),
+                )
+                for cid, cvals in sorted(cents.items())
+            ]
+        )
+    )
+
+
+def lloyd_centroids(spark: SparkSession, sf_dir: str) -> dict[int, list[int]]:
+    """Run the Lloyd training loop ({N_ITERS - 1} centroid update(s)
+    from the deterministic lowest-vec_id seed) and return the final
+    integer centroid matrix — the coarse quantizer `sim_ann_ivf_trained`
+    serves from. Only k×dim ints cross the driver per round."""
+    emb = table(spark, sf_dir, "embeddings")
+    qdf = emb.select("vec_id", quantized_col().alias("q"))
     dim = int(emb.select(F.size("embedding")).first()[0])
     seed = qdf.filter(F.col("vec_id") < K).orderBy("vec_id").collect()
     cents = {int(r["vec_id"]): [int(v) for v in r["q"]] for r in seed}
     for _ in range(N_ITERS - 1):
-        assigned = qdf.select("vec_id", "q", best_of(cents).alias("b"))
+        assigned = qdf.select("vec_id", "q", best_assignment(cents).alias("b"))
         stats = (
             assigned.groupBy(F.col("b.cluster").alias("cluster"))
             .agg(
@@ -151,6 +135,49 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             int(r["cluster"]): [int(r[f"s{i}"]) // int(r["n"]) for i in range(dim)]
             for r in stats
         }
+    return cents
+
+
+# the full unrolled training pipeline as oracle CTEs — shared by
+# kmeans_lloyd and by sim_ann_ivf_trained's oracle (which serves the
+# trained quantizer): q = quantized position-exploded vectors,
+# c1 = centroids after the update round, a2 = final assignments
+KMEANS_CTES = f"""q AS (
+            SELECT vec_id, i AS pos, {_QV} AS qv
+            FROM embeddings,
+                 unnest(generate_series(1, len(embedding))) AS u(i)
+        ),
+        c0 AS (SELECT vec_id AS cluster, pos, qv AS qc FROM q WHERE vec_id < {K}),
+        {_dist_cte("c0", "d1", "a1")},
+        c1 AS (
+            SELECT a.cluster, q.pos,
+                   CAST(sum(q.qv) // count(*) AS BIGINT) AS qc
+            FROM a1 a JOIN q ON q.vec_id = a.vec_id
+            WHERE a.rk = 1
+            GROUP BY a.cluster, q.pos
+        ),
+        {_dist_cte("c1", "d2_", "a2")}"""
+
+
+@query(
+    "kmeans_lloyd",
+    oracle=f"""
+        WITH {KMEANS_CTES}
+        SELECT vec_id, cluster, d2 FROM a2 WHERE rk = 1
+    """,
+)
+def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{N_ITERS} unrolled Lloyd rounds, k={K}, deterministic init (the
+    {K} lowest vec_ids as seed centroids). Returns each vector's final
+    cluster and its squared fixed-point distance to that centroid. See
+    the module docstring for the scale shape and why the arithmetic is
+    integer. The oracle re-derives the same rounds relationally
+    (position-exploded join instead of array ops) — two independent
+    implementations, one hash."""
+    cents = lloyd_centroids(spark, sf_dir)
+    qdf = table(spark, sf_dir, "embeddings").select(
+        "vec_id", quantized_col().alias("q")
+    )
     return qdf.select(
-        "vec_id", best_of(cents).alias("b")
+        "vec_id", best_assignment(cents).alias("b")
     ).select("vec_id", F.col("b.cluster").alias("cluster"), F.col("b.d2").alias("d2"))

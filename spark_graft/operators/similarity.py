@@ -14,6 +14,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_graft.functions import cosine, dot
+from spark_graft.operators.clustering import (
+    KMEANS_CTES,
+    Q_SCALE,
+    Q_SHIFT,
+    best_assignment,
+    lloyd_centroids,
+    quantized_col,
+)
 from spark_graft.registry import query
 from spark_graft.sources import table
 
@@ -174,6 +182,83 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = cosine(F.col("embedding"), _lit_vec(probe))
     return (
         e.filter(F.col("label").isin(probe_labels))
+        .select("vec_id", F.round(cos, 4).alias("cos_sim"), cos.alias("_c"))
+        .orderBy(F.col("_c").desc(), "vec_id")
+        .limit(TOP_K)
+        .drop("_c")
+    )
+
+
+@query(
+    "sim_ann_ivf_trained",
+    oracle=f"""
+        WITH {KMEANS_CTES},
+        probeq AS (
+            SELECT pos, qv FROM q
+            WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+        ),
+        cdist AS (
+            SELECT c.cluster,
+                   CAST(sum((p.qv - c.qc) * (p.qv - c.qc)) AS BIGINT) AS d2p
+            FROM probeq p JOIN c1 c USING (pos) GROUP BY c.cluster
+        ),
+        pc AS (SELECT cluster FROM cdist ORDER BY d2p, cluster LIMIT {N_PROBE_CLUSTERS}),
+        members AS (SELECT vec_id, cluster FROM a2 WHERE rk = 1),
+        probe AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS pv
+            FROM embeddings ORDER BY vec_id LIMIT 1
+        )
+        SELECT e.vec_id,
+               round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pv), 4)
+                   AS cos_sim
+        FROM embeddings e
+        JOIN members m ON m.vec_id = e.vec_id
+        CROSS JOIN probe p
+        WHERE m.cluster IN (SELECT cluster FROM pc)
+        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pv) DESC,
+                 e.vec_id
+        LIMIT {TOP_K}
+    """,
+)
+def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN served from a TRAINED coarse quantizer — the composed
+    train->index->query pipeline: `lloyd_centroids` (the kmeans_lloyd
+    loop) produces the integer centroid matrix, every vector is
+    assigned to its nearest trained centroid with the same fixed-point
+    argmin, the probe picks its N_PROBE_CLUSTERS nearest centroids by
+    integer distance (a driver-side loop over kxdim ints), and the
+    exact cosine rescore runs only inside the probed clusters.
+
+    Because training, assignment, and probe selection are all integer
+    arithmetic with fixed tie-breaks, the ENTIRE pipeline is
+    hash-matched against a single DuckDB query (kmeans CTEs + probe
+    CTEs + rescore) — an end-to-end determinism guarantee most ANN
+    stacks cannot make. Serving shape: centroids are plan literals,
+    assignment+filter is narrow, rescore is TakeOrderedAndProject; at
+    100 TB the assignment is precomputed once as the partition layout
+    and a query touches only nprobe partitions."""
+    import math
+
+    cents = lloyd_centroids(spark, sf_dir)
+    probe = _probe_vector(spark, sf_dir)
+    # HALF_UP quantization, matching F.round / DuckDB round on the
+    # non-negative shifted values (python round() is HALF_EVEN)
+    qp = [math.floor((x + Q_SHIFT) * Q_SCALE + 0.5) for x in probe]
+    nearest = sorted(
+        (sum((a - b) ** 2 for a, b in zip(qp, cv)), cid)
+        for cid, cv in sorted(cents.items())
+    )[:N_PROBE_CLUSTERS]
+    probe_clusters = [cid for _, cid in nearest]
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", quantized_col().alias("q")
+    )
+    assigned = e.select(
+        "vec_id", "embedding", best_assignment(cents)["cluster"].alias("cluster")
+    )
+    cos = cosine(F.col("embedding"), _lit_vec(probe))
+    return (
+        assigned.filter(F.col("cluster").isin(probe_clusters))
         .select("vec_id", F.round(cos, 4).alias("cos_sim"), cos.alias("_c"))
         .orderBy(F.col("_c").desc(), "vec_id")
         .limit(TOP_K)
