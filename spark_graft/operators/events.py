@@ -343,3 +343,47 @@ def ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "hour", "n_events", F.round(z, 4).alias("z"))
     )
+
+
+@query(
+    "events_retention",
+    oracle="""
+        WITH firstday AS (
+            SELECT user_id, min(date_trunc('day', ts)) AS cohort_day
+            FROM events GROUP BY user_id
+        ),
+        act AS (
+            SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+        )
+        SELECT f.cohort_day,
+               CAST(date_diff('day', f.cohort_day, a.day) AS BIGINT) AS day_offset,
+               count(*) AS n_users
+        FROM act a JOIN firstday f USING (user_id)
+        GROUP BY 1, 2
+    """,
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day (their
+    cohort), counted on every later day they return — the (cohort_day,
+    day_offset) -> n_users matrix behind every retention curve.
+
+    Every stage keys on user_id until the final tiny aggregate: cohort
+    assignment is a groupBy(user), the distinct activity grid is a
+    groupBy(user, day) sharing the same key prefix, and the join
+    re-uses that partitioning — the only data movement after the first
+    Exchange is the final (cohort, offset) aggregate whose cardinality
+    is days², not users. The matrix never pivots wide here: long form
+    is what both a plotting layer and an incremental refresh want."""
+    ev = table(spark, sf_dir, "events")
+    firstday = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("cohort_day")
+    )
+    act = ev.select("user_id", F.date_trunc("day", "ts").alias("day")).distinct()
+    return (
+        act.join(firstday, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("day", "cohort_day").cast("bigint").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
