@@ -402,3 +402,27 @@ def test_triangle_counts_match_itertools(spark, pairs):
             for n in (x, y, z):
                 want[n] = want.get(n, 0) + 1
     assert got == want
+
+
+def test_results_invariant_under_shuffle_partitioning(spark, sf_dir):
+    """The determinism claim behind every hash-gated query: changing the
+    shuffle partition count must not change a single byte of output.
+    Exercised on the three queries whose designs explicitly argue it —
+    fixed-point PageRank (iterated integer sums), kmeans assignment
+    (integer argmin), and the decimal-exact Q1 aggregate."""
+    from spark_graft.registry import REGISTRY
+
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    outs = {}
+    try:
+        for n in ("3", "17"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            for qn in ("graph_pagerank", "kmeans_lloyd", "agg_q1"):
+                rows = sorted(
+                    tuple(r) for r in REGISTRY[qn].fn(spark, sf_dir).collect()
+                )
+                outs.setdefault(qn, []).append(rows)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+    for qn, (a, b) in outs.items():
+        assert a == b, f"{qn} changed under repartitioning"
