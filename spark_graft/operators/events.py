@@ -387,3 +387,55 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+PATH_TOP_K = 10
+
+
+@query(
+    "events_paths",
+    oracle=f"""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lead(event_type, 1) OVER w AS t1,
+                   lead(event_type, 2) OVER w AS t2
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT event_type || ' > ' || t1 || ' > ' || t2 AS path,
+               count(*) AS n
+        FROM seq WHERE t2 IS NOT NULL
+        GROUP BY 1
+        ORDER BY n DESC, path
+        LIMIT {PATH_TOP_K}
+    """,
+)
+def events_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path mining: the {PATH_TOP_K} most common 3-step event sequences
+    across all user timelines (consecutive by time, within one user) —
+    the 'what do users actually do' query behind funnel design.
+
+    One user-keyed window (two leads share one sort), then a global
+    count with map-side partials and TakeOrderedAndProject for the
+    top-k. The window is the only per-user state and it carries exactly
+    two lookahead rows — the reference's R8 prev-key carry run
+    forwards. No sessionization boundary here by design (sequences
+    spanning sessions count); compose with stream_session's session_id
+    in the partition key to cut at session edges."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+    )
+    return (
+        seq.filter(F.col("t2").isNotNull())
+        .select(
+            F.concat_ws(" > ", "event_type", "t1", "t2").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(PATH_TOP_K)
+    )

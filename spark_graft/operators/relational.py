@@ -712,3 +712,22 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bucket_hi"),
         "n",
     )
+
+
+@query("agg_approx_percentile", tags=("rows-only",))
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles per group (`approx_percentile`, a
+    KLL/GK-style mergeable quantile sketch) — the scale path when the
+    exact buffered form (`agg_percentile`) is too expensive: sketches
+    merge associatively across partitions, so state per group is
+    O(sketch), not O(rows). Rows-only by design, like the other sketch
+    queries: sketch internals are engine-specific, so DuckDB cannot
+    reproduce the estimates bit-for-bit. The sanity envelope (estimates
+    within the exact p50/p99 neighborhood) is pinned in
+    tests/test_units.py instead."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_approx"),
+        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("p99_approx"),
+        F.count(F.lit(1)).alias("n"),
+    )

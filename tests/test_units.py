@@ -318,3 +318,30 @@ def test_mixture_weights_single_domain(spark, tmp_path):
     assert len(rows) == 1
     r = rows[0]
     assert r["lang"] == "en" and r["token_share"] == 1.0 and r["uniform_weight"] == 1.0
+
+
+def test_approx_percentile_brackets_exact(spark, sf_dir):
+    """The sketch estimates must land within the exact percentile
+    neighborhood (1% relative) at test scale — the rows-only query's
+    accuracy envelope."""
+    from spark_graft.operators.relational import agg_approx_percentile
+    from spark_graft.sources import table
+
+    approx = {
+        r["l_returnflag"]: (r["p50_approx"], r["p99_approx"])
+        for r in agg_approx_percentile(spark, sf_dir).collect()
+    }
+    exact = {
+        r["l_returnflag"]: (r["p50"], r["p99"])
+        for r in table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_extendedprice", 0.5).alias("p50"),
+            F.percentile("l_extendedprice", 0.99).alias("p99"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k in approx:
+        for a, e in zip(approx[k], exact[k]):
+            assert abs(a - e) <= 0.01 * e, (k, a, e)
