@@ -426,3 +426,37 @@ def test_results_invariant_under_shuffle_partitioning(spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", saved)
     for qn, (a, b) in outs.items():
         assert a == b, f"{qn} changed under repartitioning"
+
+
+@given(texts=doc_texts)
+@SETTINGS
+def test_span_fraction_matches_python_reference(spark, tmp_path_factory, texts):
+    """dedup_span_fraction == a pure-python set computation: per doc,
+    distinct 8-token spans and how many appear in any other doc."""
+    import re
+
+    from spark_graft.operators.dedup import SPAN_N, dedup_span_fraction
+
+    d = tmp_path_factory.mktemp("spans")
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_shared"])
+        for r in dedup_span_fraction(spark, str(d)).collect()
+    }
+
+    spans = {}
+    for i, t in enumerate(texts):
+        ws = [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+        spans[i] = {
+            " ".join(ws[j : j + SPAN_N]) for j in range(len(ws) - SPAN_N + 1)
+        }
+    want = {}
+    for i, ss in spans.items():
+        if not ss:
+            continue
+        others = set().union(*(s for j, s in spans.items() if j != i))
+        want[i] = (len(ss), len(ss & others))
+    assert got == want
