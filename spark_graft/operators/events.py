@@ -439,3 +439,57 @@ def events_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "path")
         .limit(PATH_TOP_K)
     )
+
+
+SLIDE_WIDTH_MIN = 10
+SLIDE_STEP_MIN = 5
+
+
+@query(
+    "stream_sliding",
+    oracle=f"""
+        WITH w AS (
+            SELECT unnest(generate_series(
+                       time_bucket(INTERVAL '{SLIDE_STEP_MIN} minutes', ts)
+                           - INTERVAL '{SLIDE_WIDTH_MIN - SLIDE_STEP_MIN} minutes',
+                       time_bucket(INTERVAL '{SLIDE_STEP_MIN} minutes', ts),
+                       INTERVAL '{SLIDE_STEP_MIN} minutes')) AS window_start,
+                   event_type, value
+            FROM events
+        )
+        SELECT window_start, event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM w GROUP BY 1, 2
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING (hopping) windows: {SLIDE_WIDTH_MIN}-minute windows every
+    {SLIDE_STEP_MIN} minutes, so each event lands in
+    {SLIDE_WIDTH_MIN // SLIDE_STEP_MIN} overlapping windows — the
+    smoothed-rate view monitoring dashboards want, where a tumbling
+    window's bucket edges would alias spikes.
+
+    F.window with a slide duration plans as one Expand (×windows/event)
+    feeding the same partial-then-final aggregate as the tumbling form —
+    overlap costs a constant row-amplification before map-side
+    collapse, never a second shuffle. The oracle derives each event's
+    window starts arithmetically (epoch-aligned, like Spark's). The
+    streaming twin is the same expression under a watermark with state
+    per (window, type) evicted as the watermark passes window end."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window(
+                "ts", f"{SLIDE_WIDTH_MIN} minutes", f"{SLIDE_STEP_MIN} minutes"
+            ).alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value"
+        )
+    )

@@ -435,3 +435,54 @@ def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("uniform_weight"),
     )
+
+
+@query(
+    "source_stats",
+    oracle=f"""
+        WITH f AS (
+            SELECT source, doc_id,
+                   len({_TOK}) AS n_tokens,
+                   md5(array_to_string({_TOK}, ' ')) AS fp
+            FROM documents
+        )
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+               round(CAST(sum(n_tokens) AS DOUBLE) / count(*), 4) AS avg_tokens,
+               count(DISTINCT fp) AS n_unique,
+               round(1.0 - count(DISTINCT fp) / CAST(count(*) AS DOUBLE), 4)
+                   AS dup_rate
+        FROM f GROUP BY source
+    """,
+)
+def source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-source scorecard: per ingestion source, document and
+    token volume, average length, and the exact-duplicate rate (1 −
+    distinct fingerprints / docs) — the table a crawl-curation loop
+    reads to up-weight clean sources and quarantine degenerate ones
+    before any per-document filtering runs.
+
+    One pass, one aggregate: fingerprints are 16-byte md5s computed in
+    the scan projection, and the only distinct aggregate keys on
+    (source, fp) — Spark plans the mixed distinct/plain aggregate as a
+    two-phase Expand with map-side partials, so the shuffle carries one
+    row per (source, fp), not per document. Cardinality out is the
+    source alphabet."""
+    docs = table(spark, sf_dir, "documents")
+    f = docs.select(
+        "source",
+        F.size(tokens("text")).alias("n_tokens"),
+        F.md5(F.array_join(tokens("text"), " ")).alias("fp"),
+    )
+    return f.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.round(F.sum("n_tokens") / F.count(F.lit(1)).cast("double"), 4).alias(
+            "avg_tokens"
+        ),
+        F.countDistinct("fp").alias("n_unique"),
+        F.round(
+            F.lit(1.0) - F.countDistinct("fp") / F.count(F.lit(1)).cast("double"), 4
+        ).alias("dup_rate"),
+    )

@@ -4,6 +4,7 @@ from spark_graft.streaming.structured import (
     events_stream,
     tumbling_counts_stream,
     session_counts_stream,
+    sliding_counts_stream,
     user_totals_stream,
     run_stream_foreach_batch_to_parquet,
     run_stream_to_memory,
@@ -16,6 +17,7 @@ __all__ = [
     "events_stream",
     "tumbling_counts_stream",
     "session_counts_stream",
+    "sliding_counts_stream",
     "user_totals_stream",
     "run_stream_to_memory",
 ]

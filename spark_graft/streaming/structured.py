@@ -219,3 +219,28 @@ def run_stream_to_memory(stream_df: DataFrame, mode: str = "complete") -> DataFr
     )
     q.awaitTermination()
     return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def sliding_counts_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of operators.events.stream_sliding: watermarked
+    10-minute windows hopping every 5 — each event updates 2 window
+    states; eviction still follows window END + watermark, so overlap
+    widens state by the constant overlap factor, not unboundedly."""
+    from spark_graft.operators.events import SLIDE_STEP_MIN, SLIDE_WIDTH_MIN
+
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(
+            F.window(
+                "ts", f"{SLIDE_WIDTH_MIN} minutes", f"{SLIDE_STEP_MIN} minutes"
+            ).alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value"
+        )
+    )

@@ -186,3 +186,16 @@ def test_stream_stream_join_equals_batch(spark, sf_dir):
     )
     assert batch.count() > 0
     assert_frames_match(stream_out.toPandas(), batch.toPandas(), "attribution stream==batch")
+
+
+def test_sliding_stream_equals_batch(spark, sf_dir):
+    """Hopping windows under a watermark == the batch sliding query."""
+    from spark_graft.streaming.structured import sliding_counts_stream
+
+    stream_out = run_stream_to_memory(
+        sliding_counts_stream(events_stream(spark, sf_dir))
+    )
+    batch_out = REGISTRY["stream_sliding"].fn(spark, sf_dir)
+    assert_frames_match(
+        stream_out.toPandas(), batch_out.toPandas(), "sliding stream==batch"
+    )
