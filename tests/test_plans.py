@@ -344,3 +344,33 @@ def test_aqe_splits_skewed_join_at_runtime(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark, sf_dir):
+    """Runtime row-level filtering: a selective dimension predicate must
+    make the optimizer inject a bloom filter on the fact side
+    (bloom_filter_agg on the dim, might_contain on the probe) — the
+    scan-size threshold is lowered because the default 10 GB gate is a
+    cluster-scale setting the local fixture cannot meet."""
+    saved = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    saved_b = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = table(spark, sf_dir, "lineitem")
+        pt = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+        j = li.join(pt, li.l_partkey == pt.p_partkey).groupBy("p_brand").count()
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan
+        assert "might_contain" in plan, plan
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            saved,
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved_b)
