@@ -493,3 +493,56 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value"
         )
     )
+
+
+@query(
+    "win_gaps_islands",
+    oracle="""
+        WITH days AS (
+            SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+        ),
+        isl AS (
+            SELECT user_id,
+                   CAST(date_diff('day', DATE '2024-01-01', day) AS BIGINT)
+                       - row_number() OVER (PARTITION BY user_id ORDER BY day)
+                       AS island
+            FROM days
+        ),
+        streaks AS (
+            SELECT user_id, island, count(*) AS len
+            FROM isl GROUP BY user_id, island
+        )
+        SELECT user_id,
+               CAST(max(len) AS BIGINT) AS longest_streak,
+               count(*) AS n_streaks
+        FROM streaks GROUP BY user_id
+    """,
+)
+def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's longest run of CONSECUTIVE active
+    calendar days and how many distinct runs they have — the streak
+    analytics behind engagement scoring, built on the classic
+    date-minus-row_number trick (consecutive days share a constant
+    difference, so the difference IS the island id; any gap shifts it).
+
+    Everything keys on user_id: distinct activity days, the
+    row_number window, and both aggregates inherit one partitioning —
+    a single Exchange feeds the whole query. Integer day arithmetic
+    (epoch-anchored date_diff), so islands are exact in both engines.
+    Distinct from stream_session: sessions cut on TIME gaps within a
+    day; islands cut on CALENDAR-day continuity."""
+    ev = table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.date_trunc("day", "ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = days.select(
+        "user_id",
+        (
+            F.datediff("day", F.lit("2024-01-01").cast("date")).cast("bigint")
+            - F.row_number().over(w)
+        ).alias("island"),
+    )
+    streaks = isl.groupBy("user_id", "island").agg(F.count(F.lit(1)).alias("len"))
+    return streaks.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )
