@@ -731,3 +731,52 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.99, 10000).alias("p99_approx"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "agg_corr_exact",
+    oracle="""
+        WITH s AS (
+            SELECT l_returnflag,
+                   count(*) AS n,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                            * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                            * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, n,
+               round((n * sxy - sx * sy)
+                     / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+                   AS corr_qty_price
+        FROM s
+    """,
+)
+def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation per group from EXACT decimal accumulators
+    (n, Σx, Σy, Σx², Σy², Σxy) — the same discipline as ts_anomaly's
+    variance: built-in `corr()` merges float partials in partition
+    order and cannot be hash-gated; six exact sums can, and make the
+    statistic reproducible across engines AND partitionings. All six
+    accumulators ride one map-side-partial aggregate — same shuffle
+    bytes as a plain sum, 100 TB-safe by construction."""
+    li = table(spark, sf_dir, "lineitem")
+    dq = F.col("l_quantity").cast("decimal(18,2)")
+    dp = F.col("l_extendedprice").cast("decimal(18,2)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dq).cast("double").alias("sx"),
+        F.sum(dp).cast("double").alias("sy"),
+        F.sum(dq * dq).cast("double").alias("sxx"),
+        F.sum(dp * dp).cast("double").alias("syy"),
+        F.sum(dq * dp).cast("double").alias("sxy"),
+    )
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select("l_returnflag", "n", F.round(corr, 6).alias("corr_qty_price"))

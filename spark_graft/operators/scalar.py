@@ -169,3 +169,47 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, "k").alias("k_val"),
         F.size(m).alias("n_keys"),
     )
+
+
+@query(
+    "fn_struct",
+    oracle="""
+        SELECT o_orderkey,
+               struct_extract(
+                   {'status': o_orderstatus, 'total': o_totalprice}, 'status')
+                   AS status,
+               round(struct_extract(
+                   {'status': o_orderstatus, 'total': o_totalprice}, 'total'), 2)
+                   AS total,
+               struct_extract(struct_pack(y := year(o_orderdate),
+                                          m := month(o_orderdate)), 'y') AS y,
+               struct_extract(struct_pack(y := year(o_orderdate),
+                                          m := month(o_orderdate)), 'm') AS m
+        FROM orders WHERE o_orderkey <= 1000
+    """,
+)
+def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StructType round-trip: build nested structs (named_struct), read
+    fields back out — the type-system row the fn_* family was missing.
+    Output columns are SCALARS extracted from the structs, never struct
+    columns themselves: the driver's pandas canonicalizer cannot
+    sort/hash composite values (the fn_map lesson — its map column
+    failed round 1 with 'unhashable list')."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    packed = o.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("total"),
+        ).alias("os"),
+        F.struct(
+            F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")
+        ).alias("ym"),
+    )
+    return packed.select(
+        "o_orderkey",
+        F.col("os.status").alias("status"),
+        F.round(F.col("os.total"), 2).alias("total"),
+        F.col("ym.y").alias("y"),
+        F.col("ym.m").alias("m"),
+    )
