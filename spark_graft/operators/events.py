@@ -525,24 +525,46 @@ def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     date-minus-row_number trick (consecutive days share a constant
     difference, so the difference IS the island id; any gap shifts it).
 
-    Everything keys on user_id: distinct activity days, the
-    row_number window, and both aggregates inherit one partitioning —
-    a single Exchange feeds the whole query. Integer day arithmetic
-    (epoch-anchored date_diff), so islands are exact in both engines.
-    Distinct from stream_session: sessions cut on TIME gaps within a
-    day; islands cut on CALENDAR-day continuity."""
+    ONE Exchange total (plan-pinned): collect_set(day) aggregates with
+    map-side partials on user_id — the same shuffle bytes as a
+    distinct — and the streak scan is then a narrow HOF fold over each
+    user's sorted day array (state: current run, best run, previous
+    day, streak count). Per-user array size is bounded by the
+    CALENDAR, not event volume, so the fold is safe at any scale. The
+    row_number-difference form (the oracle) needs a second exchange
+    because distinct must hash on (user, day) before the window
+    re-keys on user. Integer day arithmetic (epoch-anchored datediff),
+    exact in both engines. Distinct from stream_session: sessions cut
+    on TIME gaps within a day; islands cut on CALENDAR-day
+    continuity."""
     ev = table(spark, sf_dir, "events")
-    days = ev.select("user_id", F.date_trunc("day", "ts").alias("day")).distinct()
-    w = Window.partitionBy("user_id").orderBy("day")
-    isl = days.select(
-        "user_id",
-        (
-            F.datediff("day", F.lit("2024-01-01").cast("date")).cast("bigint")
-            - F.row_number().over(w)
-        ).alias("island"),
+    day_int = F.datediff("ts", F.lit("2024-01-01").cast("date")).cast("long")
+    per_user = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_set(day_int)).alias("ds")
     )
-    streaks = isl.groupBy("user_id", "island").agg(F.count(F.lit(1)).alias("len"))
-    return streaks.groupBy("user_id").agg(
-        F.max("len").alias("longest_streak"),
-        F.count(F.lit(1)).alias("n_streaks"),
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        zero.alias("cur"),
+        zero.alias("best"),
+        F.lit(None).cast("long").alias("prev"),
+        zero.alias("n"),
+    )
+
+    def step(acc, d):
+        new_run = acc["prev"].isNull() | (d - acc["prev"] > 1)
+        cur = F.when(new_run, F.lit(1).cast("long")).otherwise(acc["cur"] + 1)
+        return F.struct(
+            cur.alias("cur"),
+            F.greatest(acc["best"], cur).alias("best"),
+            d.alias("prev"),
+            (acc["n"] + F.when(new_run, 1).otherwise(0)).alias("n"),
+        )
+
+    folded = per_user.select(
+        "user_id", F.aggregate("ds", init, step).alias("s")
+    )
+    return folded.select(
+        "user_id",
+        F.col("s.best").alias("longest_streak"),
+        F.col("s.n").alias("n_streaks"),
     )

@@ -374,3 +374,30 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark, sf_dir):
             saved,
         )
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved_b)
+
+
+def test_source_stats_single_scan(spark, sf_dir):
+    """The scorecard's one-pass claim: a single documents scan feeds
+    the mixed distinct/plain aggregate."""
+    df = q("source_stats", spark, sf_dir)
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    assert physical.count("Scan parquet") == 1, physical
+
+
+def test_gaps_islands_single_exchange(spark, sf_dir):
+    """Distinct days, the island window, and both aggregates must all
+    ride one user_id partitioning."""
+    df = q("win_gaps_islands", spark, sf_dir)
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    n = sum(1 for l in physical.splitlines() if "Exchange" in l and "Reused" not in l)
+    assert n == 1, physical
+
+
+def test_corr_exact_is_one_aggregate_pass(spark, sf_dir):
+    """All six accumulators must ride one partial-then-final aggregate:
+    one scan, one Exchange."""
+    df = q("agg_corr_exact", spark, sf_dir)
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    assert physical.count("Scan parquet") == 1, physical
+    n = sum(1 for l in physical.splitlines() if "Exchange" in l and "Reused" not in l)
+    assert n == 1, physical
