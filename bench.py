@@ -64,13 +64,23 @@ def main() -> None:
         print(f"# {name}: {timings[name]}s (runs: {[round(r, 3) for r in runs]})", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    # Full per-query detail goes to a sidecar file: 96 entries is ~3 KB,
+    # which overflowed the driver's stdout tail buffer in round 2
+    # (BENCH_r02.json parsed=null). The stdout line carries the total
+    # plus only the slowest queries, keeping it well under 1 KB.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump({"sf": float(sf), "total_sec": total, "queries": timings}, f, indent=1, sort_keys=True)
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:8])
     print(
         json.dumps(
             {
                 "metric": "declared-query wall-clock (median of 3) at sf" + sf,
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "n_queries": len(timings),
+                "queries": slowest,
+                "detail": "BENCH_DETAIL.json",
                 "sf": float(sf),
             }
         )
