@@ -49,12 +49,11 @@ def pair_combinations(ds: Column) -> Column:
     """array<struct<a,b>> of all i<j pairs (after sorting) from an array
     of any orderable element type (ids, or structs carrying payloads).
 
-    Used to expand candidate buckets (docs sharing an LSH band or a
-    prefix shingle) into pairs WITHOUT a self-join — the bucket rows
-    arrive from one aggregate, so the upstream pipeline runs once
-    instead of twice. Bucket sizes are small by construction (that's
-    what the banding/prefix scheme is for); a pathological bucket at
-    100 TB would be capped/salted upstream."""
+    Quadratic in len(ds) INSIDE one row — callers expanding candidate
+    buckets must go through `exploded_pairs`, which chunks oversized
+    buckets so no single row ever materializes more than PAIR_CHUNK**2
+    pair structs; this helper is its within-chunk (and property-test)
+    primitive."""
     sorted_ds = F.array_sort(ds)
     n = F.size(sorted_ds)
     # upper bound clamped to >= 1: sequence(1, n-1) would be DESCENDING
@@ -72,6 +71,75 @@ def pair_combinations(ds: Column) -> Column:
             ),
         )
     )
+
+
+PAIR_CHUNK = 128  # max members per expansion chunk -> <= 16384 pair structs/row
+
+
+def _cross_pairs(ca: Column, cb: Column) -> Column:
+    """Full cross product ca x cb as array<struct<a,b>> (used between two
+    DISTINCT chunks of one sorted bucket, so a < b holds element-wise)."""
+    return F.flatten(
+        F.transform(
+            ca, lambda a: F.transform(cb, lambda b: F.struct(a.alias("a"), b.alias("b")))
+        )
+    )
+
+
+def _chunk_pair_rows(buckets: DataFrame, members_col: str) -> DataFrame:
+    """One row per (chunk_i, chunk_j>=i) of each bucket's sorted member
+    array, chunks of PAIR_CHUNK: columns _ca, _i, _r{cb, j}.
+
+    The two explodes are narrow (no shuffle); between them each row
+    carries the full bucket array once, so transient per-row memory is
+    O(|bucket|) — the array the upstream collect_list already built —
+    never O(|bucket|^2)."""
+    ms = F.array_sort(F.col(members_col))
+    staged = buckets.select(
+        ms.alias("_ms"),
+        F.greatest(
+            (F.floor((F.size(ms) - F.lit(1)) / PAIR_CHUNK) + 1).cast("int"), F.lit(1)
+        ).alias("_nc"),
+    )
+    lefts = staged.select(
+        "_ms", "_nc", F.explode(F.sequence(F.lit(1), F.col("_nc"))).alias("_i")
+    )
+    return lefts.select(
+        F.slice("_ms", (F.col("_i") - 1) * PAIR_CHUNK + 1, PAIR_CHUNK).alias("_ca"),
+        "_i",
+        F.explode(
+            F.transform(
+                F.sequence(F.col("_i"), F.col("_nc")),
+                lambda j: F.struct(
+                    F.slice(F.col("_ms"), (j - 1) * PAIR_CHUNK + 1, PAIR_CHUNK).alias("cb"),
+                    j.alias("j"),
+                ),
+            )
+        ).alias("_r"),
+    )
+
+
+def exploded_pairs(buckets: DataFrame, members_col: str = "ds") -> DataFrame:
+    """Explode each bucket's member array into all i<j pairs as rows of
+    one struct column `p` — same output set as
+    explode(pair_combinations(ds)), but safe for DEGENERATE buckets.
+
+    pair_combinations materializes n(n-1)/2 structs inside a single row:
+    a boilerplate-heavy corpus at 100 TB can put 1e5+ docs into one LSH
+    band or prefix-shingle bucket, and 5e9 structs in one row is an
+    executor OOM no partitioning can save. Here the sorted bucket is cut
+    into PAIR_CHUNK-sized chunks and every (i, j>=i) chunk pair becomes
+    its OWN row (within-chunk upper-triangle for i==j, full cross
+    product for i<j — exactly the i<j pairs, each once, since the sort
+    makes chunk i's elements precede chunk j's). Worst-case single-row
+    memory drops from O(n^2) to max(O(n), PAIR_CHUNK^2), and the
+    quadratic pair count is spread across (n/PAIR_CHUNK)^2 rows that
+    distribute over the cluster like any other data."""
+    rows = _chunk_pair_rows(buckets, members_col)
+    pairs = F.when(
+        F.col("_i") == F.col("_r.j"), pair_combinations(F.col("_ca"))
+    ).otherwise(_cross_pairs(F.col("_ca"), F.col("_r.cb")))
+    return rows.select(F.explode(pairs).alias("p"))
 
 
 @query(
