@@ -295,11 +295,17 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # instead of recomputing — the band path alone stays in-plan.
     per_doc = minhash_doc_table(docs)
     bands = minhash_bands(per_doc)
-    cand = (
+    buckets = (
         bands.groupBy("band", "sig")
         .agg(F.collect_list("doc_id").alias("ds"))
         .filter(F.size("ds") > 1)
-        .select(F.explode(pair_combinations(F.col("ds"))).alias("p"))
+    )
+    # exploded_pairs, not explode(pair_combinations(ds)): a degenerate
+    # band (boilerplate corpus) can hold 1e5+ docs, and n(n-1)/2 structs
+    # in ONE row is an executor OOM; the chunked expansion bounds per-row
+    # memory at PAIR_CHUNK^2 and spreads the quadratic across rows.
+    cand = (
+        exploded_pairs(buckets, "ds")
         .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
@@ -520,11 +526,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is a narrow array op and redundancy is bounded by prefix length.
     inter = F.size(F.array_intersect("p.a.sh", "p.b.sh"))
     jac = inter * 1.0 / (F.size("p.a.sh") + F.size("p.b.sh") - inter)
-    return (
+    # exploded_pairs (chunked) for the same reason as dedup_minhash: a
+    # prefix shingle shared by 1e5 boilerplate docs must not become one
+    # quadratic row. Members here are (doc_id, sh) structs — the chunk
+    # sort orders them by doc_id first, preserving a<b on doc_id.
+    bucketed = (
         staged.groupBy("s")
         .agg(F.collect_list(F.struct("doc_id", "sh")).alias("ds"))
         .filter(F.size("ds") > 1)
-        .select(F.explode(pair_combinations(F.col("ds"))).alias("p"))
+    )
+    return (
+        exploded_pairs(bucketed, "ds")
         .select(
             F.col("p.a.doc_id").alias("doc_a"),
             F.col("p.b.doc_id").alias("doc_b"),
