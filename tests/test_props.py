@@ -93,6 +93,80 @@ def test_pair_combinations_equals_itertools(spark, ids):
     assert got == expect
 
 
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=10**6), min_size=0, max_size=40, unique=True)
+)
+@SETTINGS
+def test_exploded_pairs_equals_pair_combinations(spark, ids):
+    """exploded_pairs (chunked) == explode(pair_combinations) == itertools
+    for any bucket contents — the chunking is memory-shape-only, never
+    semantic."""
+    import itertools
+
+    from spark_graft.operators.dedup import exploded_pairs
+
+    df = spark.createDataFrame([(ids,)], "ds array<bigint>")
+    got = sorted(
+        (r["p"]["a"], r["p"]["b"]) for r in exploded_pairs(df, "ds").collect()
+    )
+    assert got == sorted(itertools.combinations(sorted(ids), 2))
+
+
+def test_exploded_pairs_giant_bucket_bounded(spark):
+    """The adversarial degenerate bucket (n=300 >> PAIR_CHUNK=128, the
+    boilerplate-corpus LSH-band case): every i<j pair appears exactly
+    once, AND no single pre-explode row ever materializes more than
+    PAIR_CHUNK**2 pair structs — the invariant that keeps a 1e5-doc
+    bucket at 100 TB from being an executor OOM."""
+    import itertools
+
+    from spark_graft.operators.dedup import (
+        PAIR_CHUNK,
+        _chunk_pair_rows,
+        _cross_pairs,
+        exploded_pairs,
+        pair_combinations,
+    )
+
+    n = 300
+    ids = list(range(n))
+    df = spark.createDataFrame([(ids,)], "ds array<bigint>")
+    got = sorted(
+        (r["p"]["a"], r["p"]["b"]) for r in exploded_pairs(df, "ds").collect()
+    )
+    assert got == list(itertools.combinations(ids, 2))  # C(300,2) = 44850, each once
+
+    # per-row bound: reconstruct the pre-explode chunk-pair rows and
+    # measure each row's pair-array size directly
+    rows = _chunk_pair_rows(df, "ds")
+    pairs = F.when(
+        F.col("_i") == F.col("_r.j"), pair_combinations(F.col("_ca"))
+    ).otherwise(_cross_pairs(F.col("_ca"), F.col("_r.cb")))
+    sizes = [r["n"] for r in rows.select(F.size(pairs).alias("n")).collect()]
+    assert sum(sizes) == n * (n - 1) // 2
+    assert max(sizes) <= PAIR_CHUNK**2
+
+
+def test_dedup_minhash_all_duplicates_corpus(spark, tmp_path_factory):
+    """End-to-end adversarial fixture: 300 identical documents put ALL
+    doc_ids into one bucket per band (the degenerate-band case the
+    chunked expansion exists for). Every i<j pair must come out exactly
+    once with jaccard == 1.0."""
+    from spark_graft.operators.dedup import dedup_minhash
+
+    n = 300
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    d = tmp_path_factory.mktemp("alldup")
+    spark.createDataFrame(
+        [(i, text, "en", "s", len(text)) for i in range(n)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    rows = dedup_minhash(spark, str(d)).collect()
+    assert len(rows) == n * (n - 1) // 2
+    assert all(r["jaccard"] == 1.0 for r in rows)
+    assert all(r["doc_a"] < r["doc_b"] for r in rows)
+
+
 @given(texts=st.lists(st.text(alphabet="ab c", min_size=0, max_size=30), min_size=1, max_size=8))
 @SETTINGS
 def test_shingles_match_python_reference(spark, texts):
