@@ -19,6 +19,8 @@ what makes a 1000-executor run reproducible at 100 TB.
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -306,6 +308,14 @@ def recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ego networks, recall-graph hops), where the walk count stays near
     the edge count."""
     pairs = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
-    view = "reach_pairs"
+    # Unique per-invocation view name, dropped once the plan is analyzed:
+    # spark.sql() resolves the view reference eagerly into the returned
+    # DataFrame's logical plan, so the registration only needs to live for
+    # the duration of this call — a fixed name would silently collide
+    # across concurrent invocations sharing one session.
+    view = f"reach_pairs_{uuid.uuid4().hex}"
     pairs.createOrReplaceTempView(view)
-    return spark.sql(_REACH_SQL_BODY.format(pairs=view))
+    try:
+        return spark.sql(_REACH_SQL_BODY.format(pairs=view))
+    finally:
+        spark.catalog.dropTempView(view)

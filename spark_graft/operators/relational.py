@@ -657,9 +657,10 @@ HIST_N_BUCKETS = 10
         WITH b AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
                    FROM lineitem),
         assigned AS (
-            SELECT least(CAST(floor((l_extendedprice - b.lo) * {HIST_N_BUCKETS}
-                                    / (b.hi - b.lo)) AS BIGINT),
-                         {HIST_N_BUCKETS - 1}) AS bucket,
+            SELECT CASE WHEN b.hi = b.lo THEN 0
+                        ELSE least(CAST(floor((l_extendedprice - b.lo) * {HIST_N_BUCKETS}
+                                               / (b.hi - b.lo)) AS BIGINT),
+                                   {HIST_N_BUCKETS - 1}) END AS bucket,
                    b.lo, b.hi
             FROM lineitem, b
         )
@@ -687,15 +688,22 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = li.agg(
         F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi")
     )
+    # zero-range guard: a constant column makes (hi - lo) = 0, where the
+    # unguarded division is NULL in Spark but an error/NaN in other
+    # engines — everything lands in bucket 0 by definition instead.
     assigned = li.crossJoin(F.broadcast(b)).select(
-        F.least(
-            F.floor(
-                (F.col("l_extendedprice") - F.col("lo"))
-                * HIST_N_BUCKETS
-                / (F.col("hi") - F.col("lo"))
-            ).cast("bigint"),
-            F.lit(HIST_N_BUCKETS - 1),
-        ).alias("bucket"),
+        F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("bigint"))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("l_extendedprice") - F.col("lo"))
+                    * HIST_N_BUCKETS
+                    / (F.col("hi") - F.col("lo"))
+                ).cast("bigint"),
+                F.lit(HIST_N_BUCKETS - 1),
+            )
+        )
+        .alias("bucket"),
         "lo",
         "hi",
     )

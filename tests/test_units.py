@@ -345,3 +345,29 @@ def test_approx_percentile_brackets_exact(spark, sf_dir):
     for k in approx:
         for a, e in zip(approx[k], exact[k]):
             assert abs(a - e) <= 0.01 * e, (k, a, e)
+
+
+def test_histogram_zero_range_constant_column(spark, tmp_path):
+    """agg_histogram's zero-range guard: a constant column makes
+    (hi - lo) = 0; everything must land in bucket 0 in BOTH engines
+    instead of NULL (Spark) / error (strict SQL engines)."""
+    import duckdb
+
+    from spark_graft.registry import REGISTRY
+
+    spark.createDataFrame(
+        [(42.5,)] * 7, "l_extendedprice double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+
+    got = REGISTRY["agg_histogram"].fn(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["bucket"], r["bucket_lo"], r["bucket_hi"], r["n"]) == (0, 42.5, 42.5, 7)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{tmp_path}/lineitem.parquet/*.parquet'"
+    )
+    ora = con.execute(REGISTRY["agg_histogram"].oracle).fetchall()
+    con.close()
+    assert ora == [(0, 42.5, 42.5, 7)]
