@@ -103,7 +103,74 @@ def lsh_bucket_col(vec_col, planes: list[list[float]]):
     return bucket
 
 
-@query("sim_ann_lsh", tags=("rows-only",))
+EMB_DIM = 64  # fixture embeddings dimension (embeddings.parquet, FIXTURES.md)
+N_PROBES = 3
+
+
+def _lsh_oracle_sql() -> str:
+    """DuckDB twin of sim_ann_lsh, end to end: the md5-derived plane
+    family is PUBLIC deterministic arithmetic, so its float64 values are
+    inlined as SQL literals (repr() round-trips doubles exactly), and
+    probe margins, sign-bit bucketing, multi-probe flip selection, and
+    the cosine rescore are all re-derived inside SQL. Dot products on
+    both engines accumulate doubles in array order (Spark's zip_with
+    fold / DuckDB's list_dot_product), so buckets — and therefore the
+    candidate set — match bit-for-bit."""
+    planes_rows = ",\n            ".join(
+        f"({p}, [{', '.join(repr(x) for x in plane)}]::DOUBLE[])"
+        for p, plane in enumerate(_planes(EMB_DIM))
+    )
+    return f"""
+        WITH probe AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS pv
+            FROM embeddings ORDER BY vec_id LIMIT 1
+        ),
+        planes(p, pl) AS (VALUES
+            {planes_rows}
+        ),
+        margins AS (
+            SELECT pl.p, list_dot_product(pr.pv, pl.pl) AS m
+            FROM planes pl CROSS JOIN probe pr
+        ),
+        pbucket AS (
+            SELECT CAST(sum(CASE WHEN m >= 0 THEN 1::BIGINT << p ELSE 0 END)
+                        AS BIGINT) AS b
+            FROM margins
+        ),
+        flips AS (SELECT p FROM margins ORDER BY abs(m), p LIMIT {N_PROBES}),
+        probed AS (
+            SELECT b AS bucket FROM pbucket
+            UNION ALL
+            SELECT xor(pb.b, 1::BIGINT << f.p) FROM pbucket pb CROSS JOIN flips f
+        ),
+        vdots AS (
+            SELECT e.vec_id, pl.p,
+                   list_dot_product(CAST(e.embedding AS DOUBLE[]), pl.pl) AS d
+            FROM embeddings e CROSS JOIN planes pl
+        ),
+        vbuckets AS (
+            SELECT vec_id,
+                   CAST(sum(CASE WHEN d >= 0 THEN 1::BIGINT << p ELSE 0 END)
+                        AS BIGINT) AS bucket
+            FROM vdots GROUP BY vec_id
+        ),
+        cand AS (
+            SELECT vec_id FROM vbuckets
+            WHERE bucket IN (SELECT bucket FROM probed)
+        )
+        SELECT e.vec_id,
+               round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pv), 4)
+                   AS cos_sim
+        FROM embeddings e
+        JOIN cand c ON c.vec_id = e.vec_id
+        CROSS JOIN probe p
+        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pv) DESC,
+                 e.vec_id
+        LIMIT {TOP_K}
+    """
+
+
+@query("sim_ann_lsh", oracle=_lsh_oracle_sql())
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via random-hyperplane LSH with MULTI-PROBE: bucket every
     vector by 8 sign bits (buckets ~ corpus/256), then search the
@@ -123,16 +190,18 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH is the scale path for the HIGH-similarity regime (near-dup,
     cos >= ~0.8, bit agreement ~0.9+); for diffuse top-k like this
     fixture, IVF (sim_ann_ivf) or brute force (sim_cosine_topk) is the
-    correct tool. Engine-specific plane constants -> rows-only."""
+    correct tool. The md5 plane family is public arithmetic, so the
+    WHOLE pipeline — margins, bucketing, flip selection, rescore — is
+    hash-matched against `_lsh_oracle_sql` with the planes inlined as
+    float64 literals."""
     probe = _probe_vector(spark, sf_dir)
     planes = _planes(len(probe))
     # python-side bucket of the probe (same arithmetic as the column
     # expr), keeping each hyperplane margin for probe ordering
     margins = [sum(a * b for a, b in zip(probe, plane)) for plane in planes]
     probe_bucket = sum(2**p for p, m in enumerate(margins) if m >= 0)
-    n_probes = 3
     flip_order = sorted(range(len(planes)), key=lambda p: abs(margins[p]))
-    buckets = [probe_bucket] + [probe_bucket ^ (1 << p) for p in flip_order[:n_probes]]
+    buckets = [probe_bucket] + [probe_bucket ^ (1 << p) for p in flip_order[:N_PROBES]]
     e = table(spark, sf_dir, "embeddings")
     bucketed = e.withColumn("bucket", lsh_bucket_col(F.col("embedding"), planes))
     cand = bucketed.filter(F.col("bucket").isin(buckets))
