@@ -181,15 +181,45 @@ def agg_bool_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx", tags=("rows-only",))
+APPROX_RSD = 0.02  # HLL++ target relative standard deviation
+APPROX_ENVELOPE = 3 * APPROX_RSD  # accept within 3 sigma of the exact count
+
+
+@query(
+    "agg_approx",
+    oracle=f"""
+        SELECT l_returnflag,
+               count(DISTINCT l_partkey) AS exact_parts,
+               TRUE AS approx_within_{int(APPROX_ENVELOPE * 100)}pct
+        FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct count — constant memory per
     group at any scale (the 100 TB substitute for exact countDistinct).
-    Sketch values are engine-specific -> rows-only check."""
+
+    Sketch estimates are engine-specific, so the oracle checks a
+    KEYS+BOUNDS contract instead of the estimate itself: the query
+    emits the exact count (the yardstick, computed in the same pass)
+    plus a boolean asserting the HLL estimate landed within 3x its
+    configured rsd; the oracle recomputes the exact count and expects
+    TRUE. An out-of-envelope sketch therefore fails the driver's hash
+    gate rather than hiding behind a rows-only check."""
+    env = F.col("exact_parts") * APPROX_ENVELOPE
     return (
         table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"))
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=APPROX_RSD).alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (F.abs(F.col("approx_parts") - F.col("exact_parts")) <= env).alias(
+                f"approx_within_{int(APPROX_ENVELOPE * 100)}pct"
+            ),
+        )
     )
 
 
@@ -499,7 +529,20 @@ def min_unique_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_sketch_hll", tags=("rows-only",))
+HLL_ENVELOPE = 0.05  # default lgConfigK=12 rsd ~1.6%; accept within ~3 sigma
+
+
+@query(
+    "agg_sketch_hll",
+    oracle="""
+        SELECT c_mktsegment,
+               count(DISTINCT c_custkey) AS exact_customers,
+               TRUE AS hll_within_5pct
+        FROM customer GROUP BY c_mktsegment
+        UNION ALL
+        SELECT '_ALL_', count(DISTINCT c_custkey), TRUE FROM customer
+    """,
+)
 def agg_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGEABLE distinct-count sketches (Apache DataSketches HLL):
     build one sketch per segment, estimate per segment, then merge the
@@ -507,15 +550,39 @@ def agg_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     data. Mergeability is the property that matters at 100 TB — sketches
     combine across partitions, days, or tables in O(sketch bytes), so
     incremental pipelines keep distinct counts without ever re-reading
-    history. Sketch binaries are engine-specific -> rows-only check."""
+    history.
+
+    Sketch binaries are engine-specific, so the oracle checks the
+    KEYS+BOUNDS contract: exact distinct counts (the yardstick) plus a
+    boolean asserting each estimate — including the estimate from the
+    MERGED sketch, which exercises hll_union_agg — lands within 5% of
+    exact; the oracle expects TRUE everywhere."""
     c = table(spark, sf_dir, "customer")
-    seg = c.groupBy("c_mktsegment").agg(F.hll_sketch_agg("c_custkey").alias("sk"))
-    per = seg.select(
-        "c_mktsegment", F.hll_sketch_estimate("sk").alias("approx_customers")
+    seg = c.groupBy("c_mktsegment").agg(
+        F.hll_sketch_agg("c_custkey").alias("sk"),
+        F.countDistinct("c_custkey").alias("exact_customers"),
     )
-    total = seg.agg(F.hll_union_agg("sk").alias("u")).select(
-        F.lit("_ALL_").alias("c_mktsegment"),
-        F.hll_sketch_estimate("u").alias("approx_customers"),
+    def within(est, exact):
+        return F.abs(est - exact) <= exact * HLL_ENVELOPE
+
+    per = seg.select(
+        "c_mktsegment",
+        "exact_customers",
+        within(F.hll_sketch_estimate("sk"), F.col("exact_customers")).alias(
+            "hll_within_5pct"
+        ),
+    )
+    total_exact = c.agg(F.countDistinct("c_custkey").alias("exact_customers"))
+    total = (
+        seg.agg(F.hll_union_agg("sk").alias("u"))
+        .crossJoin(F.broadcast(total_exact))
+        .select(
+            F.lit("_ALL_").alias("c_mktsegment"),
+            "exact_customers",
+            within(F.hll_sketch_estimate("u"), F.col("exact_customers")).alias(
+                "hll_within_5pct"
+            ),
+        )
     )
     return per.unionAll(total)
 
@@ -722,22 +789,49 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_percentile", tags=("rows-only",))
+PCTL_ACCURACY = 10000  # GK sketch accuracy: rank error <= n / accuracy
+PCTL_ENVELOPE = 0.01  # estimates must land within 1% of the exact value
+
+
+@query(
+    "agg_approx_percentile",
+    oracle="""
+        SELECT l_returnflag, count(*) AS n,
+               TRUE AS p50_within_1pct, TRUE AS p99_within_1pct
+        FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles per group (`approx_percentile`, a
     KLL/GK-style mergeable quantile sketch) — the scale path when the
     exact buffered form (`agg_percentile`) is too expensive: sketches
     merge associatively across partitions, so state per group is
-    O(sketch), not O(rows). Rows-only by design, like the other sketch
-    queries: sketch internals are engine-specific, so DuckDB cannot
-    reproduce the estimates bit-for-bit. The sanity envelope (estimates
-    within the exact p50/p99 neighborhood) is pinned in
-    tests/test_units.py instead."""
+    O(sketch), not O(rows).
+
+    Sketch estimates are engine-specific, so the oracle checks the
+    KEYS+BOUNDS contract: group keys, exact row counts, and booleans
+    asserting the approximate p50/p99 land within 1% of the EXACT
+    percentiles computed in the same aggregation; the oracle expects
+    TRUE. The same envelope is unit-tested at
+    tests/test_units.py::test_approx_percentile_brackets_exact."""
     li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_approx"),
-        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("p99_approx"),
+    agged = li.groupBy("l_returnflag").agg(
+        F.percentile_approx(
+            "l_extendedprice", F.array(F.lit(0.5), F.lit(0.99)), PCTL_ACCURACY
+        ).alias("ap"),
+        F.percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.99))).alias("ex"),
         F.count(F.lit(1)).alias("n"),
+    )
+
+    def within(i: int):
+        a, e = F.col("ap")[i], F.col("ex")[i]
+        return F.abs(a - e) <= F.abs(e) * PCTL_ENVELOPE
+
+    return agged.select(
+        "l_returnflag",
+        "n",
+        within(0).alias("p50_within_1pct"),
+        within(1).alias("p99_within_1pct"),
     )
 
 

@@ -217,14 +217,56 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_PROBE_CLUSTERS = 3
 
 
-@query("sim_ann_ivf", tags=("rows-only",))
+@query(
+    "sim_ann_ivf",
+    oracle=f"""
+        WITH probe AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS pv
+            FROM embeddings ORDER BY vec_id LIMIT 1
+        ),
+        pn AS (SELECT sqrt(list_dot_product(pv, pv)) AS n FROM probe),
+        ev AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cent AS (
+            SELECT label, gs.d AS pos, avg(v[gs.d]) AS cv
+            FROM ev CROSS JOIN generate_series(1, {EMB_DIM}) gs(d)
+            GROUP BY label, gs.d
+        ),
+        sel AS (
+            SELECT c.label,
+                   sum(c.cv * p.pv[c.pos]) AS dotc,
+                   sqrt(sum(c.cv * c.cv)) AS cn
+            FROM cent c CROSS JOIN probe p
+            GROUP BY c.label
+        ),
+        pc AS (
+            SELECT s.label FROM sel s CROSS JOIN pn
+            ORDER BY s.dotc / (s.cn * pn.n) DESC, s.label
+            LIMIT {N_PROBE_CLUSTERS}
+        )
+        SELECT e.vec_id,
+               round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pv), 4)
+                   AS cos_sim
+        FROM embeddings e CROSS JOIN probe p
+        WHERE e.label IN (SELECT label FROM pc)
+        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pv) DESC,
+                 e.vec_id
+        LIMIT {TOP_K}
+    """,
+)
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: `label` is the coarse quantizer's cluster id;
     centroids = per-cluster mean vectors (one tiny aggregation), probe
     the nprobe nearest clusters, exact-rescore inside them. The inverted
     list = partition-by-cluster layout; at scale each query reads only
     nprobe partitions. Centroid table is centroids(n_clusters) rows —
-    always broadcastable."""
+    always broadcastable.
+
+    Cluster SELECTION compares float centroid cosines — robust to
+    engine-level summation-order noise (~1e-15) unless two clusters tie
+    to that precision, which the fixture's well-separated labels never
+    do — and the rescore inside the selected clusters is the same
+    bit-deterministic arithmetic as sim_cosine_topk, so the whole query
+    hash-matches its oracle."""
     e = table(spark, sf_dir, "embeddings")
     # centroids via posexplode -> avg per (label, dim) -> rebuild vectors
     cent_rows = (
