@@ -17,6 +17,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from spark_graft.functions import shingles_from_tokens, tokens
+from spark_graft.operators.dedup import (
+    JACCARD_THRESHOLD,
+    MINHASH_PAIRS_CTES,
+    MINHASH_PAIRS_SELECT,
+    minhash_bands,
+    minhash_doc_table,
+)
 from spark_graft.operators.text import (
     _TOK,
     SPLIT_PCT_TRAIN,
@@ -130,6 +137,87 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rk")
     )
     return first_in_batch.join(existing, "fp", "left_anti").select("doc_id", "fp")
+
+
+# Oracle: verified near-dup pairs over ALL docs (the shared minhash
+# CTEs), then a new-batch doc is rejected iff it appears in a verified
+# pair as the larger in-batch side, or paired with an existing doc on
+# either side. Recomputing everything is fine for the oracle — the
+# Spark side is the one holding the incremental shape.
+_INC_MINHASH_ORACLE = f"""
+        {MINHASH_PAIRS_CTES},
+        vp AS ({MINHASH_PAIRS_SELECT}),
+        rejected AS (
+            SELECT doc_b AS doc_id FROM vp WHERE doc_b % {{m}} = {{last}}
+            UNION
+            SELECT doc_a FROM vp
+            WHERE doc_a % {{m}} = {{last}} AND doc_b % {{m}} <> {{last}}
+        )
+        SELECT doc_id FROM documents
+        WHERE doc_id % {{m}} = {{last}}
+          AND doc_id NOT IN (SELECT doc_id FROM rejected)
+"""
+
+
+@query(
+    "dedup_incremental_minhash",
+    oracle=_INC_MINHASH_ORACLE.format(m=NEW_BATCH_MOD, last=NEW_BATCH_MOD - 1),
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL NEAR-dup gate — what a daily 100 TB curation run
+    actually executes: the newly-arrived batch (last doc_id decile, as
+    in `dedup_incremental`) is MinHash-banded and probed against the
+    ACCUMULATED band index of everything already ingested, plus its own
+    earlier arrivals; band collisions are verified with exact Jaccard,
+    and only novel documents are accepted. The corpus is never
+    re-banded: at scale the index side is a persisted (band, sig,
+    doc_id) table that accepted batches append to, the probe is an
+    equi-join shipping band keys (16-byte sigs), and the Jaccard verify
+    reads a persisted doc->shingle-set table for just the colliding
+    pairs.
+
+    Within-batch policy is keep-first by doc_id (a new doc is rejected
+    if it collides-and-verifies against ANY smaller-id batch member,
+    whether or not that member is itself accepted) — the greedy,
+    single-pass rule; chained transitive acceptance is `dedup_clusters`'
+    job. Here both sides derive from the documents table split by
+    doc_id, so the whole contract is oracle-checkable."""
+    docs = table(spark, sf_dir, "documents")
+    per_doc = minhash_doc_table(docs)
+    bands = minhash_bands(per_doc)
+    is_new = (F.col("doc_id") % NEW_BATCH_MOD) == (NEW_BATCH_MOD - 1)
+    new_bands = bands.filter(is_new)
+    index_bands = bands.filter(~is_new)  # the accumulated band index
+    vs_index = new_bands.alias("n").join(index_bands.alias("o"), ["band", "sig"]).select(
+        F.col("n.doc_id").alias("new_id"), F.col("o.doc_id").alias("other_id")
+    )
+    in_batch = (
+        new_bands.alias("n")
+        .join(
+            new_bands.alias("o"),
+            (F.col("n.band") == F.col("o.band"))
+            & (F.col("n.sig") == F.col("o.sig"))
+            & (F.col("o.doc_id") < F.col("n.doc_id")),
+        )
+        .select(F.col("n.doc_id").alias("new_id"), F.col("o.doc_id").alias("other_id"))
+    )
+    cand = vs_index.unionAll(in_batch).dropDuplicates(["new_id", "other_id"])
+    sets = per_doc.select("doc_id", F.col("shingles").alias("sh"))
+    jac = (
+        F.size(F.array_intersect("sa.sh", "sb.sh"))
+        * 1.0
+        / F.size(F.array_union("sa.sh", "sb.sh"))
+    )
+    rejected = (
+        cand.join(sets.alias("sa"), F.col("new_id") == F.col("sa.doc_id"))
+        .join(sets.alias("sb"), F.col("other_id") == F.col("sb.doc_id"))
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select(F.col("new_id").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        docs.filter(is_new).select("doc_id").join(rejected, "doc_id", "left_anti")
+    )
 
 
 EVAL_MOD = 10  # doc_id % 10 == 0 plays the held-out benchmark/eval set

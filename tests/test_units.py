@@ -373,3 +373,30 @@ def test_histogram_zero_range_constant_column(spark, tmp_path):
     ora = con.execute(REGISTRY["agg_histogram"].oracle).fetchall()
     con.close()
     assert ora == [(0, 42.5, 42.5, 7)]
+
+
+def test_incremental_minhash_semantics(spark, tmp_path):
+    """Planted incremental near-dup gate: a new doc duplicating an
+    EXISTING doc is rejected whichever side has the smaller id; within
+    the batch the policy is keep-first; novel docs are accepted."""
+    from spark_graft.registry import REGISTRY
+
+    dup_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    dup_b = "one two three four five six seven eight nine ten eleven"
+    rows = [
+        (1, dup_a),  # existing
+        (2, "totally different existing text about spark and parquet files"),
+        (9, dup_a),  # new, dup of existing 1 -> rejected
+        (19, "a genuinely novel new document with its own words entirely"),
+        (29, dup_b),  # new, first of an in-batch dup pair -> accepted
+        (39, dup_b),  # new, later in-batch dup -> rejected
+    ]
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        r["doc_id"]
+        for r in REGISTRY["dedup_incremental_minhash"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == {19, 29}
