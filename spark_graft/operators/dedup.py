@@ -119,6 +119,17 @@ def _chunk_pair_rows(buckets: DataFrame, members_col: str) -> DataFrame:
     )
 
 
+def _chunk_pairs_expr() -> Column:
+    """The pair array for one (chunk_i, chunk_j) row of
+    `_chunk_pair_rows`: upper-triangle within the diagonal chunk
+    (i == j), full cross product between distinct chunks (i < j).
+    Module-level so the giant-bucket test measures the PRODUCTION
+    expression's per-row bound rather than a hand-copied tree."""
+    return F.when(
+        F.col("_i") == F.col("_r.j"), pair_combinations(F.col("_ca"))
+    ).otherwise(_cross_pairs(F.col("_ca"), F.col("_r.cb")))
+
+
 def exploded_pairs(buckets: DataFrame, members_col: str = "ds") -> DataFrame:
     """Explode each bucket's member array into all i<j pairs as rows of
     one struct column `p` — same output set as
@@ -136,10 +147,7 @@ def exploded_pairs(buckets: DataFrame, members_col: str = "ds") -> DataFrame:
     quadratic pair count is spread across (n/PAIR_CHUNK)^2 rows that
     distribute over the cluster like any other data."""
     rows = _chunk_pair_rows(buckets, members_col)
-    pairs = F.when(
-        F.col("_i") == F.col("_r.j"), pair_combinations(F.col("_ca"))
-    ).otherwise(_cross_pairs(F.col("_ca"), F.col("_r.cb")))
-    return rows.select(F.explode(pairs).alias("p"))
+    return rows.select(F.explode(_chunk_pairs_expr()).alias("p"))
 
 
 @query(

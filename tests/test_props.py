@@ -3,6 +3,7 @@ input, run on small generated datasets through the real Spark engine."""
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -112,37 +113,36 @@ def test_exploded_pairs_equals_pair_combinations(spark, ids):
     assert got == sorted(itertools.combinations(sorted(ids), 2))
 
 
-def test_exploded_pairs_giant_bucket_bounded(spark):
-    """The adversarial degenerate bucket (n=300 >> PAIR_CHUNK=128, the
-    boilerplate-corpus LSH-band case): every i<j pair appears exactly
-    once, AND no single pre-explode row ever materializes more than
-    PAIR_CHUNK**2 pair structs — the invariant that keeps a 1e5-doc
-    bucket at 100 TB from being an executor OOM."""
+@pytest.mark.parametrize("n", [127, 128, 129, 256, 300])
+def test_exploded_pairs_giant_bucket_bounded(spark, n):
+    """The adversarial degenerate bucket (the boilerplate-corpus
+    LSH-band case), at the exact chunk boundaries (PAIR_CHUNK=128 -1/0/
+    +1), a two-chunk multiple, and a ragged multi-chunk size: every i<j
+    pair appears exactly once, AND no single pre-explode row ever
+    materializes more than PAIR_CHUNK**2 pair structs — the invariant
+    that keeps a 1e5-doc bucket at 100 TB from being an executor OOM.
+    The per-row bound is measured on the PRODUCTION pair expression
+    (`_chunk_pairs_expr`), the one `exploded_pairs` actually explodes."""
     import itertools
 
     from spark_graft.operators.dedup import (
         PAIR_CHUNK,
         _chunk_pair_rows,
-        _cross_pairs,
+        _chunk_pairs_expr,
         exploded_pairs,
-        pair_combinations,
     )
 
-    n = 300
     ids = list(range(n))
     df = spark.createDataFrame([(ids,)], "ds array<bigint>")
     got = sorted(
         (r["p"]["a"], r["p"]["b"]) for r in exploded_pairs(df, "ds").collect()
     )
-    assert got == list(itertools.combinations(ids, 2))  # C(300,2) = 44850, each once
+    assert got == list(itertools.combinations(ids, 2))
 
-    # per-row bound: reconstruct the pre-explode chunk-pair rows and
-    # measure each row's pair-array size directly
+    # per-row bound: the pre-explode chunk-pair rows under the production
+    # expression
     rows = _chunk_pair_rows(df, "ds")
-    pairs = F.when(
-        F.col("_i") == F.col("_r.j"), pair_combinations(F.col("_ca"))
-    ).otherwise(_cross_pairs(F.col("_ca"), F.col("_r.cb")))
-    sizes = [r["n"] for r in rows.select(F.size(pairs).alias("n")).collect()]
+    sizes = [r["n"] for r in rows.select(F.size(_chunk_pairs_expr()).alias("n")).collect()]
     assert sum(sizes) == n * (n - 1) // 2
     assert max(sizes) <= PAIR_CHUNK**2
 
