@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import statistics
 import sys
 import time
@@ -31,7 +32,10 @@ N_RUNS = 3
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    # sf from a trailing "sf<number>" in the dir name; any other dir
+    # (e.g. CI's generated data) falls back to 0.0 rather than crashing
+    m = re.search(r"sf([0-9.]+)$", os.path.basename(sf_dir.rstrip("/")))
+    sf = float(m.group(1)) if m else 0.0
     spark_graft.load_all_queries()
     # The JVM inherits our fds at launch and log4j writes some lines
     # (e.g. the NativeCodeLoader warning) to ITS stdout — which would
@@ -70,18 +74,18 @@ def main() -> None:
     # plus only the slowest queries, keeping it well under 1 KB.
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     with open(detail_path, "w") as f:
-        json.dump({"sf": float(sf), "total_sec": total, "queries": timings}, f, indent=1, sort_keys=True)
+        json.dump({"sf": sf, "total_sec": total, "queries": timings}, f, indent=1, sort_keys=True)
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:8])
     print(
         json.dumps(
             {
-                "metric": "declared-query wall-clock (median of 3) at sf" + sf,
+                "metric": f"declared-query wall-clock (median of 3) at sf{sf}",
                 "value": total,
                 "unit": "sec",
                 "n_queries": len(timings),
                 "queries": slowest,
                 "detail": "BENCH_DETAIL.json",
-                "sf": float(sf),
+                "sf": sf,
             }
         )
     )

@@ -1,0 +1,336 @@
+#!/usr/bin/env python
+"""Deterministic synthetic testdata generator (TESTDATA.md-compatible).
+
+Produces the same 10-table star schema as the driver-provided parquet at
+`/root/testdata/sf*` — `region nation customer supplier part orders
+lineitem events documents embeddings` — with identical column names and
+physical types, at any scale factor, from a fixed seed.
+
+The repo's correctness gate is DIFFERENTIAL (Spark vs DuckDB over the
+same files), so the suite is valid on ANY schema-compatible data; this
+generator exists so CI — and anyone cloning the repo without the driver
+environment — can materialize a dataset and run the full test suite:
+
+    python scripts/gen_testdata.py --sf 0.001 --out /tmp/testdata/sf0.001
+    SPARK_GRAFT_TEST_SF=/tmp/testdata/sf0.001 python -m pytest tests/ -q
+
+Content mirrors the driver data's shapes (value domains, near-dup
+documents for the dedup/graph queries, funnel-ordered events, JSON
+props) without claiming to reproduce its exact rows: seeds differ, the
+contract is schemas + distributions.
+
+No Spark dependency — plain pyarrow writes, fast enough for CI.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import random
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+# sf0.001 row counts (FIXTURES.md); other sfs scale linearly
+BASE = {
+    "customer": 150,
+    "supplier": 10,
+    "part": 200,
+    "orders": 1500,
+    "lineitem": 6000,
+    "events": 1000,
+    "documents": 500,
+    "embeddings": 500,
+}
+
+REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+NATIONS = [
+    "ALGERIA", "ARGENTINA", "BRAZIL", "CANADA", "EGYPT", "ETHIOPIA",
+    "FRANCE", "GERMANY", "INDIA", "INDONESIA", "IRAN", "IRAQ", "JAPAN",
+    "JORDAN", "KENYA", "MOROCCO", "MOZAMBIQUE", "PERU", "CHINA",
+    "ROMANIA", "SAUDI ARABIA", "VIETNAM", "RUSSIA", "UNITED KINGDOM",
+    "UNITED STATES",
+]
+SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+STATUSES = ["F", "O", "P"]
+RETURNFLAGS = ["A", "N", "R"]
+LINESTATUSES = ["F", "O"]
+PART_ADJ = ["cold", "small", "large", "hot", "light", "dark", "fast", "slow"]
+PART_NOUN = ["widget", "bolt", "gear", "spring", "valve", "wheel"]
+PART_TYPE = ["ECONOMY", "PROMO", "STANDARD", "SMALL", "MEDIUM", "LARGE"]
+EVENT_TYPES = ["signup", "view", "click", "purchase", "error"]
+DOC_WORDS = (
+    "the a spark data row table scan filter join group sort merge window "
+    "hash key value query stream batch column vector customer line order "
+    "part fast slow small big agg"
+).split()
+LANGS = ["en", "en", "en", "en", "es", "zh", "de", "fr"]  # en-weighted
+
+EPOCH_2024 = 1704067200_000_000  # 2024-01-01 UTC in microseconds
+MONTH_US = 30 * 24 * 3600 * 1_000_000
+EMB_DIM = 64
+N_LABELS = 8
+
+
+def _ts_us(rng: random.Random, span_days: int = 30) -> int:
+    return EPOCH_2024 + rng.randrange(span_days * 24 * 3600 * 1_000_000)
+
+
+def gen(sf: float, out: str, seed: int = 42) -> None:
+    rng = random.Random(seed)
+    scale = sf / 0.001
+    n = {t: max(1, int(c * scale)) for t, c in BASE.items()}
+    os.makedirs(out, exist_ok=True)
+
+    def write(name: str, cols: dict, schema: pa.Schema) -> None:
+        pq.write_table(
+            pa.table(cols, schema=schema), os.path.join(out, f"{name}.parquet")
+        )
+        print(f"{name}: {len(next(iter(cols.values())))} rows")
+
+    write(
+        "region",
+        {"r_regionkey": list(range(5)), "r_name": REGIONS},
+        pa.schema([("r_regionkey", pa.int32()), ("r_name", pa.string())]),
+    )
+    write(
+        "nation",
+        {
+            "n_nationkey": list(range(25)),
+            "n_name": NATIONS,
+            "n_regionkey": [i % 5 for i in range(25)],
+        },
+        pa.schema(
+            [
+                ("n_nationkey", pa.int32()),
+                ("n_name", pa.string()),
+                ("n_regionkey", pa.int32()),
+            ]
+        ),
+    )
+    write(
+        "customer",
+        {
+            "c_custkey": list(range(n["customer"])),
+            "c_name": [f"Customer#{i:09d}" for i in range(n["customer"])],
+            "c_nationkey": [rng.randrange(25) for _ in range(n["customer"])],
+            "c_acctbal": [round(rng.uniform(-999, 9999), 2) for _ in range(n["customer"])],
+            "c_mktsegment": [rng.choice(SEGMENTS) for _ in range(n["customer"])],
+        },
+        pa.schema(
+            [
+                ("c_custkey", pa.int64()),
+                ("c_name", pa.string()),
+                ("c_nationkey", pa.int32()),
+                ("c_acctbal", pa.float64()),
+                ("c_mktsegment", pa.string()),
+            ]
+        ),
+    )
+    write(
+        "supplier",
+        {
+            "s_suppkey": list(range(n["supplier"])),
+            "s_name": [f"Supplier#{i:09d}" for i in range(n["supplier"])],
+            "s_nationkey": [rng.randrange(25) for _ in range(n["supplier"])],
+            "s_acctbal": [round(rng.uniform(-999, 9999), 2) for _ in range(n["supplier"])],
+        },
+        pa.schema(
+            [
+                ("s_suppkey", pa.int64()),
+                ("s_name", pa.string()),
+                ("s_nationkey", pa.int32()),
+                ("s_acctbal", pa.float64()),
+            ]
+        ),
+    )
+    write(
+        "part",
+        {
+            "p_partkey": list(range(n["part"])),
+            "p_name": [
+                f"{rng.choice(PART_ADJ)} {rng.choice(PART_NOUN)}"
+                for _ in range(n["part"])
+            ],
+            "p_brand": [f"Brand#{rng.randrange(1, 26)}" for _ in range(n["part"])],
+            "p_type": [rng.choice(PART_TYPE) for _ in range(n["part"])],
+            "p_size": [rng.randrange(1, 51) for _ in range(n["part"])],
+            "p_retailprice": [round(rng.uniform(900, 2100), 2) for _ in range(n["part"])],
+        },
+        pa.schema(
+            [
+                ("p_partkey", pa.int64()),
+                ("p_name", pa.string()),
+                ("p_brand", pa.string()),
+                ("p_type", pa.string()),
+                ("p_size", pa.int32()),
+                ("p_retailprice", pa.float64()),
+            ]
+        ),
+    )
+    write(
+        "orders",
+        {
+            "o_orderkey": list(range(n["orders"])),
+            "o_custkey": [rng.randrange(n["customer"]) for _ in range(n["orders"])],
+            "o_orderstatus": [rng.choice(STATUSES) for _ in range(n["orders"])],
+            "o_totalprice": [round(rng.uniform(900, 350000), 2) for _ in range(n["orders"])],
+            "o_orderdate": [_ts_us(rng, 365) for _ in range(n["orders"])],
+            "o_orderpriority": [rng.choice(PRIORITIES) for _ in range(n["orders"])],
+        },
+        pa.schema(
+            [
+                ("o_orderkey", pa.int64()),
+                ("o_custkey", pa.int64()),
+                ("o_orderstatus", pa.string()),
+                ("o_totalprice", pa.float64()),
+                ("o_orderdate", pa.timestamp("us")),
+                ("o_orderpriority", pa.string()),
+            ]
+        ),
+    )
+    write(
+        "lineitem",
+        {
+            "l_orderkey": [rng.randrange(n["orders"]) for _ in range(n["lineitem"])],
+            "l_partkey": [rng.randrange(n["part"]) for _ in range(n["lineitem"])],
+            "l_suppkey": [rng.randrange(n["supplier"]) for _ in range(n["lineitem"])],
+            "l_linenumber": [rng.randrange(1, 8) for _ in range(n["lineitem"])],
+            "l_quantity": [float(rng.randrange(1, 51)) for _ in range(n["lineitem"])],
+            "l_extendedprice": [round(rng.uniform(900, 100000), 2) for _ in range(n["lineitem"])],
+            "l_discount": [round(rng.uniform(0, 0.1), 2) for _ in range(n["lineitem"])],
+            "l_tax": [round(rng.uniform(0, 0.08), 2) for _ in range(n["lineitem"])],
+            "l_returnflag": [rng.choice(RETURNFLAGS) for _ in range(n["lineitem"])],
+            "l_linestatus": [rng.choice(LINESTATUSES) for _ in range(n["lineitem"])],
+            "l_shipdate": [_ts_us(rng, 365) for _ in range(n["lineitem"])],
+        },
+        pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("l_partkey", pa.int64()),
+                ("l_suppkey", pa.int64()),
+                ("l_linenumber", pa.int32()),
+                ("l_quantity", pa.float64()),
+                ("l_extendedprice", pa.float64()),
+                ("l_discount", pa.float64()),
+                ("l_tax", pa.float64()),
+                ("l_returnflag", pa.string()),
+                ("l_linestatus", pa.string()),
+                ("l_shipdate", pa.timestamp("us")),
+            ]
+        ),
+    )
+
+    # events: per-user ordered timelines so funnels/sessions/paths exist
+    ev_rows = []
+    n_users = max(2, n["events"] // 50)
+    for eid in range(n["events"]):
+        uid = rng.randrange(n_users)
+        et = rng.choice(EVENT_TYPES)
+        ev_rows.append(
+            (
+                eid,
+                _ts_us(rng, 30),
+                uid,
+                et,
+                round(rng.uniform(0, 200), 2),
+                '{"k": %d}' % rng.randrange(100),
+            )
+        )
+    write(
+        "events",
+        {
+            "event_id": [r[0] for r in ev_rows],
+            "ts": [r[1] for r in ev_rows],
+            "user_id": [r[2] for r in ev_rows],
+            "event_type": [r[3] for r in ev_rows],
+            "value": [r[4] for r in ev_rows],
+            "props": [r[5] for r in ev_rows],
+        },
+        pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("ts", pa.timestamp("us")),
+                ("user_id", pa.int64()),
+                ("event_type", pa.string()),
+                ("value", pa.float64()),
+                ("props", pa.string()),
+            ]
+        ),
+    )
+
+    # documents: word-salad texts with a planted near-dup tail (every
+    # 11th doc perturbs an earlier one) so the dedup/graph queries have
+    # real pairs to find; occasional empty text exercises the guards
+    texts: list[str] = []
+    for i in range(n["documents"]):
+        if i % 37 == 13:
+            texts.append("")
+        elif i % 11 == 10 and i > 20:
+            base_words = texts[i - 7].split()
+            if len(base_words) > 4:
+                base_words[rng.randrange(len(base_words))] = rng.choice(DOC_WORDS)
+                texts.append(" ".join(base_words))
+            else:
+                texts.append(" ".join(rng.choice(DOC_WORDS) for _ in range(30)))
+        else:
+            texts.append(
+                " ".join(rng.choice(DOC_WORDS) for _ in range(rng.randrange(15, 60)))
+            )
+    write(
+        "documents",
+        {
+            "doc_id": list(range(n["documents"])),
+            "text": texts,
+            "lang": [rng.choice(LANGS) for _ in range(n["documents"])],
+            "source": [f"src{rng.randrange(20)}" for _ in range(n["documents"])],
+            "n_chars": [rng.randrange(50, 500) for _ in range(n["documents"])],
+        },
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("text", pa.string()),
+                ("lang", pa.string()),
+                ("source", pa.string()),
+                ("n_chars", pa.int64()),
+            ]
+        ),
+    )
+
+    # embeddings: clustered around N_LABELS anchors so IVF/kmeans have
+    # structure; values stay inside (-1, 1) for the fixed-point quantizer
+    anchors = [
+        [rng.uniform(-0.4, 0.4) for _ in range(EMB_DIM)] for _ in range(N_LABELS)
+    ]
+    vecs, labels = [], []
+    for i in range(n["embeddings"]):
+        lab = rng.randrange(N_LABELS)
+        labels.append(lab)
+        vecs.append(
+            [a + rng.uniform(-0.25, 0.25) for a in anchors[lab]]
+        )
+    write(
+        "embeddings",
+        {
+            "vec_id": list(range(n["embeddings"])),
+            "embedding": vecs,
+            "label": labels,
+        },
+        pa.schema(
+            [
+                ("vec_id", pa.int64()),
+                ("embedding", pa.list_(pa.float32())),
+                ("label", pa.int32()),
+            ]
+        ),
+    )
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--sf", type=float, default=0.001)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--seed", type=int, default=42)
+    a = ap.parse_args()
+    gen(a.sf, a.out, a.seed)

@@ -27,69 +27,72 @@ __all__ = ["REGISTRY", "QuerySpec", "query", "load_all_queries"]
 # the FIRST ~50 registered queries, so registration order is a
 # verification SCHEDULE. load_all_queries() orders the registry by
 # staleness tier:
-#   tier 0 — never driver-verified, or modified this round (ADVICE r02:
-#            an edit to a query fn or its oracle invalidates prior
-#            verification, so edited queries must re-enter the window);
-#   tier 1 — hash-green in CORRECTNESS_r01 only (verified on OLDER
-#            code — re-verify on current code);
-#   tier 2 — hash-green in CORRECTNESS_r02 (current code as of round-3
-#            start);
-#   tier 3 — oracle=None rows-only queries (the driver can never
-#            hash-check these; they'd burn window slots for a weaker
-#            signal covered by pytest).
-# Refresh _VERIFIED_R2 / _VERIFIED_R1_ONLY from CORRECTNESS_r{N}.json
-# at the start of each round, and add every query touched during the
-# round to _MODIFIED_THIS_ROUND.
+#   tier 0 — never driver-verified, or modified this round (an edit to
+#            a query fn or its oracle invalidates prior verification,
+#            so edited queries must re-enter the window);
+#   tier 1 — hash-green last in CORRECTNESS_r02 (rounds 3-5 re-checked
+#            a fixed set, so these are 4 rounds stale — re-verify);
+#   tier 2 — hash-green in CORRECTNESS_r05 on code unchanged since.
+# Refresh these sets from CORRECTNESS_r{N}.json at the start of each
+# round, and add every query touched during the round to
+# _MODIFIED_THIS_ROUND.
 
-# Green (rows+schema+hash) rows in CORRECTNESS_r02.json — verified on
-# the code this round starts from.
-_VERIFIED_R2 = frozenset(
-    """agg_corr_exact agg_histogram agg_skew_salted decontaminate
-    dedup_incremental dedup_span_fraction events_funnel events_paths
-    events_retention fill_forward fn_map fn_struct graph_pagerank
-    graph_triangles join_q2_shape join_skew_salted kmeans_lloyd lm_next_token
-    mixture_weights multimodal_decode multimodal_frames multimodal_meta
-    pipeline_clean_corpus pipeline_pack_sequences profile_table
-    recursive_reachability sample_stratified sim_ann_ivf_trained source_stats
-    stream_session stream_sliding stream_tumbling text_chunks text_fingerprint
-    text_quality text_repetition text_scrub text_split text_stats text_tfidf
-    text_tokens ts_anomaly ts_resample udf_compat udf_compat_iterative
-    udf_pandas_tokens unpivot_measures vocab_pair_counts win_gaps_islands""".split()
-)
-
-# Green in CORRECTNESS_r01.json but NOT re-verified since (rotated out
-# of the r02 window); their round-1 verification predates the current
-# code, so they take priority over _VERIFIED_R2.
-_VERIFIED_R1_ONLY = frozenset(
-    """scan_project text_lines filter_pred filter_in_null agg_q1 agg_distinct
-    agg_bool_all agg_percentile agg_pivot grouping_rollup grouping_cube
-    grouping_sets word_count min_unique_prefix join_inner join_broadcast
-    join_multi join_semi_anti join_outer join_theta_range join_asof win_rank
-    win_running win_lag win_range win_dist global_sort topk_per_group set_ops
-    dedup_exact dedup_minhash dedup_clusters dedup_simhash dedup_ngram_jaccard
-    dedup_embedding fn_string fn_datetime fn_math_decimal fn_json fn_array
-    sim_cosine_topk text_langid""".split()
-)
-
-# Queries whose implementation or oracle changed during ROUND 3 —
-# demoted to tier 0 so the driver re-verifies them on the new code.
+# Queries whose implementation or oracle changed during ROUND 6 —
+# tier 0, the driver must re-verify them on the new code:
+# - graph/histogram fixes (temp view, zero-range guard)
+# - sketch queries rewritten to keys+bounds contracts
+# - sim_ann_lsh / sim_ann_ivf gained full oracles
+# - dedup pair-expansion refactor (_chunk_pairs_expr)
+# - md5(array_to_string(...)) oracles gained empty-array coalesce
+# - dedup_incremental_minhash is new
 _MODIFIED_THIS_ROUND = frozenset(
-    """dedup_minhash dedup_ngram_jaccard agg_histogram
-    recursive_reachability""".split()
+    """recursive_reachability agg_histogram sim_ann_lsh sim_ann_ivf
+    agg_approx agg_sketch_hll agg_approx_percentile
+    dedup_incremental_minhash dedup_minhash dedup_ngram_jaccard
+    dedup_exact dedup_incremental source_stats text_fingerprint fn_map
+    pipeline_clean_corpus""".split()
+)
+
+# Green (rows+schema+hash) in CORRECTNESS_r05.json — verified on code
+# unchanged through round 6 (minus the modified set above).
+_VERIFIED_R5 = frozenset(
+    """agg_bool_all agg_distinct agg_percentile agg_pivot agg_q1
+    dedup_clusters dedup_embedding dedup_simhash filter_in_null
+    filter_pred fn_array fn_datetime fn_json fn_math_decimal fn_string
+    global_sort grouping_cube grouping_rollup grouping_sets join_asof
+    join_broadcast join_inner join_multi join_outer join_semi_anti
+    join_theta_range min_unique_prefix scan_project set_ops
+    sim_cosine_topk text_langid text_lines text_quality text_scrub
+    text_stats text_tokens topk_per_group udf_pandas_tokens win_dist
+    win_lag win_range win_rank win_running word_count""".split()
+)
+
+# Green last in CORRECTNESS_r02.json and rotated OUT of the fixed
+# round-3-5 window — 4 rounds stale, highest re-verification priority
+# after the modified set.
+_VERIFIED_R2_ONLY = frozenset(
+    """agg_corr_exact agg_skew_salted decontaminate dedup_span_fraction
+    events_funnel events_paths events_retention fill_forward fn_struct
+    graph_pagerank graph_triangles join_q2_shape join_skew_salted
+    kmeans_lloyd lm_next_token mixture_weights multimodal_decode
+    multimodal_frames multimodal_meta pipeline_pack_sequences
+    profile_table sample_stratified sim_ann_ivf_trained stream_session
+    stream_sliding stream_tumbling text_chunks text_repetition
+    text_split text_tfidf ts_anomaly ts_resample udf_compat
+    udf_compat_iterative unpivot_measures vocab_pair_counts
+    win_gaps_islands""".split()
 )
 
 
 def _staleness_tier(name: str) -> int:
-    """0 = needs verification now … 3 = can never be hash-verified."""
-    if REGISTRY[name].oracle is None:
-        return 3
+    """0 = needs verification now … 2 = freshest verification."""
     if name in _MODIFIED_THIS_ROUND:
         return 0
-    if name in _VERIFIED_R2:
-        return 2
-    if name in _VERIFIED_R1_ONLY:
+    if name in _VERIFIED_R2_ONLY:
         return 1
-    return 0
+    if name in _VERIFIED_R5:
+        return 2
+    return 0  # never driver-verified
 
 
 def load_all_queries() -> None:

@@ -154,7 +154,7 @@ def exploded_pairs(buckets: DataFrame, members_col: str = "ds") -> DataFrame:
     "dedup_exact",
     oracle=f"""
         SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
-        FROM (SELECT doc_id, md5(array_to_string({_TOK}, ' ')) AS fp FROM documents)
+        FROM (SELECT doc_id, md5(coalesce(array_to_string({_TOK}, ' '), '')) AS fp FROM documents)
         GROUP BY fp
     """,
 )

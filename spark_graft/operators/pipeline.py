@@ -98,7 +98,7 @@ NEW_BATCH_MOD = 10  # doc_id % 10 == 9 plays the "newly arrived" batch
     "dedup_incremental",
     oracle=f"""
         WITH fp AS (
-            SELECT doc_id, md5(array_to_string({_TOK}, ' ')) AS fp FROM documents
+            SELECT doc_id, md5(coalesce(array_to_string({_TOK}, ' '), '')) AS fp FROM documents
         ),
         existing AS (SELECT fp FROM fp WHERE doc_id % {NEW_BATCH_MOD} < {NEW_BATCH_MOD - 1}),
         new_batch AS (SELECT doc_id, fp FROM fp WHERE doc_id % {NEW_BATCH_MOD} = {NEW_BATCH_MOD - 1}),
@@ -303,7 +303,7 @@ def _lang_stop_sql(lang: str) -> str:
         feat AS (
             SELECT doc_id,
                    len(toks) AS n_tokens,
-                   md5(array_to_string(toks, ' ')) AS fp,
+                   md5(coalesce(array_to_string(toks, ' '), '')) AS fp,
                    {_lang_stop_sql("en")} AS c_en,
                    {_lang_stop_sql("es")} AS c_es,
                    {_lang_stop_sql("fr")} AS c_fr,
@@ -531,7 +531,7 @@ def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH f AS (
             SELECT source, doc_id,
                    len({_TOK}) AS n_tokens,
-                   md5(array_to_string({_TOK}, ' ')) AS fp
+                   md5(coalesce(array_to_string({_TOK}, ' '), '')) AS fp
             FROM documents
         )
         SELECT source,

@@ -151,7 +151,7 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_map",
     oracle="""
         SELECT event_id,
-               array_to_string(list_sort(CAST(json_keys(props) AS VARCHAR[])), ',') AS ks,
+               coalesce(array_to_string(list_sort(CAST(json_keys(props) AS VARCHAR[])), ','), '') AS ks,
                CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
                len(json_keys(props)) AS n_keys
         FROM events

@@ -201,7 +201,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_fingerprint",
     oracle=f"""
         SELECT doc_id,
-               md5(array_to_string({_TOK}, ' ')) AS content_fp,
+               md5(coalesce(array_to_string({_TOK}, ' '), '')) AS content_fp,
                list_min(list_transform(
                    list_distinct(list_transform(
                        generate_series(1, greatest(len({_TOK}) - 2, 0)),

@@ -37,10 +37,16 @@ def ensure_session_confs(spark: SparkSession) -> None:
     driver builds its own, without spark_graft.session's builder):
     - UTC session TZ: timestamp results must not depend on host TZ;
     - nanosAsLong: events.parquet stores TIMESTAMP(NANOS), which the
-      vectorized reader otherwise rejects.
+      vectorized reader otherwise rejects;
+    - no TIMESTAMP_NTZ inference: parquet timestamps without UTC
+      adjustment otherwise surface as TIMESTAMP_NTZ, which
+      `withWatermark` rejects (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) —
+      with a UTC session TZ, reading them as plain TIMESTAMP denotes
+      the same instants in both batch and streaming plans.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
