@@ -401,3 +401,39 @@ def test_corr_exact_is_one_aggregate_pass(spark, sf_dir):
     assert physical.count("Scan parquet") == 1, physical
     n = sum(1 for l in physical.splitlines() if "Exchange" in l and "Reused" not in l)
     assert n == 1, physical
+
+
+def test_incremental_minhash_never_cross_product(spark, sf_dir):
+    """The incremental near-dup gate must stay equi-join shaped: band
+    probes against the index and the in-batch lower-id self-join are
+    (band, sig) hash joins, the verify is a keyed join, the accept is an
+    anti-join — no cartesian/nested-loop anywhere."""
+    plan = explain_str(REGISTRY["dedup_incremental_minhash"].fn(spark, sf_dir), "formatted")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan
+
+
+def test_sim_ann_candidate_filter_is_narrow(spark, sf_dir):
+    """Both ANN serving paths must select candidates with a narrow
+    bucket/cluster filter (map-side, partition-prunable at scale) and
+    finish with TakeOrderedAndProject — never a global sort of scored
+    vectors or a join against the corpus."""
+    for name in ("sim_ann_lsh", "sim_ann_ivf"):
+        plan = explain_str(REGISTRY[name].fn(spark, sf_dir), "formatted")
+        assert "TakeOrderedAndProject" in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_sketch_queries_single_scan(spark, sf_dir):
+    """The keys+bounds sketch queries compute the estimate AND its exact
+    yardstick in one pass: exactly one parquet scan of the fact table —
+    a second scan would double the 100 TB read for a verification
+    column."""
+    for name in ("agg_approx", "agg_approx_percentile"):
+        # simple mode prints each scan node exactly once (formatted
+        # repeats it in the details section)
+        plan = explain_str(REGISTRY[name].fn(spark, sf_dir), "simple")
+        scans = plan.count("Scan parquet")
+        assert scans == 1, f"{name}: {scans} scans\n{plan}"
