@@ -204,7 +204,12 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus a boolean asserting the HLL estimate landed within 3x its
     configured rsd; the oracle recomputes the exact count and expects
     TRUE. An out-of-envelope sketch therefore fails the driver's hash
-    gate rather than hiding behind a rows-only check."""
+    gate rather than hiding behind a rows-only check.
+
+    The exact countDistinct exists ONLY as the verification yardstick
+    (it is the cost the sketch exists to avoid): the production 100 TB
+    query is the approx column alone, and this envelope check runs as a
+    sampled validation job, not inline."""
     env = F.col("exact_parts") * APPROX_ENVELOPE
     return (
         table(spark, sf_dir, "lineitem")
@@ -556,7 +561,9 @@ def agg_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     KEYS+BOUNDS contract: exact distinct counts (the yardstick) plus a
     boolean asserting each estimate — including the estimate from the
     MERGED sketch, which exercises hll_union_agg — lands within 5% of
-    exact; the oracle expects TRUE everywhere."""
+    exact; the oracle expects TRUE everywhere. As with `agg_approx`,
+    the exact counts are the verification yardstick only — production
+    serves the estimates and validates on samples."""
     c = table(spark, sf_dir, "customer")
     seg = c.groupBy("c_mktsegment").agg(
         F.hll_sketch_agg("c_custkey").alias("sk"),
@@ -813,7 +820,10 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserting the approximate p50/p99 land within 1% of the EXACT
     percentiles computed in the same aggregation; the oracle expects
     TRUE. The same envelope is unit-tested at
-    tests/test_units.py::test_approx_percentile_brackets_exact."""
+    tests/test_units.py::test_approx_percentile_brackets_exact. The
+    exact percentile (which buffers each group) is the verification
+    yardstick only — the production query ships the sketch column alone
+    and validates on samples."""
     li = table(spark, sf_dir, "lineitem")
     agged = li.groupBy("l_returnflag").agg(
         F.percentile_approx(
