@@ -3,9 +3,10 @@
 entry()      — flagship min-unique-prefix on sf0.001.
 queries()    — every declared operator from SURVEY.md §2b, backed by
                spark_graft.registry (each @query registration).
-oracle_sql() — the DuckDB twin of each query; omitted entries are
-               rows-only by design (approx sketches / engine-specific
-               LSH constants), tagged "rows-only" in the registry.
+oracle_sql() — the DuckDB twin of EVERY query (none omitted since
+               round 6): engine-specific sketches verify through
+               keys+bounds contracts, and the ANN variants re-derive
+               their public md5 plane/centroid arithmetic in SQL.
 """
 
 from __future__ import annotations
