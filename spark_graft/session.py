@@ -33,6 +33,10 @@ def get_spark(app_name: str = "spark-graft", shuffle_partitions: int | None = No
         # events.parquet stores TIMESTAMP(NANOS), which Spark's reader
         # rejects; read as long and convert in sources.tables.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # parquet timestamps without UTC adjustment must read as plain
+        # TIMESTAMP (withWatermark rejects TIMESTAMP_NTZ); see
+        # sources.tables.ensure_session_confs
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.shuffle.spill.compress", "true")
         # local runs: keep the UI off and logs quiet
         .config("spark.ui.enabled", "false")
