@@ -590,3 +590,39 @@ def test_ann_recall_gate_planted_pairs(spark, tmp_path_factory):
     ivf_recall = len(ivf & exact) / len(exact)
     assert lsh_recall >= 0.8, f"sim_ann_lsh high-sim recall {lsh_recall}"
     assert ivf_recall >= 0.8, f"sim_ann_ivf_trained high-sim recall {ivf_recall}"
+
+
+def test_incremental_minhash_degenerate_batch(spark, tmp_path_factory):
+    """Adversarial boilerplate batch: hundreds of identical NEW docs.
+    Keep-first must accept exactly one when the content is novel, and
+    zero when it also duplicates an existing doc — and the candidate
+    set stays a distributed band equi-join (rows, never a per-row
+    quadratic array)."""
+    from spark_graft.registry import REGISTRY
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    other = "completely different corpus content with many plain words here"
+    d = tmp_path_factory.mktemp("incdup")
+    # ids ending in 9 = new batch: 150 identical novel docs
+    rows = [(i * 10 + 9, text) for i in range(150)]
+    rows += [(2, other)]  # one existing doc, unrelated
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.mode(
+        "overwrite"
+    ).parquet(str(d / "documents.parquet"))
+    got = {
+        r["doc_id"]
+        for r in REGISTRY["dedup_incremental_minhash"].fn(spark, str(d)).collect()
+    }
+    assert got == {9}, got  # keep-first: smallest new id only
+
+    # same batch but the content already exists in the corpus -> zero
+    d2 = tmp_path_factory.mktemp("incdup2")
+    rows2 = [(i * 10 + 9, text) for i in range(150)] + [(2, text)]
+    spark.createDataFrame(rows2, "doc_id bigint, text string").write.mode(
+        "overwrite"
+    ).parquet(str(d2 / "documents.parquet"))
+    got2 = {
+        r["doc_id"]
+        for r in REGISTRY["dedup_incremental_minhash"].fn(spark, str(d2)).collect()
+    }
+    assert got2 == set(), got2
