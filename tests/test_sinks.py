@@ -140,3 +140,43 @@ def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
     assert "EqualTo(o_custkey,1)" in pushed, plan
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "o_totalprice" not in read_schema, read_schema
+
+
+def test_lsh_bucket_partitioned_serving_layout(spark, sf_dir, tmp_path):
+    """The ANN serving claim as a gate (similarity.py docstring): bucket
+    the corpus once with the production hash family, write partitioned
+    by bucket id, and a probe's candidate scan must become directory
+    pruning (PartitionFilters on bucket) — touching 1+n_probes
+    partitions of the corpus, not a full scan."""
+    from spark_graft.operators.similarity import (
+        EMB_DIM,
+        N_PROBES,
+        _planes,
+        _probe_vector,
+        lsh_bucket_col,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    planes = _planes(EMB_DIM)
+    out = str(tmp_path / "emb_by_bucket")
+    e.withColumn("bucket", lsh_bucket_col(F.col("embedding"), planes)).write.partitionBy(
+        "bucket"
+    ).mode("overwrite").parquet(out)
+
+    probe = _probe_vector(spark, sf_dir)
+    margins = [sum(a * b for a, b in zip(probe, p)) for p in planes]
+    pb = sum(2**i for i, m in enumerate(margins) if m >= 0)
+    flips = sorted(range(len(planes)), key=lambda p: abs(margins[p]))[:N_PROBES]
+    buckets = [pb] + [pb ^ (1 << p) for p in flips]
+
+    back = spark.read.parquet(out)
+    cand = back.filter(F.col("bucket").isin(buckets))
+    plan = explain_str(cand, "formatted")
+    pf_line = plan.split("PartitionFilters", 1)[1].split("\n", 1)[0]
+    assert "bucket" in pf_line, plan
+    # and the probed layout returns exactly the rows the in-plan
+    # bucketing computes
+    inplan = e.withColumn("bucket", lsh_bucket_col(F.col("embedding"), planes)).filter(
+        F.col("bucket").isin(buckets)
+    )
+    assert cand.count() == inplan.count() > 0
