@@ -626,3 +626,32 @@ def test_incremental_minhash_degenerate_batch(spark, tmp_path_factory):
         for r in REGISTRY["dedup_incremental_minhash"].fn(spark, str(d2)).collect()
     }
     assert got2 == set(), got2
+
+
+@given(
+    keys=st.lists(
+        st.text(alphabet="abcdefghij0123456789:#-", min_size=0, max_size=24),
+        min_size=1,
+        max_size=20,
+        unique=True,
+    )
+)
+@SETTINGS
+def test_md5_bucket_matches_python_reference(spark, keys):
+    """The engine-portable hash primitive every deterministic assignment
+    and oracle rests on: Spark's conv(substr(md5(x),1,8),16,10) must
+    equal python's int(md5(x)[:8], 16) — which is also DuckDB's
+    CAST('0x'||substr(md5(x),1,8) AS BIGINT) — for arbitrary keys."""
+    import hashlib
+
+    from spark_graft.operators.pipeline import _md5_bucket_raw
+
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    got = {
+        r["k"]: r["b"]
+        for r in df.select("k", _md5_bucket_raw("p:", F.col("k")).alias("b")).collect()
+    }
+    expect = {
+        k: int(hashlib.md5(f"p:{k}".encode()).hexdigest()[:8], 16) for k in keys
+    }
+    assert got == expect
