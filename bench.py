@@ -34,7 +34,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # sf from a trailing "sf<number>" in the dir name; any other dir
     # (e.g. CI's generated data) falls back to 0.0 rather than crashing
-    m = re.search(r"sf([0-9.]+)$", os.path.basename(sf_dir.rstrip("/")))
+    m = re.search(r"sf([0-9]+(?:\.[0-9]+)?)$", os.path.basename(sf_dir.rstrip("/")))
     sf = float(m.group(1)) if m else 0.0
     spark_graft.load_all_queries()
     # The JVM inherits our fds at launch and log4j writes some lines

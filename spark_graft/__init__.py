@@ -30,32 +30,32 @@ __all__ = ["REGISTRY", "QuerySpec", "query", "load_all_queries"]
 #   tier 0 — never driver-verified, or modified this round (an edit to
 #            a query fn or its oracle invalidates prior verification,
 #            so edited queries must re-enter the window);
-#   tier 1 — hash-green last in CORRECTNESS_r02 (rounds 3-5 re-checked
-#            a fixed set, so these are 4 rounds stale — re-verify);
-#   tier 2 — hash-green in CORRECTNESS_r05 on code unchanged since.
+#   tier 1 — hash-green last in CORRECTNESS_r02 (these three missed
+#            every window since — 5 rounds stale, highest priority);
+#   tier 2 — hash-green last in CORRECTNESS_r05 (2 rounds stale);
+#   tier 3 — hash-green in CORRECTNESS_r06 on code unchanged since.
 # Refresh these sets from CORRECTNESS_r{N}.json at the start of each
 # round, and add every query touched during the round to
 # _MODIFIED_THIS_ROUND.
 
-# Queries whose implementation or oracle changed during ROUND 6 —
+# Queries whose implementation or oracle changed during ROUND 7 —
 # tier 0, the driver must re-verify them on the new code:
-# - graph/histogram fixes (temp view, zero-range guard)
-# - sketch queries rewritten to keys+bounds contracts
-# - sim_ann_lsh / sim_ann_ivf gained full oracles
-# - dedup pair-expansion refactor (_chunk_pairs_expr)
-# - md5(array_to_string(...)) oracles gained empty-array coalesce
-# - dedup_incremental_minhash is new
+# - agg_approx / agg_approx_percentile: exact yardstick now computed on
+#   an md5-sampled subset (VERDICT r6 item 3)
+# - dedup_embedding: per-block pairwise now chunk-capped (item 4)
 _MODIFIED_THIS_ROUND = frozenset(
-    """recursive_reachability agg_histogram sim_ann_lsh sim_ann_ivf
-    agg_approx agg_sketch_hll agg_approx_percentile
-    dedup_incremental_minhash dedup_minhash dedup_ngram_jaccard
-    dedup_exact dedup_incremental source_stats text_fingerprint fn_map
-    pipeline_clean_corpus""".split()
+    """agg_approx agg_approx_percentile dedup_embedding""".split()
 )
 
-# Green (rows+schema+hash) in CORRECTNESS_r05.json — verified on code
-# unchanged through round 6 (minus the modified set above).
-_VERIFIED_R5 = frozenset(
+# Green last in CORRECTNESS_r02.json — these three have missed every
+# verification window since round 2 (5 rounds stale): re-verify first.
+_VERIFIED_R2_ONLY = frozenset(
+    """agg_corr_exact profile_table unpivot_measures""".split()
+)
+
+# Green last in CORRECTNESS_r05.json — code unchanged through round 6,
+# now 2 rounds stale.
+_VERIFIED_R5_ONLY = frozenset(
     """agg_bool_all agg_distinct agg_percentile agg_pivot agg_q1
     dedup_clusters dedup_embedding dedup_simhash filter_in_null
     filter_pred fn_array fn_datetime fn_json fn_math_decimal fn_string
@@ -67,31 +67,35 @@ _VERIFIED_R5 = frozenset(
     win_lag win_range win_rank win_running word_count""".split()
 )
 
-# Green last in CORRECTNESS_r02.json and rotated OUT of the fixed
-# round-3-5 window — 4 rounds stale, highest re-verification priority
-# after the modified set.
-_VERIFIED_R2_ONLY = frozenset(
-    """agg_corr_exact agg_skew_salted decontaminate dedup_span_fraction
-    events_funnel events_paths events_retention fill_forward fn_struct
-    graph_pagerank graph_triangles join_q2_shape join_skew_salted
-    kmeans_lloyd lm_next_token mixture_weights multimodal_decode
-    multimodal_frames multimodal_meta pipeline_pack_sequences
-    profile_table sample_stratified sim_ann_ivf_trained stream_session
-    stream_sliding stream_tumbling text_chunks text_repetition
-    text_split text_tfidf ts_anomaly ts_resample udf_compat
-    udf_compat_iterative unpivot_measures vocab_pair_counts
-    win_gaps_islands""".split()
+# Green (rows+schema+hash) in CORRECTNESS_r06.json — freshest; these
+# can sit out round 7's window provided their code does not change.
+_VERIFIED_R6 = frozenset(
+    """agg_approx agg_approx_percentile agg_histogram agg_sketch_hll
+    agg_skew_salted decontaminate dedup_exact dedup_incremental
+    dedup_incremental_minhash dedup_minhash dedup_ngram_jaccard
+    dedup_span_fraction events_funnel events_paths events_retention
+    fill_forward fn_map fn_struct graph_pagerank graph_triangles
+    join_q2_shape join_skew_salted kmeans_lloyd lm_next_token
+    mixture_weights multimodal_decode multimodal_frames multimodal_meta
+    pipeline_clean_corpus pipeline_pack_sequences recursive_reachability
+    sample_stratified sim_ann_ivf sim_ann_ivf_trained sim_ann_lsh
+    source_stats stream_session stream_sliding stream_tumbling
+    text_chunks text_fingerprint text_repetition text_split text_tfidf
+    ts_anomaly ts_resample udf_compat udf_compat_iterative
+    vocab_pair_counts win_gaps_islands""".split()
 )
 
 
 def _staleness_tier(name: str) -> int:
-    """0 = needs verification now … 2 = freshest verification."""
+    """0 = needs verification now … 3 = freshest verification."""
     if name in _MODIFIED_THIS_ROUND:
         return 0
     if name in _VERIFIED_R2_ONLY:
         return 1
-    if name in _VERIFIED_R5:
+    if name in _VERIFIED_R5_ONLY:
         return 2
+    if name in _VERIFIED_R6:
+        return 3
     return 0  # never driver-verified
 
 

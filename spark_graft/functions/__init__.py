@@ -131,3 +131,21 @@ def cosine(a: Column, b: Column) -> Column:
 # ------------------------------------------------------------------ hashing
 
 
+def md5_bucket_raw(prefix: str, key_col: Column) -> Column:
+    """Engine-portable non-negative bigint from md5(prefix || key) —
+    the base of every deterministic assignment (sampling, splits,
+    shards). DuckDB reproduces it with
+    CAST('0x' || substr(md5(...), 1, 8) AS BIGINT). Property-tested
+    against a pure-Python reference in tests/test_props.py."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(prefix), key_col.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def md5_bucket(prefix: str, key_col: Column) -> Column:
+    """0..99 bucket form of `md5_bucket_raw`."""
+    return md5_bucket_raw(prefix, key_col) % 100
+
+

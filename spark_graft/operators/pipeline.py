@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from spark_graft.functions import shingles_from_tokens, tokens
+from spark_graft.functions import md5_bucket, md5_bucket_raw, shingles_from_tokens, tokens
 from spark_graft.operators.dedup import (
     JACCARD_THRESHOLD,
     MINHASH_PAIRS_CTES,
@@ -40,21 +40,12 @@ SAMPLE_RATES = {"BUILDING": 10, "MACHINERY": 30}
 SAMPLE_DEFAULT = 20
 
 
-def _md5_bucket_raw(prefix: str, key_col) -> F.Column:
-    """Engine-portable non-negative bigint from md5(prefix || key) —
-    the base of every deterministic assignment in this module. DuckDB
-    reproduces it with CAST('0x' || substr(md5(...), 1, 8) AS BIGINT)."""
-    return F.conv(
-        F.substring(F.md5(F.concat(F.lit(prefix), key_col.cast("string"))), 1, 8),
-        16,
-        10,
-    ).cast("bigint")
-
-
-def _md5_bucket(prefix: str, key_col) -> F.Column:
-    """0..99 bucket form of `_md5_bucket_raw` — the same construction as
-    text_split's assignment."""
-    return _md5_bucket_raw(prefix, key_col) % 100
+# Shared engine-portable md5 assignment primitives (moved to
+# spark_graft.functions in round 7 so relational.py's sampled sketch
+# yardsticks reuse them); the underscore aliases keep this module's
+# historical call sites and the property test stable.
+_md5_bucket_raw = md5_bucket_raw
+_md5_bucket = md5_bucket
 
 
 @query(

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spark_graft.functions import davg, dsum, tokens
+from spark_graft.functions import davg, dsum, md5_bucket, tokens
 from spark_graft.registry import query
 from spark_graft.sources import table
 
@@ -182,7 +182,16 @@ def agg_bool_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 APPROX_RSD = 0.02  # HLL++ target relative standard deviation
-APPROX_ENVELOPE = 3 * APPROX_RSD  # accept within 3 sigma of the exact count
+# Accept within 4 sigma of the exact count. False-failure probability
+# (a LEGITIMATE sketch estimate outside the envelope on a fresh
+# dataset): HLL error is ~Gaussian for large n, so P ~ 6e-5 per group
+# at 4 sigma (vs ~2.7e-3 at the former 3 sigma — widened in round 7 per
+# ADVICE so regenerated test data can't turn an expected-tail event
+# into a driver hash failure). Small groups are safer still: below the
+# sparse->dense threshold HLL++ counts exactly, and the absolute floor
+# in the check below covers the transition region.
+APPROX_ENVELOPE = 4 * APPROX_RSD
+APPROX_SAMPLE_PCT = 10  # validate on a 10% md5 sample of the key space
 
 
 @query(
@@ -191,7 +200,10 @@ APPROX_ENVELOPE = 3 * APPROX_RSD  # accept within 3 sigma of the exact count
         SELECT l_returnflag,
                count(DISTINCT l_partkey) AS exact_parts,
                TRUE AS approx_within_{int(APPROX_ENVELOPE * 100)}pct
-        FROM lineitem GROUP BY l_returnflag
+        FROM lineitem
+        WHERE CAST(('0x' || substr(md5('apx:' || CAST(l_partkey AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 100 < {APPROX_SAMPLE_PCT}
+        GROUP BY l_returnflag
     """,
 )
 def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -200,19 +212,25 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Sketch estimates are engine-specific, so the oracle checks a
     KEYS+BOUNDS contract instead of the estimate itself: the query
-    emits the exact count (the yardstick, computed in the same pass)
-    plus a boolean asserting the HLL estimate landed within 3x its
-    configured rsd; the oracle recomputes the exact count and expects
-    TRUE. An out-of-envelope sketch therefore fails the driver's hash
-    gate rather than hiding behind a rows-only check.
+    emits an exact count (the yardstick) plus a boolean asserting the
+    HLL estimate landed within 4x its configured rsd; the oracle
+    recomputes the exact count and expects TRUE. An out-of-envelope
+    sketch therefore fails the driver's hash gate rather than hiding
+    behind a rows-only check.
 
-    The exact countDistinct exists ONLY as the verification yardstick
-    (it is the cost the sketch exists to avoid): the production 100 TB
-    query is the approx column alone, and this envelope check runs as a
-    sampled validation job, not inline."""
-    env = F.col("exact_parts") * APPROX_ENVELOPE
+    Round 7 (VERDICT r6 item 3): the yardstick is computed on a
+    deterministic 10% md5 sample of the KEY SPACE (`md5_bucket` on
+    l_partkey — a distinct-value sample, so sketch-vs-exact compare the
+    same key population), exactly the "validate on samples" discipline
+    the production pipeline runs: the full-corpus query ships the
+    sketch column alone; this sampled validation job pays exact
+    countDistinct on ~10% of keys instead of 100%. The absolute floor
+    of 8 keys in the envelope covers tiny groups where relative error
+    is undefined-ish but HLL++ sparse mode is exact anyway."""
+    env = F.greatest(F.col("exact_parts") * APPROX_ENVELOPE, F.lit(8.0))
     return (
         table(spark, sf_dir, "lineitem")
+        .where(md5_bucket("apx:", F.col("l_partkey")) < APPROX_SAMPLE_PCT)
         .groupBy("l_returnflag")
         .agg(
             F.approx_count_distinct("l_partkey", rsd=APPROX_RSD).alias("approx_parts"),
@@ -534,7 +552,16 @@ def min_unique_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-HLL_ENVELOPE = 0.05  # default lgConfigK=12 rsd ~1.6%; accept within ~3 sigma
+# Default lgConfigK=12 rsd ~1.6%; accept within ~3 sigma. False-failure
+# probability on a freshly generated dataset (ADVICE r6): HLL error is
+# ~Gaussian, so a legitimate estimate misses a 3-sigma envelope with
+# P ~ 2.7e-3 per group (6 groups here → ~1.6e-2 per dataset) — accepted
+# as-is because the DataSketches HLL at this lgConfigK empirically runs
+# well under its nominal rsd at the <= sf1 cardinalities this query
+# sees, and c_custkey groups are large enough to stay out of the
+# transition region. Revisit (widen to 4 sigma like APPROX_ENVELOPE)
+# only if a regeneration ever trips it.
+HLL_ENVELOPE = 0.05
 
 
 @query(
@@ -797,15 +824,30 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PCTL_ACCURACY = 10000  # GK sketch accuracy: rank error <= n / accuracy
-PCTL_ENVELOPE = 0.01  # estimates must land within 1% of the exact value
+# Estimates must land within 1% of the exact value for groups with
+# >= PCTL_SMALL_N sampled rows. False-failure probability: the sketch's
+# rank error is a deterministic <= n/accuracy ranks (not probabilistic),
+# so a 1% VALUE envelope only fails when the value distribution has a
+# >1% relative jump within n/accuracy ranks of the target quantile —
+# effectively impossible for dense numeric columns at n >= 1000, but
+# plausible for tiny groups where approx returns a data value and exact
+# interpolates between sparse values; those get the wider envelope.
+PCTL_ENVELOPE = 0.01
+PCTL_SMALL_N = 1000
+PCTL_SMALL_ENVELOPE = 0.05
+PCTL_SAMPLE_PCT = 25  # validate on a 25% md5 row sample
 
 
 @query(
     "agg_approx_percentile",
-    oracle="""
+    oracle=f"""
         SELECT l_returnflag, count(*) AS n,
                TRUE AS p50_within_1pct, TRUE AS p99_within_1pct
-        FROM lineitem GROUP BY l_returnflag
+        FROM lineitem
+        WHERE CAST(('0x' || substr(md5('apctl:' || CAST(l_orderkey AS VARCHAR)
+                                   || ':' || CAST(l_linenumber AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 100 < {PCTL_SAMPLE_PCT}
+        GROUP BY l_returnflag
     """,
 )
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -816,15 +858,27 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(sketch), not O(rows).
 
     Sketch estimates are engine-specific, so the oracle checks the
-    KEYS+BOUNDS contract: group keys, exact row counts, and booleans
-    asserting the approximate p50/p99 land within 1% of the EXACT
-    percentiles computed in the same aggregation; the oracle expects
-    TRUE. The same envelope is unit-tested at
-    tests/test_units.py::test_approx_percentile_brackets_exact. The
-    exact percentile (which buffers each group) is the verification
-    yardstick only — the production query ships the sketch column alone
-    and validates on samples."""
-    li = table(spark, sf_dir, "lineitem")
+    KEYS+BOUNDS contract: group keys, row counts, and booleans
+    asserting the approximate p50/p99 land within the envelope of the
+    EXACT percentiles computed in the same aggregation; the oracle
+    expects TRUE. The same envelope is unit-tested at
+    tests/test_units.py::test_approx_percentile_brackets_exact.
+
+    Round 7 (VERDICT r6 item 3): both sketch and exact yardstick run on
+    a deterministic 25% md5 ROW sample (keyed on the
+    l_orderkey:l_linenumber row identity) — the exact percentile, which
+    buffers every value in the group, now buffers a quarter of them,
+    and the sketch-accuracy contract is unchanged because both sides
+    see the same sample. Production ships the sketch over the full
+    corpus; this is the sampled validation job the docstring always
+    promised. Groups whose sample is < {PCTL_SMALL_N} rows use a wider
+    {int(PCTL_SMALL_ENVELOPE * 100)}% envelope (see constants above)."""
+    row_key = F.concat_ws(
+        ":", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")
+    )
+    li = table(spark, sf_dir, "lineitem").where(
+        md5_bucket("apctl:", row_key) < PCTL_SAMPLE_PCT
+    )
     agged = li.groupBy("l_returnflag").agg(
         F.percentile_approx(
             "l_extendedprice", F.array(F.lit(0.5), F.lit(0.99)), PCTL_ACCURACY
@@ -835,7 +889,10 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def within(i: int):
         a, e = F.col("ap")[i], F.col("ex")[i]
-        return F.abs(a - e) <= F.abs(e) * PCTL_ENVELOPE
+        env = F.when(
+            F.col("n") < PCTL_SMALL_N, F.lit(PCTL_SMALL_ENVELOPE)
+        ).otherwise(F.lit(PCTL_ENVELOPE))
+        return F.abs(a - e) <= F.abs(e) * env
 
     return agged.select(
         "l_returnflag",
