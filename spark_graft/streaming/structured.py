@@ -183,22 +183,30 @@ def attribution_join_stream(events: DataFrame) -> DataFrame:
 
 
 def run_stream_foreach_batch_to_parquet(
-    stream_df: DataFrame, out_dir: str, checkpoint_dir: str
+    stream_df: DataFrame, out_dir: str, checkpoint_dir: str,
+    output_mode: str | None = None,
 ) -> None:
     """foreachBatch sink: each micro-batch lands as parquet stamped with
     its batch_id. foreachBatch is the production escape hatch for sinks
     Spark lacks connectors for (JDBC upserts, external indexes) — the
     batch_id makes retried batches idempotently detectable, and the
-    checkpoint directory carries exactly-once progress across restarts."""
+    checkpoint directory carries exactly-once progress across restarts.
+
+    output_mode: None keeps the sink default (append); "update" emits
+    every aggregate row changed by the batch — the mode that exposes
+    per-batch state evolution (tests/test_streaming.py drives 3 distinct
+    micro-batches through this and asserts counts grow batch-over-batch)."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
             out_dir
         )
 
+    w = stream_df.writeStream.foreachBatch(write_batch)
+    if output_mode is not None:
+        w = w.outputMode(output_mode)
     q = (
-        stream_df.writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", checkpoint_dir)
+        w.option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )

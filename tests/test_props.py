@@ -703,3 +703,58 @@ def test_dedup_embedding_one_label_capped(spark, tmp_path_factory, monkeypatch):
     monkeypatch.setattr(dedup, "EMB_PAIR_SLICE", 1000)  # exercise slicing
     capped = run()
     assert capped == uncapped
+
+
+@given(
+    sents=st.lists(
+        st.lists(
+            st.sampled_from("alpha beta gamma delta epsilon zeta".split()),
+            min_size=3,  # >= shingle width, so every doc has a nonempty shingle set
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_incremental_minhash_replay_idempotent(spark, tmp_path_factory, sents):
+    """VERDICT r6 item 6 — at-least-once delivery semantics of the
+    incremental near-dup gate:
+    1. the accept-set is invariant to batch-internal ROW order and
+       partitioning (keep-first is keyed on doc_id, never on physical
+       placement);
+    2. REPLAYING the same batch after its accepted docs were appended to
+       the index accepts ZERO documents — every replayed doc either
+       collides with its own indexed twin (jaccard 1.0) or re-collides
+       exactly as it did the first time."""
+    from spark_graft.registry import REGISTRY
+
+    texts = [" ".join(s) for s in sents]
+    batch = [(i * 10 + 9, t) for i, t in enumerate(texts)]
+    existing = [(2, "totally unrelated corpus text about oceans and ships and tides")]
+
+    def run(rows, tag, partitions):
+        d = tmp_path_factory.mktemp(tag)
+        spark.createDataFrame(rows, "doc_id bigint, text string").repartition(
+            partitions
+        ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+        return {
+            r["doc_id"]
+            for r in REGISTRY["dedup_incremental_minhash"].fn(spark, str(d)).collect()
+        }
+
+    accepted = run(existing + batch, "inc1", 3)
+    # (1) row order / partitioning invariance
+    assert run(list(reversed(existing + batch)), "inc2", 1) == accepted
+
+    # (2) replay: accepted docs join the index (re-keyed off the batch
+    # decile), the identical batch arrives again -> zero accepts
+    accepted_rows = [
+        (bid * 10 + 1, t) for bid, t in batch if bid in accepted  # id now ends in 1
+    ]
+    replay = existing + accepted_rows + batch
+    assert run(replay, "inc3", 3) == set()
