@@ -400,3 +400,28 @@ def test_incremental_minhash_semantics(spark, tmp_path):
         for r in REGISTRY["dedup_incremental_minhash"].fn(spark, str(tmp_path)).collect()
     }
     assert got == {19, 29}
+
+
+def test_lsh_margins_not_near_zero(spark, sf_dir):
+    """ADVICE r6: sim_ann_lsh's oracle assumes the sign bit of every
+    (vector . plane) dot product agrees between Spark's zip_with fold
+    and DuckDB's list_dot_product. Both accumulate float64 in array
+    order, so they only diverge if a margin sits within accumulation
+    error of zero. Gate: the smallest |margin| over every fixture
+    vector x plane (same left-to-right fold) must clear 1e-9 — measured
+    minima are 2.9e-4 / 3.3e-5 / 5.5e-6 at sf0.001/0.01/0.1, five-plus
+    orders above the ~1e-13 error floor of a 64-term fold."""
+    import duckdb
+
+    from spark_graft.operators.similarity import EMB_DIM, _planes
+
+    rows = duckdb.sql(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchall()
+    planes = _planes(EMB_DIM)
+    min_margin = min(
+        abs(sum((float(x) * y for x, y in zip(emb, pl)), 0.0))
+        for (emb,) in rows
+        for pl in planes
+    )
+    assert min_margin > 1e-9, min_margin
