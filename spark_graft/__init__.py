@@ -43,8 +43,10 @@ __all__ = ["REGISTRY", "QuerySpec", "query", "load_all_queries"]
 # - agg_approx / agg_approx_percentile: exact yardstick now computed on
 #   an md5-sampled subset (VERDICT r6 item 3)
 # - dedup_embedding: per-block pairwise now chunk-capped (item 4)
+# - agg_percentile: rewritten scale-safe (distinct-value running count +
+#   interpolation) after the built-in percentile() OOMed the sf1 bench
 _MODIFIED_THIS_ROUND = frozenset(
-    """agg_approx agg_approx_percentile dedup_embedding""".split()
+    """agg_approx agg_approx_percentile agg_percentile dedup_embedding""".split()
 )
 
 # Green last in CORRECTNESS_r02.json — these three have missed every

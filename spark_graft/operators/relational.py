@@ -295,32 +295,81 @@ def grouping_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles per group. Spark's percentile()
-    and DuckDB's quantile_cont use the same linear interpolation, so
-    the results hash-match after rounding. At 100 TB exact percentiles
-    buffer each group's values — switch to approx_percentile (t-digest,
-    mergeable, bounded memory) when groups stop fitting; same query
-    shape."""
-    li = table(spark, sf_dir, "lineitem")
-    # ONE percentile aggregate with an array of fractions: each separate
-    # percentile()/median() call builds and merges its own value-count
-    # buffer over the whole group — four buffers for one column measured
-    # 4.7s at sf0.1 vs ~1.2s for the fused form. median == percentile 0.5
-    # (both linear-interpolated), so it reuses the same slot.
-    pcts = (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.percentile(
-                "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
-            ).alias("ps")
-        )
+    """Exact interpolated percentiles per group, computed scale-safe.
+
+    Spark's built-in percentile() is a TypedImperativeAggregate that
+    buffers EVERY group value in an in-heap map — at sf1 (6M rows) it
+    OOMed a 32-thread local JVM before anything could spill, and at
+    100 TB it's guaranteed to. This form never holds a group in memory:
+
+      1. groupBy(flag, value) -> per-distinct-value counts — a
+         well-distributed composite-key shuffle with partial aggs;
+      2. running count over the DISTINCT values per group (external
+         spillable sort + streaming UnboundedPreceding frame, constant
+         state) to assign each value its 0-based rank interval;
+      3. broadcast the per-group row counts, pick the two neighbor
+         values around each target rank floor(p*(n-1))/ceil(p*(n-1))
+         with conditional max() aggregates, and linearly interpolate
+         exactly as percentile() does (percentiles.scala getPercentile:
+         (hi-pos)*lo_val + (pos-lo)*hi_val, integer pos -> lo_val).
+
+    Memory is bounded by a shuffle page, not group cardinality; the
+    single-task-per-group stage sees one row per DISTINCT value (here
+    price domain, bounded), not per input row. For an unbounded
+    continuous domain the next escalation is range-partitioned rank
+    selection (global sort + partition-offset prefix sums); for
+    sketch-tolerant consumers, approx_percentile (t-digest, mergeable)
+    — see agg_approx_percentile. DuckDB's quantile_cont matches this
+    interpolation after round(4)."""
+    li = table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    vc = li.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.count(F.lit(1)).alias("c")
     )
-    return pcts.select(
+    n = vc.groupBy("l_returnflag").agg(F.sum("c").alias("n"))
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # value v covers 0-based sorted positions [cum_end - c, cum_end - 1]
+    ranked = vc.withColumn("cum_end", F.sum("c").over(w)).join(
+        F.broadcast(n), "l_returnflag"
+    )
+
+    fracs = [("p50", 0.5), ("p90", 0.9), ("p99", 0.99)]
+    aggs = [F.max("n").alias("n")]
+    for name, p in fracs:
+        pos = F.lit(p) * (F.col("n") - F.lit(1))
+        for side, idx in (("lo", F.floor(pos)), ("hi", F.ceil(pos))):
+            covers = (idx >= F.col("cum_end") - F.col("c")) & (
+                idx < F.col("cum_end")
+            )
+            aggs.append(
+                F.max(F.when(covers, F.col("l_extendedprice"))).alias(
+                    f"{side}_{name}"
+                )
+            )
+    picked = ranked.groupBy("l_returnflag").agg(*aggs)
+
+    def interp(name: str, p: float):
+        pos = F.lit(p) * (F.col("n") - F.lit(1))
+        lo, hi = F.floor(pos), F.ceil(pos)
+        lo_v, hi_v = F.col(f"lo_{name}"), F.col(f"hi_{name}")
+        exact = (
+            F.when(lo == hi, lo_v)
+            .when(hi_v == lo_v, lo_v)
+            .otherwise((hi - pos) * lo_v + (pos - lo) * hi_v)
+        )
+        return F.round(exact, 4)
+
+    return picked.select(
         "l_returnflag",
-        F.round(F.element_at("ps", 1), 4).alias("p50"),
-        F.round(F.element_at("ps", 2), 4).alias("p90"),
-        F.round(F.element_at("ps", 3), 4).alias("p99"),
-        F.round(F.element_at("ps", 1), 4).alias("med"),
+        interp("p50", 0.5).alias("p50"),
+        interp("p90", 0.9).alias("p90"),
+        interp("p99", 0.99).alias("p99"),
+        interp("p50", 0.5).alias("med"),
     )
 
 

@@ -17,6 +17,25 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_memory() -> str:
+    """Size the local JVM heap from physical RAM (quarter of the box,
+    clamped to [2g, 48g]).
+
+    In local[] mode the driver JVM IS every executor, but Spark's
+    1g `spark.driver.memory` default assumes a thin cluster driver —
+    at sf1 (6M-row lineitem) 32 concurrent tasks blew that heap before
+    any operator got a chance to spill. On a real cluster this knob is
+    per-executor sizing instead and the quarter-of-RAM heuristic still
+    applies (leave room for OS cache + Python workers + Arrow buffers).
+    Override with SPARK_GRAFT_DRIVER_MEM.
+    """
+    try:
+        ram = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+        return f"{max(2, min(48, ram // (4 * 1024**3)))}g"
+    except (ValueError, OSError, AttributeError):
+        return "4g"
+
+
 def get_spark(app_name: str = "spark-graft", shuffle_partitions: int | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     if shuffle_partitions is None:
@@ -24,6 +43,12 @@ def get_spark(app_name: str = "spark-graft", shuffle_partitions: int | None = No
     builder = (
         SparkSession.builder.appName(app_name)
         .master(os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]"))
+        # Applied at JVM launch only: the first get_spark() in a process
+        # decides the heap; later getOrCreate() calls can't resize it.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_memory()),
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
