@@ -18,9 +18,8 @@ from spark_graft.operators.clustering import (
     KMEANS_CTES,
     Q_SCALE,
     Q_SHIFT,
-    best_assignment,
+    assignment_udf,
     lloyd_centroids,
-    quantized_col,
 )
 from spark_graft.registry import query
 from spark_graft.sources import table
@@ -361,11 +360,11 @@ def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )[:N_PROBE_CLUSTERS]
     probe_clusters = [cid for _, cid in nearest]
 
-    e = table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", quantized_col().alias("q")
-    )
+    e = table(spark, sf_dir, "embeddings")
     assigned = e.select(
-        "vec_id", "embedding", best_assignment(cents)["cluster"].alias("cluster")
+        "vec_id",
+        "embedding",
+        assignment_udf(cents)("embedding")["cluster"].alias("cluster"),
     )
     cos = cosine(F.col("embedding"), _lit_vec(probe))
     return (
