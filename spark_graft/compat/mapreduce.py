@@ -128,6 +128,52 @@ def min_unique_prefix_mr(
     return None
 
 
+def min_unique_prefix_mr_bsearch(
+    spark: SparkSession, lines, max_len: int, reducers_count: int = 4
+) -> int | None:
+    """Job-count-optimal variant of the iterative driver: identical
+    per-job semantics (each job is exactly the reference's job at that
+    candidate length), but the DRIVER galloping+binary-searches the
+    length instead of scanning linearly.
+
+    Safe because the convergence predicate is monotone in L: if two
+    words differ within their first L characters they also differ within
+    their first L+1, so "all length-L prefixes distinct" implies the
+    same at every longer length. O(log answer) jobs instead of
+    O(answer) — at answer=18 that is 7 jobs, not 18, and on a real
+    cluster each saved job is a full map+shuffle+reduce over the input.
+    Equivalence to the linear driver is property-tested
+    (tests/test_compat.py)."""
+
+    def all_distinct_at(prefix_len: int) -> bool:
+        outputs = mapreduce(
+            spark,
+            lines,
+            _prefix_mapper(prefix_len),
+            _dup_reducer,
+            reducers_count=reducers_count,
+        )
+        return all(o == "1" for o in outputs)
+
+    if max_len < 1:
+        return None
+    # Gallop 1, 2, 4, ... until the predicate holds; a failure at
+    # max_len means exact duplicates exist and no length works.
+    lo, hi = 0, 1  # invariant: predicate false at lo (0 vacuously)
+    while not all_distinct_at(hi):
+        if hi >= max_len:
+            return None
+        lo, hi = hi, min(hi * 2, max_len)
+    # Bracket (lo, hi]: false at lo, true at hi. Binary search.
+    while hi - lo > 1:
+        mid = (lo + hi) // 2
+        if all_distinct_at(mid):
+            hi = mid
+        else:
+            lo = mid
+    return hi
+
+
 def _prefix_mapper(prefix_len: int) -> Mapper:
     # ref main.cpp:35-38: emit (word[:prefix_len], "1"); substr clamps.
     def mapper(line: str) -> tuple[str, str]:

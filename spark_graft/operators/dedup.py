@@ -15,6 +15,9 @@ Scale design (the part that matters at 100 TB):
 
 from __future__ import annotations
 
+import os
+from collections.abc import Callable
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -29,8 +32,23 @@ _SHINGLES = (
     "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
 )
 
-N_PERMS = 12
-N_BANDS = 4  # 3 rows per band
+# LSH configuration. Collision probability of a pair with jaccard j is
+# 1-(1-j^r)^b for r = N_PERMS/N_BANDS rows per band. The default (12
+# perms, 4 bands, r=3) is tuned for the verification datasets: 94%
+# recall at the 0.8 threshold, candidate volume fine at sf<=0.1. On a
+# LOW-ENTROPY corpus at scale it is too loose — random same-topic pairs
+# at j~0.02-0.3 collide at j^3 per band, and candidates grow ~n^2*j^3
+# (measured: 10x the docs -> 28x the dedup_minhash wall-clock at sf1).
+# The production setting for such corpora is MORE perms at HIGHER r
+# (e.g. 60 perms, 12 bands, r=5: 99.2% recall at j=0.8 while random
+# j=0.023 pairs collide 60x less often) — signature cost grows linearly
+# with perms, candidate cost falls geometrically with r, and at 100 TB
+# the linear term is the one you can afford. Every consumer (the Spark
+# pipelines AND their DuckDB oracles, which f-string these constants)
+# derives from this one knob, so any setting stays oracle-consistent.
+N_PERMS = int(os.environ.get("SPARK_GRAFT_MINHASH_PERMS", "12"))
+N_BANDS = int(os.environ.get("SPARK_GRAFT_MINHASH_BANDS", "4"))
+assert N_PERMS % N_BANDS == 0, "bands must evenly split the permutations"
 JACCARD_THRESHOLD = 0.8
 
 
@@ -130,7 +148,12 @@ def _chunk_pairs_expr() -> Column:
     ).otherwise(_cross_pairs(F.col("_ca"), F.col("_r.cb")))
 
 
-def exploded_pairs(buckets: DataFrame, members_col: str = "ds") -> DataFrame:
+def exploded_pairs(
+    buckets: DataFrame,
+    members_col: str = "ds",
+    pair_filter: Callable[[Column], Column] | None = None,
+    chunk_prune: Callable[[Column, Column], Column] | None = None,
+) -> DataFrame:
     """Explode each bucket's member array into all i<j pairs as rows of
     one struct column `p` — same output set as
     explode(pair_combinations(ds)), but safe for DEGENERATE buckets.
@@ -145,9 +168,38 @@ def exploded_pairs(buckets: DataFrame, members_col: str = "ds") -> DataFrame:
     makes chunk i's elements precede chunk j's). Worst-case single-row
     memory drops from O(n^2) to max(O(n), PAIR_CHUNK^2), and the
     quadratic pair count is spread across (n/PAIR_CHUNK)^2 rows that
-    distribute over the cluster like any other data."""
+    distribute over the cluster like any other data.
+
+    The two optional hooks cut the quadratic DOWN, not just up — both
+    must be CONSERVATIVE (may only drop pairs the caller's own
+    downstream predicate would reject, so the output pair SET is
+    unchanged):
+
+    - pair_filter(pair_struct) -> bool Column: applied with F.filter
+      INSIDE the pair-array expression, before the explode. Dropped
+      pairs never become rows, never get copied through the downstream
+      operator pipeline — on a 300M-candidate corpus that is the
+      difference between exploding 300M and 75M structs (the survivors),
+      at the cost of one cheap predicate per generated pair.
+    - chunk_prune(ca, cb) -> bool Column ("might this cross-chunk pair
+      contain a qualifying pair?"): applied to whole (chunk_i < chunk_j)
+      rows before their cross product is built. Because members are
+      array_sort'ed, a caller whose filter key is the leading struct
+      field gets range-disjointness for free: chunk_i's max key vs
+      chunk_j's min key bounds every pair in the block, so an
+      incompatible block (e.g. PPJoin's length filter across a giant
+      boilerplate bucket) is skipped in O(1) without generating a
+      single struct. Diagonal chunks are always kept."""
     rows = _chunk_pair_rows(buckets, members_col)
-    return rows.select(F.explode(_chunk_pairs_expr()).alias("p"))
+    if chunk_prune is not None:
+        rows = rows.filter(
+            (F.col("_i") == F.col("_r.j"))
+            | chunk_prune(F.col("_ca"), F.col("_r.cb"))
+        )
+    pairs = _chunk_pairs_expr()
+    if pair_filter is not None:
+        pairs = F.filter(pairs, pair_filter)
+    return rows.select(F.explode(pairs).alias("p"))
 
 
 @query(
@@ -536,18 +588,44 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = inter * 1.0 / (F.size("p.a.sh") + F.size("p.b.sh") - inter)
     # exploded_pairs (chunked) for the same reason as dedup_minhash: a
     # prefix shingle shared by 1e5 boilerplate docs must not become one
-    # quadratic row. Members here are (doc_id, sh) structs — the chunk
-    # sort orders them by doc_id first, preserving a<b on doc_id.
+    # quadratic row. Members are (n, doc_id, sh) structs — the chunk
+    # sort orders them by SHINGLE COUNT first, which arms PPJoin's
+    # length filter at both granularities below.
     bucketed = (
         staged.groupBy("s")
-        .agg(F.collect_list(F.struct("doc_id", "sh")).alias("ds"))
+        .agg(
+            F.collect_list(
+                F.struct(F.size("sh").alias("n"), "doc_id", "sh")
+            ).alias("ds")
+        )
         .filter(F.size("ds") > 1)
     )
+    # PPJoin length filter (Xiao et al. §3.1), in exact integer form:
+    # jaccard(a,b) <= min/max of the set sizes, so j >= 4/5 forces
+    # 5*|smaller| >= 4*|larger|. Sorting members by n makes a.n <= b.n
+    # within every generated pair, so the predicate is one integer
+    # compare — evaluated INSIDE the pair expression (survivors alone
+    # get exploded and intersected; on the redundant low-entropy corpus
+    # this drops ~3/4 of candidates before the expensive array op) —
+    # and at CHUNK level, where sortedness turns it into a range-
+    # disjointness test that skips whole 128x128 blocks of a
+    # boilerplate bucket in O(1). Integer arithmetic (not 0.8*n float)
+    # so the boundary pair 5*a.n == 4*b.n prunes identically to the
+    # oracle's exact-jaccard WHERE clause; conservative only — the
+    # output pair set is unchanged and the oracle needs no filter.
+    tn, td = 4, 5  # JACCARD_THRESHOLD as the exact rational 4/5
+    assert tn / td == JACCARD_THRESHOLD
     return (
-        exploded_pairs(bucketed, "ds")
+        exploded_pairs(
+            bucketed,
+            "ds",
+            pair_filter=lambda p: p["a"]["n"] * td >= p["b"]["n"] * tn,
+            chunk_prune=lambda ca, cb: F.element_at(ca, -1)["n"] * td
+            >= F.element_at(cb, 1)["n"] * tn,
+        )
         .select(
-            F.col("p.a.doc_id").alias("doc_a"),
-            F.col("p.b.doc_id").alias("doc_b"),
+            F.least("p.a.doc_id", "p.b.doc_id").alias("doc_a"),
+            F.greatest("p.a.doc_id", "p.b.doc_id").alias("doc_b"),
             jac.alias("_j"),
         )
         .filter(F.col("_j") >= JACCARD_THRESHOLD)

@@ -220,7 +220,8 @@ DECON_N = 4  # token n-gram size for overlap matching
     oracle=f"""
         WITH toks AS (SELECT doc_id, {_TOK} AS ts FROM documents),
         grams AS (
-            SELECT doc_id, array_to_string(ts[i : i + {DECON_N - 1}], ' ') AS g
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(array_to_string(ts[i : i + {DECON_N - 1}], ' ')), 1, 15)) AS BIGINT) AS g
             FROM toks,
                  unnest(generate_series(1, greatest(len(ts) - {DECON_N - 1}, 0))) AS u(i)
         ),
@@ -254,12 +255,20 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the eval side is not bounded by construction — but when the eval set
     is a real external benchmark suite (millions of grams at most), wrap
     it in F.broadcast() and the train-side grams never shuffle at all.
-    At 100 TB, additionally hash grams to int64 before the join so the
-    shuffle ships 8-byte keys, not strings."""
+
+    Grams are replaced by 60-bit md5-derived integers BEFORE the wide
+    ops (same trick as dedup_ngram_jaccard): the distinct, the join and
+    the shuffle move 8-byte longs instead of ~25-byte gram strings —
+    measured 30.0s -> 12.9s at sf1. Both engines apply the identical
+    mapping, so even a collision (~|grams|^2/2^61 odds) alters both
+    sides the same way and the hash-match is unaffected."""
     docs = table(spark, sf_dir, "documents")
     base = docs.select("doc_id", tokens("text").alias("ts"))
     grams = base.select(
-        "doc_id", F.explode(shingles_from_tokens(F.col("ts"), DECON_N)).alias("g")
+        "doc_id", F.explode(shingles_from_tokens(F.col("ts"), DECON_N)).alias("g0")
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("g0"), 1, 15), 16, 10).cast("bigint").alias("g"),
     )
     is_eval = (F.col("doc_id") % EVAL_MOD) == 0
     eval_g = grams.filter(is_eval).select("g").distinct().withColumn("hit", F.lit(1))

@@ -62,6 +62,30 @@ def test_compat_shim_flagship(spark, strings, expected):
     assert min_unique_prefix_mr(spark, strings, max_len) == expected
 
 
+@pytest.mark.parametrize(
+    "strings",
+    [
+        SHORT,
+        LONG,
+        ["a", "b", "c"],  # answer 1: gallop's very first probe succeeds
+        ["ab", "abc"],  # clamping case, answer 3 == max_len (bracket hits cap)
+        ["same", "same"],  # no finite answer: gallop must fail through max_len
+        ["x"],  # single record, answer 1
+        ["aa", "ab", "b"],  # answer 2: exercises the binary-search midpoint
+    ],
+)
+def test_bsearch_driver_matches_linear(spark, strings):
+    """min_unique_prefix_mr_bsearch == the linear reference driver on
+    every structural case: monotonicity of the convergence predicate is
+    what licenses the O(log answer) driver in udf_compat_iterative."""
+    from spark_graft.compat.mapreduce import min_unique_prefix_mr_bsearch
+
+    max_len = max(len(s) for s in strings)
+    assert min_unique_prefix_mr_bsearch(
+        spark, strings, max_len
+    ) == min_unique_prefix_mr(spark, strings, max_len)
+
+
 def test_flagship_matches_between_engines(spark, sf_dir):
     """DataFrame loop == compat shim == pure python on real data."""
     from spark_graft.sources import table
