@@ -90,11 +90,19 @@ def _ts_us(rng: random.Random, span_days: int = 30) -> int:
     return EPOCH_2024 + rng.randrange(span_days * 24 * 3600 * 1_000_000)
 
 
-def gen(sf: float, out: str, seed: int = 42) -> None:
-    rng = random.Random(seed)
+def row_counts(sf: float) -> dict[str, int]:
+    """Per-table row counts at `sf`, matching the driver's testdata
+    (tests/test_units.py pins this against /root/testdata when present)."""
     scale = sf / 0.001
     n = {t: max(1, int(c * scale)) for t, c in BASE.items()}
     n.update({t: max(floor, int(slope * sf)) for t, (slope, floor) in SUBLINEAR.items()})
+    n.update({"region": 5, "nation": 25})
+    return n
+
+
+def gen(sf: float, out: str, seed: int = 42) -> None:
+    rng = random.Random(seed)
+    n = row_counts(sf)
     os.makedirs(out, exist_ok=True)
 
     def write(name: str, cols: dict, schema: pa.Schema) -> None:

@@ -425,3 +425,39 @@ def test_lsh_margins_not_near_zero(spark, sf_dir):
         for pl in planes
     )
     assert min_margin > 1e-9, min_margin
+
+
+def test_generator_row_counts_match_driver_curve():
+    """scripts/gen_testdata.py must produce the driver's per-table row
+    counts at every sf the driver ships, or cross-sf bench ratios stop
+    being comparable (sf1's documents/embeddings follow a sublinear
+    slope-with-floor curve, not the linear one the fact tables use).
+    Pinned against the actual parquet when /root/testdata is present;
+    the literal expectations below keep the gate meaningful in CI."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from gen_testdata import row_counts
+
+    assert row_counts(0.1) == {
+        "region": 5, "nation": 25, "customer": 15000, "supplier": 1000,
+        "part": 20000, "orders": 150000, "lineitem": 600000,
+        "events": 100000, "documents": 5000, "embeddings": 2000,
+    }
+    assert row_counts(1.0)["documents"] == 50000
+    assert row_counts(1.0)["embeddings"] == 20000
+    assert row_counts(0.01)["documents"] == 500  # floor region
+
+    if not os.path.isdir("/root/testdata"):
+        return
+    import pyarrow.parquet as pq
+
+    for sf in ("0.001", "0.01", "0.1"):
+        d = f"/root/testdata/sf{sf}"
+        if not os.path.isdir(d):
+            continue
+        expect = row_counts(float(sf))
+        for t, n in expect.items():
+            actual = pq.ParquetFile(os.path.join(d, f"{t}.parquet")).metadata.num_rows
+            assert actual == n, (sf, t, actual, n)
