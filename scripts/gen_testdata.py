@@ -90,6 +90,22 @@ def _ts_us(rng: random.Random, span_days: int = 30) -> int:
     return EPOCH_2024 + rng.randrange(span_days * 24 * 3600 * 1_000_000)
 
 
+# TPC-H-style date window used by orders/lineitem in the DRIVER data:
+# day-aligned (midnight) timestamps, independent uniform draws over
+# 1995-01-01 + [lo, hi) days — o_orderdate spans 1995-01-01..2001-08-01
+# and l_shipdate 1995-01-02..2001-11-04. Mirroring the domain matters:
+# agg_q1 filters `l_shipdate <= 1998-09-02`, which selects ~55% of the
+# driver's rows but ZERO rows of a 2024-dated corpus, silently turning
+# the CI oracle check for any date-predicated query into an
+# empty-vs-empty comparison.
+EPOCH_1995 = 788918400_000_000  # 1995-01-01 UTC in microseconds
+_US_PER_DAY = 24 * 3600 * 1_000_000
+
+
+def _day_ts_us(rng: random.Random, lo_day: int, hi_day: int) -> int:
+    return EPOCH_1995 + rng.randrange(lo_day, hi_day) * _US_PER_DAY
+
+
 def row_counts(sf: float) -> dict[str, int]:
     """Per-table row counts at `sf`, matching the driver's testdata
     (tests/test_units.py pins this against /root/testdata when present)."""
@@ -198,7 +214,7 @@ def gen(sf: float, out: str, seed: int = 42) -> None:
             "o_custkey": [rng.randrange(n["customer"]) for _ in range(n["orders"])],
             "o_orderstatus": [rng.choice(STATUSES) for _ in range(n["orders"])],
             "o_totalprice": [round(rng.uniform(900, 350000), 2) for _ in range(n["orders"])],
-            "o_orderdate": [_ts_us(rng, 365) for _ in range(n["orders"])],
+            "o_orderdate": [_day_ts_us(rng, 0, 2405) for _ in range(n["orders"])],
             "o_orderpriority": [rng.choice(PRIORITIES) for _ in range(n["orders"])],
         },
         pa.schema(
@@ -225,7 +241,7 @@ def gen(sf: float, out: str, seed: int = 42) -> None:
             "l_tax": [round(rng.uniform(0, 0.08), 2) for _ in range(n["lineitem"])],
             "l_returnflag": [rng.choice(RETURNFLAGS) for _ in range(n["lineitem"])],
             "l_linestatus": [rng.choice(LINESTATUSES) for _ in range(n["lineitem"])],
-            "l_shipdate": [_ts_us(rng, 365) for _ in range(n["lineitem"])],
+            "l_shipdate": [_day_ts_us(rng, 1, 2500) for _ in range(n["lineitem"])],
         },
         pa.schema(
             [
@@ -284,11 +300,22 @@ def gen(sf: float, out: str, seed: int = 42) -> None:
 
     # documents: word-salad texts with a planted near-dup tail (every
     # 11th doc perturbs an earlier one) so the dedup/graph queries have
-    # real pairs to find; occasional empty text exercises the guards
+    # real pairs to find; occasional empty text exercises the guards.
+    # Every ~101 docs a FAMILY of three perturbs the SAME base — pairs
+    # alone leave the near-dup graph triangle-free, which made
+    # graph_triangles vacuous (0 rows vs the driver's 7 at sf0.001).
     texts: list[str] = []
     for i in range(n["documents"]):
+        fam = i % 101 - 50  # 0,1,2 -> member of a 3-doc family
         if i % 37 == 13:
             texts.append("")
+        elif 0 <= fam <= 2 and i - fam - 30 >= 0:
+            base_words = texts[i - fam - 30].split()
+            if len(base_words) > 10:
+                base_words[rng.randrange(len(base_words))] = rng.choice(DOC_WORDS)
+                texts.append(" ".join(base_words))
+            else:
+                texts.append(" ".join(rng.choice(DOC_WORDS) for _ in range(30)))
         elif i % 11 == 10 and i > 20:
             base_words = texts[i - 7].split()
             if len(base_words) > 4:

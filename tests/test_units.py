@@ -461,3 +461,69 @@ def test_generator_row_counts_match_driver_curve():
         for t, n in expect.items():
             actual = pq.ParquetFile(os.path.join(d, f"{t}.parquet")).metadata.num_rows
             assert actual == n, (sf, t, actual, n)
+
+
+def test_generator_date_domains_not_vacuous(tmp_path):
+    """Generated orders/lineitem dates must live in the driver's
+    1995-2001 day-aligned window so date-predicated queries stay
+    selective on CI data: agg_q1's `l_shipdate <= 1998-09-02` must
+    keep SOME but not ALL rows (a 2024-dated corpus made it select
+    zero rows, reducing the oracle check to empty-vs-empty)."""
+    import os
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from gen_testdata import gen
+
+    gen(0.001, str(tmp_path))
+    con = duckdb.connect()
+    lo, hi, kept, total = con.sql(
+        f"""SELECT min(l_shipdate), max(l_shipdate),
+                   count(*) FILTER (l_shipdate <= TIMESTAMP '1998-09-02'),
+                   count(*)
+            FROM '{tmp_path}/lineitem.parquet'"""
+    ).fetchone()
+    assert lo.year >= 1995 and hi.year <= 2001, (lo, hi)
+    assert (lo.hour, lo.minute, lo.second, lo.microsecond) == (0, 0, 0, 0)
+    assert 0 < kept < total, (kept, total)
+    olo, ohi = con.sql(
+        f"SELECT min(o_orderdate), max(o_orderdate) FROM '{tmp_path}/orders.parquet'"
+    ).fetchone()
+    assert olo.year >= 1995 and ohi.year <= 2001, (olo, ohi)
+
+
+def test_generator_plants_near_dup_triangles(tmp_path):
+    """The generated corpus must contain near-dup FAMILIES (>=3 docs
+    pairwise above the MinHash verify threshold), not just pairs: a
+    pairs-only plant leaves the near-dup graph triangle-free and turns
+    graph_triangles' oracle check into empty-vs-empty. Gate: run the
+    exact pair-producing SQL the oracles build on and assert a triangle
+    exists."""
+    import itertools
+    import os
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from gen_testdata import gen
+
+    from spark_graft.operators.dedup import _MINHASH_PAIRS_SQL
+
+    gen(0.001, str(tmp_path))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+    pairs = con.execute(_MINHASH_PAIRS_SQL).df()
+    adj: dict[int, set[int]] = {}
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        adj.setdefault(int(a), set()).add(int(b))
+        adj.setdefault(int(b), set()).add(int(a))
+    assert any(
+        c in adj.get(b, ())
+        for a, nbrs in adj.items()
+        for b, c in itertools.combinations(sorted(nbrs), 2)
+    ), f"near-dup graph is triangle-free ({len(pairs)} pairs)"
