@@ -758,3 +758,121 @@ def test_incremental_minhash_replay_idempotent(spark, tmp_path_factory, sents):
     ]
     replay = existing + accepted_rows + batch
     assert run(replay, "inc3", 3) == set()
+
+
+def _ngram_jaccard_ref(texts: dict[int, str]) -> dict[tuple[int, int], float]:
+    """Pure-python mirror of the dedup_ngram_jaccard contract (the
+    oracle SQL): distinct word-3-gram shingles as 60-bit md5 ints,
+    global doc-frequency, (df, s)-ranked PPJoin prefix of size
+    n - ceil(0.8*n) + 1, candidate pairs sharing a prefix shingle,
+    exact jaccard >= 0.8, HALF_UP round to 4 decimals."""
+    import hashlib
+    import re
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def sh_int(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    sets: dict[int, set[int]] = {}
+    for i, t in texts.items():
+        ws = [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+        sh = {sh_int(" ".join(ws[j : j + 3])) for j in range(len(ws) - 2)}
+        if sh:
+            sets[i] = sh
+    df: Counter = Counter(s for ss in sets.values() for s in ss)
+    prefix = {}
+    for i, ss in sets.items():
+        n = len(ss)
+        k = n - (4 * n + 4) // 5 + 1
+        prefix[i] = set(sorted(ss, key=lambda s: (df[s], s))[:k])
+    out = {}
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            if not (prefix[a] & prefix[b]):
+                continue
+            inter = len(sets[a] & sets[b])
+            jac = inter / (len(sets[a]) + len(sets[b]) - inter)
+            if jac >= 0.8:
+                out[(a, b)] = float(
+                    Decimal(repr(jac)).quantize(Decimal("0.0001"), ROUND_HALF_UP)
+                )
+    return out
+
+
+def _run_ngram_jaccard(spark, tmp_dir, texts: dict[int, str]):
+    from spark_graft.registry import REGISTRY
+
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in sorted(texts.items())],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.mode("overwrite").parquet(str(tmp_dir / "documents.parquet"))
+    return {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in REGISTRY["dedup_ngram_jaccard"].fn(spark, str(tmp_dir)).collect()
+    }
+
+
+def test_ngram_jaccard_exact_threshold_boundary(spark, tmp_path_factory):
+    """Pin the PPJoin length-filter boundary: |shA|=4 subset of |shB|=5
+    gives jaccard exactly 4/5 = the threshold, and the integer length
+    filter hits equality (5*4 == 4*5). The pair MUST survive — a strict
+    (>) filter or a float 0.8*n cutoff would silently drop it. The
+    shorter doc C (3 shingles, jaccard 3/5 vs A) must not appear."""
+    ws = "alpha bravo charlie delta echo foxtrot golf".split()
+    texts = {
+        0: " ".join(ws[:7]),  # 5 shingles
+        1: " ".join(ws[:6]),  # 4 shingles, subset of doc 0's
+        2: " ".join(ws[:5]),  # 3 shingles, subset of both
+    }
+    got = _run_ngram_jaccard(spark, tmp_path_factory.mktemp("njb"), texts)
+    assert got == _ngram_jaccard_ref(texts)
+    assert got == {(0, 1): 0.8}
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("ant bee cat dog elk fox gnu hen".split()),
+            min_size=0,
+            max_size=14,
+        ),
+        min_size=0,
+        max_size=8,
+    )
+)
+@SETTINGS
+def test_ngram_jaccard_matches_python_reference(spark, tmp_path_factory, docs):
+    """dedup_ngram_jaccard (prefix filter + PPJoin length filters +
+    chunk pruning) == the pure-python contract for arbitrary small-vocab
+    corpora — the filters must be conservative for ANY length/overlap
+    mix, not just the fixtures."""
+    texts = {i: " ".join(ws) for i, ws in enumerate(docs)}
+    got = _run_ngram_jaccard(spark, tmp_path_factory.mktemp("njp"), texts)
+    assert got == _ngram_jaccard_ref(texts)
+
+
+def test_ngram_jaccard_giant_boilerplate_bucket(spark, tmp_path_factory):
+    """Adversarial boilerplate corpus: 150 docs that are small edits of
+    one 24-word template, so prefix buckets exceed PAIR_CHUNK=128 and
+    the CHUNKED pair expansion (with pair-level and chunk-range length
+    pruning) is the code path that runs. Output must equal the python
+    reference exactly — chunking and pruning are memory/shape
+    optimizations, never semantic."""
+    base = (
+        "the quick brown fox jumps over a lazy dog while seven wise "
+        "owls watch from tall oak trees near the old stone bridge at dawn"
+    ).split()
+    assert len(base) == 25
+    texts = {}
+    for i in range(150):
+        ws = list(base)
+        ws[i % len(ws)] = f"var{i % 5}"
+        if i % 7 == 0:  # length variation arms the length filter
+            ws = ws + ["extra", f"tail{i % 3}", "words"]
+        texts[i] = " ".join(ws)
+    got = _run_ngram_jaccard(spark, tmp_path_factory.mktemp("njg"), texts)
+    assert got == _ngram_jaccard_ref(texts)
+    assert len(got) > 100  # the bucket really is dense
