@@ -54,10 +54,18 @@ __all__ = ["REGISTRY", "QuerySpec", "query", "load_all_queries"]
 # - kmeans_lloyd / sim_ann_ivf_trained: nearest-centroid assignment is
 #   now an Arrow-batched numpy matmul (clustering.assignment_udf) —
 #   bit-identical output, 40x faster at sf1
+# - agg_q1 / grouping_rollup / grouping_cube / grouping_sets /
+#   agg_pivot / unpivot_measures / join_broadcast / join_multi /
+#   join_outer: dsum/davg decimal->double conversion now routes through
+#   exact int64 scaled units in BOTH engines (direct CAST(decimal AS
+#   DOUBLE) diverges by 1 ulp between Spark and DuckDB once the scaled
+#   sum exceeds 2^53 — surfaced by agg_q1's sum_charge at sf1)
 _MODIFIED_THIS_ROUND = frozenset(
     """agg_approx agg_approx_percentile agg_percentile dedup_embedding
     udf_compat_iterative dedup_ngram_jaccard decontaminate
-    kmeans_lloyd sim_ann_ivf_trained""".split()
+    kmeans_lloyd sim_ann_ivf_trained
+    agg_q1 grouping_rollup grouping_cube grouping_sets agg_pivot
+    unpivot_measures join_broadcast join_multi join_outer""".split()
 )
 
 # Green last in CORRECTNESS_r02.json — these three have missed every

@@ -30,21 +30,47 @@ def dsum(col: Column | str, scale: int = 2) -> Column:
 
     Order-insensitive (decimal addition is associative), so the result is
     identical across Spark partitionings AND matches DuckDB's decimal sum.
-    """
+
+    The final decimal->double conversion goes through exact int64
+    "scaled units" (sum * 10^scale, integral by construction): a direct
+    CAST(decimal AS DOUBLE) is only bit-portable while the scaled value
+    fits 2^53 — beyond that Spark converts via BigDecimal.doubleValue
+    (correctly rounded) while DuckDB divides the int128 payload by
+    10^scale in floats (double-rounds), and the two drift by 1 ulp
+    (first observed on sum_charge at sf1, ~2.7e16 micro-units). int64 ->
+    double is a single IEEE rounding in every engine, and the final
+    division by the exact power of ten is one more — an identical
+    sequence on both sides, bit-equal up to ±2^63 units (~9.2e12 at
+    scale 6; the exact decimal itself, which production would keep,
+    never degrades)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double")
+    f = 10**scale
+    return (
+        (F.sum(c.cast(f"decimal(18,{scale})")) * f).cast("bigint").cast("double")
+        / F.lit(float(f))
+    )
+
+
+def dsum_sql(expr: str, scale: int = 2) -> str:
+    """DuckDB oracle fragment mirroring `dsum` bit-for-bit (see its
+    docstring for why the conversion routes through int64 units)."""
+    f = 10**scale
+    return (
+        f"(CAST(CAST(sum(CAST({expr} AS DECIMAL(18,{scale}))) * {f} AS BIGINT) "
+        f"AS DOUBLE) / {f}.0)"
+    )
 
 
 def davg(col: Column | str, scale: int = 2, round_to: int = 6) -> Column:
-    """Deterministic average: exact decimal sum / count, rounded.
-
-    decimal->double conversion and double division are IEEE-deterministic,
-    so both engines produce the same double before rounding.
-    """
+    """Deterministic average: exact decimal sum (as the bit-portable
+    double `dsum` produces) / count, rounded."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(
-        F.sum(c.cast(f"decimal(18,{scale})")).cast("double") / F.count(c), round_to
-    )
+    return F.round(dsum(c, scale) / F.count(c), round_to)
+
+
+def davg_sql(expr: str, scale: int = 2, round_to: int = 6) -> str:
+    """DuckDB oracle fragment mirroring `davg` bit-for-bit."""
+    return f"round({dsum_sql(expr, scale)} / count({expr}), {round_to})"
 
 
 # ------------------------------------------------------------- tokenization

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from spark_graft.functions import dsum
+from spark_graft.functions import dsum, dsum_sql
 from spark_graft.registry import query
 from spark_graft.sources import table
 
@@ -74,10 +74,10 @@ def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "join_broadcast",
-    oracle="""
+    oracle=f"""
         SELECT p.p_brand,
                count(*) AS n_items,
-               CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+               {dsum_sql("l.l_quantity")} AS sum_qty
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         GROUP BY p.p_brand
     """,
@@ -99,10 +99,10 @@ def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "join_multi",
-    oracle="""
+    oracle=f"""
         SELECT r.r_name, n.n_name,
                count(*) AS n_orders,
-               CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+               {dsum_sql("o.o_totalprice")} AS sum_price
         FROM region r
         JOIN nation n   ON n.n_regionkey = r.r_regionkey
         JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -154,10 +154,10 @@ def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "join_outer",
-    oracle="""
+    oracle=f"""
         SELECT o.o_orderkey,
                count(l.l_orderkey) AS n_items,
-               CAST(coalesce(sum(CAST(l.l_quantity AS DECIMAL(18,2))), 0) AS DOUBLE) AS sum_qty
+               coalesce({dsum_sql("l.l_quantity")}, 0) AS sum_qty
         FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
         GROUP BY o.o_orderkey
     """,

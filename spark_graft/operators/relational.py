@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spark_graft.functions import davg, dsum, md5_bucket, tokens
+from spark_graft.functions import davg, davg_sql, dsum, dsum_sql, md5_bucket, tokens
 from spark_graft.registry import query
 from spark_graft.sources import table
 
@@ -91,16 +91,16 @@ def filter_in_null(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_q1",
-    oracle="""
+    oracle=f"""
         SELECT
             l_returnflag,
             l_linestatus,
-            CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-            CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
-            CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
-            round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity), 6) AS avg_qty,
-            round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(l_discount), 6) AS avg_disc,
+            {dsum_sql("l_quantity")} AS sum_qty,
+            {dsum_sql("l_extendedprice")} AS sum_base_price,
+            {dsum_sql("l_extendedprice * (1 - l_discount)", scale=6)} AS sum_disc_price,
+            {dsum_sql("l_extendedprice * (1 - l_discount) * (1 + l_tax)", scale=6)} AS sum_charge,
+            {davg_sql("l_quantity")} AS avg_qty,
+            {davg_sql("l_discount")} AS avg_disc,
             count(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -248,10 +248,10 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "grouping_rollup",
-    oracle="""
+    oracle=f"""
         SELECT l_returnflag, l_linestatus,
                count(*) AS n_rows,
-               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+               {dsum_sql("l_quantity")} AS sum_qty
         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
     """,
 )
@@ -267,10 +267,10 @@ def grouping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "grouping_cube",
-    oracle="""
+    oracle=f"""
         SELECT o_orderpriority, o_orderstatus,
                count(*) AS n_orders,
-               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+               {dsum_sql("o_totalprice")} AS sum_price
         FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
     """,
 )
@@ -380,12 +380,12 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
                count(*) FILTER (o_orderstatus = 'F') AS n_f,
                count(*) FILTER (o_orderstatus = 'O') AS n_o,
                count(*) FILTER (o_orderstatus = 'P') AS n_p,
-               CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2)))
-                    FILTER (o_orderstatus = 'F'), 0) AS DOUBLE) AS price_f,
-               CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2)))
-                    FILTER (o_orderstatus = 'O'), 0) AS DOUBLE) AS price_o,
-               CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2)))
-                    FILTER (o_orderstatus = 'P'), 0) AS DOUBLE) AS price_p
+               (CAST(CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                    FILTER (o_orderstatus = 'F'), 0) * 100 AS BIGINT) AS DOUBLE) / 100.0) AS price_f,
+               (CAST(CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                    FILTER (o_orderstatus = 'O'), 0) * 100 AS BIGINT) AS DOUBLE) / 100.0) AS price_o,
+               (CAST(CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                    FILTER (o_orderstatus = 'P'), 0) * 100 AS BIGINT) AS DOUBLE) / 100.0) AS price_p
         FROM orders GROUP BY o_orderpriority
     """,
 )
@@ -675,7 +675,7 @@ def agg_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT o_orderpriority, o_orderstatus,
                count(*) AS n_orders,
-               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+               (CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS DOUBLE) / 100.0) AS sum_price,
                grouping(o_orderpriority) + 2 * grouping(o_orderstatus) AS gid
         FROM orders
         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
@@ -691,7 +691,7 @@ def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql("""
         SELECT o_orderpriority, o_orderstatus,
                count(*) AS n_orders,
-               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+               (CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS DOUBLE) / 100.0) AS sum_price,
                CAST(grouping(o_orderpriority) + 2 * grouping(o_orderstatus) AS BIGINT) AS gid
         FROM orders_gs
         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
@@ -712,8 +712,8 @@ UNPIVOT_MEASURES = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
         )
         SELECT l_returnflag, measure,
                count(*) AS n,
-               round(CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6)
-                   AS avg_value
+               round((CAST(CAST(sum(CAST(v AS DECIMAL(18,2))) * 100 AS BIGINT)
+                            AS DOUBLE) / 100.0) / count(*), 6) AS avg_value
         FROM long GROUP BY l_returnflag, measure
     """,
 )
@@ -735,10 +735,7 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return long.groupBy("l_returnflag", "measure").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(
-            F.sum(F.col("v").cast("decimal(18,2)")).cast("double") / F.count(F.lit(1)),
-            6,
-        ).alias("avg_value"),
+        F.round(dsum("v") / F.count(F.lit(1)), 6).alias("avg_value"),
     )
 
 

@@ -527,3 +527,41 @@ def test_generator_plants_near_dup_triangles(tmp_path):
         for a, nbrs in adj.items()
         for b, c in itertools.combinations(sorted(nbrs), 2)
     ), f"near-dup graph is triangle-free ({len(pairs)} pairs)"
+
+
+def test_dsum_bit_portable_beyond_2_53(spark):
+    """dsum/dsum_sql must agree BIT-FOR-BIT even when the scaled sum
+    exceeds 2^53 scaled units. A direct CAST(decimal AS DOUBLE) does
+    not: Spark converts via BigDecimal.doubleValue (correctly rounded)
+    while DuckDB divides the decimal's integer payload in floats
+    (double-rounds) — 1-ulp drift first observed on agg_q1's sum_charge
+    at sf1 (exact decimal 26740472947.579759 -> Spark ...758, DuckDB
+    ...76). The int64-units route performs the identical IEEE sequence
+    in both engines."""
+    import duckdb
+    import pandas as pd
+
+    from spark_graft.functions import dsum, dsum_sql
+
+    # Per-row values obey the data contract: small enough that the
+    # double resolves micro-units (ulp << 1e-6, so both engines cast
+    # each ROW to the identical decimal — above ~4e9 even that cast
+    # diverges, which is why the contract keeps per-row magnitudes
+    # small and lets only the SUM grow). 3000 x 8913490.982527 =
+    # 26740472947.581 -> 2.674e16 micro-units, past 2^53.
+    cases = [
+        [8913490.982527] * 3000,         # > 2^53 units: the bug regime
+        [-8913490.982527] * 3000,        # sign-symmetric
+        [1234.5678, 8765.4321],          # < 2^53 units: unchanged regime
+    ]
+    for vals in cases:
+        (got_spark,) = (
+            spark.createDataFrame([(v,) for v in vals], "v double")
+            .agg(dsum("v", scale=6).alias("s"))
+            .collect()[0]
+        )
+        pdf = pd.DataFrame({"v": vals})
+        con = duckdb.connect()
+        con.register("t", pdf)
+        (got_duck,) = con.execute(f"SELECT {dsum_sql('v', scale=6)} FROM t").fetchone()
+        assert got_spark == got_duck, (vals, got_spark.hex(), got_duck.hex())
