@@ -876,3 +876,39 @@ def test_ngram_jaccard_giant_boilerplate_bucket(spark, tmp_path_factory):
     got = _run_ngram_jaccard(spark, tmp_path_factory.mktemp("njg"), texts)
     assert got == _ngram_jaccard_ref(texts)
     assert len(got) > 100  # the bucket really is dense
+
+
+@given(
+    vals=st.lists(
+        st.decimals(
+            min_value=-999999, max_value=999999, places=2, allow_nan=False
+        ).map(float),
+        min_size=0,
+        max_size=25,
+    ),
+    scale=st.sampled_from([2, 6]),
+)
+@SETTINGS
+def test_dsum_matches_duckdb_bitwise(spark, vals, scale):
+    """dsum (Spark) and dsum_sql (DuckDB) agree bit-for-bit for ANY
+    list of contract-conformant values (2-decimal doubles small enough
+    that both engines cast each row to the same decimal), at both
+    scales in use — the random-input companion to the deterministic
+    2^53-boundary case in test_units.py."""
+    import duckdb
+    import pandas as pd
+
+    from spark_graft.functions import dsum_sql
+
+    (got_spark,) = (
+        spark.createDataFrame([(v,) for v in vals] or [(None,)], "v double")
+        .agg(dsum("v", scale=scale).alias("s"))
+        .collect()[0]
+    )
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"v": pd.Series(vals, dtype="float64")}))
+    (got_duck,) = con.execute(f"SELECT {dsum_sql('v', scale=scale)} FROM t").fetchone()
+    if got_spark is None or got_duck is None:
+        assert got_spark is None and got_duck is None
+    else:
+        assert got_spark == got_duck, (vals, got_spark.hex(), got_duck.hex())
