@@ -978,7 +978,15 @@ def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     order and cannot be hash-gated; six exact sums can, and make the
     statistic reproducible across engines AND partitionings. All six
     accumulators ride one map-side-partial aggregate — same shuffle
-    bytes as a plain sum, 100 TB-safe by construction."""
+    bytes as a plain sum, 100 TB-safe by construction.
+
+    The accumulators keep the DIRECT decimal->double cast rather than
+    dsum's int64-units route: the squared sums (scale 4, magnitude
+    ~6e16 at sf1) overflow int64 units, and the 1-ulp cast drift the
+    units route exists to kill is harmless here — every accumulator
+    feeds the correlation RATIO, where a 1-ulp input perturbation moves
+    the result ~1e-16, then round(6) absorbs it (verified bit-equal in
+    the sf1 sweep, CORRECTNESS_SF1.json)."""
     li = table(spark, sf_dir, "lineitem")
     dq = F.col("l_quantity").cast("decimal(18,2)")
     dp = F.col("l_extendedprice").cast("decimal(18,2)")
