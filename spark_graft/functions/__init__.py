@@ -42,13 +42,28 @@ def dsum(col: Column | str, scale: int = 2) -> Column:
     division by the exact power of ten is one more — an identical
     sequence on both sides, bit-equal up to ±2^63 units (~9.2e12 at
     scale 6; the exact decimal itself, which production would keep,
-    never degrades)."""
+    never degrades).
+
+    Past ±2^63 scaled units the bigint cast would (non-ANSI) return
+    NULL on Spark while DuckDB raises — a silent-NULL production sum.
+    The regime is guarded LOUDLY instead: the cast is gated on
+    |sum| <= (2^63-1)/10^scale and raises otherwise, telling the
+    caller to lower `scale` (more headroom, coarser units) or keep the
+    exact decimal. The guard is one abs-compare per GROUP (not per
+    row), after aggregation — free."""
     c = F.col(col) if isinstance(col, str) else col
     f = 10**scale
-    return (
-        (F.sum(c.cast(f"decimal(18,{scale})")) * f).cast("bigint").cast("double")
-        / F.lit(float(f))
-    )
+    s = F.sum(c.cast(f"decimal(18,{scale})"))
+    units = F.when(
+        F.abs(s) > F.lit((2**63 - 1) // f),
+        F.raise_error(
+            F.lit(
+                f"dsum overflow: |sum| * 10^{scale} exceeds 2^63 scaled "
+                "units; lower `scale` or keep the exact decimal"
+            )
+        ).cast("bigint"),
+    ).otherwise((s * f).cast("bigint"))
+    return units.cast("double") / F.lit(float(f))
 
 
 def dsum_sql(expr: str, scale: int = 2) -> str:

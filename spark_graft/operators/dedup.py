@@ -592,9 +592,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = inter * 1.0 / (F.size("p.a.sh") + F.size("p.b.sh") - inter)
     # exploded_pairs (chunked) for the same reason as dedup_minhash: a
     # prefix shingle shared by 1e5 boilerplate docs must not become one
-    # quadratic row. Members are (n, doc_id, sh) structs — the chunk
-    # sort orders them by SHINGLE COUNT first, which arms PPJoin's
-    # length filter at both granularities below.
+    # quadratic row. Members are (n, pos, doc_id, sh) structs — the
+    # array_sort tie-breaks through pos then doc_id, but n stays the
+    # LEADING key, so the chunk sort still orders members by SHINGLE
+    # COUNT first and PPJoin's length/chunk filters below are unaffected
+    # by the positional field riding along.
     bucketed = (
         staged.groupBy("s")
         .agg(

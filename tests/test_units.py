@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from pyspark.sql import Row, functions as F
 
 from spark_graft.functions import cosine, dsum, tokens, word_shingles
@@ -565,3 +566,19 @@ def test_dsum_bit_portable_beyond_2_53(spark):
         con.register("t", pdf)
         (got_duck,) = con.execute(f"SELECT {dsum_sql('v', scale=6)} FROM t").fetchone()
         assert got_spark == got_duck, (vals, got_spark.hex(), got_duck.hex())
+
+
+def test_dsum_overflow_is_loud_not_null(spark):
+    """Past ±2^63 scaled units Spark's non-ANSI bigint cast would return
+    NULL (DuckDB raises) — the guard must turn that silent-NULL into an
+    error, and must NOT fire below the limit."""
+    from spark_graft.functions import dsum
+
+    # 10 rows x 9.9e11 at scale 6 = 9.9e18 units > 2^63-1 (~9.22e18)
+    over = spark.createDataFrame([(9.9e11,)] * 10, "v double")
+    with pytest.raises(Exception, match="dsum overflow"):
+        over.agg(dsum("v", scale=6).alias("s")).collect()
+    # just below the limit: still exact, no error, not NULL
+    under = spark.createDataFrame([(9.0e11,)] * 10, "v double")
+    (got,) = under.agg(dsum("v", scale=6).alias("s")).collect()[0]
+    assert got == 9.0e12
