@@ -30,80 +30,70 @@ __all__ = ["REGISTRY", "QuerySpec", "query", "load_all_queries"]
 #   tier 0 — never driver-verified, or modified this round (an edit to
 #            a query fn or its oracle invalidates prior verification,
 #            so edited queries must re-enter the window);
-#   tier 1 — hash-green last in CORRECTNESS_r02 (these three missed
-#            every window since — 5 rounds stale, highest priority);
-#   tier 2 — hash-green last in CORRECTNESS_r05 (2 rounds stale);
-#   tier 3 — hash-green in CORRECTNESS_r06 on code unchanged since.
+#   tier 1 — hash-green last in CORRECTNESS_r05 (3 rounds stale,
+#            highest priority among unmodified queries);
+#   tier 2 — hash-green last in CORRECTNESS_r06 (2 rounds stale);
+#   tier 3 — hash-green in CORRECTNESS_r07 on code unchanged since.
 # Refresh these sets from CORRECTNESS_r{N}.json at the start of each
 # round, and add every query touched during the round to
 # _MODIFIED_THIS_ROUND.
 
-# Queries whose implementation or oracle changed during ROUND 7 —
+# Queries whose implementation or oracle changed during ROUND 8 —
 # tier 0, the driver must re-verify them on the new code:
-# - agg_approx / agg_approx_percentile: exact yardstick now computed on
-#   an md5-sampled subset (VERDICT r6 item 3)
-# - dedup_embedding: per-block pairwise now chunk-capped (item 4)
-# - agg_percentile: rewritten scale-safe (distinct-value running count +
-#   interpolation) after the built-in percentile() OOMed the sf1 bench
-# - udf_compat_iterative: driver now gallop+binary-searches the prefix
-#   length (O(log answer) jobs; per-job semantics unchanged)
-# - dedup_ngram_jaccard: PPJoin length filter at pair + chunk level
-#   (output-preserving; sf1 scale fix)
-# - decontaminate: gram join keys hashed to int64 in both engines
-#   (sf1 scale fix)
-# - kmeans_lloyd / sim_ann_ivf_trained: nearest-centroid assignment is
-#   now an Arrow-batched numpy matmul (clustering.assignment_udf) —
-#   bit-identical output, 40x faster at sf1
-# - agg_q1 / grouping_rollup / grouping_cube / grouping_sets /
-#   agg_pivot / unpivot_measures / join_broadcast / join_multi /
-#   join_outer: dsum/davg decimal->double conversion now routes through
-#   exact int64 scaled units in BOTH engines (direct CAST(decimal AS
-#   DOUBLE) diverges by 1 ulp between Spark and DuckDB once the scaled
-#   sum exceeds 2^53 — surfaced by agg_q1's sum_charge at sf1)
+# - dedup_embedding: REWRITTEN (VERDICT r7 item 1) — blocking key is no
+#   longer the fixed `label` column (quadratic output by contract;
+#   measured 12.4x per 10x data) but the cell of a TRAINED kmeans
+#   quantizer with k = max(8, ceil(n/256)), so expected cell size is
+#   constant and pair work/output are linear (measured 1.6x per 10x).
+#   New output schema: (vec_a, vec_b, cell, cos_sim).
+# - agg_q1 / grouping_rollup / grouping_cube / agg_pivot /
+#   unpivot_measures / join_broadcast / join_multi / join_outer: the
+#   dsum() helper these build their aggregates from gained a loud
+#   overflow guard (ADVICE r7: past +-2^63 scaled units the non-ANSI
+#   bigint cast silently returned NULL; it now raises) — results are
+#   identical below the limit, but the Spark expression tree changed,
+#   so prior verification is invalidated by the module's own rule.
+#   (grouping_sets inlines its SQL and does not call the helper.)
 _MODIFIED_THIS_ROUND = frozenset(
-    """agg_approx agg_approx_percentile agg_percentile dedup_embedding
-    udf_compat_iterative dedup_ngram_jaccard decontaminate
-    kmeans_lloyd sim_ann_ivf_trained
-    agg_q1 grouping_rollup grouping_cube grouping_sets agg_pivot
-    unpivot_measures join_broadcast join_multi join_outer""".split()
+    """dedup_embedding
+    agg_q1 grouping_rollup grouping_cube agg_pivot unpivot_measures
+    join_broadcast join_multi join_outer""".split()
 )
 
-# Green last in CORRECTNESS_r02.json — these three have missed every
-# verification window since round 2 (5 rounds stale): re-verify first.
-_VERIFIED_R2_ONLY = frozenset(
-    """agg_corr_exact profile_table unpivot_measures""".split()
-)
-
-# Green last in CORRECTNESS_r05.json — code unchanged through round 6,
-# now 2 rounds stale.
+# Green last in CORRECTNESS_r05.json — these four have ridden on an r5
+# driver check for three rounds (code unchanged, bit-exact in the sf1
+# sweep): cycle them into the r8 window first (VERDICT r7 item 3).
 _VERIFIED_R5_ONLY = frozenset(
-    """agg_bool_all agg_distinct agg_percentile agg_pivot agg_q1
-    dedup_clusters dedup_embedding dedup_simhash filter_in_null
-    filter_pred fn_array fn_datetime fn_json fn_math_decimal fn_string
-    global_sort grouping_cube grouping_rollup grouping_sets join_asof
-    join_broadcast join_inner join_multi join_outer join_semi_anti
-    join_theta_range min_unique_prefix scan_project set_ops
-    sim_cosine_topk text_langid text_lines text_quality text_scrub
-    text_stats text_tokens topk_per_group udf_pandas_tokens win_dist
-    win_lag win_range win_rank win_running word_count""".split()
+    """global_sort min_unique_prefix set_ops topk_per_group""".split()
 )
 
-# Green (rows+schema+hash) in CORRECTNESS_r06.json — freshest; these
-# can sit out round 7's window provided their code does not change.
+# Green last in CORRECTNESS_r06.json — 2 rounds stale.
 _VERIFIED_R6 = frozenset(
-    """agg_approx agg_approx_percentile agg_histogram agg_sketch_hll
-    agg_skew_salted decontaminate dedup_exact dedup_incremental
-    dedup_incremental_minhash dedup_minhash dedup_ngram_jaccard
+    """agg_histogram agg_sketch_hll agg_skew_salted dedup_exact
+    dedup_incremental dedup_incremental_minhash dedup_minhash
     dedup_span_fraction events_funnel events_paths events_retention
     fill_forward fn_map fn_struct graph_pagerank graph_triangles
-    join_q2_shape join_skew_salted kmeans_lloyd lm_next_token
-    mixture_weights multimodal_decode multimodal_frames multimodal_meta
+    join_q2_shape join_skew_salted lm_next_token mixture_weights
+    multimodal_decode multimodal_frames multimodal_meta
     pipeline_clean_corpus pipeline_pack_sequences recursive_reachability
-    sample_stratified sim_ann_ivf sim_ann_ivf_trained sim_ann_lsh
-    source_stats stream_session stream_sliding stream_tumbling
-    text_chunks text_fingerprint text_repetition text_split text_tfidf
-    ts_anomaly ts_resample udf_compat udf_compat_iterative
-    vocab_pair_counts win_gaps_islands""".split()
+    sample_stratified sim_ann_ivf sim_ann_lsh source_stats
+    stream_session stream_sliding stream_tumbling text_chunks
+    text_fingerprint text_repetition text_split text_tfidf ts_anomaly
+    ts_resample udf_compat vocab_pair_counts win_gaps_islands""".split()
+)
+
+# Green (rows+schema+hash) in CORRECTNESS_r07.json — freshest; these
+# can sit out round 8's window provided their code does not change.
+_VERIFIED_R7 = frozenset(
+    """agg_approx agg_approx_percentile agg_bool_all agg_corr_exact
+    agg_distinct agg_percentile decontaminate dedup_clusters
+    dedup_ngram_jaccard dedup_simhash filter_in_null filter_pred
+    fn_array fn_datetime fn_json fn_math_decimal fn_string
+    grouping_sets join_asof join_inner join_semi_anti join_theta_range
+    kmeans_lloyd profile_table scan_project sim_ann_ivf_trained
+    sim_cosine_topk text_langid text_lines text_quality text_scrub
+    text_stats text_tokens udf_compat_iterative udf_pandas_tokens
+    win_dist win_lag win_range win_rank win_running word_count""".split()
 )
 
 
@@ -111,11 +101,11 @@ def _staleness_tier(name: str) -> int:
     """0 = needs verification now … 3 = freshest verification."""
     if name in _MODIFIED_THIS_ROUND:
         return 0
-    if name in _VERIFIED_R2_ONLY:
-        return 1
     if name in _VERIFIED_R5_ONLY:
-        return 2
+        return 1
     if name in _VERIFIED_R6:
+        return 2
+    if name in _VERIFIED_R7:
         return 3
     return 0  # never driver-verified
 

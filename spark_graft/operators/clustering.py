@@ -183,16 +183,24 @@ def _update_stats(emb: DataFrame, cents: dict[int, list[int]], dim: int):
     )
 
 
-def lloyd_centroids(spark: SparkSession, sf_dir: str) -> dict[int, list[int]]:
+def lloyd_centroids(
+    spark: SparkSession, sf_dir: str, k: int = K, dim: int | None = None
+) -> dict[int, list[int]]:
     """Run the Lloyd training loop ({N_ITERS - 1} centroid update(s)
     from the deterministic lowest-vec_id seed) and return the final
     integer centroid matrix — the coarse quantizer `sim_ann_ivf_trained`
-    serves from. Only k×dim ints cross the driver per round."""
+    serves from. Only k×dim ints cross the driver per round.
+
+    `k` defaults to the fixed K=8 of kmeans_lloyd / sim_ann_ivf_trained;
+    dedup_embedding passes a data-derived k (~n / target cell size) so
+    its blocking cells stay constant-sized as the corpus grows — and the
+    `dim` it already knows, saving the lookup job."""
     emb = table(spark, sf_dir, "embeddings")
-    dim = int(emb.select(F.size("embedding")).first()[0])
+    if dim is None:
+        dim = int(emb.select(F.size("embedding")).first()[0])
     seed = (
         emb.select("vec_id", quantized_col().alias("q"))
-        .filter(F.col("vec_id") < K)
+        .filter(F.col("vec_id") < k)
         .orderBy("vec_id")
         .collect()
     )
@@ -209,13 +217,19 @@ def lloyd_centroids(spark: SparkSession, sf_dir: str) -> dict[int, list[int]]:
 # the full unrolled training pipeline as oracle CTEs — shared by
 # kmeans_lloyd and by sim_ann_ivf_trained's oracle (which serves the
 # trained quantizer): q = quantized position-exploded vectors,
-# c1 = centroids after the update round, a2 = final assignments
-KMEANS_CTES = f"""q AS (
+# c1 = centroids after the update round, a2 = final assignments.
+# `k_sql` is any SQL expression for the cluster count — the fixed
+# default `8` for kmeans_lloyd / sim_ann_ivf_trained, a count(*)-derived
+# scalar subquery for dedup_embedding's grow-with-n quantizer.
+
+
+def kmeans_ctes(k_sql: str = str(K)) -> str:
+    return f"""q AS (
             SELECT vec_id, i AS pos, {_QV} AS qv
             FROM embeddings,
                  unnest(generate_series(1, len(embedding))) AS u(i)
         ),
-        c0 AS (SELECT vec_id AS cluster, pos, qv AS qc FROM q WHERE vec_id < {K}),
+        c0 AS (SELECT vec_id AS cluster, pos, qv AS qc FROM q WHERE vec_id < {k_sql}),
         {_dist_cte("c0", "d1", "a1")},
         c1 AS (
             SELECT a.cluster, q.pos,
@@ -225,6 +239,9 @@ KMEANS_CTES = f"""q AS (
             GROUP BY a.cluster, q.pos
         ),
         {_dist_cte("c1", "d2_", "a2")}"""
+
+
+KMEANS_CTES = kmeans_ctes()
 
 
 @query(

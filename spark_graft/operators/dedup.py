@@ -668,44 +668,96 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 COSINE_THRESHOLD = 0.4
-# Hard cap on member rows per pairwise task (VERDICT r6 item 4): a label
+# Hard cap on member rows per pairwise task (VERDICT r6 item 4): a cell
 # with n > EMB_BLOCK_CAP members is split into ceil(n/cap) md5 chunks
 # and every (i, j>=i) chunk pair becomes its own task — the same grid
 # discipline as `exploded_pairs`, applied BEFORE applyInPandas so the
 # Arrow batch itself (not just the pair expansion) stays bounded. A
-# degenerate clustering (every doc one label) now costs (n/cap)^2
+# degenerate clustering (every doc one cell) now costs (n/cap)^2
 # distributable tasks instead of one O(n)-batch O(n^2)-pair OOM.
 EMB_BLOCK_CAP = 1024
 # Pairs materialized per numpy slice inside a task: bounds the temporary
 # (slice x dim) float64 arrays to ~16 MB regardless of chunk sizes.
 EMB_PAIR_SLICE = 32768
-
-
-@query(
-    "dedup_embedding",
-    oracle=f"""
-        WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
-               round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
-        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE list_cosine_similarity(a.v, b.v) >= {COSINE_THRESHOLD}
-    """,
+# Trained-quantizer blocking (round 8, VERDICT r7 item 1): the blocking
+# key is no longer the FIXED `label` column (8 values regardless of
+# corpus size — within-block pair work and output were Theta(n^2/8),
+# measured 12.4x runtime per 10x data) but the nearest-centroid cell of
+# a kmeans quantizer whose k GROWS with the corpus:
+#     k = max(EMB_MIN_CELLS, ceil(n / EMB_TARGET_CELL))
+# Expected cell size is then <= ~EMB_TARGET_CELL regardless of n, so
+# total pair evaluations are ~n * EMB_TARGET_CELL / 2 — LINEAR in the
+# corpus — and output is bounded by the same, whatever the threshold.
+EMB_TARGET_CELL = 256
+EMB_MIN_CELLS = 8
+# The SAME k expression on both engines, in integer arithmetic so they
+# cannot disagree on a rounding boundary.
+_EMB_K_SQL = (
+    f"(SELECT greatest({EMB_MIN_CELLS}, "
+    f"(count(*) + {EMB_TARGET_CELL - 1}) // {EMB_TARGET_CELL}) FROM embeddings)"
 )
-def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, blocked by `label` (the cluster
-    id): the groupBy on the block key keeps pairwise work inside
-    buckets — the same blocking trick as LSH bands, with the ANN index's
-    cluster assignment as the band.
 
-    Scale guard (round 7): labels are capped at EMB_BLOCK_CAP rows per
-    task. Each row gets a deterministic md5 chunk q in [0, k) with
-    k = ceil(n/cap) (k == 1 leaves the plan semantically identical to
-    the uncapped form), is replicated to every chunk pair containing q,
-    and the pandas fn computes the upper triangle inside diagonal
-    chunk-pairs and the full bipartite cross between distinct ones —
-    every i<j pair exactly once, per-task memory max O(cap) batch +
-    O(EMB_PAIR_SLICE) pair temp. The per-label count rides a tiny
-    (label, n) aggregate joined back; no broadcast hint — label
+
+def _emb_k(n: int) -> int:
+    return max(EMB_MIN_CELLS, (n + EMB_TARGET_CELL - 1) // EMB_TARGET_CELL)
+
+
+def _emb_oracle() -> str:
+    # imported lazily at module load: clustering owns the shared kmeans
+    # CTE builder (kmeans_lloyd / sim_ann_ivf_trained use the k=8 form)
+    from spark_graft.operators.clustering import kmeans_ctes
+
+    return f"""
+        WITH {kmeans_ctes(_EMB_K_SQL)},
+        asn AS (SELECT vec_id, cluster AS cell FROM a2 WHERE rk = 1),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        SELECT sa.vec_id AS vec_a, sb.vec_id AS vec_b, sa.cell AS cell,
+               round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+        FROM asn sa JOIN asn sb ON sa.cell = sb.cell AND sa.vec_id < sb.vec_id
+        JOIN e a ON a.vec_id = sa.vec_id
+        JOIN e b ON b.vec_id = sb.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) >= {COSINE_THRESHOLD}
+    """
+
+
+@query("dedup_embedding", oracle=_emb_oracle())
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by the cell of a TRAINED
+    coarse quantizer — the same blocking trick as LSH bands, with a
+    kmeans assignment as the band, and k sized so blocking work stays
+    linear as the corpus grows.
+
+    Contract: emit every pair of vectors that land in the same trained
+    cell with cosine >= COSINE_THRESHOLD. Training is the exact
+    fixed-point Lloyd loop of `kmeans_lloyd` (clustering.lloyd_centroids,
+    integer arithmetic, deterministic seeds/tie-breaks) with
+    k = max(8, ceil(n/256)) (EMB_MIN_CELLS/EMB_TARGET_CELL), so the DuckDB
+    oracle re-derives the identical cells relationally and the whole
+    train->assign->pair pipeline hash-matches bit-for-bit.
+
+    Scale shape (round 8 — replaces the r7 fixed-`label` blocking that
+    was Theta(n^2) by contract, measured 12.4x per 10x data): expected
+    cell size is <= ~EMB_TARGET_CELL independent of n, so pair
+    evaluations AND output are O(n * EMB_TARGET_CELL) — linear. The
+    r7 md5 chunk-cap grid stays as the skew guard: a cell the quantizer
+    overloads past EMB_BLOCK_CAP is split into bounded chunk-pair tasks
+    (see below), so no task can OOM even on a degenerate clustering.
+    Assignment is one Arrow-batched numpy matmul (n x k x dim int64 ops)
+    with centroids as closure literals — at this workload's k (hundreds)
+    that is milliseconds; at 100 TB (k ~ millions) the same argmin runs
+    hierarchically (coarse k'~sqrt(k) prune, then fine argmin inside the
+    shortlisted coarse cells, centroids in a broadcast table) without
+    changing the cell semantics or this contract.
+
+    Scale guard (round 7, kept): cells are capped at EMB_BLOCK_CAP rows
+    per task. Each row gets a deterministic md5 chunk q in [0, kc) with
+    kc = ceil(n_cell/cap) (kc == 1 leaves the plan semantically
+    identical to the uncapped form), is replicated to every chunk pair
+    containing q, and the pandas fn computes the upper triangle inside
+    diagonal chunk-pairs and the full bipartite cross between distinct
+    ones — every i<j pair exactly once, per-task memory max O(cap)
+    batch + O(EMB_PAIR_SLICE) pair temp. The per-cell count rides a
+    tiny (cell, n) aggregate joined back; no broadcast hint — cell
     cardinality grows with the corpus, AQE decides at runtime.
 
     Dense pairwise math is the one place interpreted SQL expressions
@@ -718,7 +770,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    def _emit(ids_a, ids_b, cos, label) -> pd.DataFrame:
+    def _emit(ids_a, ids_b, cos, cell) -> pd.DataFrame:
         # round exactly like Spark's F.round (BigDecimal HALF_UP on the
         # shortest decimal repr) — np.round is half-to-even and would
         # diverge from the oracle on exact .00005 boundaries. Kept pairs
@@ -733,19 +785,19 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             {
                 "vec_a": lo,
                 "vec_b": hi,
-                "label": label,
+                "cell": cell,
                 "cos_sim": pd.Series(rounded, dtype="float64"),
             }
         )
 
     _EMPTY = pd.DataFrame(
         {"vec_a": pd.Series(dtype="int64"), "vec_b": pd.Series(dtype="int64"),
-         "label": pd.Series(dtype="int32"), "cos_sim": pd.Series(dtype="float64")}
+         "cell": pd.Series(dtype="int64"), "cos_sim": pd.Series(dtype="float64")}
     )
 
     def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         pi, pj = int(pdf["pi"].iloc[0]), int(pdf["pj"].iloc[0])
-        label = pdf["label"].iloc[0]
+        cell = pdf["cell"].iloc[0]
         if pi == pj:
             part = pdf.sort_values("vec_id").reset_index(drop=True)
             n = len(part)
@@ -777,14 +829,26 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             keep = cos >= COSINE_THRESHOLD
             if keep.any():
                 outs.append(
-                    _emit(ids_a_all[sa[keep]], ids_b_all[sb[keep]], cos[keep], label)
+                    _emit(ids_a_all[sa[keep]], ids_b_all[sb[keep]], cos[keep], cell)
                 )
         return pd.concat(outs, ignore_index=True) if outs else _EMPTY
 
-    e = table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
-    counts = e.groupBy("label").agg(F.count(F.lit(1)).alias("_n"))
+    from spark_graft.operators.clustering import assignment_udf, lloyd_centroids
+
+    emb = table(spark, sf_dir, "embeddings")
+    # one fused job for the two scalars that size the quantizer
+    n_vecs, dim = emb.agg(
+        F.count(F.lit(1)), F.min(F.size("embedding"))
+    ).first()
+    cents = lloyd_centroids(spark, sf_dir, k=_emb_k(int(n_vecs)), dim=int(dim))
+    e = emb.select(
+        "vec_id",
+        "embedding",
+        assignment_udf(cents)("embedding")["cluster"].alias("cell"),
+    )
+    counts = e.groupBy("cell").agg(F.count(F.lit(1)).alias("_n"))
     staged = (
-        e.join(counts, "label")
+        e.join(counts, "cell")
         .withColumn("_k", F.ceil(F.col("_n") / F.lit(EMB_BLOCK_CAP)).cast("int"))
         .withColumn(
             "q", (md5_bucket_raw("emb:", F.col("vec_id")) % F.col("_k")).cast("int")
@@ -810,12 +874,12 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .select(
-            "vec_id", "label", "embedding", "q",
+            "vec_id", "cell", "embedding", "q",
             F.col("_p.pi").alias("pi"), F.col("_p.pj").alias("pj"),
         )
     )
-    return staged.groupBy("label", "pi", "pj").applyInPandas(
-        block_pairs, "vec_a bigint, vec_b bigint, label int, cos_sim double"
+    return staged.groupBy("cell", "pi", "pj").applyInPandas(
+        block_pairs, "vec_a bigint, vec_b bigint, cell bigint, cos_sim double"
     )
 
 

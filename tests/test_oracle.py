@@ -32,3 +32,52 @@ def test_rows_only_runs(name, spark, sf_dir):
     assert len(df.schema.fields) > 0
     # rows-only queries should still produce something at test scale
     assert rows > 0, f"{name} returned no rows at {sf_dir}"
+
+
+def test_minhash_knob_off_default_stays_oracle_consistent(sf_dir):
+    """The production LSH knob (SPARK_GRAFT_MINHASH_PERMS/BANDS,
+    dedup.py — e.g. 60/12 for low-entropy corpora) is documented as
+    keeping every consumer AND its DuckDB oracle derived from the one
+    setting; this proves it by EXECUTING an off-default setting (24
+    perms, 6 bands, r=4) end-to-end. The knob is read at module import
+    (the oracle SQL f-strings it), so the off-default run is a
+    subprocess with the env set — the same way CI or a production job
+    would flip it."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = """
+import sys
+sys.path.insert(0, {repo!r}); sys.path.insert(0, {tests!r})
+import duckdb
+from pyspark.sql import SparkSession
+
+import spark_graft
+from spark_graft.operators import dedup
+from compare import assert_frames_match
+
+assert (dedup.N_PERMS, dedup.N_BANDS) == (24, 6), (dedup.N_PERMS, dedup.N_BANDS)
+spark_graft.load_all_queries()
+spark = (SparkSession.builder.master("local[4]")
+         .config("spark.ui.enabled", "false")
+         .config("spark.sql.shuffle.partitions", "8").getOrCreate())
+con = duckdb.connect()
+con.execute("CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+for name in ("dedup_minhash", "dedup_clusters"):
+    spec = spark_graft.REGISTRY[name]
+    assert_frames_match(
+        spec.fn(spark, {sf!r}).toPandas(), con.execute(spec.oracle).df(), name
+    )
+    print(name, "oracle-consistent at 24/6")
+""".format(repo=repo, tests=os.path.join(repo, "tests"), sf=sf_dir)
+    env = dict(
+        os.environ, SPARK_GRAFT_MINHASH_PERMS="24", SPARK_GRAFT_MINHASH_BANDS="6"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", script], env=env, capture_output=True, text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    assert "dedup_minhash oracle-consistent at 24/6" in proc.stdout

@@ -658,9 +658,10 @@ def test_md5_bucket_matches_python_reference(spark, keys):
 
 
 def test_dedup_embedding_one_label_capped(spark, tmp_path_factory, monkeypatch):
-    """Adversarial degenerate clustering (VERDICT r6 item 4): EVERY
-    vector in one label. With EMB_BLOCK_CAP forced below the label size
-    the grid split must kick in (k > 1 chunks, bipartite + diagonal
+    """Adversarial degenerate clustering (VERDICT r6 item 4): 30
+    near-parallel planted vectors that the trained quantizer necessarily
+    packs into ONE cell. With EMB_BLOCK_CAP forced below that cell size
+    the grid split must kick in (kc > 1 chunks, bipartite + diagonal
     tasks) and produce EXACTLY the same pair set as the single-block
     path — every above-threshold i<j pair once, none dropped at chunk
     boundaries, none duplicated across chunk-pairs."""
@@ -691,15 +692,17 @@ def test_dedup_embedding_one_label_capped(spark, tmp_path_factory, monkeypatch):
 
     def run():
         return {
-            (r["vec_a"], r["vec_b"]): (r["label"], r["cos_sim"])
+            (r["vec_a"], r["vec_b"]): (r["cell"], r["cos_sim"])
             for r in dedup.dedup_embedding(spark, str(d)).collect()
         }
 
-    uncapped = run()  # n=300 < default cap: single diagonal block
+    uncapped = run()  # every trained cell < default cap: diagonal blocks
     assert len(uncapped) >= 30 * 29 // 2  # the planted near-dups all pair up
     assert all(a < b for a, b in uncapped)
 
-    monkeypatch.setattr(dedup, "EMB_BLOCK_CAP", 64)  # forces k = 5
+    # the planted vectors share one trained cell (~30 members); cap 8
+    # forces kc >= 4 chunks there
+    monkeypatch.setattr(dedup, "EMB_BLOCK_CAP", 8)
     monkeypatch.setattr(dedup, "EMB_PAIR_SLICE", 1000)  # exercise slicing
     capped = run()
     assert capped == uncapped
