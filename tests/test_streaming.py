@@ -314,3 +314,70 @@ def test_multi_batch_dedup_state_evicted_past_watermark(spark, tmp_path):
         (2, 400, "2024-01-01 15:10:00"),
         (3, 100, "2024-01-01 14:55:00"),  # re-emitted: state was evicted
     ], got
+
+
+def test_processing_time_trigger_wall_clock(spark, tmp_path):
+    """VERDICT r7 item 8: the same state evolution as the availableNow /
+    staggered-replay tests, under a REAL wall-clock processingTime
+    trigger — the query runs unbounded while files arrive, micro-batches
+    fire on the timer, and update-mode emissions prove the 12:00
+    window's state is carried and updated across wall-clock batches.
+    Batch ids are timer-dependent (no-data ticks may claim ids), so the
+    assertion is on the ORDERED SEQUENCE of emissions, not exact ids."""
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    src.mkdir()
+
+    def drop(name, rows):
+        _staggered_files(src, [(name, rows)])
+
+    drop("b0.parquet", [(1, "2024-01-01 12:00:00"), (2, "2024-01-01 12:01:00")])
+
+    agg = (
+        spark.readStream.schema("id long, ts timestamp")
+        .parquet(str(src))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+
+    def write_batch(batch_df, batch_id):
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(str(out))
+
+    q = (
+        agg.writeStream.foreachBatch(write_batch)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        drop("b1.parquet", [(3, "2024-01-01 12:02:00"), (4, "2024-01-01 12:03:00"),
+                            (5, "2024-01-01 12:05:00")])
+        q.processAllAvailable()
+        drop("b2.parquet", [(6, "2024-01-01 15:00:00")])
+        q.processAllAvailable()
+        assert q.isActive  # genuinely unbounded until we stop it
+        assert q.lastProgress["batchId"] >= 2  # >= 3 wall-clock batches ran
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    rows = sorted(
+        ((r["batch_id"], str(r["ws"]), r["n"]))
+        for r in spark.read.parquet(str(out)).collect()
+    )
+    emissions = [(ws, n) for _, ws, n in rows]
+    assert emissions == [
+        ("2024-01-01 12:00:00", 2),   # first wall-clock batch: window opens
+        ("2024-01-01 12:00:00", 4),   # later batch UPDATES the same window
+        ("2024-01-01 12:05:00", 1),   # and opens a new one
+        ("2024-01-01 15:00:00", 1),   # final batch touches only its own
+    ], rows
+    # the update and the open ride the SAME batch; the other two differ
+    bids = [b for b, _, _ in rows]
+    assert bids[1] == bids[2] and bids[0] < bids[1] < bids[3], rows
