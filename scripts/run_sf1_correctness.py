@@ -57,9 +57,18 @@ def main() -> None:
     import __spark_entry__ as entry
     from compare import assert_frames_match
 
-    # vanilla session, like the driver (library must set its own confs)
+    # Vanilla-semantics session, like the driver (the library must set
+    # its own behavior confs at runtime) — but with the heap sized for
+    # sf1: Spark's 1g spark.driver.memory default is a thin-cluster-
+    # driver assumption, and in local[] mode the driver JVM is every
+    # executor; 32 concurrent tasks over 6M-row lineitem kill a 1g heap
+    # before anything can spill. Heap size is not a semantics conf.
+    from spark_graft.session import _default_driver_memory
+
     spark = (
         SparkSession.builder.master(f"local[{os.cpu_count()}]")
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_memory()))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.partitions", "32")
         .getOrCreate()

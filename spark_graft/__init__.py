@@ -54,8 +54,11 @@ __all__ = ["REGISTRY", "QuerySpec", "query", "load_all_queries"]
 #   identical below the limit, but the Spark expression tree changed,
 #   so prior verification is invalidated by the module's own rule.
 #   (grouping_sets inlines its SQL and does not call the helper.)
+# - agg_sketch_hll: envelope re-derived from the sketch's published rsd
+#   (4 sigma at 1.04/sqrt(2^12) ~= 6.5%, absolute floor of 8 keys) and
+#   the contract column renamed hll_within_envelope (VERDICT r7 item 6).
 _MODIFIED_THIS_ROUND = frozenset(
-    """dedup_embedding
+    """dedup_embedding agg_sketch_hll
     agg_q1 grouping_rollup grouping_cube agg_pivot unpivot_measures
     join_broadcast join_multi join_outer""".split()
 )
@@ -69,7 +72,7 @@ _VERIFIED_R5_ONLY = frozenset(
 
 # Green last in CORRECTNESS_r06.json — 2 rounds stale.
 _VERIFIED_R6 = frozenset(
-    """agg_histogram agg_sketch_hll agg_skew_salted dedup_exact
+    """agg_histogram agg_skew_salted dedup_exact
     dedup_incremental dedup_incremental_minhash dedup_minhash
     dedup_span_fraction events_funnel events_paths events_retention
     fill_forward fn_map fn_struct graph_pagerank graph_triangles

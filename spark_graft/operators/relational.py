@@ -601,16 +601,21 @@ def min_unique_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Default lgConfigK=12 rsd ~1.6%; accept within ~3 sigma. False-failure
-# probability on a freshly generated dataset (ADVICE r6): HLL error is
-# ~Gaussian, so a legitimate estimate misses a 3-sigma envelope with
-# P ~ 2.7e-3 per group (6 groups here → ~1.6e-2 per dataset) — accepted
-# as-is because the DataSketches HLL at this lgConfigK empirically runs
-# well under its nominal rsd at the <= sf1 cardinalities this query
-# sees, and c_custkey groups are large enough to stay out of the
-# transition region. Revisit (widen to 4 sigma like APPROX_ENVELOPE)
-# only if a regeneration ever trips it.
-HLL_ENVELOPE = 0.05
+# Envelope derived from the sketch's PUBLISHED error, not calibrated on
+# any particular generated dataset (ADVICE r6 / VERDICT r7 item 6):
+# DataSketches HLL at the default lgConfigK=12 has relative standard
+# deviation 1.04/sqrt(2^12) ~= 1.625% (Heule et al. 2013 / DataSketches
+# docs). Accept within 4 sigma, like APPROX_ENVELOPE: the error is
+# ~Gaussian for n past the sparse mode, so a LEGITIMATE estimate misses
+# the envelope with P ~= 6.3e-5 per group — ~4e-4 per dataset at the 6
+# groups here, robust to any regeneration seed/sf (the former 3-sigma 5%
+# envelope risked ~1.6e-2 per dataset). Small groups never get near the
+# relative bound: below the sparse->dense transition HLL is EXACT, and
+# the 8-key absolute floor in `within` covers the transition region.
+# tests/test_units.py::test_sketch_envelope_false_failure_bounds
+# computes these tail bounds from the published rsd.
+HLL_RSD = 1.04 / (2**12) ** 0.5
+HLL_ENVELOPE = 4 * HLL_RSD
 
 
 @query(
@@ -618,7 +623,7 @@ HLL_ENVELOPE = 0.05
     oracle="""
         SELECT c_mktsegment,
                count(DISTINCT c_custkey) AS exact_customers,
-               TRUE AS hll_within_5pct
+               TRUE AS hll_within_envelope
         FROM customer GROUP BY c_mktsegment
         UNION ALL
         SELECT '_ALL_', count(DISTINCT c_custkey), TRUE FROM customer
@@ -636,8 +641,9 @@ def agg_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     Sketch binaries are engine-specific, so the oracle checks the
     KEYS+BOUNDS contract: exact distinct counts (the yardstick) plus a
     boolean asserting each estimate — including the estimate from the
-    MERGED sketch, which exercises hll_union_agg — lands within 5% of
-    exact; the oracle expects TRUE everywhere. As with `agg_approx`,
+    MERGED sketch, which exercises hll_union_agg — lands within 4x the
+    published rsd of exact (see HLL_ENVELOPE above); the oracle expects
+    TRUE everywhere. As with `agg_approx`,
     the exact counts are the verification yardstick only — production
     serves the estimates and validates on samples."""
     c = table(spark, sf_dir, "customer")
@@ -646,13 +652,15 @@ def agg_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("c_custkey").alias("exact_customers"),
     )
     def within(est, exact):
-        return F.abs(est - exact) <= exact * HLL_ENVELOPE
+        # 8-key absolute floor: covers the sparse->dense transition
+        # where relative error is ill-defined (sparse mode is exact)
+        return F.abs(est - exact) <= F.greatest(exact * HLL_ENVELOPE, F.lit(8.0))
 
     per = seg.select(
         "c_mktsegment",
         "exact_customers",
         within(F.hll_sketch_estimate("sk"), F.col("exact_customers")).alias(
-            "hll_within_5pct"
+            "hll_within_envelope"
         ),
     )
     total_exact = c.agg(F.countDistinct("c_custkey").alias("exact_customers"))
@@ -663,7 +671,7 @@ def agg_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("_ALL_").alias("c_mktsegment"),
             "exact_customers",
             within(F.hll_sketch_estimate("u"), F.col("exact_customers")).alias(
-                "hll_within_5pct"
+                "hll_within_envelope"
             ),
         )
     )
