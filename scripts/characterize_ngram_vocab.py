@@ -1,0 +1,176 @@
+#!/usr/bin/env python
+"""Characterize dedup_ngram_jaccard's candidate growth on a REALISTIC
+(open, Zipfian) vocabulary vs the bounded-vocabulary driver corpus
+(VERDICT r7 item 4).
+
+Round 7 measured candidates growing 9.96x for 3x data on the synthetic
+corpus and attributed it to the 31-word bounded vocabulary (every
+prefix-shingle bucket grows linearly with the corpus, so bucket pair
+counts grow quadratically). This script tests that attribution: generate
+documents with `gen_testdata.word_sampler("zipf", ...)` — vocabulary
+size scaling with the corpus under a Zipf s~1 rank law — at the sf1 and
+sf3 document counts (50k / 150k), and measure
+
+  - raw candidate pairs sum C(bucket,2) over the PREFIX buckets, using
+    the query's own verified oracle CTEs verbatim (truncated before the
+    cand CTE), so the instrument cannot drift from the semantics;
+  - the max prefix-bucket size;
+  - dedup_ngram_jaccard wall-clock on Spark (median of 3 warm runs,
+    noop sink).
+
+If zipf candidates grow ~linearly in the corpus (ratio ~3x for 3x docs)
+the r7 attribution is proven: the plan (PPJoin prefix+length+positional
+filters) is sound, the quadratic lived in the corpus. Results land in
+BENCH_SF1.json under "ngram_vocab_characterization" (all other keys
+preserved).
+
+    python scripts/characterize_ngram_vocab.py [--workdir /tmp/zipfdocs]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import random
+import statistics
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+N_SF1_DOCS = 50_000   # documents rows at sf1 per the driver's curve
+N_SF3_DOCS = 150_000  # and at sf3
+
+
+def gen_zipf_docs(n_docs: int, out_dir: str, seed: int = 42) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gen_testdata import doc_texts, word_sampler
+
+    os.makedirs(out_dir, exist_ok=True)
+    rng = random.Random(seed)
+    texts = doc_texts(rng, n_docs, word_sampler("zipf", n_docs))
+    pa_table = pa.table(
+        {
+            "doc_id": list(range(n_docs)),
+            "text": texts,
+            "lang": ["en"] * n_docs,
+            "source": [f"src{rng.randrange(20)}" for _ in range(n_docs)],
+            "n_chars": [len(t) for t in texts],
+        },
+        schema=pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("text", pa.string()),
+                ("lang", pa.string()),
+                ("source", pa.string()),
+                ("n_chars", pa.int64()),
+            ]
+        ),
+    )
+    pq.write_table(pa_table, os.path.join(out_dir, "documents.parquet"))
+
+
+def candidate_stats(doc_dir: str) -> dict:
+    """Raw candidate volume from the query's own oracle CTEs: everything
+    up to (not including) the cand CTE is reused VERBATIM, then the
+    prefix buckets are counted instead of joined."""
+    import duckdb
+
+    import spark_graft
+
+    spark_graft.load_all_queries()
+    oracle = spark_graft.REGISTRY["dedup_ngram_jaccard"].oracle
+    head, _, _ = oracle.partition("cand AS")
+    assert head != oracle, "oracle no longer has a cand CTE — update me"
+    sql = head.rstrip().rstrip(",") + """
+        SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT) AS raw_candidates,
+               max(c) AS max_bucket,
+               count(*) AS n_buckets
+        FROM (SELECT s, count(*) AS c FROM prefix GROUP BY s) b
+    """
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{doc_dir}/documents.parquet'"
+    )
+    raw, mx, nb = con.execute(sql).fetchone()
+    return {"raw_candidates": int(raw), "max_bucket": int(mx),
+            "n_buckets": int(nb)}
+
+
+def spark_seconds(spark, doc_dir: str) -> float:
+    import spark_graft
+
+    fn = spark_graft.REGISTRY["dedup_ngram_jaccard"].fn
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        fn(spark, doc_dir).write.format("noop").mode("overwrite").save()
+        times.append(time.time() - t0)
+    return round(statistics.median(times), 2)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", default="/tmp/zipfdocs")
+    args = ap.parse_args()
+
+    import spark_graft
+    from spark_graft.session import get_spark
+
+    spark_graft.load_all_queries()
+    spark = get_spark("ngram-vocab-characterization")
+
+    points = {}
+    for tag, n_docs in (("zipf_sf1_docs", N_SF1_DOCS), ("zipf_sf3_docs", N_SF3_DOCS)):
+        d = os.path.join(args.workdir, tag)
+        if not os.path.exists(os.path.join(d, "documents.parquet")):
+            gen_zipf_docs(n_docs, d)
+        stats = candidate_stats(d)
+        stats["n_docs"] = n_docs
+        stats["spark_sec"] = spark_seconds(spark, d)
+        points[tag] = stats
+        print(tag, stats)
+
+    # bounded-vocabulary contrast on the committed sf1/sf3 corpora
+    for tag, d in (("bounded_sf1", "/tmp/testdata/sf1"),
+                   ("bounded_sf3", "/tmp/testdata/sf3")):
+        if os.path.exists(os.path.join(d, "documents.parquet")):
+            points[tag] = candidate_stats(d)
+            print(tag, points[tag])
+
+    r3 = points["zipf_sf3_docs"]["raw_candidates"] / max(
+        1, points["zipf_sf1_docs"]["raw_candidates"]
+    )
+    out = {
+        "what": (
+            "Candidate growth of dedup_ngram_jaccard under an OPEN Zipfian "
+            "vocabulary (gen_testdata --doc-vocab zipf; V = 2*n_docs words, "
+            "Zipf s~1) at the sf1/sf3 document counts, instrumented with the "
+            "query's own oracle prefix CTEs. Contrast: the bounded 31-word "
+            "corpus grew candidates 9.96x for 3x docs (r7)."
+        ),
+        "points": points,
+        "zipf_candidate_ratio_3x_docs": round(r3, 2),
+        "verdict": (
+            "attribution proven: candidates ~linear in docs on a realistic "
+            "vocabulary" if r3 < 4.5 else
+            "attribution REFUTED: superlinear even on open vocabulary — "
+            "next PPJoin stage (suffix filter) is the fix"
+        ),
+    }
+    path = os.path.join(REPO, "BENCH_SF1.json")
+    data = json.load(open(path)) if os.path.exists(path) else {}
+    data["ngram_vocab_characterization"] = out
+    with open(path, "w") as f:
+        json.dump(data, f, indent=1, sort_keys=True)
+    print(f"wrote {path}: zipf 3x-docs candidate ratio {r3:.2f}x — "
+          f"{out['verdict']}")
+
+
+if __name__ == "__main__":
+    main()

@@ -116,7 +116,66 @@ def row_counts(sf: float) -> dict[str, int]:
     return n
 
 
-def gen(sf: float, out: str, seed: int = 42) -> None:
+
+
+def word_sampler(mode: str, n_docs: int):
+    """Per-word sampler for document texts.
+
+    'bounded' (default): the fixed 31-word DOC_WORDS list — mirrors the
+    driver corpus, where every prefix-shingle bucket grows linearly with
+    the corpus (the measured superlinear candidate growth of
+    dedup_ngram_jaccard is a property of THIS vocabulary shape).
+
+    'zipf': an OPEN vocabulary scaling with the corpus (V = max(2000,
+    2 * n_docs) distinct words) under a Zipf s~1 rank law via inverse
+    CDF (rank = floor(V^u), u~U[0,1): P(rank <= r) = ln r / ln V, so
+    P(rank = r) ~ 1/r) — the realistic regime for natural-language
+    corpora, where rare shingles stay rare as the corpus grows
+    (VERDICT r7 item 4; see scripts/characterize_ngram_vocab.py)."""
+    if mode == "bounded":
+        return lambda rng: rng.choice(DOC_WORDS)
+    if mode == "zipf":
+        v = max(2000, 2 * n_docs)
+        return lambda rng: f"w{min(v - 1, int(v ** rng.random()))}"
+    raise ValueError(f"unknown doc vocab mode: {mode}")
+
+
+def doc_texts(rng: random.Random, n_docs: int, word=None) -> list[str]:
+    """Word-salad texts with a planted near-dup tail (every 11th doc
+    perturbs an earlier one) so the dedup/graph queries have real pairs
+    to find; occasional empty text exercises the guards. Every ~101 docs
+    a FAMILY of three perturbs the SAME base — pairs alone leave the
+    near-dup graph triangle-free, which made graph_triangles vacuous
+    (0 rows vs the driver's 7 at sf0.001)."""
+    if word is None:
+        word = word_sampler("bounded", n_docs)
+    texts: list[str] = []
+    for i in range(n_docs):
+        fam = i % 101 - 50  # 0,1,2 -> member of a 3-doc family
+        if i % 37 == 13:
+            texts.append("")
+        elif 0 <= fam <= 2 and i - fam - 30 >= 0:
+            base_words = texts[i - fam - 30].split()
+            if len(base_words) > 10:
+                base_words[rng.randrange(len(base_words))] = word(rng)
+                texts.append(" ".join(base_words))
+            else:
+                texts.append(" ".join(word(rng) for _ in range(30)))
+        elif i % 11 == 10 and i > 20:
+            base_words = texts[i - 7].split()
+            if len(base_words) > 4:
+                base_words[rng.randrange(len(base_words))] = word(rng)
+                texts.append(" ".join(base_words))
+            else:
+                texts.append(" ".join(word(rng) for _ in range(30)))
+        else:
+            texts.append(
+                " ".join(word(rng) for _ in range(rng.randrange(15, 60)))
+            )
+    return texts
+
+
+def gen(sf: float, out: str, seed: int = 42, doc_vocab: str = "bounded") -> None:
     rng = random.Random(seed)
     n = row_counts(sf)
     os.makedirs(out, exist_ok=True)
@@ -298,35 +357,10 @@ def gen(sf: float, out: str, seed: int = 42) -> None:
         ),
     )
 
-    # documents: word-salad texts with a planted near-dup tail (every
-    # 11th doc perturbs an earlier one) so the dedup/graph queries have
-    # real pairs to find; occasional empty text exercises the guards.
-    # Every ~101 docs a FAMILY of three perturbs the SAME base — pairs
-    # alone leave the near-dup graph triangle-free, which made
-    # graph_triangles vacuous (0 rows vs the driver's 7 at sf0.001).
-    texts: list[str] = []
-    for i in range(n["documents"]):
-        fam = i % 101 - 50  # 0,1,2 -> member of a 3-doc family
-        if i % 37 == 13:
-            texts.append("")
-        elif 0 <= fam <= 2 and i - fam - 30 >= 0:
-            base_words = texts[i - fam - 30].split()
-            if len(base_words) > 10:
-                base_words[rng.randrange(len(base_words))] = rng.choice(DOC_WORDS)
-                texts.append(" ".join(base_words))
-            else:
-                texts.append(" ".join(rng.choice(DOC_WORDS) for _ in range(30)))
-        elif i % 11 == 10 and i > 20:
-            base_words = texts[i - 7].split()
-            if len(base_words) > 4:
-                base_words[rng.randrange(len(base_words))] = rng.choice(DOC_WORDS)
-                texts.append(" ".join(base_words))
-            else:
-                texts.append(" ".join(rng.choice(DOC_WORDS) for _ in range(30)))
-        else:
-            texts.append(
-                " ".join(rng.choice(DOC_WORDS) for _ in range(rng.randrange(15, 60)))
-            )
+    # documents: see doc_texts — near-dup tail + families + empties;
+    # vocabulary shape selected by doc_vocab (bounded mirrors the driver
+    # corpus; zipf is the open-vocabulary realism mode)
+    texts = doc_texts(rng, n["documents"], word_sampler(doc_vocab, n["documents"]))
     write(
         "documents",
         {
@@ -381,5 +415,6 @@ if __name__ == "__main__":
     ap.add_argument("--sf", type=float, default=0.001)
     ap.add_argument("--out", required=True)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--doc-vocab", choices=["bounded", "zipf"], default="bounded")
     a = ap.parse_args()
-    gen(a.sf, a.out, a.seed)
+    gen(a.sf, a.out, a.seed, a.doc_vocab)
