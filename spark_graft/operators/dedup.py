@@ -720,6 +720,95 @@ def _emb_oracle() -> str:
     """
 
 
+def emb_cell_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared staging for the trained-quantizer blocked embedding ops
+    (`dedup_embedding`, `sim_knn_graph`): train the k = max(8,
+    ceil(n/256)) kmeans quantizer, assign every vector to its cell, and
+    replicate rows onto the (pi, pj>=pi) md5 chunk-pair grid that caps
+    any one applyInPandas task at EMB_BLOCK_CAP members per side.
+
+    Grouping the result by (cell, pi, pj) hands each task exactly one
+    chunk pair of one cell; within a task, pairs are the diagonal upper
+    triangle (pi == pj) or the full bipartite cross (pi < pj) — every
+    within-cell i<j pair lands in exactly one task."""
+    from spark_graft.operators.clustering import assignment_udf, lloyd_centroids
+
+    emb = table(spark, sf_dir, "embeddings")
+    # one fused job for the two scalars that size the quantizer
+    n_vecs, dim = emb.agg(
+        F.count(F.lit(1)), F.min(F.size("embedding"))
+    ).first()
+    cents = lloyd_centroids(spark, sf_dir, k=_emb_k(int(n_vecs)), dim=int(dim))
+    e = emb.select(
+        "vec_id",
+        "embedding",
+        assignment_udf(cents)("embedding")["cluster"].alias("cell"),
+    )
+    counts = e.groupBy("cell").agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        e.join(counts, "cell")
+        .withColumn("_k", F.ceil(F.col("_n") / F.lit(EMB_BLOCK_CAP)).cast("int"))
+        .withColumn(
+            "q", (md5_bucket_raw("emb:", F.col("vec_id")) % F.col("_k")).cast("int")
+        )
+        .withColumn(
+            "_p",
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            F.sequence(F.lit(0), F.col("_k") - 1),
+                            lambda i: F.transform(
+                                F.sequence(i, F.col("_k") - 1),
+                                lambda j: F.struct(
+                                    i.cast("int").alias("pi"),
+                                    j.cast("int").alias("pj"),
+                                ),
+                            ),
+                        )
+                    ),
+                    lambda p: (p["pi"] == F.col("q")) | (p["pj"] == F.col("q")),
+                )
+            ),
+        )
+        .select(
+            "vec_id", "cell", "embedding", "q",
+            F.col("_p.pi").alias("pi"), F.col("_p.pj").alias("pj"),
+        )
+    )
+
+
+def _block_pair_arrays(pdf, np):
+    """Decode one (cell, pi, pj) task's pandas frame into the pairwise
+    numpy ingredients shared by the blocked embedding ops: (ma, mb,
+    ids_a, ids_b, ia, ib, nrm_a, nrm_b) or None when the task has no
+    pairs. Diagonal tasks (pi == pj) produce the upper triangle; distinct
+    chunk pairs the full bipartite cross — each within-cell i<j pair
+    exactly once across the grid."""
+    pi, pj = int(pdf["pi"].iloc[0]), int(pdf["pj"].iloc[0])
+    if pi == pj:
+        part = pdf.sort_values("vec_id").reset_index(drop=True)
+        n = len(part)
+        if n < 2:
+            return None
+        ma = mb = np.stack(part["embedding"].to_list()).astype(np.float64)
+        ids_a = ids_b = part["vec_id"].to_numpy()
+        ia, ib = np.triu_indices(n, k=1)
+    else:
+        a = pdf[pdf["q"] == pi].sort_values("vec_id").reset_index(drop=True)
+        b = pdf[pdf["q"] == pj].sort_values("vec_id").reset_index(drop=True)
+        if len(a) == 0 or len(b) == 0:
+            return None
+        ma = np.stack(a["embedding"].to_list()).astype(np.float64)
+        mb = np.stack(b["embedding"].to_list()).astype(np.float64)
+        ids_a, ids_b = a["vec_id"].to_numpy(), b["vec_id"].to_numpy()
+        ia = np.repeat(np.arange(len(a)), len(b))
+        ib = np.tile(np.arange(len(b)), len(a))
+    nrm_a = np.sqrt(np.cumsum(ma * ma, axis=1)[:, -1])
+    nrm_b = nrm_a if mb is ma else np.sqrt(np.cumsum(mb * mb, axis=1)[:, -1])
+    return ma, mb, ids_a, ids_b, ia, ib, nrm_a, nrm_b
+
+
 @query("dedup_embedding", oracle=_emb_oracle())
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked by the cell of a TRAINED
@@ -796,31 +885,11 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        pi, pj = int(pdf["pi"].iloc[0]), int(pdf["pj"].iloc[0])
         cell = pdf["cell"].iloc[0]
-        if pi == pj:
-            part = pdf.sort_values("vec_id").reset_index(drop=True)
-            n = len(part)
-            if n < 2:
-                return _EMPTY
-            ma = mb = np.stack(part["embedding"].to_list()).astype(np.float64)
-            ids_a_all = ids_b_all = part["vec_id"].to_numpy()
-            ia, ib = np.triu_indices(n, k=1)
-        else:
-            a = pdf[pdf["q"] == pi].sort_values("vec_id").reset_index(drop=True)
-            b = pdf[pdf["q"] == pj].sort_values("vec_id").reset_index(drop=True)
-            na, nb = len(a), len(b)
-            if na == 0 or nb == 0:
-                return _EMPTY
-            ma = np.stack(a["embedding"].to_list()).astype(np.float64)
-            mb = np.stack(b["embedding"].to_list()).astype(np.float64)
-            ids_a_all, ids_b_all = a["vec_id"].to_numpy(), b["vec_id"].to_numpy()
-            ia = np.repeat(np.arange(na), nb)
-            ib = np.tile(np.arange(nb), na)
-        nrm_a = np.sqrt(np.cumsum(ma * ma, axis=1)[:, -1])
-        nrm_b = (
-            nrm_a if mb is ma else np.sqrt(np.cumsum(mb * mb, axis=1)[:, -1])
-        )
+        arrs = _block_pair_arrays(pdf, np)
+        if arrs is None:
+            return _EMPTY
+        ma, mb, ids_a_all, ids_b_all, ia, ib, nrm_a, nrm_b = arrs
         outs = []
         for s in range(0, len(ia), EMB_PAIR_SLICE):
             sa, sb = ia[s : s + EMB_PAIR_SLICE], ib[s : s + EMB_PAIR_SLICE]
@@ -833,51 +902,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
         return pd.concat(outs, ignore_index=True) if outs else _EMPTY
 
-    from spark_graft.operators.clustering import assignment_udf, lloyd_centroids
-
-    emb = table(spark, sf_dir, "embeddings")
-    # one fused job for the two scalars that size the quantizer
-    n_vecs, dim = emb.agg(
-        F.count(F.lit(1)), F.min(F.size("embedding"))
-    ).first()
-    cents = lloyd_centroids(spark, sf_dir, k=_emb_k(int(n_vecs)), dim=int(dim))
-    e = emb.select(
-        "vec_id",
-        "embedding",
-        assignment_udf(cents)("embedding")["cluster"].alias("cell"),
-    )
-    counts = e.groupBy("cell").agg(F.count(F.lit(1)).alias("_n"))
-    staged = (
-        e.join(counts, "cell")
-        .withColumn("_k", F.ceil(F.col("_n") / F.lit(EMB_BLOCK_CAP)).cast("int"))
-        .withColumn(
-            "q", (md5_bucket_raw("emb:", F.col("vec_id")) % F.col("_k")).cast("int")
-        )
-        .withColumn(
-            "_p",
-            F.explode(
-                F.filter(
-                    F.flatten(
-                        F.transform(
-                            F.sequence(F.lit(0), F.col("_k") - 1),
-                            lambda i: F.transform(
-                                F.sequence(i, F.col("_k") - 1),
-                                lambda j: F.struct(
-                                    i.cast("int").alias("pi"),
-                                    j.cast("int").alias("pj"),
-                                ),
-                            ),
-                        )
-                    ),
-                    lambda p: (p["pi"] == F.col("q")) | (p["pj"] == F.col("q")),
-                )
-            ),
-        )
-        .select(
-            "vec_id", "cell", "embedding", "q",
-            F.col("_p.pi").alias("pi"), F.col("_p.pj").alias("pj"),
-        )
-    )
+    staged = emb_cell_chunks(spark, sf_dir)
     return staged.groupBy("cell", "pi", "pj").applyInPandas(
         block_pairs, "vec_a bigint, vec_b bigint, cell bigint, cos_sim double"
     )

@@ -374,3 +374,110 @@ def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(TOP_K)
         .drop("_c")
     )
+
+
+K_NN = 3  # neighbors per vector in the kNN graph
+
+
+def _knn_oracle() -> str:
+    from spark_graft.operators.dedup import _EMB_K_SQL
+    from spark_graft.operators.clustering import kmeans_ctes
+
+    return f"""
+        WITH {kmeans_ctes(_EMB_K_SQL)},
+        asn AS (SELECT vec_id, cluster AS cell FROM a2 WHERE rk = 1),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cand AS (
+            SELECT sa.vec_id AS vec_id, sb.vec_id AS nbr_id,
+                   list_cosine_similarity(a.v, b.v) AS c
+            FROM asn sa JOIN asn sb ON sa.cell = sb.cell
+                                   AND sa.vec_id <> sb.vec_id
+            JOIN e a ON a.vec_id = sa.vec_id
+            JOIN e b ON b.vec_id = sb.vec_id
+        ),
+        rk AS (
+            SELECT vec_id, nbr_id, c,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY c DESC, nbr_id) AS rnk
+            FROM cand
+        )
+        SELECT vec_id, nbr_id, CAST(rnk AS BIGINT) AS rnk,
+               round(c, 4) AS cos_sim
+        FROM rk WHERE rnk <= {K_NN}
+    """
+
+
+@query("sim_knn_graph", oracle=_knn_oracle())
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-vectors kNN graph: each vector's top-{K_NN} cosine neighbors
+    WITHIN its trained quantizer cell — the linear-output counterpart to
+    `dedup_embedding`'s thresholded pairs (VERDICT r7 item 1 option (b)
+    semantics, delivered alongside option (a)). A kNN graph is the
+    workhorse input of embedding-space curation at scale: graph-based
+    clustering, semantic dedup sweeps, coverage/diversity sampling.
+
+    Scale shape: identical to `dedup_embedding` — `emb_cell_chunks`
+    trains k = max(8, ceil(n/256)) cells and grids oversized cells, so
+    candidate pairs are O(n * 256) and the OUTPUT is exactly <=
+    {K_NN} * n rows. Each chunk-pair task emits only its per-vector
+    top-{K_NN} partials (a task covers all of a vector's pairs against
+    one chunk, so its global top-{K_NN} is contained in the union of its
+    per-task top-{K_NN}s — at most {K_NN} * n_chunks small rows per
+    vector reach the shuffle, never the full candidate set), and one
+    row_number window per vec_id finishes the merge. Ties break to the
+    lowest neighbor id in both engines; cosines are float64 cumsum in
+    array order (bit-identical to DuckDB's list_cosine_similarity), so
+    the whole train->assign->pair->rank pipeline hash-matches."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.window import Window
+
+    from spark_graft.operators.dedup import (
+        EMB_PAIR_SLICE,
+        _block_pair_arrays,
+        emb_cell_chunks,
+    )
+
+    _EMPTY = pd.DataFrame(
+        {"vec_id": pd.Series(dtype="int64"), "nbr_id": pd.Series(dtype="int64"),
+         "c": pd.Series(dtype="float64")}
+    )
+
+    def block_knn(pdf: pd.DataFrame) -> pd.DataFrame:
+        arrs = _block_pair_arrays(pdf, np)
+        if arrs is None:
+            return _EMPTY
+        ma, mb, ids_a, ids_b, ia, ib, nrm_a, nrm_b = arrs
+        outs = []
+        for s in range(0, len(ia), EMB_PAIR_SLICE):
+            sa, sb = ia[s : s + EMB_PAIR_SLICE], ib[s : s + EMB_PAIR_SLICE]
+            dots = np.cumsum(ma[sa] * mb[sb], axis=1)[:, -1]
+            cos = dots / (nrm_a[sa] * nrm_b[sb])
+            # both directions: a pair informs BOTH endpoints' neighbor lists
+            outs.append(pd.DataFrame({"vec_id": ids_a[sa], "nbr_id": ids_b[sb], "c": cos}))
+            outs.append(pd.DataFrame({"vec_id": ids_b[sb], "nbr_id": ids_a[sa], "c": cos}))
+        if not outs:
+            return _EMPTY
+        both = pd.concat(outs, ignore_index=True)
+        # per-task partial top-k: bounds shuffle rows at K_NN per vector
+        # per chunk-pair task instead of the full candidate fan
+        return (
+            both.sort_values(["vec_id", "c", "nbr_id"],
+                             ascending=[True, False, True])
+            .groupby("vec_id", sort=False)
+            .head(K_NN)
+            .reset_index(drop=True)
+        )
+
+    cand = emb_cell_chunks(spark, sf_dir).groupBy("cell", "pi", "pj").applyInPandas(
+        block_knn, "vec_id bigint, nbr_id bigint, c double"
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("c").desc(), F.col("nbr_id"))
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= K_NN)
+        .select(
+            "vec_id", "nbr_id", F.col("rnk").cast("long").alias("rnk"),
+            F.round("c", 4).alias("cos_sim"),
+        )
+    )

@@ -80,10 +80,11 @@ def test_sql_only_queries_have_no_python_udfs(spark, sf_dir):
         "udf_compat",
         "kmeans_lloyd",
         "sim_ann_ivf_trained",
-        # r8: blocks by the trained quantizer's cell, so its plan carries
+        # r8: block by the trained quantizer's cell, so their plans carry
         # the same Arrow-batched assignment matmul as the two above (plus
-        # its existing applyInPandas pairwise stage)
+        # their applyInPandas pairwise stages)
         "dedup_embedding",
+        "sim_knn_graph",
     }
     for name, spec in REGISTRY.items():
         if name in allowed_python:
