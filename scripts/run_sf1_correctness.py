@@ -13,7 +13,7 @@ CORRECTNESS_SF1.json at the repo root:
     python scripts/run_sf1_correctness.py [--sf1-dir /tmp/testdata/sf1]
                                           [--only name ...]
 
-Committed as a script (VERDICT r7 item 3) so the 97/97-at-sf1 claim is
+Committed as a script (VERDICT r7 item 3) so the all-queries-at-sf1 claim is
 one command on the current working tree and cannot drift from the code.
 """
 
