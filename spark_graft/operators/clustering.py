@@ -84,8 +84,13 @@ def quantized_col():
 
 
 def _centroid_matrix(cents: dict[int, list[int]]):
-    """(sorted cluster ids, k x dim int64 matrix, per-row |c|^2)."""
+    """(sorted cluster ids, k x dim int64 matrix, per-row |c|^2).
+    An empty dict (training saw zero vectors) yields (0,)-shaped parts —
+    consumers only evaluate them on rows, of which there are then none."""
     cids = sorted(cents)
+    if not cids:
+        z = np.array([], dtype=np.int64)
+        return z, np.zeros((0, 1), dtype=np.int64), z
     C = np.array([cents[c] for c in cids], dtype=np.int64)
     return np.array(cids, dtype=np.int64), C, np.einsum("ij,ij->i", C, C)
 
@@ -210,7 +215,11 @@ def lloyd_centroids(
         return _CENTROID_MEMO[memo_key]
     emb = table(spark, sf_dir, "embeddings")
     if dim is None:
-        dim = int(emb.select(F.size("embedding")).first()[0])
+        first = emb.select(F.size("embedding")).first()
+        if first is None:  # zero vectors: nothing to train on
+            _CENTROID_MEMO[memo_key] = {}
+            return {}
+        dim = int(first[0])
     seed = (
         emb.select("vec_id", quantized_col().alias("q"))
         .filter(F.col("vec_id") < k)

@@ -738,6 +738,12 @@ def emb_cell_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_vecs, dim = emb.agg(
         F.count(F.lit(1)), F.min(F.size("embedding"))
     ).first()
+    if n_vecs == 0:  # zero vectors: no cells, no pairs — typed empty
+        return spark.createDataFrame(
+            [],
+            "vec_id bigint, cell bigint, embedding array<float>, "
+            "q int, pi int, pj int",
+        )
     cents = lloyd_centroids(spark, sf_dir, k=_emb_k(int(n_vecs)), dim=int(dim))
     e = emb.select(
         "vec_id",

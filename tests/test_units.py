@@ -653,3 +653,34 @@ def test_hll_envelope_floor_covers_tiny_groups(spark):
         .collect()
     )
     assert all(r["ok"] for r in got), got
+
+
+def test_embedding_ops_empty_input(spark, tmp_path_factory):
+    """Zero-vector embeddings table: the trained-quantizer family must
+    degrade to an empty result with the declared schema (the quantizer
+    has nothing to train on), never crash on the dim/seed lookups."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_graft.registry import REGISTRY
+
+    d = tmp_path_factory.mktemp("emptyemb")
+    pq.write_table(
+        pa.table(
+            {"vec_id": [], "embedding": [], "label": []},
+            schema=pa.schema(
+                [("vec_id", pa.int64()),
+                 ("embedding", pa.list_(pa.float32())),
+                 ("label", pa.int32())]
+            ),
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    for name, cols in (
+        ("dedup_embedding", ["vec_a", "vec_b", "cell", "cos_sim"]),
+        ("sim_knn_graph", ["vec_id", "nbr_id", "rnk", "cos_sim"]),
+        ("kmeans_lloyd", ["vec_id", "cluster", "d2"]),
+    ):
+        df = REGISTRY[name].fn(spark, str(d))
+        assert df.columns == cols, (name, df.columns)
+        assert df.count() == 0, name
