@@ -57,8 +57,15 @@ __all__ = ["REGISTRY", "QuerySpec", "query", "load_all_queries"]
 # - agg_sketch_hll: envelope re-derived from the sketch's published rsd
 #   (4 sigma at 1.04/sqrt(2^12) ~= 6.5%, absolute floor of 8 keys) and
 #   the contract column renamed hll_within_envelope (VERDICT r7 item 6).
+# - sim_knn_graph: NEW this round (never driver-verified) — per-vector
+#   top-3 neighbors within trained quantizer cells.
+# - kmeans_lloyd / sim_ann_ivf_trained: outputs unchanged, but their
+#   shared trainer (clustering.lloyd_centroids) gained per-(sf_dir, k)
+#   memoization and an empty-input guard — plumbing edits re-enter the
+#   window under this module's own invalidation rule.
 _MODIFIED_THIS_ROUND = frozenset(
-    """dedup_embedding agg_sketch_hll
+    """dedup_embedding agg_sketch_hll sim_knn_graph
+    kmeans_lloyd sim_ann_ivf_trained
     agg_q1 grouping_rollup grouping_cube agg_pivot unpivot_measures
     join_broadcast join_multi join_outer""".split()
 )
@@ -93,7 +100,7 @@ _VERIFIED_R7 = frozenset(
     dedup_ngram_jaccard dedup_simhash filter_in_null filter_pred
     fn_array fn_datetime fn_json fn_math_decimal fn_string
     grouping_sets join_asof join_inner join_semi_anti join_theta_range
-    kmeans_lloyd profile_table scan_project sim_ann_ivf_trained
+    profile_table scan_project
     sim_cosine_topk text_langid text_lines text_quality text_scrub
     text_stats text_tokens udf_compat_iterative udf_pandas_tokens
     win_dist win_lag win_range win_rank win_running word_count""".split()
