@@ -63,9 +63,13 @@ __all__ = ["REGISTRY", "QuerySpec", "query", "load_all_queries"]
 #   shared trainer (clustering.lloyd_centroids) gained per-(sf_dir, k)
 #   memoization and an empty-input guard — plumbing edits re-enter the
 #   window under this module's own invalidation rule.
+# - sim_cosine_topk / sim_ann_lsh / sim_ann_ivf: same rule — the shared
+#   probe lookup gained an empty-table guard (typed empty result instead
+#   of an IndexError); outputs on non-empty data unchanged.
 _MODIFIED_THIS_ROUND = frozenset(
     """dedup_embedding agg_sketch_hll sim_knn_graph
     kmeans_lloyd sim_ann_ivf_trained
+    sim_cosine_topk sim_ann_lsh sim_ann_ivf
     agg_q1 grouping_rollup grouping_cube agg_pivot unpivot_measures
     join_broadcast join_multi join_outer""".split()
 )
@@ -86,7 +90,7 @@ _VERIFIED_R6 = frozenset(
     join_q2_shape join_skew_salted lm_next_token mixture_weights
     multimodal_decode multimodal_frames multimodal_meta
     pipeline_clean_corpus pipeline_pack_sequences recursive_reachability
-    sample_stratified sim_ann_ivf sim_ann_lsh source_stats
+    sample_stratified source_stats
     stream_session stream_sliding stream_tumbling text_chunks
     text_fingerprint text_repetition text_split text_tfidf ts_anomaly
     ts_resample udf_compat vocab_pair_counts win_gaps_islands""".split()
@@ -101,7 +105,7 @@ _VERIFIED_R7 = frozenset(
     fn_array fn_datetime fn_json fn_math_decimal fn_string
     grouping_sets join_asof join_inner join_semi_anti join_theta_range
     profile_table scan_project
-    sim_cosine_topk text_langid text_lines text_quality text_scrub
+    text_langid text_lines text_quality text_scrub
     text_stats text_tokens udf_compat_iterative udf_pandas_tokens
     win_dist win_lag win_range win_rank win_running word_count""".split()
 )

@@ -28,19 +28,26 @@ TOP_K = 10
 N_PLANES = 8
 
 
-def _probe_vector(spark: SparkSession, sf_dir: str) -> list[float]:
+def _probe_vector(spark: SparkSession, sf_dir: str) -> list[float] | None:
     """The query vector: embedding of the minimum vec_id. One tiny
     driver-side lookup (TakeOrderedAndProject of a single row) — the rest
     of the search ships the probe to executors as a literal, never the
-    other way around."""
-    row = (
+    other way around. None when the table is empty (no probe exists);
+    callers return their typed empty result."""
+    rows = (
         table(spark, sf_dir, "embeddings")
         .select("vec_id", "embedding")
         .orderBy("vec_id")
         .limit(1)
-        .collect()[0]
+        .collect()
     )
-    return [float(x) for x in row["embedding"]]
+    if not rows:
+        return None
+    return [float(x) for x in rows[0]["embedding"]]
+
+
+def _empty_topk(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], "vec_id bigint, cos_sim double")
 
 
 def _lit_vec(vec: list[float]):
@@ -67,7 +74,10 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k is TakeOrderedAndProject (per-partition heaps, single merge) —
     no global sort, no shuffle of vectors. Scales linearly to any corpus
     size; this is also the recall=1.0 yardstick for the ANN variants."""
-    probe = _lit_vec(_probe_vector(spark, sf_dir))
+    probe_vec = _probe_vector(spark, sf_dir)
+    if probe_vec is None:
+        return _empty_topk(spark)
+    probe = _lit_vec(probe_vec)
     e = table(spark, sf_dir, "embeddings")
     cos = cosine(F.col("embedding"), probe)
     return (
@@ -194,6 +204,8 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-matched against `_lsh_oracle_sql` with the planes inlined as
     float64 literals."""
     probe = _probe_vector(spark, sf_dir)
+    if probe is None:
+        return _empty_topk(spark)
     planes = _planes(len(probe))
     # python-side bucket of the probe (same arithmetic as the column
     # expr), keeping each hyperplane margin for probe ordering
@@ -278,6 +290,8 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     probe = _probe_vector(spark, sf_dir)
+    if probe is None:
+        return _empty_topk(spark)
 
     def py_cos(a: list[float], b: list[float]) -> float:
         d = sum(x * y for x, y in zip(a, b))
@@ -351,6 +365,8 @@ def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cents = lloyd_centroids(spark, sf_dir)
     probe = _probe_vector(spark, sf_dir)
+    if probe is None:
+        return _empty_topk(spark)
     # HALF_UP quantization, matching F.round / DuckDB round on the
     # non-negative shifted values (python round() is HALF_EVEN)
     qp = [math.floor((x + Q_SHIFT) * Q_SCALE + 0.5) for x in probe]

@@ -680,6 +680,10 @@ def test_embedding_ops_empty_input(spark, tmp_path_factory):
         ("dedup_embedding", ["vec_a", "vec_b", "cell", "cos_sim"]),
         ("sim_knn_graph", ["vec_id", "nbr_id", "rnk", "cos_sim"]),
         ("kmeans_lloyd", ["vec_id", "cluster", "d2"]),
+        ("sim_cosine_topk", ["vec_id", "cos_sim"]),
+        ("sim_ann_lsh", ["vec_id", "cos_sim"]),
+        ("sim_ann_ivf", ["vec_id", "cos_sim"]),
+        ("sim_ann_ivf_trained", ["vec_id", "cos_sim"]),
     ):
         df = REGISTRY[name].fn(spark, str(d))
         assert df.columns == cols, (name, df.columns)
