@@ -915,3 +915,55 @@ def test_dsum_matches_duckdb_bitwise(spark, vals, scale):
         assert got_spark is None and got_duck is None
     else:
         assert got_spark == got_duck, (vals, got_spark.hex(), got_duck.hex())
+
+
+def test_sim_knn_graph_capped_grid_equals_uncapped(spark, tmp_path_factory, monkeypatch):
+    """sim_knn_graph's chunk-capped path: the planted near-parallel
+    vectors share one trained cell (~30 members); with EMB_BLOCK_CAP
+    forced below that, a vector's neighbor candidates split across
+    several chunk-pair tasks, and the per-task partial top-k + global
+    window merge must reproduce the uncapped result EXACTLY (a neighbor
+    in another chunk must not be lost, a same-chunk neighbor must not be
+    double-counted)."""
+    import hashlib
+
+    from spark_graft.operators import dedup
+    from spark_graft.registry import REGISTRY
+
+    dim = 16
+    n = 300
+
+    def vec(i: int) -> list[float]:
+        base = [1.0] * dim
+        if i % 10 == 0:
+            return [b + 0.01 * (i % 7) for b in base]
+        return [
+            int(hashlib.md5(f"{i}:{d}".encode()).hexdigest()[:8], 16) / 2**32 - 0.5
+            for d in range(dim)
+        ]
+
+    d = tmp_path_factory.mktemp("knncap")
+    spark.createDataFrame(
+        [(i, 7, vec(i)) for i in range(n)],
+        "vec_id bigint, label int, embedding array<float>",
+    ).write.mode("overwrite").parquet(str(d / "embeddings.parquet"))
+
+    fn = REGISTRY["sim_knn_graph"].fn
+
+    def run():
+        return sorted(
+            (r["vec_id"], r["rnk"], r["nbr_id"], r["cos_sim"])
+            for r in fn(spark, str(d)).collect()
+        )
+
+    uncapped = run()
+    assert len(uncapped) > 0
+    # every vector has at most 3 neighbors, ranks are 1..k contiguous
+    per_vec = {}
+    for v, rnk, _, _ in uncapped:
+        per_vec.setdefault(v, []).append(rnk)
+    assert all(ranks == list(range(1, len(ranks) + 1)) for ranks in per_vec.values())
+
+    monkeypatch.setattr(dedup, "EMB_BLOCK_CAP", 8)
+    monkeypatch.setattr(dedup, "EMB_PAIR_SLICE", 1000)
+    assert run() == uncapped
