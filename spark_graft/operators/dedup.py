@@ -1112,3 +1112,76 @@ def dedup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("dup_fraction"),
     )
+
+
+def _semantic_oracle() -> str:
+    # the pair discovery is dedup_embedding's oracle (trained-quantizer
+    # cells + cosine threshold) verbatim; keep/drop is a per-vector
+    # anti-join against it — no transitive closure (see the docstring
+    # for why that is the algorithm, not a shortcut)
+    pair_sql = _emb_oracle().strip()
+    return f"""
+        WITH pairs AS (SELECT vec_a, vec_b FROM ({pair_sql}) p),
+        deg AS (
+            SELECT vec_id, CAST(count(*) AS BIGINT) AS n FROM (
+                SELECT vec_a AS vec_id FROM pairs
+                UNION ALL
+                SELECT vec_b FROM pairs
+            ) GROUP BY vec_id
+        ),
+        dropped AS (SELECT DISTINCT vec_b AS vec_id FROM pairs)
+        SELECT e.vec_id,
+               coalesce(d.n, 0) AS n_dups,
+               (x.vec_id IS NULL) AS keep
+        FROM embeddings e
+        LEFT JOIN deg d ON d.vec_id = e.vec_id
+        LEFT JOIN dropped x ON x.vec_id = e.vec_id
+    """
+
+
+@query("dedup_semantic", oracle=_semantic_oracle())
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with a trained coarse
+    quantizer, find within-cell cosine-similar pairs, and GREEDILY keep
+    one representative per semantic neighborhood — a vector is dropped
+    iff some LOWER-vec_id vector in its cell is similar to it (appears
+    as vec_b of a discovered pair). This is the paper's algorithm:
+    SemDeDup prunes within kmeans clusters directly and never takes a
+    transitive closure (chaining would let A~B~C at pairwise 0.4 merge
+    A and C at similarity ~0 — exactly what greedy per-neighborhood
+    pruning avoids; the closure form of this module is `dedup_clusters`
+    over the MinHash graph, where chaining IS the contract).
+
+    Output: one row per vector — `n_dups` (its degree in the semantic
+    pair graph; 0 for singletons) and `keep`. Keepers are every vector
+    with no lower-id near-duplicate, so the kept set is deterministic
+    and reproducible, and sum(keep) is the deduplicated corpus size.
+
+    Scale shape: pair discovery is linear in the corpus (constant
+    expected cell size — see dedup_embedding, whose verified pipeline is
+    reused verbatim); the keep/drop and degree steps are two shuffles on
+    vec_id. The anti-join form also keeps the DuckDB oracle linear —
+    a recursive-closure oracle on near-clique neighborhoods would
+    materialize sum(component^2) rows and was measured impractical at
+    sf1 (>9 min), while this one re-runs the pair CTE plus two joins."""
+    emb = table(spark, sf_dir, "embeddings").select("vec_id")
+    pairs = dedup_embedding(spark, sf_dir).select("vec_a", "vec_b")
+    deg = (
+        pairs.select(F.col("vec_a").alias("vec_id"))
+        .unionAll(pairs.select(F.col("vec_b").alias("vec_id")))
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    dropped = pairs.select(F.col("vec_b").alias("vec_id")).distinct().withColumn(
+        "_drop", F.lit(True)
+    )
+    return (
+        emb.join(deg, "vec_id", "left")
+        .join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("_n", F.lit(0)).alias("n_dups"),
+            F.col("_drop").isNull().alias("keep"),
+        )
+    )

@@ -85,6 +85,7 @@ def test_sql_only_queries_have_no_python_udfs(spark, sf_dir):
         # their applyInPandas pairwise stages)
         "dedup_embedding",
         "sim_knn_graph",
+        "dedup_semantic",
     }
     for name, spec in REGISTRY.items():
         if name in allowed_python:
