@@ -129,7 +129,8 @@ def test_dedup_queries_never_cross_product(spark, sf_dir):
     bucket-aggregate shapes — a nested-loop or cartesian node means an
     O(n^2) cross product snuck in."""
     for name in ("dedup_exact", "dedup_minhash", "dedup_ngram_jaccard",
-                 "dedup_simhash", "dedup_embedding"):
+                 "dedup_simhash", "dedup_embedding", "dedup_semantic",
+                 "sim_knn_graph"):
         plan = explain_str(REGISTRY[name].fn(spark, sf_dir), "formatted")
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
