@@ -113,6 +113,14 @@ def main() -> None:
             }
             print(f"{name}: FAIL — {exc}")
 
+    path = os.path.join(REPO, "CORRECTNESS_SF1.json")
+    if args.only and os.path.exists(path):
+        # subset runs MERGE into the committed full-suite artifact
+        # instead of silently replacing it with a partial one
+        prior = json.load(open(path)).get("results", {})
+        prior.update(results)
+        results = prior
+    n_pass = sum(1 for v in results.values() if v["status"] == "pass")
     out = {
         "what": (
             "All-queries bit-exact Spark-vs-DuckDB sweep at sf1 (10x the "
@@ -120,15 +128,14 @@ def main() -> None:
             "produced by scripts/run_sf1_correctness.py on the current "
             "working tree. Comparator: tests/compare.assert_frames_match "
             "(row count + schema + exact values incl. float bits, after "
-            "canonical column/row ordering)."
+            "canonical column/row ordering). Subset (--only) runs update "
+            "their queries' entries in place; other entries carry the "
+            "last full run."
         ),
         "n_pass": n_pass,
         "n_total": len(results),
         "results": results,
     }
-    if args.only:
-        out["what"] += " SUBSET RUN (--only); not the full-suite artifact."
-    path = os.path.join(REPO, "CORRECTNESS_SF1.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
     print(f"wrote {path}: {n_pass}/{len(results)} pass")
