@@ -1,11 +1,12 @@
 """Deduplication operators for training-data pipelines: exact,
-MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup, and
+SemDeDup-style greedy semantic dedup.
 
 Scale design (the part that matters at 100 TB):
 - every variant reduces pair discovery to an equi-join on a derived key
-  (content hash, LSH band signature, simhash bucket, shingle, label
-  block) — pure shuffle parallelism, no driver state, no O(n^2) global
-  cross product;
+  (content hash, LSH band signature, simhash bucket, shingle, trained
+  quantizer cell) — pure shuffle parallelism, no driver state, no
+  O(n^2) global cross product;
 - hashing uses md5 hex strings (engine-portable; Spark's murmur3
   `hash()` and DuckDB's `hash()` disagree) so every step is
   oracle-checkable, not just "looks plausible";
