@@ -45,12 +45,13 @@ BASE = {
 # documents/embeddings follow the DRIVER's sublinear curve, measured
 # from /root/testdata (rows at sf0.001/0.01/0.1 = 500/500/5000 docs,
 # 500/500/2000 embeddings): a per-sf slope with a 500-row floor. The
-# driver caps these tables because several declared queries are
-# intentionally superlinear in them BY CONTRACT (dedup_embedding is
-# Theta(sum block^2) pairwise within a cluster label, dedup_clusters
-# is iterative over the near-dup pair graph) — scaling them 1000x
-# linearly at sf1 would benchmark a different workload shape than the
-# driver's, not a 10x-the-data version of the same one.
+# driver caps these tables because several declared queries do
+# super-constant per-row work on them (dedup_clusters is iterative
+# over the near-dup pair graph; the pairwise dedup family emits pair
+# rows — linear since the r8 trained-quantizer rewrite of
+# dedup_embedding, but still the heavy end of the suite) — scaling
+# them 1000x linearly at sf1 would benchmark a different workload
+# shape than the driver's, not a 10x-the-data version of the same one.
 SUBLINEAR = {
     "documents": (50_000, 500),  # (slope per sf, floor)
     "embeddings": (20_000, 500),

@@ -30,78 +30,50 @@ __all__ = ["REGISTRY", "QuerySpec", "query", "load_all_queries"]
 #   tier 0 — never driver-verified, or modified this round (an edit to
 #            a query fn or its oracle invalidates prior verification,
 #            so edited queries must re-enter the window);
-#   tier 1 — hash-green last in CORRECTNESS_r05 (3 rounds stale,
+#   tier 1 — hash-green last in CORRECTNESS_r06 (2 rounds stale,
 #            highest priority among unmodified queries);
-#   tier 2 — hash-green last in CORRECTNESS_r06 (2 rounds stale);
-#   tier 3 — hash-green in CORRECTNESS_r07 on code unchanged since.
+#   tier 2 — hash-green last in CORRECTNESS_r07 (1 round stale);
+#   tier 3 — hash-green in CORRECTNESS_r08 on code unchanged since.
 # Refresh these sets from CORRECTNESS_r{N}.json at the start of each
 # round, and add every query touched during the round to
 # _MODIFIED_THIS_ROUND.
 
-# Queries whose implementation or oracle changed during ROUND 8 —
-# tier 0, the driver must re-verify them on the new code:
-# - dedup_embedding: REWRITTEN (VERDICT r7 item 1) — blocking key is no
-#   longer the fixed `label` column (quadratic output by contract;
-#   measured 12.4x per 10x data) but the cell of a TRAINED kmeans
-#   quantizer with k = max(8, ceil(n/256)), so expected cell size is
-#   constant and pair work/output are linear (measured 1.6x per 10x).
-#   New output schema: (vec_a, vec_b, cell, cos_sim).
-# - agg_q1 / grouping_rollup / grouping_cube / agg_pivot /
-#   unpivot_measures / join_broadcast / join_multi / join_outer: the
-#   dsum() helper these build their aggregates from gained a loud
-#   overflow guard (ADVICE r7: past +-2^63 scaled units the non-ANSI
-#   bigint cast silently returned NULL; it now raises) — results are
-#   identical below the limit, but the Spark expression tree changed,
-#   so prior verification is invalidated by the module's own rule.
-#   (grouping_sets inlines its SQL and does not call the helper.)
-# - agg_sketch_hll: envelope re-derived from the sketch's published rsd
-#   (4 sigma at 1.04/sqrt(2^12) ~= 6.5%, absolute floor of 8 keys) and
-#   the contract column renamed hll_within_envelope (VERDICT r7 item 6).
-# - sim_knn_graph: NEW this round (never driver-verified) — per-vector
-#   top-3 neighbors within trained quantizer cells.
-# - kmeans_lloyd / sim_ann_ivf_trained: outputs unchanged, but their
-#   shared trainer (clustering.lloyd_centroids) gained per-(sf_dir, k)
-#   memoization and an empty-input guard — plumbing edits re-enter the
+# Queries whose implementation or shared plumbing changed during
+# ROUND 9 — tier 0, the driver must re-verify them on the new code:
+# - kmeans_lloyd / sim_ann_ivf_trained / dedup_embedding /
+#   dedup_semantic / sim_knn_graph: the five trained-quantizer
+#   consumers — clustering.lloyd_centroids now keys its memo on a
+#   parquet data fingerprint (ADVICE r8 staleness fix) and the shared
+#   assignment kernel gained the broadcast + triangle-inequality
+#   hierarchical argmin path for large k (VERDICT r8 item 2). The
+#   small-k output is property-tested bit-identical, but these are
+#   plumbing edits to the executed code path, so they re-enter the
 #   window under this module's own invalidation rule.
-# - sim_cosine_topk / sim_ann_lsh / sim_ann_ivf: same rule — the shared
-#   probe lookup gained an empty-table guard (typed empty result instead
-#   of an IndexError); outputs on non-empty data unchanged.
+# - dedup_ngram_jaccard: PPJoin suffix filter added to the candidate
+#   pipeline (VERDICT r8 item 4) — conservative-only (output pair set
+#   unchanged, oracle untouched), but the Spark expression tree changed.
 _MODIFIED_THIS_ROUND = frozenset(
-    """dedup_embedding agg_sketch_hll sim_knn_graph
-    kmeans_lloyd sim_ann_ivf_trained
-    sim_cosine_topk sim_ann_lsh sim_ann_ivf
-    agg_q1 grouping_rollup grouping_cube agg_pivot unpivot_measures
-    join_broadcast join_multi join_outer""".split()
+    """kmeans_lloyd sim_ann_ivf_trained dedup_embedding dedup_semantic
+    sim_knn_graph dedup_ngram_jaccard""".split()
 )
 
-# Green last in CORRECTNESS_r05.json — these four have ridden on an r5
-# driver check for three rounds (code unchanged, bit-exact in the sf1
-# sweep): cycle them into the r8 window first (VERDICT r7 item 3).
-_VERIFIED_R5_ONLY = frozenset(
-    """global_sort min_unique_prefix set_ops topk_per_group""".split()
-)
-
-# Green last in CORRECTNESS_r06.json — 2 rounds stale.
+# Green last in CORRECTNESS_r06.json — 2 rounds stale; the 11 VERDICT
+# r8 item 1 names. They go first among unmodified queries in round 9's
+# window.
 _VERIFIED_R6 = frozenset(
-    """agg_histogram agg_skew_salted dedup_exact
-    dedup_incremental dedup_incremental_minhash dedup_minhash
-    dedup_span_fraction events_funnel events_paths events_retention
-    fill_forward fn_map fn_struct graph_pagerank graph_triangles
-    join_q2_shape join_skew_salted lm_next_token mixture_weights
-    multimodal_decode multimodal_frames multimodal_meta
-    pipeline_clean_corpus pipeline_pack_sequences recursive_reachability
-    sample_stratified source_stats
-    stream_session stream_sliding stream_tumbling text_chunks
-    text_fingerprint text_repetition text_split text_tfidf ts_anomaly
-    ts_resample udf_compat vocab_pair_counts win_gaps_islands""".split()
+    """agg_histogram fn_map fn_struct graph_pagerank graph_triangles
+    join_q2_shape mixture_weights pipeline_clean_corpus
+    pipeline_pack_sequences recursive_reachability source_stats""".split()
 )
 
-# Green (rows+schema+hash) in CORRECTNESS_r07.json — freshest; these
-# can sit out round 8's window provided their code does not change.
+# Green last in CORRECTNESS_r07.json — 1 round stale. With 6 modified +
+# 11 r6-stale ahead of them, ~33 of these 38 fit the 50-query window;
+# the stable sort admits them in registration order and the remainder
+# become round 10's top priority.
 _VERIFIED_R7 = frozenset(
     """agg_approx agg_approx_percentile agg_bool_all agg_corr_exact
     agg_distinct agg_percentile decontaminate dedup_clusters
-    dedup_ngram_jaccard dedup_simhash filter_in_null filter_pred
+    dedup_simhash filter_in_null filter_pred
     fn_array fn_datetime fn_json fn_math_decimal fn_string
     grouping_sets join_asof join_inner join_semi_anti join_theta_range
     profile_table scan_project
@@ -110,16 +82,35 @@ _VERIFIED_R7 = frozenset(
     win_dist win_lag win_range win_rank win_running word_count""".split()
 )
 
+# Green (rows+schema+hash) in CORRECTNESS_r08.json — freshest; these
+# can sit out round 9's window provided their code does not change.
+# (The five quantizer consumers + dedup_ngram_jaccard verified in
+# r07/r08 are EXCLUDED here because round-9 edits moved them to
+# _MODIFIED_THIS_ROUND.)
+_VERIFIED_R8 = frozenset(
+    """agg_pivot agg_q1 agg_sketch_hll agg_skew_salted dedup_exact
+    dedup_incremental dedup_incremental_minhash dedup_minhash
+    dedup_span_fraction events_funnel events_paths events_retention
+    fill_forward global_sort grouping_cube grouping_rollup
+    join_broadcast join_multi join_outer join_skew_salted lm_next_token
+    min_unique_prefix multimodal_decode multimodal_frames
+    multimodal_meta sample_stratified set_ops sim_ann_ivf sim_ann_lsh
+    sim_cosine_topk stream_session stream_sliding stream_tumbling
+    text_chunks text_fingerprint text_repetition text_split text_tfidf
+    topk_per_group ts_anomaly ts_resample udf_compat unpivot_measures
+    vocab_pair_counts win_gaps_islands""".split()
+)
+
 
 def _staleness_tier(name: str) -> int:
     """0 = needs verification now … 3 = freshest verification."""
     if name in _MODIFIED_THIS_ROUND:
         return 0
-    if name in _VERIFIED_R5_ONLY:
-        return 1
     if name in _VERIFIED_R6:
-        return 2
+        return 1
     if name in _VERIFIED_R7:
+        return 2
+    if name in _VERIFIED_R8:
         return 3
     return 0  # never driver-verified
 
