@@ -749,7 +749,7 @@ def emb_cell_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = emb.select(
         "vec_id",
         "embedding",
-        assignment_udf(cents)("embedding")["cluster"].alias("cell"),
+        assignment_udf(cents, spark)("embedding")["cluster"].alias("cell"),
     )
     counts = e.groupBy("cell").agg(F.count(F.lit(1)).alias("_n"))
     return (
@@ -840,10 +840,11 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     (see below), so no task can OOM even on a degenerate clustering.
     Assignment is one Arrow-batched numpy matmul (n x k x dim int64 ops)
     with centroids as closure literals — at this workload's k (hundreds)
-    that is milliseconds; at 100 TB (k ~ millions) the same argmin runs
-    hierarchically (coarse k'~sqrt(k) prune, then fine argmin inside the
-    shortlisted coarse cells, centroids in a broadcast table) without
-    changing the cell semantics or this contract.
+    that is milliseconds; past SPARK_GRAFT_HIER_K_MIN centroids the
+    kernel switches (clustering.make_assigner, round 9) to a Spark
+    broadcast + triangle-inequality-pruned argmin (coarse k'~sqrt(k)
+    shortlist, exact scan of surviving groups) — bit-identical output,
+    O(1) task-closure bytes however large k grows.
 
     Scale guard (round 7, kept): cells are capped at EMB_BLOCK_CAP rows
     per task. Each row gets a deterministic md5 chunk q in [0, kc) with

@@ -380,7 +380,7 @@ def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = e.select(
         "vec_id",
         "embedding",
-        assignment_udf(cents)("embedding")["cluster"].alias("cluster"),
+        assignment_udf(cents, spark)("embedding")["cluster"].alias("cluster"),
     )
     cos = cosine(F.col("embedding"), _lit_vec(probe))
     return (

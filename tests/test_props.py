@@ -967,3 +967,45 @@ def test_sim_knn_graph_capped_grid_equals_uncapped(spark, tmp_path_factory, monk
     monkeypatch.setattr(dedup, "EMB_BLOCK_CAP", 8)
     monkeypatch.setattr(dedup, "EMB_PAIR_SLICE", 1000)
     assert run() == uncapped
+
+
+@given(
+    cvals=st.lists(
+        st.lists(st.sampled_from([0, 300000, 1000000, 1700000, 2000000]),
+                 min_size=3, max_size=3),
+        min_size=2,
+        max_size=40,
+    ),
+    qvals=st.lists(
+        st.lists(st.floats(-0.875, 0.875, allow_nan=False, width=32),
+                 min_size=3, max_size=3),
+        min_size=1,
+        max_size=30,
+    ),
+)
+@settings(max_examples=200, deadline=None)
+def test_hier_assigner_bit_identical_to_flat(cvals, qvals):
+    """The large-k triangle-inequality-pruned assignment kernel
+    (_HierAssigner) must equal the flat argmin (_FlatAssigner)
+    bit-for-bit — cluster id AND integer distance — for any centroid
+    set and any query batch, INCLUDING exact distance ties (the tiny
+    5-value centroid grid forces duplicate centroids under different
+    cluster ids, where both kernels must pick the lowest id). Pure
+    numpy, no Spark: this is the property the Spark-level switch test
+    in test_units relies on."""
+    import numpy as np
+
+    from spark_graft.operators.clustering import (
+        _centroid_matrix,
+        _FlatAssigner,
+        _HierAssigner,
+    )
+
+    cents = {cid * 3 + 1: v for cid, v in enumerate(cvals)}  # non-dense ids
+    parts = _centroid_matrix(cents)
+    M = np.array(qvals, dtype=np.float32)
+    fq, fd2, fcid = _FlatAssigner(*parts).assign(M)
+    hq, hd2, hcid = _HierAssigner(*parts).assign(M)
+    assert (fq == hq).all()
+    assert (fd2 == hd2).all(), (fd2.tolist(), hd2.tolist())
+    assert (fcid == hcid).all(), (fcid.tolist(), hcid.tolist())

@@ -688,3 +688,91 @@ def test_embedding_ops_empty_input(spark, tmp_path_factory):
         df = REGISTRY[name].fn(spark, str(d))
         assert df.columns == cols, (name, df.columns)
         assert df.count() == 0, name
+
+
+def test_large_k_broadcast_path_matches_flat(spark, sf_dir, monkeypatch):
+    """VERDICT r8 item 2 gate: with SPARK_GRAFT_HIER_K_MIN forced to 1
+    the quantizer consumers serve assignments through the broadcast +
+    hierarchical-argmin path (centroids in a Spark broadcast, coarse
+    triangle-inequality prune) instead of closure literals — and every
+    output row is identical to the flat path's. Exercised at the
+    default k AND at an inflated k=64 (8x the default on the same 500
+    vectors) so the coarse index has real multi-group structure."""
+    from spark_graft.operators import clustering as cl
+    from spark_graft.sources import table
+
+    flat_lloyd = sorted(map(tuple, cl.kmeans_lloyd(spark, sf_dir).collect()))
+    cents64 = cl.lloyd_centroids(spark, sf_dir, k=64)
+    assert len(cents64) == 64
+    emb = table(spark, sf_dir, "embeddings")
+    flat64 = sorted(
+        map(
+            tuple,
+            emb.select(
+                "vec_id", cl.assignment_udf(cents64)("embedding").alias("b")
+            ).select("vec_id", "b.cluster", "b.d2").collect(),
+        )
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_HIER_K_MIN", "1")
+    # the switch really takes the broadcast path now
+    assert isinstance(
+        cl.make_assigner(cents64, spark), cl._BroadcastAssigner
+    )
+    hier_lloyd = sorted(map(tuple, cl.kmeans_lloyd(spark, sf_dir).collect()))
+    hier64 = sorted(
+        map(
+            tuple,
+            emb.select(
+                "vec_id", cl.assignment_udf(cents64, spark)("embedding").alias("b")
+            ).select("vec_id", "b.cluster", "b.d2").collect(),
+        )
+    )
+    assert flat_lloyd == hier_lloyd
+    assert flat64 == hier64
+
+
+def test_dedup_embedding_identical_on_broadcast_path(spark, sf_dir, monkeypatch):
+    """End-to-end: dedup_embedding's pair output is unchanged when its
+    quantizer assignment runs through the large-k broadcast path (the
+    training loop's _update_stats AND the serving assignment both
+    switch)."""
+    from spark_graft.operators import clustering as cl
+    from spark_graft.registry import REGISTRY
+
+    fn = REGISTRY["dedup_embedding"].fn
+    flat = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    assert flat  # the planted near-dups exist at sf0.001
+    monkeypatch.setenv("SPARK_GRAFT_HIER_K_MIN", "1")
+    cl.clear_centroid_memo()  # force retraining through the new path
+    try:
+        hier = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    finally:
+        cl.clear_centroid_memo()  # don't leak hier-trained memo entries
+    assert flat == hier
+
+
+def test_centroid_memo_invalidates_on_regenerated_parquet(spark, tmp_path):
+    """ADVICE r8: overwriting a path's embeddings parquet within one
+    driver process must retrain (memo keyed on a data fingerprint), not
+    silently serve the first training's centroids."""
+    from spark_graft.operators.clustering import lloyd_centroids
+
+    d = tmp_path / "memo"
+
+    def write(scale):
+        spark.createDataFrame(
+            [
+                (i, [float(((i * 7 + j) % 13) - 6) * scale / 16.0 for j in range(4)])
+                for i in range(40)
+            ],
+            "vec_id bigint, embedding array<float>",
+        ).write.mode("overwrite").parquet(str(d / "embeddings.parquet"))
+
+    write(1.0)
+    first = lloyd_centroids(spark, str(d), k=4)
+    again = lloyd_centroids(spark, str(d), k=4)
+    assert first == again  # memo hit on unchanged data
+    write(0.5)
+    retrained = lloyd_centroids(spark, str(d), k=4)
+    assert retrained != first
