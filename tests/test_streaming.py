@@ -381,3 +381,98 @@ def test_processing_time_trigger_wall_clock(spark, tmp_path):
     # the update and the open ride the SAME batch; the other two differ
     bids = [b for b, _, _ in rows]
     assert bids[1] == bids[2] and bids[0] < bids[1] < bids[3], rows
+
+
+def test_checkpoint_restart_resumes_state_and_offsets(spark, tmp_path):
+    """VERDICT r8 item 3 — exactly-once across PROCESS restart, the core
+    production failure mode: run a checkpointed windowed aggregation to
+    completion, terminate the query, drop MORE input, then start a
+    BRAND-NEW query object from the same checkpoint. The restarted run
+    must (a) resume source offsets — its first batch id continues the
+    old run's numbering and none of the already-processed rows are
+    re-read or re-emitted — and (b) restore aggregation state — its
+    update for the carried 12:00 window counts the pre-restart events
+    it never itself read (4 = 3 restored + 1 new). A lost checkpoint
+    would re-emit batches 0/1 (offsets) or emit n=1 for the window
+    (state); both would fail the exact assertion below."""
+
+    src, out = tmp_path / "src", tmp_path / "out"
+    ckpt = str(tmp_path / "ckpt")
+
+    def make_query():
+        agg = (
+            spark.readStream.schema("id long, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "5 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "n")
+        )
+
+        def write_batch(batch_df, batch_id):
+            batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(str(out))
+
+        return (
+            agg.writeStream.foreachBatch(write_batch)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    # ---- run 1: two micro-batches, then the query TERMINATES ----
+    _staggered_files(
+        src,
+        [
+            ("b0.parquet", [(1, "2024-01-01 12:00:00"), (2, "2024-01-01 12:01:00")]),
+            ("b1.parquet", [(3, "2024-01-01 12:02:00")]),
+        ],
+    )
+    q1 = make_query()
+    q1.awaitTermination()
+    assert not q1.isActive
+    run1 = sorted(
+        (r["batch_id"], str(r["ws"]), r["n"])
+        for r in spark.read.parquet(str(out)).collect()
+    )
+    assert run1 == [
+        (0, "2024-01-01 12:00:00", 2),
+        (1, "2024-01-01 12:00:00", 3),
+    ], run1
+
+    # ---- more data arrives while no query is running ----
+    import time
+
+    later = time.time() + 60
+    _staggered_files(
+        src,
+        [("b2.parquet", [(4, "2024-01-01 12:03:00"), (5, "2024-01-01 15:00:00")])],
+    )
+    import os
+
+    os.utime(src / "b2.parquet", (later, later))
+
+    # ---- run 2: NEW StreamingQuery, same checkpoint ----
+    q2 = make_query()
+    q2.awaitTermination()
+    all_rows = sorted(
+        (r["batch_id"], str(r["ws"]), r["n"])
+        for r in spark.read.parquet(str(out)).collect()
+    )
+    run2 = [row for row in all_rows if row not in run1]
+    # offsets resumed: batches 0/1 are NOT re-emitted (all_rows still
+    # contains run1 exactly once), and the restarted run CONTINUES the
+    # old numbering (>= 2; run 1's availableNow may claim a trailing
+    # no-data batch id for the watermark commit, so the exact id is
+    # timer-dependent) — a fresh checkpoint would restart at batch 0
+    # and re-emit the 12:00 window from scratch.
+    assert all_rows == run1 + run2, all_rows
+    assert [(ws, n) for _, ws, n in run2] == [
+        ("2024-01-01 12:00:00", 4),  # state restored: 3 carried + 1 new
+        ("2024-01-01 15:00:00", 1),  # the genuinely new window
+    ], run2
+    bids = {b for b, _, _ in run2}
+    assert len(bids) == 1 and bids.pop() >= 2, run2
