@@ -102,16 +102,66 @@ def candidate_stats(doc_dir: str) -> dict:
             "n_buckets": int(nb)}
 
 
-def spark_seconds(spark, doc_dir: str) -> float:
+def spark_seconds(spark, doc_dir: str, name: str = "dedup_ngram_jaccard") -> float:
     import spark_graft
 
-    fn = spark_graft.REGISTRY["dedup_ngram_jaccard"].fn
+    fn = spark_graft.REGISTRY[name].fn
+    fn(spark, doc_dir).write.format("noop").mode("overwrite").save()  # warm
     times = []
     for _ in range(3):
         t0 = time.time()
         fn(spark, doc_dir).write.format("noop").mode("overwrite").save()
         times.append(time.time() - t0)
     return round(statistics.median(times), 2)
+
+
+def filter_stats(doc_dir: str) -> dict:
+    """Per-corpus candidate counts through the PPJoin filter chain,
+    computed relationally from the query's own oracle CTEs: raw bucket
+    pairs, after the length filter, after the r8 loose positional form
+    (min(pa,pb) phantom-overlap allowance), and after the r9 STRICT
+    first-occurrence positional form the Spark plan now applies —
+    the count whose growth bounds verify work."""
+    import duckdb
+
+    import spark_graft
+
+    spark_graft.load_all_queries()
+    oracle = spark_graft.REGISTRY["dedup_ngram_jaccard"].oracle
+    head, _, _ = oracle.partition("cand AS")
+    assert head != oracle, "oracle no longer has a cand CTE — update me"
+    sql = head.rstrip().rstrip(",") + """
+        , pf AS (
+            SELECT doc_id, s, rk - 1 AS pos, n
+            FROM ranked WHERE rk <= n - (4 * n + 4) // 5 + 1
+        ),
+        pairs AS (
+            SELECT a.n AS na, b.n AS nb, a.pos AS pa, b.pos AS pb
+            FROM pf a JOIN pf b ON a.s = b.s AND a.doc_id < b.doc_id
+        )
+        SELECT count(*) AS raw,
+               count(*) FILTER (least(na, nb) * 5 >= greatest(na, nb) * 4)
+                   AS len_ok,
+               count(*) FILTER (least(na, nb) * 5 >= greatest(na, nb) * 4
+                   AND 9 * (least(pa, pb) + 1 + least(na - 1 - pa, nb - 1 - pb))
+                       >= 4 * (na + nb)) AS loose_positional_r8,
+               count(*) FILTER (least(na, nb) * 5 >= greatest(na, nb) * 4
+                   AND 9 * least(na - pa, nb - pb) >= 4 * (na + nb))
+                   AS strict_positional_r9
+        FROM pairs
+    """
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{doc_dir}/documents.parquet'"
+    )
+    row = con.execute(sql).fetchone()
+    con.close()
+    return dict(
+        zip(
+            ["raw", "len_ok", "loose_positional_r8", "strict_positional_r9"],
+            [int(x) for x in row],
+        )
+    )
 
 
 def main() -> None:
@@ -143,6 +193,33 @@ def main() -> None:
             points[tag] = candidate_stats(d)
             print(tag, points[tag])
 
+    # ---- PPJoin filter-chain characterization (VERDICT r8 item 4) ----
+    filters = {}
+    for tag, d in (("bounded_sf1", "/tmp/testdata/sf1"),
+                   ("bounded_sf3", "/tmp/testdata/sf3"),
+                   ("zipf_sf1", os.path.join(args.workdir, "zipf_sf1_docs")),
+                   ("zipf_sf3", os.path.join(args.workdir, "zipf_sf3_docs"))):
+        if os.path.exists(os.path.join(d, "documents.parquet")):
+            filters[tag] = filter_stats(d)
+            filters[tag]["spark_sec"] = spark_seconds(spark, d)
+            print("filters", tag, filters[tag])
+
+    # ---- related gram/token-keyed ops on the open vocabulary ----
+    # (VERDICT r8 item 8: attribute the remaining superlinear-looking
+    # bounded-corpus ratios — pipeline_clean_corpus 5.25x, text_tfidf
+    # 3.29x per 10x — by measuring the same queries where only the
+    # vocabulary shape differs.)
+    related = {}
+    for name in ("pipeline_clean_corpus", "text_tfidf", "dedup_span_fraction"):
+        z1 = spark_seconds(spark, os.path.join(args.workdir, "zipf_sf1_docs"), name)
+        z3 = spark_seconds(spark, os.path.join(args.workdir, "zipf_sf3_docs"), name)
+        related[name] = {
+            "zipf_sf1_sec": z1,
+            "zipf_sf3_sec": z3,
+            "zipf_ratio_3x_docs": round(z3 / z1, 2),
+        }
+        print("related", name, related[name])
+
     r3 = points["zipf_sf3_docs"]["raw_candidates"] / max(
         1, points["zipf_sf1_docs"]["raw_candidates"]
     )
@@ -166,6 +243,30 @@ def main() -> None:
     path = os.path.join(REPO, "BENCH_SF1.json")
     data = json.load(open(path)) if os.path.exists(path) else {}
     data["ngram_vocab_characterization"] = out
+    if filters:
+        data["ppjoin_filter_characterization"] = {
+            "what": (
+                "Candidate pairs surviving each stage of the PPJoin filter "
+                "chain (computed relationally from the query's oracle CTEs) "
+                "and dedup_ngram_jaccard wall-clock (median of 3 warm runs) "
+                "per corpus. strict_positional_r9 is the first-occurrence "
+                "positional bound the Spark plan applies since round 9 — "
+                "verify work is proportional to it, not to raw."
+            ),
+            "points": filters,
+        }
+    if related:
+        data["related_ops_zipf"] = {
+            "what": (
+                "Gram/token-keyed queries whose bounded-corpus sf0.1->sf1 "
+                "ratios look superlinear, re-measured on the OPEN Zipfian "
+                "vocabulary at the sf1/sf3 document counts (3x data): a "
+                "~linear zipf ratio attributes the bounded-corpus growth to "
+                "vocabulary shape (shared grams multiplying explode/window "
+                "cardinality), not to the plan."
+            ),
+            "points": related,
+        }
     with open(path, "w") as f:
         json.dump(data, f, indent=1, sort_keys=True)
     print(f"wrote {path}: zipf 3x-docs candidate ratio {r3:.2f}x — "

@@ -234,27 +234,18 @@ class _HierAssigner:
 class _BroadcastAssigner:
     """Serving wrapper for the large-k path: what crosses the task
     boundary is a Spark Broadcast HANDLE (a few bytes in every task
-    closure) instead of the k x dim centroid matrix itself; the matrix
-    plus the prebuilt coarse index travel once per executor over the
-    torrent broadcast and the worker-side kernel is rebuilt lazily from
-    the broadcast value, then cached for the executor's lifetime."""
+    closure) instead of the k x dim centroid matrix itself. The
+    broadcast VALUE is the fully-built _HierAssigner — coarse index,
+    radii and all — so the O(k^1.5) index construction happens exactly
+    once on the driver; workers deserialize it once per executor
+    (Broadcast.value is executor-cached) and every task after that is
+    a pure in-memory assign."""
 
     def __init__(self, bc):
         self._bc = bc
-        self._inner: _HierAssigner | None = None
 
     def assign(self, M: np.ndarray):
-        if self._inner is None:
-            cids, C, cn2 = self._bc.value
-            self._inner = _HierAssigner(cids, C, cn2)
-        return self._inner.assign(M)
-
-    def __getstate__(self):
-        return {"_bc": self._bc}  # never pickle the rebuilt index
-
-    def __setstate__(self, state):
-        self._bc = state["_bc"]
-        self._inner = None
+        return self._bc.value.assign(M)
 
 
 def make_assigner(cents: dict[int, list[int]], spark: SparkSession | None = None):
@@ -276,8 +267,7 @@ def make_assigner(cents: dict[int, list[int]], spark: SparkSession | None = None
     contract."""
     parts = _centroid_matrix(cents)
     if spark is not None and len(cents) >= _hier_k_min():
-        payload = parts
-        bc = spark.sparkContext.broadcast(payload)
+        bc = spark.sparkContext.broadcast(_HierAssigner(*parts))
         return _BroadcastAssigner(bc)
     return _FlatAssigner(*parts)
 

@@ -623,39 +623,66 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     tn, td = 4, 5  # JACCARD_THRESHOLD as the exact rational 4/5
     assert tn / td == JACCARD_THRESHOLD
 
-    # PPJoin POSITIONAL filter (Xiao et al. §3.2), also exact-integer:
-    # both shingle lists are sorted by the SAME global (df, s) order, so
-    # for the bucket shingle at 0-based positions (pa, pb), common items
-    # before it number <= min(pa, pb), common items after it
-    # <= min(na-1-pa, nb-1-pb), and the overlap is bounded by
-    #   maxinter = min(pa, pb) + 1 + min(na-1-pa, nb-1-pb).
-    # j >= tn/td  <=>  (td+tn)*inter >= tn*(na+nb), so a pair whose
-    # maxinter misses that bound in THIS bucket cannot qualify here —
-    # conservative-only, because any truly-qualifying pair survives in
-    # the bucket of its FIRST shared shingle (there min(pa,pb) counts no
-    # phantom earlier overlap and the bound >= the true intersection;
-    # that shingle is inside both prefixes by the prefix-filter theorem).
-    # O(1) integer math per candidate, evaluated before the O(n)
-    # intersect. Measured on the synthetic corpus at sf1: the length
-    # filter alone leaves 3.09M of 7.63M raw candidates; adding the
-    # positional bound leaves 2.73M (11% further) — modest here because
-    # surviving candidates are mostly boilerplate near-dups sharing
-    # EARLY prefix positions, where the bound is loose. It costs
-    # nothing per pair and bites hardest on corpora whose bucket
-    # collisions are positionally scattered (long-tail vocabularies).
+    # PPJoin POSITIONAL filter (Xiao et al. §3.2) in its STRICT
+    # first-occurrence form (round 9 — replaces the looser variant that
+    # granted min(pa, pb) phantom overlap before the probe): for the
+    # bucket shingle at 0-based positions (pa, pb), the overlap cannot
+    # exceed
+    #   ubound = 1 + min(na-1-pa, nb-1-pb) = min(na-pa, nb-pb)
+    # IN THE BUCKET OF THE PAIR'S FIRST SHARED SHINGLE, because both
+    # lists are sorted by the same global (df, s) order, so zero common
+    # items precede the first shared one on either side. j >= tn/td
+    # <=> (td+tn)*inter >= tn*(na+nb), so drop the pair wherever
+    # (td+tn)*ubound < tn*(na+nb). Conservative-only: a truly-qualifying
+    # pair survives in its first-shared bucket (that shingle is inside
+    # both prefixes by the prefix-filter theorem, and the bound there is
+    # >= the true intersection); other buckets may — and now usually do
+    # — drop it, which is pure win: it also cuts the REDUNDANT
+    # re-verification of true near-dup pairs from once per shared
+    # prefix shingle (~n/5 on boilerplate) to once per shingle in the
+    # tighter witness zone (~n/9 at t=0.8). This subsumes the paper's
+    # one-level suffix-filter partition at the probe element (common
+    # before = 0, common after = min of suffix lengths). The RECURSIVE
+    # suffix filter was evaluated and rejected for this engine: deeper
+    # partition steps need cross-doc order comparisons inside suffixes,
+    # i.e. carrying (df, s) structs through the bucket shuffle (2x
+    # width) plus an O(|suffix|) scan per candidate — the same order of
+    # work as the vectorized array_intersect verify it would save.
+    # Measured on the bounded-vocab corpus (the boilerplate model):
+    # length filter leaves 3.09M of 7.63M raw candidates at sf1, the
+    # old positional form 2.73M, THIS form 1.13M (-59%; sf3: 27.0M ->
+    # 11.35M) — see ppjoin_filter_characterization in BENCH_SF1.json.
     def _pair_filter(p):
         na, nb = p["a"]["n"], p["b"]["n"]
         pa, pb = p["a"]["pos"], p["b"]["pos"]
-        maxinter = F.least(pa, pb) + 1 + F.least(na - 1 - pa, nb - 1 - pb)
-        return (na * td >= nb * tn) & ((td + tn) * maxinter >= tn * (na + nb))
+        ubound = F.least(na - pa, nb - pb)
+        return (na * td >= nb * tn) & ((td + tn) * ubound >= tn * (na + nb))
+
+    # Chunk-level form of both filters (O(1)-per-block skip of whole
+    # 128x128 candidate blocks in a boilerplate bucket): members are
+    # sorted with n leading, so chunk length-compatibility is one range
+    # test; the positional bound lifts to blocks through each chunk's
+    # maximum witness capacity max(n - pos) vs the MINIMUM pair size
+    # sum — if even the best-positioned member of a chunk cannot reach
+    # the overlap the smallest cross pair requires, no pair in the
+    # block can.
+    def _witness_cap(c):
+        return F.array_max(F.transform(c, lambda m: m["n"] - m["pos"]))
+
+    def _chunk_prune(ca, cb):
+        nmin = F.element_at(ca, 1)["n"] + F.element_at(cb, 1)["n"]
+        return (
+            (F.element_at(ca, -1)["n"] * td >= F.element_at(cb, 1)["n"] * tn)
+            & ((td + tn) * _witness_cap(ca) >= tn * nmin)
+            & ((td + tn) * _witness_cap(cb) >= tn * nmin)
+        )
 
     return (
         exploded_pairs(
             bucketed,
             "ds",
             pair_filter=_pair_filter,
-            chunk_prune=lambda ca, cb: F.element_at(ca, -1)["n"] * td
-            >= F.element_at(cb, 1)["n"] * tn,
+            chunk_prune=_chunk_prune,
         )
         .select(
             F.least("p.a.doc_id", "p.b.doc_id").alias("doc_a"),
