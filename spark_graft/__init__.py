@@ -52,9 +52,13 @@ __all__ = ["REGISTRY", "QuerySpec", "query", "load_all_queries"]
 # - dedup_ngram_jaccard: PPJoin suffix filter added to the candidate
 #   pipeline (VERDICT r8 item 4) — conservative-only (output pair set
 #   unchanged, oracle untouched), but the Spark expression tree changed.
+# - text_bm25 / agg_sketch_cms / join_bloom: NEW this round (fixed-point
+#   BM25 ranked retrieval, count-min sketch, bloom semi-join reduction)
+#   — never driver-verified, so tier 0 by both rules.
 _MODIFIED_THIS_ROUND = frozenset(
     """kmeans_lloyd sim_ann_ivf_trained dedup_embedding dedup_semantic
-    sim_knn_graph dedup_ngram_jaccard""".split()
+    sim_knn_graph dedup_ngram_jaccard
+    text_bm25 agg_sketch_cms join_bloom""".split()
 )
 
 # Green last in CORRECTNESS_r06.json — 2 rounds stale; the 11 VERDICT

@@ -276,3 +276,118 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# ---------------------------------------------------------------- join_bloom
+
+# Bloom-filter semi-join reduction parameters. m is FIXED — the bitmap
+# is 8 KiB regardless of how large the build side grows, which is the
+# whole point: a dimension too big to broadcast still has a
+# broadcastable bloom. k=3 md5-derived hash functions.
+BLOOM_M = 1 << 16  # bits
+BLOOM_K = 3
+_BLOOM_WORDS = BLOOM_M // 32  # int32 words
+
+
+def _bloom_pos_spark(col, seed: int):
+    """Bit position of `col` under hash function `seed` (md5-derived,
+    engine-portable — same idiom as decontaminate's gram keys)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(str(seed)), col.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    return (h % BLOOM_M).cast("int")
+
+
+@query(
+    "join_bloom",
+    oracle=f"""
+        SELECT n.n_name,
+               count(*) AS n_shipments,
+               {dsum_sql("l.l_extendedprice * (1 - l.l_discount)", 4)} AS revenue
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'EUROPE'
+        GROUP BY n.n_name
+    """,
+)
+def join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction: revenue per nation for
+    shipments handled by EUROPE suppliers, with the fact side pre-pruned
+    by an 8 KiB bloom filter built from the qualifying supplier keys
+    BEFORE the join shuffle.
+
+    Why this is THE 100 TB join-pruning pattern: when the filtered
+    build side outgrows the broadcast threshold, the shuffle join must
+    move every fact row — including the ~majority that will never match.
+    A bloom over the build keys is fixed-size (m = 2^16 bits here, m is
+    a tuning knob, not data-dependent), always broadcastable, has no
+    false negatives (the residual equi-join keeps exactness), and its
+    false-positive rate only pads the shuffle, never the answer. Spark's
+    own AQE runtime filter (spark.sql.optimizer.runtime.bloomFilter.*)
+    injects this automatically when stats justify it; this query is the
+    explicit, plannable form.
+
+    Driver traffic is provably bounded: the build side collapses to
+    <= m distinct bit positions (65536 ints worst case — a ceiling set
+    by the FILTER's size, not the data's). The bloom is physical-only:
+    zero false negatives means the oracle is the plain 4-way join.
+
+    Plan shape: dims broadcast (nation/region are tiny everywhere);
+    supplier-side bloom positions are a narrow projection + distinct;
+    the fact scan applies k=3 md5 bit-tests as a codegen'd filter and
+    only surviving rows enter the SortMergeJoin shuffle (deliberately
+    NOT broadcast-hinted — the demo models the dim-too-big-to-broadcast
+    regime; AQE may still flip it at this SF, which is correct too)."""
+    sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = F.broadcast(table(spark, sf_dir, "nation"))
+    reg = F.broadcast(table(spark, sf_dir, "region"))
+    build = (
+        sup.join(nat, sup.s_nationkey == nat.n_nationkey)
+        .join(reg, (F.col("n_regionkey") == reg.r_regionkey) & (reg.r_name == "EUROPE"))
+        .select("s_suppkey", "n_name")
+    )
+
+    # Build the bitmap: k positions per key, distinct, <= m ints to the
+    # driver (bounded by the bloom's size, not the table's).
+    pos_rows = (
+        build.select(
+            F.explode(
+                F.array(*[_bloom_pos_spark(F.col("s_suppkey"), s) for s in range(BLOOM_K)])
+            ).alias("pos")
+        )
+        .distinct()
+        .collect()
+    )
+    words = [0] * _BLOOM_WORDS
+    for r in pos_rows:
+        words[r.pos >> 5] |= 1 << (r.pos & 31)
+    # store as signed int32 literals
+    words = [w - (1 << 32) if w >= (1 << 31) else w for w in words]
+    bitmap = F.lit(words)
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+
+    # k codegen'd bit-tests; a row passes only if every probed bit is set
+    cond = F.lit(True)
+    for s in range(BLOOM_K):
+        p = _bloom_pos_spark(F.col("l_suppkey"), s)
+        word = F.element_at(bitmap, F.shiftright(p, 5) + 1)
+        # F.shiftleft only takes a literal bit count; call the SQL
+        # function directly so the shift amount can be a column
+        mask = F.call_function("shiftleft", F.lit(1), p % 32)
+        cond = cond & (word.bitwiseAND(mask) != F.lit(0))
+
+    pruned = li.filter(cond)
+    return (
+        pruned.join(build.select("s_suppkey", "n_name"), pruned.l_suppkey == F.col("s_suppkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_shipments"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
+        )
+    )

@@ -1011,3 +1011,139 @@ def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
     )
     return s.select("l_returnflag", "n", F.round(corr, 6).alias("corr_qty_price"))
+
+
+# ------------------------------------------------------------ agg_sketch_cms
+
+# Count-min sketch geometry: depth x width counters, total size fixed at
+# D*W cells no matter how large the corpus. eps ~ e/W, delta ~ e^-D.
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+_CMS_TOK = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+
+def _cms_bucket_spark(term, depth: int):
+    """Counter column for `term` in row `depth` — md5-derived so both
+    engines compute the identical bucket (same idiom as decontaminate's
+    gram keys; a shared-hash collision perturbs both sides equally)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(str(depth)), term)), 1, 15), 16, 10
+    ).cast("bigint")
+    return (h % CMS_WIDTH).cast("int")
+
+
+def _cms_bucket_sql(term: str, depth: int) -> str:
+    return (
+        f"CAST(CAST(('0x' || substr(md5('{depth}' || ':' || {term}), 1, 15)) AS BIGINT)"
+        f" % {CMS_WIDTH} AS INT)"
+    )
+
+
+@query(
+    "agg_sketch_cms",
+    oracle=f"""
+        WITH tf AS (
+            SELECT term, count(*) AS ct
+            FROM (SELECT unnest({_CMS_TOK}) AS term FROM documents)
+            GROUP BY term
+        ),
+        cells AS (
+            SELECT d, bucket, CAST(sum(ct) AS BIGINT) AS cell FROM (
+                {" UNION ALL ".join(f"SELECT {d} AS d, {_cms_bucket_sql('term', d)} AS bucket, ct FROM tf" for d in range(CMS_DEPTH))}
+            ) GROUP BY d, bucket
+        ),
+        probes AS (
+            SELECT DISTINCT term, ct FROM (
+                (SELECT term, ct FROM tf ORDER BY ct DESC, term LIMIT 5)
+                UNION ALL
+                (SELECT term, ct FROM tf ORDER BY ct ASC, term LIMIT 5)
+            )
+        ),
+        est AS (
+            SELECT p.term, p.ct, min(c.cell) AS cms_est
+            FROM (
+                {" UNION ALL ".join(f"SELECT term, ct, {d} AS d, {_cms_bucket_sql('term', d)} AS bucket FROM probes" for d in range(CMS_DEPTH))}
+            ) p JOIN cells c USING (d, bucket)
+            GROUP BY p.term, p.ct
+        )
+        SELECT term, ct AS exact_ct, cms_est,
+               cms_est - ct AS overcount,
+               cms_est >= ct AS never_undercounts
+        FROM est
+    """,
+)
+def agg_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over corpus term frequencies: a {CMS_DEPTH}x{CMS_WIDTH}
+    counter grid (Cormode & Muthukrishnan 2005) answering point
+    frequency queries with one-sided error (est >= exact, always —
+    asserted per probe row). Probes: the 5 hottest and 5 coldest terms
+    (deterministic ties on term), so the output exhibits both the
+    heavy-hitter regime (relative error -> 0) and the small-count
+    regime where collisions dominate.
+
+    Why a CMS at 100 TB: the sketch is {CMS_DEPTH}x{CMS_WIDTH} counters — a
+    fixed-size, MERGEABLE summary (cells add across shards, days, or
+    streams), so frequency monitoring never rescans history; the
+    companion `agg_sketch_hll` covers distinct counts, this covers
+    point/heavy-hitter frequencies. Unlike HLL's engine-specific
+    binaries, every quantity here is an exact integer over md5-derived
+    buckets, so the whole sketch — cells, estimates, error — is
+    bit-reproducible cross-engine and the oracle hash-checks it.
+
+    Plan shape: ONE explode+groupBy produces the vocabulary-bounded tf
+    table (map-side partials absorb the token stream); the sketch build
+    fans tf out x{CMS_DEPTH} (vocab-sized, not corpus-sized) into the
+    {CMS_DEPTH * CMS_WIDTH}-cell grid; probe selection is two
+    TakeOrderedAndProject top-5 passes over tf (no SinglePartition
+    window); the estimate joins
+    {2 * 5 * CMS_DEPTH} probe-cells against the tiny grid. The exact
+    counts ride along as the verification yardstick (same contract as
+    agg_sketch_hll) — production would serve cells only."""
+    docs = table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    depth_cols = F.array(
+        *[
+            F.struct(F.lit(d).alias("d"), _cms_bucket_spark(F.col("term"), d).alias("bucket"))
+            for d in range(CMS_DEPTH)
+        ]
+    )
+    cells = (
+        tf.select(F.explode(depth_cols).alias("db"), "ct")
+        .groupBy(F.col("db.d").alias("d"), F.col("db.bucket").alias("bucket"))
+        .agg(F.sum("ct").alias("cell"))
+    )
+
+    hot = tf.orderBy(F.desc("ct"), F.asc("term")).limit(5)
+    cold = tf.orderBy(F.asc("ct"), F.asc("term")).limit(5)
+    probes = hot.unionAll(cold).dropDuplicates(["term"])
+    probe_cells = probes.select(
+        "term",
+        "ct",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _cms_bucket_spark(F.col("term"), d).alias("bucket"),
+                    )
+                    for d in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("db"),
+    ).select("term", "ct", F.col("db.d").alias("d"), F.col("db.bucket").alias("bucket"))
+    est = (
+        probe_cells.join(F.broadcast(cells), ["d", "bucket"])
+        .groupBy("term", "ct")
+        .agg(F.min("cell").alias("cms_est"))
+    )
+    return est.select(
+        "term",
+        F.col("ct").alias("exact_ct"),
+        "cms_est",
+        (F.col("cms_est") - F.col("ct")).alias("overcount"),
+        (F.col("cms_est") >= F.col("ct")).alias("never_undercounts"),
+    )

@@ -440,3 +440,141 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TFIDF_TOP_K)
         .select("doc_id", "term", "tf", "df", "score_fx")
     )
+
+
+# ------------------------------------------------------------------ text_bm25
+
+BM25_TOP_DOCS = 10
+# query = the terms ranked 10..12 by document frequency (mid-frequency:
+# below the stopword-like plateau, above the hapax tail) — derived from
+# the corpus itself so the whole contract is oracle-checkable.
+BM25_QRANK_LO, BM25_QRANK_HI = 10, 12
+BM25_SCALE = 10_000  # fixed-point scale for tf-saturation and idf
+BM25_AVGDL_SCALE = 1000  # fixed-point scale for the avgdl scalar
+
+
+@query(
+    "text_bm25",
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+        stats AS (SELECT count(*) AS n_docs,
+                         coalesce(sum(len(ts)), 0) AS total_toks FROM toks),
+        dl AS (SELECT doc_id, len(ts) AS dl FROM toks),
+        tf AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM (SELECT doc_id, unnest(ts) AS term FROM toks)
+            GROUP BY doc_id, term
+        ),
+        dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        qterms AS (
+            SELECT term, df FROM dft
+            ORDER BY df DESC, term
+            LIMIT {BM25_QRANK_HI - BM25_QRANK_LO + 1} OFFSET {BM25_QRANK_LO - 1}
+        ),
+        avgdl AS (
+            SELECT (total_toks * {BM25_AVGDL_SCALE}) // n_docs AS avgdl_fx,
+                   n_docs
+            FROM stats WHERE n_docs > 0
+        ),
+        scored AS (
+            SELECT t.doc_id,
+                   ((22 * t.tf * a.avgdl_fx * {BM25_SCALE})
+                    // (10 * t.tf * a.avgdl_fx + 3 * a.avgdl_fx + 9000 * d.dl)
+                   ) AS tf_sat_fx,
+                   ((a.n_docs * {BM25_SCALE}) // q.df) AS idf_fx
+            FROM tf t
+            JOIN qterms q USING (term)
+            JOIN dl d USING (doc_id)
+            CROSS JOIN avgdl a
+        )
+        SELECT doc_id,
+               count(*) AS n_terms_matched,
+               CAST(sum((tf_sat_fx * idf_fx) // {BM25_SCALE}) AS BIGINT) AS score_fx
+        FROM scored
+        GROUP BY doc_id
+        ORDER BY score_fx DESC, doc_id
+        LIMIT {BM25_TOP_DOCS}
+    """,
+)
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{BM25_TOP_DOCS} documents by BM25 (Robertson-Sparck Jones,
+    k1=1.2 b=0.75) for a corpus-derived query (the terms df-ranked
+    {BM25_QRANK_LO}..{BM25_QRANK_HI}) — ranked retrieval, the relevance
+    counterpart to text_tfidf's per-doc salience.
+
+    Fixed-point contract (same reasoning as text_tfidf's log-free idf:
+    float transcendentals cannot be hash-gated cross-engine):
+      avgdl_fx   = (total_tokens * {BM25_AVGDL_SCALE}) div n_docs — the
+                   corpus scalar BOTH engines use as-floored, so it is
+                   part of the spec, not an approximation of one;
+      tf_sat     = tf*(k1+1) / (tf + k1*(1-b) + k1*b*dl/avgdl), which
+                   multiplied through by 10*avgdl_fx is exactly
+                   (22*tf*avgdl_fx) / (10*tf*avgdl_fx + 3*avgdl_fx
+                   + 9000*dl) — integer numerator and denominator;
+      idf_fx     = (n_docs * {BM25_SCALE}) div df, the log-free rarity
+                   weight (monotone where BM25's log-idf is monotone);
+      score_fx   = sum over query terms of (tf_sat_fx*idf_fx) div
+                   {BM25_SCALE}.
+    All operands nonneg so Spark's `div` (truncate) == DuckDB's `//`
+    (floor). int64 headroom: tf_sat_fx <= 2.2*{BM25_SCALE}; the product
+    before the final div is <= 2.2e4 * n_docs * {BM25_SCALE} / df, safe
+    through n_docs ~ 4e10 even for df=1; the tf_sat numerator
+    22*tf*avgdl_fx*{BM25_SCALE} stays < 2^63 for dl, avgdl up to ~1e5
+    tokens. Bounds are corpus-shape, not corpus-size: nothing here
+    grows with row count except n_docs, which has 9 orders of headroom.
+
+    Plan shape: tokens staged once; (doc_id,term) tf with map-side
+    partials; df from tf (vocab-bounded); the query terms come off a
+    TakeOrderedAndProject (top-{BM25_QRANK_HI} rows, O(1) driver data)
+    and return as a 3-row broadcast join, so scoring touches only the
+    matching tf rows; dl joins on the doc_id partitioning the tf
+    aggregation already established; final answer is one
+    TakeOrderedAndProject. At 100 TB the tf table is the reusable
+    asset (tf, df, tfidf, and BM25 all derive from it)."""
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", tokens("text").alias("ts"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.size("ts")).alias("t")
+    ).collect()[0]
+    n_docs, total_toks = stats["n"], stats["t"] or 0
+    empty_schema = "doc_id bigint, n_terms_matched bigint, score_fx bigint"
+    if n_docs == 0:
+        return spark.createDataFrame([], empty_schema)
+    avgdl_fx = (total_toks * BM25_AVGDL_SCALE) // n_docs
+
+    dl = base.select("doc_id", F.size("ts").cast("bigint").alias("dl"))
+    tf = (
+        base.select("doc_id", F.explode("ts").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qrows = (
+        dft.orderBy(F.desc("df"), F.asc("term"))
+        .limit(BM25_QRANK_HI)
+        .collect()[BM25_QRANK_LO - 1 :]
+    )
+    if not qrows:
+        return spark.createDataFrame([], empty_schema)
+    qterms = F.broadcast(
+        spark.createDataFrame(
+            [(r["term"], r["df"]) for r in qrows], "term string, df bigint"
+        )
+    )
+    scored = (
+        tf.join(qterms, "term")
+        .join(dl, "doc_id")
+        .withColumn(
+            "tf_sat_fx",
+            F.expr(
+                f"(22 * tf * {avgdl_fx} * {BM25_SCALE}) div "
+                f"(10 * tf * {avgdl_fx} + 3 * {avgdl_fx} + 9000 * dl)"
+            ),
+        )
+        .withColumn("idf_fx", F.expr(f"(CAST({n_docs} AS BIGINT) * {BM25_SCALE}) div df"))
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms_matched"),
+        F.sum(F.expr(f"(tf_sat_fx * idf_fx) div {BM25_SCALE}")).alias("score_fx"),
+    )
+    return agg.orderBy(F.desc("score_fx"), F.asc("doc_id")).limit(BM25_TOP_DOCS)

@@ -457,3 +457,37 @@ def test_sketch_queries_single_scan(spark, sf_dir):
         plan = explain_str(REGISTRY[name].fn(spark, sf_dir), "simple")
         scans = plan.count("Scan parquet")
         assert scans == 1, f"{name}: {scans} scans\n{plan}"
+
+
+def test_join_bloom_prunes_before_shuffle_join(spark, sf_dir):
+    """The bloom bit-tests must be a plain Filter over the lineitem scan
+    (codegen'd, before the join exchange), the dims broadcast, and no
+    cartesian anywhere. The residual join stays an equi-join."""
+    plan = explain_str(q("join_bloom", spark, sf_dir), "formatted")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the k=3 md5 bit-tests are a Filter on the fact side
+    assert plan.count("md5") >= 3
+    assert "BroadcastHashJoin" in plan  # nation/region dims
+
+
+def test_agg_sketch_cms_grid_is_bounded_and_broadcast_probed(spark, sf_dir):
+    """The probe join against the 4x256 cell grid must be broadcast
+    (the grid is fixed-size by construction), probe selection must be
+    TakeOrderedAndProject (no SinglePartition window), and nothing may
+    cross-product."""
+    plan = explain_str(q("agg_sketch_cms", spark, sf_dir), "formatted")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert has_broadcast_join(q("agg_sketch_cms", spark, sf_dir))
+
+
+def test_text_bm25_topk_and_broadcast_qterms(spark, sf_dir):
+    """Final top-10 must be TakeOrderedAndProject (never a global sort
+    of all scored docs), the 3-row query-term side must broadcast, and
+    scoring must stay in whole-stage codegen (no Python UDFs)."""
+    df = q("text_bm25", spark, sf_dir)
+    plan = explain_str(df, "formatted")
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+    assert has_broadcast_join(df)
