@@ -55,10 +55,15 @@ __all__ = ["REGISTRY", "QuerySpec", "query", "load_all_queries"]
 # - text_bm25 / agg_sketch_cms / join_bloom: NEW this round (fixed-point
 #   BM25 ranked retrieval, count-min sketch, bloom semi-join reduction)
 #   — never driver-verified, so tier 0 by both rules.
+# - vocab_bpe_train / sim_hardneg: NEW this round (iterative BPE merge
+#   training; hard-negative mining over trained cells). sim_hardneg's
+#   emb_cell_chunks extra_cols plumbing touched the shared staging the
+#   other trained-quantizer consumers execute — already tier 0 above.
 _MODIFIED_THIS_ROUND = frozenset(
     """kmeans_lloyd sim_ann_ivf_trained dedup_embedding dedup_semantic
     sim_knn_graph dedup_ngram_jaccard
-    text_bm25 agg_sketch_cms join_bloom""".split()
+    text_bm25 agg_sketch_cms join_bloom
+    vocab_bpe_train sim_hardneg""".split()
 )
 
 # Green last in CORRECTNESS_r06.json — 2 rounds stale; the 11 VERDICT

@@ -748,12 +748,16 @@ def _emb_oracle() -> str:
     """
 
 
-def emb_cell_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+def emb_cell_chunks(
+    spark: SparkSession, sf_dir: str, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """Shared staging for the trained-quantizer blocked embedding ops
-    (`dedup_embedding`, `sim_knn_graph`): train the k = max(8,
-    ceil(n/256)) kmeans quantizer, assign every vector to its cell, and
-    replicate rows onto the (pi, pj>=pi) md5 chunk-pair grid that caps
-    any one applyInPandas task at EMB_BLOCK_CAP members per side.
+    (`dedup_embedding`, `sim_knn_graph`, `sample_hardneg`): train the
+    k = max(8, ceil(n/256)) kmeans quantizer, assign every vector to its
+    cell, and replicate rows onto the (pi, pj>=pi) md5 chunk-pair grid
+    that caps any one applyInPandas task at EMB_BLOCK_CAP members per
+    side. `extra_cols` threads additional embeddings-table columns
+    (e.g. `label` for hard-negative mining) through to the task frames.
 
     Grouping the result by (cell, pi, pj) hands each task exactly one
     chunk pair of one cell; within a task, pairs are the diagonal upper
@@ -767,16 +771,20 @@ def emb_cell_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)), F.min(F.size("embedding"))
     ).first()
     if n_vecs == 0:  # zero vectors: no cells, no pairs — typed empty
+        extra_ddl = "".join(
+            f", {c} {emb.schema[c].dataType.simpleString()}" for c in extra_cols
+        )
         return spark.createDataFrame(
             [],
             "vec_id bigint, cell bigint, embedding array<float>, "
-            "q int, pi int, pj int",
+            f"q int, pi int, pj int{extra_ddl}",
         )
     cents = lloyd_centroids(spark, sf_dir, k=_emb_k(int(n_vecs)), dim=int(dim))
     e = emb.select(
         "vec_id",
         "embedding",
         assignment_udf(cents, spark)("embedding")["cluster"].alias("cell"),
+        *extra_cols,
     )
     counts = e.groupBy("cell").agg(F.count(F.lit(1)).alias("_n"))
     return (
@@ -808,6 +816,7 @@ def emb_cell_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id", "cell", "embedding", "q",
             F.col("_p.pi").alias("pi"), F.col("_p.pj").alias("pj"),
+            *extra_cols,
         )
     )
 

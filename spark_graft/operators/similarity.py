@@ -497,3 +497,130 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("c", 4).alias("cos_sim"),
         )
     )
+
+
+def _hardneg_oracle() -> str:
+    from spark_graft.operators.clustering import kmeans_ctes
+    from spark_graft.operators.dedup import _EMB_K_SQL
+
+    return f"""
+        WITH {kmeans_ctes(_EMB_K_SQL)},
+        asn AS (SELECT vec_id, cluster AS cell FROM a2 WHERE rk = 1),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+        cand AS (
+            SELECT a.vec_id AS vec_id, a.label AS label,
+                   b.vec_id AS neg_id, b.label AS neg_label,
+                   list_cosine_similarity(a.v, b.v) AS c
+            FROM asn sa JOIN asn sb ON sa.cell = sb.cell
+                                   AND sa.vec_id <> sb.vec_id
+            JOIN e a ON a.vec_id = sa.vec_id
+            JOIN e b ON b.vec_id = sb.vec_id
+            WHERE a.label <> b.label
+        ),
+        rk AS (
+            SELECT vec_id, label, neg_id, neg_label, c,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY c DESC, neg_id) AS rnk
+            FROM cand
+        )
+        SELECT vec_id, label, neg_id, neg_label, round(c, 4) AS cos_sim
+        FROM rk WHERE rnk = 1
+    """
+
+
+@query("sim_hardneg", oracle=_hardneg_oracle())
+def sim_hardneg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for every vector,
+    the single most-similar vector carrying a DIFFERENT label within its
+    trained quantizer cell (ties to the lowest neg_id). The canonical
+    metric-learning data-prep step — easy negatives teach nothing, and
+    the hardest ones live exactly where ANN blocking already looks:
+    among near neighbors.
+
+    Scale shape: identical to `sim_knn_graph` — `emb_cell_chunks`
+    (extra_cols threads `label` into the task frames) keeps candidate
+    work O(n * 256) via trained cells + the md5 chunk grid; each task
+    filters to cross-label pairs BEFORE the pair math (the mask prunes
+    the slice, so same-label majority cells cost no dot products) and
+    emits only its per-vector top-1, so the shuffle carries at most
+    n_chunks rows per vector; one row_number window finishes the merge.
+    Vectors whose cell holds no other label are absent from the output —
+    the honest ANN contract (a wider-probe variant would union
+    neighboring cells), matching the oracle's inner-join semantics.
+    float64 cumsum in array order keeps the cosine bit-identical to
+    DuckDB's list_cosine_similarity, so train->assign->mine
+    hash-matches."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.window import Window
+
+    from spark_graft.operators.dedup import (
+        EMB_PAIR_SLICE,
+        _block_pair_arrays,
+        emb_cell_chunks,
+    )
+
+    _EMPTY = pd.DataFrame(
+        {
+            "vec_id": pd.Series(dtype="int64"),
+            "label": pd.Series(dtype="int32"),
+            "neg_id": pd.Series(dtype="int64"),
+            "neg_label": pd.Series(dtype="int32"),
+            "c": pd.Series(dtype="float64"),
+        }
+    )
+
+    def block_hardneg(pdf: pd.DataFrame) -> pd.DataFrame:
+        arrs = _block_pair_arrays(pdf, np)
+        if arrs is None:
+            return _EMPTY
+        ma, mb, ids_a, ids_b, ia, ib, nrm_a, nrm_b = arrs
+        labmap = pdf.drop_duplicates("vec_id").set_index("vec_id")["label"]
+        la = labmap.loc[ids_a].to_numpy()
+        lb = labmap.loc[ids_b].to_numpy()
+        outs = []
+        for s in range(0, len(ia), EMB_PAIR_SLICE):
+            sa, sb = ia[s : s + EMB_PAIR_SLICE], ib[s : s + EMB_PAIR_SLICE]
+            keep = la[sa] != lb[sb]  # cross-label only, before any math
+            if not keep.any():
+                continue
+            sa, sb = sa[keep], sb[keep]
+            dots = np.cumsum(ma[sa] * mb[sb], axis=1)[:, -1]
+            cos = dots / (nrm_a[sa] * nrm_b[sb])
+            outs.append(pd.DataFrame({
+                "vec_id": ids_a[sa], "label": la[sa],
+                "neg_id": ids_b[sb], "neg_label": lb[sb], "c": cos,
+            }))
+            outs.append(pd.DataFrame({
+                "vec_id": ids_b[sb], "label": lb[sb],
+                "neg_id": ids_a[sa], "neg_label": la[sa], "c": cos,
+            }))
+        if not outs:
+            return _EMPTY
+        both = pd.concat(outs, ignore_index=True)
+        # per-task partial top-1, same tie order as the final window
+        return (
+            both.sort_values(["vec_id", "c", "neg_id"],
+                             ascending=[True, False, True])
+            .groupby("vec_id", sort=False)
+            .head(1)
+            .reset_index(drop=True)
+        )
+
+    cand = (
+        emb_cell_chunks(spark, sf_dir, extra_cols=("label",))
+        .groupBy("cell", "pi", "pj")
+        .applyInPandas(
+            block_hardneg,
+            "vec_id bigint, label int, neg_id bigint, neg_label int, c double",
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("c").desc(), F.col("neg_id"))
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "vec_id", "label", "neg_id", "neg_label",
+            F.round("c", 4).alias("cos_sim"),
+        )
+    )

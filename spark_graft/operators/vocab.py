@@ -191,3 +191,128 @@ def lm_next_token(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= LM_TOP_K)
         .select("head", "nxt", "n", "rk")
     )
+
+
+BPE_ROUNDS = 3  # merge rounds to run (each round = one learned vocab entry)
+
+# The corpus rides between rounds as ONE string column per doc:
+# '##' + join(tokens, '##') + '##'. Tokens never contain '#' (the
+# tokenizer keeps [a-z0-9]+ only; merged tokens add spaces), so a
+# greedy left-to-right non-overlapping merge of the adjacent pair
+# (x, y) is EXACTLY replace(s, '#x##y#', '#x y#'): both Spark's and
+# DuckDB's replace() scan left-to-right and resume AFTER the replaced
+# region, and the doubled sentinel keeps back-to-back occurrences
+# (…##x##y##x##y##…) independently matchable because each match only
+# consumes one '#' of each boundary pair.
+_BPE_SENT = "##"
+
+
+def _bpe_round_ctes(r: int) -> str:
+    return f"""
+        t{r} AS (SELECT list_filter(string_split(s, '{_BPE_SENT}'), t -> t <> '') AS ts FROM c{r}),
+        p{r} AS (
+            SELECT ts[i] AS x, ts[i + 1] AS y, CAST(count(*) AS BIGINT) AS n
+            FROM t{r}, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+            GROUP BY x, y ORDER BY n DESC, x, y LIMIT 1
+        ),
+        c{r + 1} AS (
+            SELECT replace(s, '#' || x || '{_BPE_SENT}' || y || '#', '#' || x || ' ' || y || '#') AS s
+            FROM c{r} CROSS JOIN p{r}
+        ),
+        n{r} AS (
+            SELECT CAST(coalesce(sum(len(list_filter(string_split(s, '{_BPE_SENT}'), t -> t <> ''))), 0) AS BIGINT) AS nta
+            FROM c{r + 1}
+        )"""
+
+
+@query(
+    "vocab_bpe_train",
+    oracle=f"""
+        WITH toks AS (SELECT {_TOK} AS ts FROM documents),
+        c1 AS (SELECT '{_BPE_SENT}' || array_to_string(ts, '{_BPE_SENT}') || '{_BPE_SENT}' AS s FROM toks),
+        {",".join(_bpe_round_ctes(r) for r in range(1, BPE_ROUNDS + 1))}
+        {" UNION ALL ".join(
+            f"SELECT {r} AS merge_round, x, y, n AS n_occurrences,"
+            f" (SELECT nta FROM n{r}) AS n_tokens_after FROM p{r}"
+            for r in range(1, BPE_ROUNDS + 1)
+        )}
+        ORDER BY merge_round
+    """,
+)
+def vocab_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{BPE_ROUNDS} rounds of BPE tokenizer training (Sennrich et al.
+    2016) over the corpus: per round, count every adjacent token pair,
+    pick the most frequent (ties broken (x, y) asc — a total order both
+    engines share), and apply a greedy left-to-right non-overlapping
+    merge of that pair corpus-wide. Output: one row per round with the
+    learned pair, its pre-merge occurrence count (overlaps included —
+    the standard counting), and the corpus token count AFTER the merge
+    (a recount, NOT count-minus-occurrences: overlapping occurrences
+    merge only once, so the recount is what proves both engines applied
+    identical greedy semantics).
+
+    This is `vocab_pair_counts`' promised loop made real (its docstring:
+    'the real BPE loop re-runs this query per merge round') — the
+    reference's iterative-driver shape (main.cpp:28-68) with the merge
+    APPLICATION kept fully distributed.
+
+    Spark-first mechanics: the corpus lives as one sentinel-joined
+    string per doc ('##'+join+'##'; see _BPE_SENT note), so the merge is
+    a pure codegen replace() — no Python, no shuffle, no explode of the
+    corpus. Per round the only shuffle is the vocab-bounded pair count
+    (map-side partials), the only driver traffic is ONE row (the argmax
+    pair) plus one scalar recount — O(rounds), independent of corpus
+    size. Rounds compose as nested replace() lineage over the base scan;
+    at 100 TB you would checkpoint the corpus string every ~10 rounds to
+    cap recompute, exactly like graph_pagerank's localCheckpoint cuts —
+    at {BPE_ROUNDS} rounds recompute is cheaper than a materialization."""
+    docs = table(spark, sf_dir, "documents")
+    corpus = docs.select(
+        F.concat(
+            F.lit(_BPE_SENT), F.array_join(tokens("text"), _BPE_SENT), F.lit(_BPE_SENT)
+        ).alias("s")
+    )
+    out: list[tuple[int, str, str, int, int]] = []
+    for rnd in range(1, BPE_ROUNDS + 1):
+        ts = F.filter(F.split("s", _BPE_SENT), lambda t: t != F.lit(""))
+        staged = corpus.select(ts.alias("ts"))
+        pairs = staged.select(
+            F.explode(
+                F.when(
+                    F.size("ts") < 2, F.array().cast("array<struct<x:string,y:string>>")
+                ).otherwise(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("ts") - 1),
+                        lambda i: F.struct(
+                            F.element_at("ts", i).alias("x"),
+                            F.element_at("ts", i + F.lit(1)).alias("y"),
+                        ),
+                    )
+                )
+            ).alias("p")
+        ).select("p.x", "p.y")
+        top = (
+            pairs.groupBy("x", "y")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), "x", "y")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        x, y, n = top[0]["x"], top[0]["y"], top[0]["n"]
+        corpus = corpus.select(
+            F.replace(
+                "s",
+                F.lit(f"#{x}{_BPE_SENT}{y}#"),
+                F.lit(f"#{x} {y}#"),
+            ).alias("s")
+        )
+        n_after = corpus.select(
+            F.coalesce(F.sum(F.size(ts)), F.lit(0)).cast("bigint").alias("nta")
+        ).collect()[0]["nta"]
+        out.append((rnd, x, y, n, n_after))
+    return spark.createDataFrame(
+        out,
+        "merge_round int, x string, y string, n_occurrences bigint, n_tokens_after bigint",
+    )

@@ -86,6 +86,8 @@ def test_sql_only_queries_have_no_python_udfs(spark, sf_dir):
         "dedup_embedding",
         "sim_knn_graph",
         "dedup_semantic",
+        # r9: same trained-cell staging + applyInPandas pair math
+        "sim_hardneg",
     }
     for name, spec in REGISTRY.items():
         if name in allowed_python:
@@ -130,7 +132,7 @@ def test_dedup_queries_never_cross_product(spark, sf_dir):
     O(n^2) cross product snuck in."""
     for name in ("dedup_exact", "dedup_minhash", "dedup_ngram_jaccard",
                  "dedup_simhash", "dedup_embedding", "dedup_semantic",
-                 "sim_knn_graph"):
+                 "sim_knn_graph", "sim_hardneg"):
         plan = explain_str(REGISTRY[name].fn(spark, sf_dir), "formatted")
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name

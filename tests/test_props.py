@@ -1009,3 +1009,52 @@ def test_hier_assigner_bit_identical_to_flat(cvals, qvals):
     assert (fq == hq).all()
     assert (fd2 == hd2).all(), (fd2.tolist(), hd2.tolist())
     assert (fcid == hcid).all(), (fcid.tolist(), hcid.tolist())
+
+
+@given(texts=doc_texts)
+@SETTINGS
+def test_vocab_bpe_matches_python_reference(spark, tmp_path_factory, texts):
+    """vocab_bpe_train == a pure-python BPE trainer: per round, the
+    argmax pair under (count desc, (x, y) asc) and a greedy
+    left-to-right non-overlapping merge — including the overlap cases
+    ((a, a) on 'a a a' merges once) the sentinel-replace trick must get
+    right, and the post-merge recount."""
+    import re
+
+    from collections import Counter
+
+    from spark_graft.operators.vocab import BPE_ROUNDS, vocab_bpe_train
+
+    d = tmp_path_factory.mktemp("bpe")
+    spark.createDataFrame(
+        [(i, t, "en", 0) for i, t in enumerate(texts)],
+        "doc_id bigint, text string, lang string, quality int",
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    got = [
+        (r["merge_round"], r["x"], r["y"], r["n_occurrences"], r["n_tokens_after"])
+        for r in vocab_bpe_train(spark, str(d)).collect()
+    ]
+
+    corpora = [[w for w in re.split(r"[^a-z0-9]+", t.lower()) if w] for t in texts]
+    want = []
+    for rnd in range(1, BPE_ROUNDS + 1):
+        c: Counter = Counter()
+        for ws in corpora:
+            c.update(zip(ws, ws[1:]))
+        if not c:
+            break
+        (x, y), n = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        merged = []
+        for ws in corpora:
+            out, i = [], 0
+            while i < len(ws):
+                if i + 1 < len(ws) and ws[i] == x and ws[i + 1] == y:
+                    out.append(f"{x} {y}")
+                    i += 2
+                else:
+                    out.append(ws[i])
+                    i += 1
+            merged.append(out)
+        corpora = merged
+        want.append((rnd, x, y, n, sum(len(ws) for ws in corpora)))
+    assert got == want
