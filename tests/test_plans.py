@@ -468,8 +468,8 @@ def test_join_bloom_prunes_before_shuffle_join(spark, sf_dir):
     plan = explain_str(q("join_bloom", spark, sf_dir), "formatted")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # the k=3 md5 bit-tests are a Filter on the fact side
-    assert plan.count("md5") >= 3
+    # the k=3 xxhash64 bit-tests are a Filter on the fact side
+    assert plan.count("xxhash64") >= 3
     assert "BroadcastHashJoin" in plan  # nation/region dims
 
 
