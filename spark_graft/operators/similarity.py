@@ -547,6 +547,12 @@ def sim_hardneg(spark: SparkSession, sf_dir: str) -> DataFrame:
     Vectors whose cell holds no other label are absent from the output —
     the honest ANN contract (a wider-probe variant would union
     neighboring cells), matching the oracle's inner-join semantics.
+    Corollary (observed on the sf1 fixture, hash-matched both engines):
+    when the corpus is strongly label-separable the trained cells go
+    label-PURE and the result is EMPTY — hard negatives live at decision
+    boundaries, so an empty result is the quantizer reporting that no
+    in-cell boundary exists, not a bug. The sf0.01 fixture (k=8 coarse
+    cells over 10 labels) exercises the populated regime.
     float64 cumsum in array order keeps the cosine bit-identical to
     DuckDB's list_cosine_similarity, so train->assign->mine
     hash-matches."""
