@@ -63,7 +63,7 @@ _MODIFIED_THIS_ROUND = frozenset(
     """kmeans_lloyd sim_ann_ivf_trained dedup_embedding dedup_semantic
     sim_knn_graph dedup_ngram_jaccard
     text_bm25 agg_sketch_cms join_bloom
-    vocab_bpe_train sim_hardneg""".split()
+    vocab_bpe_train sim_hardneg sample_coreset""".split()
 )
 
 # Green last in CORRECTNESS_r06.json — 2 rounds stale; the 11 VERDICT

@@ -630,3 +630,73 @@ def sim_hardneg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("c", 4).alias("cos_sim"),
         )
     )
+
+
+def _coreset_oracle() -> str:
+    from spark_graft.operators.clustering import kmeans_ctes
+    from spark_graft.operators.dedup import _EMB_K_SQL
+
+    return f"""
+        WITH {kmeans_ctes(_EMB_K_SQL)},
+        asn AS (SELECT vec_id, cluster AS cell, d2 FROM a2 WHERE rk = 1),
+        sizes AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_members
+                  FROM asn GROUP BY cell),
+        rep AS (
+            SELECT cell, vec_id, d2,
+                   row_number() OVER (PARTITION BY cell
+                                      ORDER BY d2, vec_id) AS rrk
+            FROM asn
+        )
+        SELECT r.cell, r.vec_id AS rep_id, r.d2, s.n_members
+        FROM rep r JOIN sizes s USING (cell)
+        WHERE r.rrk = 1
+    """
+
+
+@query("sample_coreset", oracle=_coreset_oracle())
+def sample_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coreset / representative selection: train the same grow-with-n
+    quantizer as the blocked embedding family (k = max(8, ceil(n/256))
+    cells) and keep, per cell, the single vector CLOSEST to its centroid
+    (integer squared distance, ties to the lowest vec_id) plus the cell
+    population. The k-center-style dataset summary: k grows linearly
+    with the corpus, so the output is a faithful ~n/256-point sketch of
+    the embedding distribution — the standard first step of dataset
+    distillation, diversity-aware subsampling, and "show me what's in
+    this shard" exploration at scales where plotting n points is
+    impossible.
+
+    Plan shape: one Arrow-batched assignment pass (the same
+    broadcast/hierarchical argmin kernel as kmeans_lloyd — O(1) task
+    closure at any k), a tiny (cell, count) aggregate, and a per-cell
+    top-1 that Spark executes as WindowGroupLimit (each task keeps one
+    candidate per cell before the shuffle, so the exchange carries at
+    most n_tasks rows per cell, never the membership). Everything
+    downstream of assignment is k-bounded, not n-bounded. The d2 it
+    ranks on is the assignment's own fixed-point integer, so the whole
+    train->assign->select pipeline hash-matches the oracle's relational
+    re-derivation bit-for-bit."""
+    from pyspark.sql.window import Window
+
+    from spark_graft.operators.clustering import assignment_udf, lloyd_centroids
+    from spark_graft.operators.dedup import _emb_k
+
+    emb = table(spark, sf_dir, "embeddings")
+    n_vecs, dim = emb.agg(F.count(F.lit(1)), F.min(F.size("embedding"))).first()
+    if n_vecs == 0:
+        return spark.createDataFrame(
+            [], "cell bigint, rep_id bigint, d2 bigint, n_members bigint"
+        )
+    cents = lloyd_centroids(spark, sf_dir, k=_emb_k(int(n_vecs)), dim=int(dim))
+    a = assignment_udf(cents, spark)("embedding")
+    asn = emb.select(
+        "vec_id", a["cluster"].alias("cell"), a["d2"].alias("d2")
+    )
+    sizes = asn.groupBy("cell").agg(F.count(F.lit(1)).alias("n_members"))
+    w = Window.partitionBy("cell").orderBy("d2", "vec_id")
+    return (
+        asn.withColumn("rrk", F.row_number().over(w))
+        .filter(F.col("rrk") == 1)
+        .join(sizes, "cell")
+        .select("cell", F.col("vec_id").alias("rep_id"), "d2", "n_members")
+    )

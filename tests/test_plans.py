@@ -88,6 +88,8 @@ def test_sql_only_queries_have_no_python_udfs(spark, sf_dir):
         "dedup_semantic",
         # r9: same trained-cell staging + applyInPandas pair math
         "sim_hardneg",
+        # r9: same Arrow-batched assignment kernel (no pair stage)
+        "sample_coreset",
     }
     for name, spec in REGISTRY.items():
         if name in allowed_python:
@@ -493,3 +495,14 @@ def test_text_bm25_topk_and_broadcast_qterms(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan
     assert has_broadcast_join(df)
+
+
+def test_sample_coreset_per_cell_top1_is_group_limited(spark, sf_dir):
+    """The per-cell representative pick must plan WindowGroupLimit
+    (partial top-1 before the shuffle — the exchange carries at most one
+    candidate per cell per task, never cell memberships), and nothing
+    may cross-product."""
+    plan = explain_str(REGISTRY["sample_coreset"].fn(spark, sf_dir), "formatted")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
