@@ -72,7 +72,12 @@ def main() -> None:
     # which overflowed the driver's stdout tail buffer in round 2
     # (BENCH_r02.json parsed=null). The stdout line carries the total
     # plus only the slowest queries, keeping it well under 1 KB.
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    # Subset runs write to a separate _SUBSET sidecar so an ad-hoc
+    # `python bench.py some_query` never clobbers the committed
+    # full-suite BENCH_DETAIL.json (scripts/run_scale_bench.py reads
+    # the subset sidecar back for its ratio table).
+    detail_name = "BENCH_DETAIL_SUBSET.json" if only else "BENCH_DETAIL.json"
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), detail_name)
     with open(detail_path, "w") as f:
         json.dump({"sf": sf, "total_sec": total, "queries": timings}, f, indent=1, sort_keys=True)
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:8])
@@ -84,7 +89,7 @@ def main() -> None:
                 "unit": "sec",
                 "n_queries": len(timings),
                 "queries": slowest,
-                "detail": "BENCH_DETAIL.json",
+                "detail": detail_name,
                 "sf": sf,
             }
         )

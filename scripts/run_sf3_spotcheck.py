@@ -12,8 +12,10 @@ the curve come from comparable sessions.
     python scripts/run_sf3_spotcheck.py [--sf1-dir /tmp/testdata/sf1]
                                         [--sf3-dir /tmp/testdata/sf3]
 
-bench.py writes per-run detail to BENCH_DETAIL.json as a side effect;
-snapshotted and restored, like run_scale_bench.py.
+Subset bench runs write their per-run detail to
+BENCH_DETAIL_SUBSET.json (bench.py routes subset runs there so the
+committed full-suite BENCH_DETAIL.json is never clobbered); read back
+after each pass, like run_scale_bench.py.
 """
 
 from __future__ import annotations
@@ -25,7 +27,7 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-DETAIL = os.path.join(REPO, "BENCH_DETAIL.json")
+DETAIL = os.path.join(REPO, "BENCH_DETAIL_SUBSET.json")
 
 # The spot-check set: every query whose sf0.1->sf1 ratio has ever
 # exceeded ~2.4x, plus the r8 additions (sim_knn_graph, dedup_semantic).
@@ -60,14 +62,8 @@ def main() -> None:
                 check=True,
             )
 
-    saved_detail = open(DETAIL).read() if os.path.exists(DETAIL) else None
-    try:
-        q1 = run_bench(args.sf1_dir)
-        q3 = run_bench(args.sf3_dir)
-    finally:
-        if saved_detail is not None:
-            with open(DETAIL, "w") as f:
-                f.write(saved_detail)
+    q1 = run_bench(args.sf1_dir)
+    q3 = run_bench(args.sf3_dir)
 
     path = os.path.join(REPO, "BENCH_SF1.json")
     with open(path) as f:
