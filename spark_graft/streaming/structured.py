@@ -252,3 +252,51 @@ def sliding_counts_stream(events: DataFrame) -> DataFrame:
             F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value"
         )
     )
+
+
+def cms_cells_stream(events: DataFrame) -> DataFrame:
+    """Streaming count-min sketch: per watermarked 1-hour tumbling
+    window, the {CMS_DEPTH}x{CMS_WIDTH} cell grid of `agg_sketch_cms`
+    (operators.relational) built over user_id frequencies — the
+    heavy-hitter monitoring half of production frequency tracking,
+    running incrementally.
+
+    Why a sketch is THE streaming aggregate: state per window is capped
+    at D*W cells regardless of how many distinct users the window sees
+    (an exact per-user count would grow state with cardinality), and
+    cells are MERGEABLE — a window's grid adds cell-wise onto any other
+    window's, so a day/tenant/shard rollup is one more groupBy-sum over
+    grids, never a rescan of events. The equivalence test asserts both
+    properties: stream==batch per window, and the cell-wise sum across
+    windows equals the whole-corpus sketch built in one batch pass.
+
+    Plan: the xD fan-out is a narrow explode before the windowed
+    aggregation; state eviction follows window end + watermark exactly
+    like tumbling_counts_stream."""
+    from spark_graft.operators.relational import CMS_DEPTH, _cms_bucket_spark
+
+    fan = events.withWatermark("ts", WATERMARK).select(
+        "ts",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _cms_bucket_spark(F.col("user_id").cast("string"), d).alias(
+                            "bucket"
+                        ),
+                    )
+                    for d in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("db"),
+    )
+    return (
+        fan.groupBy(
+            F.window("ts", "60 minutes").alias("w"),
+            F.col("db.d").alias("d"),
+            F.col("db.bucket").alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("cell"))
+        .select(F.col("w.start").alias("window_start"), "d", "bucket", "cell")
+    )

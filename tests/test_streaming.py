@@ -476,3 +476,54 @@ def test_checkpoint_restart_resumes_state_and_offsets(spark, tmp_path):
     ], run2
     bids = {b for b, _, _ in run2}
     assert len(bids) == 1 and bids.pop() >= 2, run2
+
+
+def test_cms_stream_equals_batch_and_cells_merge(spark, sf_dir):
+    """Streaming windowed count-min sketch (cms_cells_stream): (a) the
+    incremental per-window cell grid equals the same grid computed in
+    one batch pass, and (b) MERGEABILITY — summing cells across windows
+    equals the whole-corpus sketch, i.e. grids add without rescanning
+    events. (b) is the property that makes a sketch the right streaming
+    state: bounded per-window cells, arbitrary rollups for free."""
+    from spark_graft.operators.relational import CMS_DEPTH, _cms_bucket_spark
+    from spark_graft.sources import table
+    from spark_graft.streaming.structured import cms_cells_stream
+
+    stream_out = run_stream_to_memory(cms_cells_stream(events_stream(spark, sf_dir)))
+
+    ev = table(spark, sf_dir, "events")
+    fan = ev.select(
+        "ts",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _cms_bucket_spark(F.col("user_id").cast("string"), d).alias("bucket"),
+                    )
+                    for d in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("db"),
+    )
+    batch = (
+        fan.groupBy(
+            F.window("ts", "60 minutes").alias("w"),
+            F.col("db.d").alias("d"),
+            F.col("db.bucket").alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("cell"))
+        .select(F.col("w.start").alias("window_start"), "d", "bucket", "cell")
+    )
+    assert_frames_match(stream_out.toPandas(), batch.toPandas(), "cms stream==batch")
+
+    # mergeability: cell-wise sum over windows == one-pass corpus sketch
+    merged = (
+        stream_out.groupBy("d", "bucket").agg(F.sum("cell").alias("cell")).toPandas()
+    )
+    corpus = (
+        fan.groupBy(F.col("db.d").alias("d"), F.col("db.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cell"))
+        .toPandas()
+    )
+    assert_frames_match(merged, corpus, "cms merged==corpus")
