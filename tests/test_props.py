@@ -1058,3 +1058,50 @@ def test_vocab_bpe_matches_python_reference(spark, tmp_path_factory, texts):
         corpora = merged
         want.append((rnd, x, y, n, sum(len(ws) for ws in corpora)))
     assert got == want
+
+
+@given(
+    sup_keys=st.lists(st.integers(min_value=0, max_value=200), min_size=1, max_size=40, unique=True),
+    fact_keys=st.lists(st.integers(min_value=0, max_value=200), min_size=0, max_size=80),
+)
+@SETTINGS
+def test_join_bloom_bitmap_has_no_false_negatives(spark, sup_keys, fact_keys):
+    """The bloom bitmap construction (k positions per key, int32 word
+    packing, signed-literal conversion, per-row bit-tests) must never
+    drop a true key: for ANY build-side key set, every fact row whose
+    key IS in the set passes the filter. False positives are allowed
+    (the residual join removes them); a false negative silently loses
+    rows — so this pins the bit arithmetic on arbitrary keys, not just
+    the fixture's."""
+    from pyspark.sql import functions as F
+
+    from spark_graft.operators.joins import BLOOM_K, _BLOOM_WORDS, _bloom_pos_spark
+
+    build = spark.createDataFrame([(k,) for k in sup_keys], "key bigint")
+    pos_rows = (
+        build.select(
+            F.explode(
+                F.array(*[_bloom_pos_spark(F.col("key"), s) for s in range(BLOOM_K)])
+            ).alias("pos")
+        )
+        .distinct()
+        .collect()
+    )
+    words = [0] * _BLOOM_WORDS
+    for r in pos_rows:
+        words[r.pos >> 5] |= 1 << (r.pos & 31)
+    words = [w - (1 << 32) if w >= (1 << 31) else w for w in words]
+    bitmap = F.lit(words)
+
+    fact = spark.createDataFrame([(k,) for k in fact_keys] or [(None,)], "key bigint").filter(
+        F.col("key").isNotNull()
+    )
+    cond = F.lit(True)
+    for s in range(BLOOM_K):
+        p = _bloom_pos_spark(F.col("key"), s)
+        word = F.element_at(bitmap, F.shiftright(p, 5) + 1)
+        mask = F.call_function("shiftleft", F.lit(1), p % 32)
+        cond = cond & (word.bitwiseAND(mask) != F.lit(0))
+    passed = {r.key for r in fact.filter(cond).collect()}
+    required = set(fact_keys) & set(sup_keys)
+    assert required <= passed, (sorted(required - passed), sorted(passed))

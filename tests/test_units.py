@@ -684,6 +684,29 @@ def test_embedding_ops_empty_input(spark, tmp_path_factory):
         ("sim_ann_lsh", ["vec_id", "cos_sim"]),
         ("sim_ann_ivf", ["vec_id", "cos_sim"]),
         ("sim_ann_ivf_trained", ["vec_id", "cos_sim"]),
+        ("sim_hardneg", ["vec_id", "label", "neg_id", "neg_label", "cos_sim"]),
+        ("sample_coreset", ["cell", "rep_id", "d2", "n_members"]),
+    ):
+        df = REGISTRY[name].fn(spark, str(d))
+        assert df.columns == cols, (name, df.columns)
+        assert df.count() == 0, name
+
+
+def test_text_ops_empty_corpus(spark, tmp_path_factory):
+    """Zero-document corpus: the r9 text/vocab operators must degrade to
+    an empty result with the declared schema — text_bm25's corpus
+    scalars (n_docs, avgdl) and vocab_bpe_train's argmax pair have
+    nothing to derive from, and agg_sketch_cms has no probes."""
+    from spark_graft.registry import REGISTRY
+
+    d = tmp_path_factory.mktemp("emptydocs")
+    spark.createDataFrame(
+        [], "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(str(d / "documents.parquet"))
+    for name, cols in (
+        ("text_bm25", ["doc_id", "n_terms_matched", "score_fx"]),
+        ("vocab_bpe_train", ["merge_round", "x", "y", "n_occurrences", "n_tokens_after"]),
+        ("agg_sketch_cms", ["term", "exact_ct", "cms_est", "overcount", "never_undercounts"]),
     ):
         df = REGISTRY[name].fn(spark, str(d))
         assert df.columns == cols, (name, df.columns)
