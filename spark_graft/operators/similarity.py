@@ -533,8 +533,9 @@ def sim_hardneg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining for contrastive training: for every vector,
     the single most-similar vector carrying a DIFFERENT label within its
     trained quantizer cell (ties to the lowest neg_id). The canonical
-    metric-learning data-prep step — easy negatives teach nothing, and
-    the hardest ones live exactly where ANN blocking already looks:
+    metric-learning data-prep step (semi-hard/hard negative selection,
+    Schroff et al., FaceNet, CVPR 2015) — easy negatives teach nothing,
+    and the hardest ones live exactly where ANN blocking already looks:
     among near neighbors.
 
     Scale shape: identical to `sim_knn_graph` — `emb_cell_chunks`
@@ -659,12 +660,14 @@ def sample_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantizer as the blocked embedding family (k = max(8, ceil(n/256))
     cells) and keep, per cell, the single vector CLOSEST to its centroid
     (integer squared distance, ties to the lowest vec_id) plus the cell
-    population. The k-center-style dataset summary: k grows linearly
-    with the corpus, so the output is a faithful ~n/256-point sketch of
-    the embedding distribution — the standard first step of dataset
-    distillation, diversity-aware subsampling, and "show me what's in
-    this shard" exploration at scales where plotting n points is
-    impossible.
+    population. The k-center-style dataset summary (greedy k-center /
+    coreset selection as in Sener & Savarese, ICLR 2018, with the
+    trained quantizer standing in for the greedy cover): k grows
+    linearly with the corpus, so the output is a faithful ~n/256-point
+    sketch of the embedding distribution — the standard first step of
+    dataset distillation, diversity-aware subsampling, and "show me
+    what's in this shard" exploration at scales where plotting n points
+    is impossible.
 
     Plan shape: one Arrow-batched assignment pass (the same
     broadcast/hierarchical argmin kernel as kmeans_lloyd — O(1) task
