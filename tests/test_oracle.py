@@ -81,3 +81,60 @@ for name in ("dedup_minhash", "dedup_clusters"):
     )
     assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
     assert "dedup_minhash oracle-consistent at 24/6" in proc.stdout
+
+
+# Documents-only oracled queries (their SQL references no other table),
+# re-derived here so a new documents-family query is auto-enrolled.
+import re as _re
+
+_OTHER_TABLES = ("region", "nation", "customer", "supplier", "part",
+                 "orders", "lineitem", "events", "embeddings")
+DOC_ONLY = sorted(
+    n for n, s in REGISTRY.items()
+    if s.oracle is not None
+    and "documents" in s.oracle.lower()
+    and not any(_re.search(rf"\b{t}\b", s.oracle.lower()) for t in _OTHER_TABLES)
+)
+
+
+def test_documents_family_on_adversarial_corpus(spark, tmp_path_factory):
+    """Fixture-independence net: every documents-only oracled query must
+    hash-match DuckDB on a handcrafted adversarial corpus the fixtures
+    don't exhibit — empty texts, punctuation-only docs, one massive
+    repeated token (overlap-merge and span-dedup stress), single-char
+    docs, digit runs, a long mixed doc, and exact duplicates. Catches
+    fixture-shaped assumptions (e.g. 'every doc tokenizes non-empty',
+    'vocab is diverse', 'no doc is a single token') that the sf sweeps
+    cannot."""
+    import duckdb
+
+    docs = [
+        "",                                     # empty text
+        "...!!!,,,   ---",                      # tokenizes to nothing
+        "a " * 400,                             # one token, massively repeated
+        "x",                                    # single 1-char token
+        "7 77 777 7777 77777",                  # digit tokens
+        ("the quick brown fox jumps over the lazy dog " * 30).strip(),
+        "dup dup dup",                          # exact duplicate pair...
+        "dup dup dup",                          # ...same text, new doc_id
+        "alpha beta gamma alpha beta gamma alpha beta",  # period-2/3 repeats
+        "Mixed CASE Tokens MIXED case tokens",  # case folding
+    ]
+    d = tmp_path_factory.mktemp("advdocs")
+    spark.createDataFrame(
+        [
+            (i, t, ["en", "de", "fr"][i % 3], ["web", "books"][i % 2], len(t))
+            for i, t in enumerate(docs)
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
+    )
+    for name in DOC_ONLY:
+        spec = REGISTRY[name]
+        spark_pdf = spec.fn(spark, str(d)).toPandas()
+        oracle_pdf = con.execute(spec.oracle).df()
+        assert_frames_match(spark_pdf, oracle_pdf, f"adversarial:{name}")
