@@ -166,7 +166,15 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity, clamped to [-1, 1] exactly like DuckDB's
+    list_cosine_similarity: float rounding can push the raw ratio of
+    near-parallel vectors past ±1 (measured: 1.0 + 2 ulp on parallel
+    constant-fill float32 vectors), and an unclamped value sorts ABOVE
+    a mathematically-tied exact 1.0 — flipping top-k ranks vs the
+    oracle. Callers must exclude zero-norm vectors (similarity's
+    NONZERO contract) — the division is undefined for them."""
+    raw = dot(a, b) / (norm(a) * norm(b))
+    return F.least(F.greatest(raw, F.lit(-1.0)), F.lit(1.0))
 
 
 # ------------------------------------------------------------------ hashing

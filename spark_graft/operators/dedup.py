@@ -749,7 +749,10 @@ def _emb_oracle() -> str:
 
 
 def emb_cell_chunks(
-    spark: SparkSession, sf_dir: str, extra_cols: tuple[str, ...] = ()
+    spark: SparkSession,
+    sf_dir: str,
+    extra_cols: tuple[str, ...] = (),
+    nonzero_only: bool = False,
 ) -> DataFrame:
     """Shared staging for the trained-quantizer blocked embedding ops
     (`dedup_embedding`, `sim_knn_graph`, `sample_hardneg`): train the
@@ -758,6 +761,13 @@ def emb_cell_chunks(
     that caps any one applyInPandas task at EMB_BLOCK_CAP members per
     side. `extra_cols` threads additional embeddings-table columns
     (e.g. `label` for hard-negative mining) through to the task frames.
+    `nonzero_only=True` excludes zero-norm vectors AFTER assignment
+    (training still sees them — integer d2 is defined for the zero
+    vector) — the similarity-family contract (similarity.NONZERO_SQL):
+    cosine against a zero vector is undefined, so `sim_knn_graph` /
+    `sim_hardneg` never pair one. The thresholded dedup consumers keep
+    them: their cos >= t gates drop NaN pairs identically in both
+    engines.
 
     Grouping the result by (cell, pi, pj) hands each task exactly one
     chunk pair of one cell; within a task, pairs are the diagonal upper
@@ -786,6 +796,8 @@ def emb_cell_chunks(
         assignment_udf(cents, spark)("embedding")["cluster"].alias("cell"),
         *extra_cols,
     )
+    if nonzero_only:
+        e = e.filter(F.exists("embedding", lambda x: x != F.lit(0.0)))
     counts = e.groupBy("cell").agg(F.count(F.lit(1)).alias("_n"))
     return (
         e.join(counts, "cell")
@@ -938,7 +950,10 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         for s in range(0, len(ia), EMB_PAIR_SLICE):
             sa, sb = ia[s : s + EMB_PAIR_SLICE], ib[s : s + EMB_PAIR_SLICE]
             dots = np.cumsum(ma[sa] * mb[sb], axis=1)[:, -1]
-            cos = dots / (nrm_a[sa] * nrm_b[sb])
+            # clamp to [-1, 1] like DuckDB's list_cosine_similarity:
+            # rounding can push parallel vectors past 1, which would
+            # out-rank a mathematically-tied exact 1.0
+            cos = np.clip(dots / (nrm_a[sa] * nrm_b[sb]), -1.0, 1.0)
             keep = cos >= COSINE_THRESHOLD
             if keep.any():
                 outs.append(

@@ -27,16 +27,35 @@ from spark_graft.sources import table
 TOP_K = 10
 N_PLANES = 8
 
+# Zero-norm vectors (all elements 0 — the routine corruption shape in a
+# 100 TB embedding corpus) have NO defined cosine: under ANSI SQL the
+# norm division raises DIVIDE_BY_ZERO (one corrupt row kills the job)
+# and in numpy it yields NaN (nondeterministic vs the oracle's float
+# semantics). The similarity family therefore EXCLUDES them — probe
+# selection and corpus scoring alike — with the identical element-exact
+# predicate in both engines (x != 0 on raw floats; no summation, no
+# tolerance). The dedup family keeps them: its thresholded contracts
+# (cos >= t) drop NaN pairs identically in both engines, and its
+# integer-d2 stages (kmeans, coreset) are defined for the zero vector.
+NONZERO_SQL = "len(list_filter(embedding, x -> x <> 0)) > 0"
+
+
+def nonzero_vec(col) -> "F.Column":
+    """True iff the vector has any nonzero element (norm > 0, exactly)."""
+    return F.exists(col, lambda x: x != F.lit(0.0))
+
 
 def _probe_vector(spark: SparkSession, sf_dir: str) -> list[float] | None:
-    """The query vector: embedding of the minimum vec_id. One tiny
-    driver-side lookup (TakeOrderedAndProject of a single row) — the rest
-    of the search ships the probe to executors as a literal, never the
-    other way around. None when the table is empty (no probe exists);
-    callers return their typed empty result."""
+    """The query vector: embedding of the minimum vec_id WITH nonzero
+    norm (a zero-norm probe has no defined cosine against anything). One
+    tiny driver-side lookup (TakeOrderedAndProject of a single row) —
+    the rest of the search ships the probe to executors as a literal,
+    never the other way around. None when no such vector exists; callers
+    return their typed empty result."""
     rows = (
         table(spark, sf_dir, "embeddings")
         .select("vec_id", "embedding")
+        .filter(nonzero_vec(F.col("embedding")))
         .orderBy("vec_id")
         .limit(1)
         .collect()
@@ -59,11 +78,12 @@ def _lit_vec(vec: list[float]):
     oracle=f"""
         WITH probe AS (
             SELECT CAST(embedding AS DOUBLE[]) AS pv
-            FROM embeddings ORDER BY vec_id LIMIT 1
+            FROM embeddings WHERE {NONZERO_SQL} ORDER BY vec_id LIMIT 1
         )
         SELECT e.vec_id,
                round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pv), 4) AS cos_sim
         FROM embeddings e CROSS JOIN probe p
+        WHERE {NONZERO_SQL}
         ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pv) DESC, e.vec_id
         LIMIT {TOP_K}
     """,
@@ -78,7 +98,7 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     if probe_vec is None:
         return _empty_topk(spark)
     probe = _lit_vec(probe_vec)
-    e = table(spark, sf_dir, "embeddings")
+    e = table(spark, sf_dir, "embeddings").filter(nonzero_vec(F.col("embedding")))
     cos = cosine(F.col("embedding"), probe)
     return (
         e.select("vec_id", F.round(cos, 4).alias("cos_sim"), cos.alias("_c"))
@@ -132,7 +152,7 @@ def _lsh_oracle_sql() -> str:
     return f"""
         WITH probe AS (
             SELECT CAST(embedding AS DOUBLE[]) AS pv
-            FROM embeddings ORDER BY vec_id LIMIT 1
+            FROM embeddings WHERE {NONZERO_SQL} ORDER BY vec_id LIMIT 1
         ),
         planes(p, pl) AS (VALUES
             {planes_rows}
@@ -156,6 +176,7 @@ def _lsh_oracle_sql() -> str:
             SELECT e.vec_id, pl.p,
                    list_dot_product(CAST(e.embedding AS DOUBLE[]), pl.pl) AS d
             FROM embeddings e CROSS JOIN planes pl
+            WHERE {NONZERO_SQL}
         ),
         vbuckets AS (
             SELECT vec_id,
@@ -173,6 +194,7 @@ def _lsh_oracle_sql() -> str:
         FROM embeddings e
         JOIN cand c ON c.vec_id = e.vec_id
         CROSS JOIN probe p
+        WHERE {NONZERO_SQL}
         ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pv) DESC,
                  e.vec_id
         LIMIT {TOP_K}
@@ -213,7 +235,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe_bucket = sum(2**p for p, m in enumerate(margins) if m >= 0)
     flip_order = sorted(range(len(planes)), key=lambda p: abs(margins[p]))
     buckets = [probe_bucket] + [probe_bucket ^ (1 << p) for p in flip_order[:N_PROBES]]
-    e = table(spark, sf_dir, "embeddings")
+    e = table(spark, sf_dir, "embeddings").filter(nonzero_vec(F.col("embedding")))
     bucketed = e.withColumn("bucket", lsh_bucket_col(F.col("embedding"), planes))
     cand = bucketed.filter(F.col("bucket").isin(buckets))
     cos = cosine(F.col("embedding"), _lit_vec(probe))
@@ -233,10 +255,11 @@ N_PROBE_CLUSTERS = 3
     oracle=f"""
         WITH probe AS (
             SELECT CAST(embedding AS DOUBLE[]) AS pv
-            FROM embeddings ORDER BY vec_id LIMIT 1
+            FROM embeddings WHERE {NONZERO_SQL} ORDER BY vec_id LIMIT 1
         ),
         pn AS (SELECT sqrt(list_dot_product(pv, pv)) AS n FROM probe),
-        ev AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        ev AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+               WHERE {NONZERO_SQL}),
         cent AS (
             SELECT label, gs.d AS pos, avg(v[gs.d]) AS cv
             FROM ev CROSS JOIN generate_series(1, {EMB_DIM}) gs(d)
@@ -258,7 +281,7 @@ N_PROBE_CLUSTERS = 3
                round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pv), 4)
                    AS cos_sim
         FROM embeddings e CROSS JOIN probe p
-        WHERE e.label IN (SELECT label FROM pc)
+        WHERE e.label IN (SELECT label FROM pc) AND {NONZERO_SQL}
         ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pv) DESC,
                  e.vec_id
         LIMIT {TOP_K}
@@ -278,7 +301,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     do — and the rescore inside the selected clusters is the same
     bit-deterministic arithmetic as sim_cosine_topk, so the whole query
     hash-matches its oracle."""
-    e = table(spark, sf_dir, "embeddings")
+    e = table(spark, sf_dir, "embeddings").filter(nonzero_vec(F.col("embedding")))
     # centroids via posexplode -> avg per (label, dim) -> rebuild vectors
     cent_rows = (
         e.select("label", F.posexplode("embedding").alias("pos", "val"))
@@ -319,7 +342,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH {KMEANS_CTES},
         probeq AS (
             SELECT pos, qv FROM q
-            WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+            WHERE vec_id = (SELECT min(vec_id) FROM embeddings WHERE {NONZERO_SQL})
         ),
         cdist AS (
             SELECT c.cluster,
@@ -330,7 +353,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         members AS (SELECT vec_id, cluster FROM a2 WHERE rk = 1),
         probe AS (
             SELECT CAST(embedding AS DOUBLE[]) AS pv
-            FROM embeddings ORDER BY vec_id LIMIT 1
+            FROM embeddings WHERE {NONZERO_SQL} ORDER BY vec_id LIMIT 1
         )
         SELECT e.vec_id,
                round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pv), 4)
@@ -338,7 +361,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings e
         JOIN members m ON m.vec_id = e.vec_id
         CROSS JOIN probe p
-        WHERE m.cluster IN (SELECT cluster FROM pc)
+        WHERE m.cluster IN (SELECT cluster FROM pc) AND {NONZERO_SQL}
         ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pv) DESC,
                  e.vec_id
         LIMIT {TOP_K}
@@ -376,7 +399,7 @@ def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )[:N_PROBE_CLUSTERS]
     probe_clusters = [cid for _, cid in nearest]
 
-    e = table(spark, sf_dir, "embeddings")
+    e = table(spark, sf_dir, "embeddings").filter(nonzero_vec(F.col("embedding")))
     assigned = e.select(
         "vec_id",
         "embedding",
@@ -402,7 +425,8 @@ def _knn_oracle() -> str:
     return f"""
         WITH {kmeans_ctes(_EMB_K_SQL)},
         asn AS (SELECT vec_id, cluster AS cell FROM a2 WHERE rk = 1),
-        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+              WHERE {NONZERO_SQL}),
         cand AS (
             SELECT sa.vec_id AS vec_id, sb.vec_id AS nbr_id,
                    list_cosine_similarity(a.v, b.v) AS c
@@ -468,7 +492,10 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         for s in range(0, len(ia), EMB_PAIR_SLICE):
             sa, sb = ia[s : s + EMB_PAIR_SLICE], ib[s : s + EMB_PAIR_SLICE]
             dots = np.cumsum(ma[sa] * mb[sb], axis=1)[:, -1]
-            cos = dots / (nrm_a[sa] * nrm_b[sb])
+            # clamp to [-1, 1] like DuckDB's list_cosine_similarity:
+            # rounding can push parallel vectors past 1, which would
+            # out-rank a mathematically-tied exact 1.0
+            cos = np.clip(dots / (nrm_a[sa] * nrm_b[sb]), -1.0, 1.0)
             # both directions: a pair informs BOTH endpoints' neighbor lists
             outs.append(pd.DataFrame({"vec_id": ids_a[sa], "nbr_id": ids_b[sb], "c": cos}))
             outs.append(pd.DataFrame({"vec_id": ids_b[sb], "nbr_id": ids_a[sa], "c": cos}))
@@ -485,7 +512,7 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             .reset_index(drop=True)
         )
 
-    cand = emb_cell_chunks(spark, sf_dir).groupBy("cell", "pi", "pj").applyInPandas(
+    cand = emb_cell_chunks(spark, sf_dir, nonzero_only=True).groupBy("cell", "pi", "pj").applyInPandas(
         block_knn, "vec_id bigint, nbr_id bigint, c double"
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("c").desc(), F.col("nbr_id"))
@@ -506,7 +533,8 @@ def _hardneg_oracle() -> str:
     return f"""
         WITH {kmeans_ctes(_EMB_K_SQL)},
         asn AS (SELECT vec_id, cluster AS cell FROM a2 WHERE rk = 1),
-        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+              WHERE {NONZERO_SQL}),
         cand AS (
             SELECT a.vec_id AS vec_id, a.label AS label,
                    b.vec_id AS neg_id, b.label AS neg_label,
@@ -593,7 +621,10 @@ def sim_hardneg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             sa, sb = sa[keep], sb[keep]
             dots = np.cumsum(ma[sa] * mb[sb], axis=1)[:, -1]
-            cos = dots / (nrm_a[sa] * nrm_b[sb])
+            # clamp to [-1, 1] like DuckDB's list_cosine_similarity:
+            # rounding can push parallel vectors past 1, which would
+            # out-rank a mathematically-tied exact 1.0
+            cos = np.clip(dots / (nrm_a[sa] * nrm_b[sb]), -1.0, 1.0)
             outs.append(pd.DataFrame({
                 "vec_id": ids_a[sa], "label": la[sa],
                 "neg_id": ids_b[sb], "neg_label": lb[sb], "c": cos,
@@ -615,7 +646,7 @@ def sim_hardneg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     cand = (
-        emb_cell_chunks(spark, sf_dir, extra_cols=("label",))
+        emb_cell_chunks(spark, sf_dir, extra_cols=("label",), nonzero_only=True)
         .groupBy("cell", "pi", "pj")
         .applyInPandas(
             block_hardneg,

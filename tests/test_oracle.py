@@ -138,3 +138,52 @@ def test_documents_family_on_adversarial_corpus(spark, tmp_path_factory):
         spark_pdf = spec.fn(spark, str(d)).toPandas()
         oracle_pdf = con.execute(spec.oracle).df()
         assert_frames_match(spark_pdf, oracle_pdf, f"adversarial:{name}")
+
+
+def test_embeddings_family_on_adversarial_vectors(spark, tmp_path_factory):
+    """Fixture-independence net for the embeddings family: zero-norm
+    vectors (the corrupt-row shape that used to DIVIDE_BY_ZERO the
+    cosine family under ANSI and NaN-diverge the numpy pair ops — both
+    fixed by the similarity NONZERO contract), exact duplicates,
+    antipodal pairs, orthogonal unit spikes (mass distance ties), and
+    parallel vectors of different magnitude (whose raw float cosine
+    exceeds 1.0 by ulps — caught the missing DuckDB-style [-1, 1]
+    clamp). Every embeddings-only oracled query must hash-match."""
+    import duckdb
+
+    queries = [
+        "dedup_embedding", "dedup_semantic", "kmeans_lloyd",
+        "sample_coreset", "sim_ann_ivf", "sim_ann_ivf_trained",
+        "sim_ann_lsh", "sim_cosine_topk", "sim_hardneg", "sim_knn_graph",
+    ]
+    DIM = 64
+
+    def v(fill, *spikes):
+        x = [fill] * DIM
+        for i, val in spikes:
+            x[i] = val
+        return [float(t) for t in x]
+
+    vecs = (
+        [v(0.0)]                                   # zero-norm (excluded by contract)
+        + [v(0.5)] * 4                             # exact duplicates
+        + [v(-0.5)] * 2                            # antipodal duplicates
+        + [v(0.0, (i, 1.0)) for i in range(6)]     # orthogonal spikes (distance ties)
+        + [v(0.0, (0, 1.0), (1, 1e-4))]            # near-tie perturbation
+        + [v(0.25), v(0.250001)]                   # near-identical pair
+        + [v(0.9), v(-0.9), v(0.1)]                # parallel, different magnitudes
+    )
+    d = tmp_path_factory.mktemp("advemb")
+    spark.createDataFrame(
+        [(i, vec, i % 3) for i, vec in enumerate(vecs)],
+        "vec_id bigint, embedding array<float>, label int",
+    ).coalesce(1).write.parquet(str(d / "embeddings.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{d}/embeddings.parquet/*.parquet'"
+    )
+    for name in queries:
+        spec = REGISTRY[name]
+        spark_pdf = spec.fn(spark, str(d)).toPandas()
+        oracle_pdf = con.execute(spec.oracle).df()
+        assert_frames_match(spark_pdf, oracle_pdf, f"adversarial:{name}")
