@@ -59,11 +59,16 @@ __all__ = ["REGISTRY", "QuerySpec", "query", "load_all_queries"]
 #   training; hard-negative mining over trained cells). sim_hardneg's
 #   emb_cell_chunks extra_cols plumbing touched the shared staging the
 #   other trained-quantizer consumers execute — already tier 0 above.
+# - sim_cosine_topk / sim_ann_lsh / sim_ann_ivf: the r9 zero-norm
+#   exclusion + DuckDB-style [-1,1] cosine clamp changed their scoring
+#   expression (and their oracles); the rest of the cosine family is
+#   already tier 0 above.
 _MODIFIED_THIS_ROUND = frozenset(
     """kmeans_lloyd sim_ann_ivf_trained dedup_embedding dedup_semantic
     sim_knn_graph dedup_ngram_jaccard
     text_bm25 agg_sketch_cms join_bloom
-    vocab_bpe_train sim_hardneg sample_coreset""".split()
+    vocab_bpe_train sim_hardneg sample_coreset
+    sim_cosine_topk sim_ann_lsh sim_ann_ivf""".split()
 )
 
 # Green last in CORRECTNESS_r06.json — 2 rounds stale; the 11 VERDICT
