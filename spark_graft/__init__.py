@@ -63,12 +63,16 @@ __all__ = ["REGISTRY", "QuerySpec", "query", "load_all_queries"]
 #   exclusion + DuckDB-style [-1,1] cosine clamp changed their scoring
 #   expression (and their oracles); the rest of the cosine family is
 #   already tier 0 above.
+# - fn_json / fn_map: oracles gained json_valid/json_type guards to pin
+#   Spark's malformed-JSON -> NULL semantics (the unguarded DuckDB
+#   form RAISED on broken props).
 _MODIFIED_THIS_ROUND = frozenset(
     """kmeans_lloyd sim_ann_ivf_trained dedup_embedding dedup_semantic
     sim_knn_graph dedup_ngram_jaccard
     text_bm25 agg_sketch_cms join_bloom
     vocab_bpe_train sim_hardneg sample_coreset
-    sim_cosine_topk sim_ann_lsh sim_ann_ivf""".split()
+    sim_cosine_topk sim_ann_lsh sim_ann_ivf
+    fn_json fn_map""".split()
 )
 
 # Green last in CORRECTNESS_r06.json — 2 rounds stale; the 11 VERDICT

@@ -105,15 +105,23 @@ def fn_math_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_json",
     oracle="""
         SELECT event_id,
-               CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
-               (json_extract_string(props, '$.k') IS NOT NULL) AS has_k
+               CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
+                         THEN json_extract_string(props, '$.k') END AS INT) AS k_val,
+               (CASE WHEN props IS NOT NULL AND json_valid(props)
+                     THEN json_extract_string(props, '$.k') END IS NOT NULL) AS has_k
         FROM events
     """,
 )
 def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON field extraction from events.props (semi-structured column).
     get_json_object evaluates without full schema inference — per-row,
-    codegen'd, no driver-side sampling pass."""
+    codegen'd, no driver-side sampling pass.
+
+    Malformed-input contract (a 100 TB event stream WILL contain broken
+    props): Spark's get_json_object returns NULL for NULL or unparseable
+    input; DuckDB's json functions RAISE on malformed JSON, so the
+    oracle guards with json_valid to pin the same malformed -> NULL
+    semantics (exercised by the adversarial events differential)."""
     k = F.get_json_object("props", "$.k")
     return table(spark, sf_dir, "events").select(
         "event_id",
@@ -150,18 +158,36 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "fn_map",
     oracle="""
+        WITH g AS (
+            SELECT event_id, props,
+                   -- json_type must stay inside CASE: DuckDB's AND does
+                   -- not short-circuit, and json_type RAISES on
+                   -- malformed input (json_valid alone is total)
+                   coalesce(CASE WHEN props IS NOT NULL AND json_valid(props)
+                                 THEN json_type(props) END = 'OBJECT',
+                            false) AS ok
+            FROM events
+        )
         SELECT event_id,
-               coalesce(array_to_string(list_sort(CAST(json_keys(props) AS VARCHAR[])), ','), '') AS ks,
-               CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
-               len(json_keys(props)) AS n_keys
-        FROM events
+               CASE WHEN ok THEN
+                   coalesce(array_to_string(list_sort(CAST(json_keys(props) AS VARCHAR[])), ','), '')
+               END AS ks,
+               CAST(CASE WHEN ok THEN json_extract_string(props, '$.k') END AS INT) AS k_val,
+               CASE WHEN ok THEN len(json_keys(props)) END AS n_keys
+        FROM g
     """,
 )
 def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MapType surface: parse the JSON props into map<string,int> and
     operate on it natively (map_keys, element_at, size) — the pattern
     for ragged per-row key-value metadata where a struct schema would be
-    too rigid. from_json to a map needs no schema inference pass."""
+    too rigid. from_json to a map needs no schema inference pass.
+
+    Malformed-input contract: Spark's from_json yields a NULL map for
+    NULL, unparseable, or non-object input (so every derived column is
+    NULL); DuckDB's json functions RAISE on malformed JSON, so the
+    oracle guards with json_valid + json_type = 'OBJECT' to pin the
+    identical degradation (adversarial events differential)."""
     m = F.from_json("props", "map<string,int>")
     return table(spark, sf_dir, "events").select(
         "event_id",

@@ -187,3 +187,63 @@ def test_embeddings_family_on_adversarial_vectors(spark, tmp_path_factory):
         spark_pdf = spec.fn(spark, str(d)).toPandas()
         oracle_pdf = con.execute(spec.oracle).df()
         assert_frames_match(spark_pdf, oracle_pdf, f"adversarial:{name}")
+
+
+def test_events_family_on_adversarial_timeline(spark, tmp_path_factory):
+    """Fixture-independence net for the events family: IDENTICAL
+    timestamps within a user (every window/funnel/as-of order ties),
+    events exactly on window and session-gap boundaries, microsecond
+    adjacency, NULL values, and NULL / malformed / empty-object props
+    (which used to RAISE in the DuckDB oracle while Spark returned NULL
+    — fixed by the json_valid guards in fn_json/fn_map). Every
+    events-only oracled query must hash-match."""
+    import datetime as dt
+
+    import duckdb
+
+    queries = [
+        "agg_skew_salted", "events_funnel", "events_paths",
+        "events_retention", "fill_forward", "fn_json", "fn_map",
+        "join_asof", "join_theta_range", "stream_session",
+        "stream_sliding", "stream_tumbling", "ts_anomaly", "ts_resample",
+        "win_gaps_islands",
+    ]
+    rows, eid = [], 0
+
+    def add(ts, user, etype, value, props):
+        nonlocal eid
+        rows.append((eid, ts, user, etype, value, props))
+        eid += 1
+
+    T0 = dt.datetime(2024, 1, 5, 0, 0, 0)
+    for et in ["click", "view", "purchase", "click", "signup"]:
+        add(T0, 1, et, 1.0, '{"k": 1}')  # five events, one instant
+    add(dt.datetime(2024, 1, 5, 1, 0, 0), 2, "click", 2.0, '{"k": 2}')
+    add(dt.datetime(2024, 1, 5, 1, 0, 0), 2, "purchase", 2.5, '{"k": 3}')
+    add(dt.datetime(2024, 1, 5, 2, 0, 0), 2, "view", None, None)
+    add(dt.datetime(2024, 1, 5, 2, 0, 0, 1), 2, "purchase", 0.0, "not json")
+    add(dt.datetime(2024, 1, 5, 0, 0, 0), 3, "click", -1.0, '{"k": -1}')
+    add(dt.datetime(2024, 1, 5, 0, 30, 0), 3, "click", -1.0, '{"k": -1}')
+    add(dt.datetime(2024, 1, 5, 1, 30, 0), 3, "purchase", 5.0, "{}")
+    add(dt.datetime(2024, 1, 5, 1, 30, 0), 3, "purchase", 5.0, "{}")
+    add(dt.datetime(2024, 1, 7, 12, 0, 0), 4, "signup", 9.9, '{"k": 100}')
+    add(dt.datetime(2024, 1, 8, 6, 0, 0), 5, "click", 1.5, '{"k": 0}')
+    add(dt.datetime(2024, 1, 8, 6, 0, 0, 1), 5, "purchase", 1.5, '{"k": 0}')
+    for day in (1, 2, 8):  # retention cohort offsets 0/1/7
+        add(dt.datetime(2024, 1, day, 10, 0, 0), 6, "view", 3.0, '{"k": 6}')
+
+    d = tmp_path_factory.mktemp("advevents")
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    ).coalesce(1).write.parquet(str(d / "events.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet/*.parquet'"
+    )
+    for name in queries:
+        spec = REGISTRY[name]
+        spark_pdf = spec.fn(spark, str(d)).toPandas()
+        oracle_pdf = con.execute(spec.oracle).df()
+        assert_frames_match(spark_pdf, oracle_pdf, f"adversarial:{name}")
