@@ -30,81 +30,47 @@ __all__ = ["REGISTRY", "QuerySpec", "query", "load_all_queries"]
 #   tier 0 — never driver-verified, or modified this round (an edit to
 #            a query fn or its oracle invalidates prior verification,
 #            so edited queries must re-enter the window);
-#   tier 1 — hash-green last in CORRECTNESS_r06 (2 rounds stale,
+#   tier 1 — hash-green last in CORRECTNESS_r07 (2 rounds stale,
 #            highest priority among unmodified queries);
-#   tier 2 — hash-green last in CORRECTNESS_r07 (1 round stale);
-#   tier 3 — hash-green in CORRECTNESS_r08 on code unchanged since.
+#   tier 2 — hash-green last in CORRECTNESS_r08 (1 round stale);
+#   tier 3 — hash-green in CORRECTNESS_r09 on code unchanged since.
 # Refresh these sets from CORRECTNESS_r{N}.json at the start of each
 # round, and add every query touched during the round to
 # _MODIFIED_THIS_ROUND.
 
 # Queries whose implementation or shared plumbing changed during
-# ROUND 9 — tier 0, the driver must re-verify them on the new code:
-# - kmeans_lloyd / sim_ann_ivf_trained / dedup_embedding /
-#   dedup_semantic / sim_knn_graph: the five trained-quantizer
-#   consumers — clustering.lloyd_centroids now keys its memo on a
-#   parquet data fingerprint (ADVICE r8 staleness fix) and the shared
-#   assignment kernel gained the broadcast + triangle-inequality
-#   hierarchical argmin path for large k (VERDICT r8 item 2). The
-#   small-k output is property-tested bit-identical, but these are
-#   plumbing edits to the executed code path, so they re-enter the
-#   window under this module's own invalidation rule.
-# - dedup_ngram_jaccard: PPJoin suffix filter added to the candidate
-#   pipeline (VERDICT r8 item 4) — conservative-only (output pair set
-#   unchanged, oracle untouched), but the Spark expression tree changed.
-# - text_bm25 / agg_sketch_cms / join_bloom: NEW this round (fixed-point
-#   BM25 ranked retrieval, count-min sketch, bloom semi-join reduction)
+# ROUND 10 — tier 0, the driver must re-verify them on the new code:
+# - vocab_bpe_apply / sim_ann_pq: NEW this round (corpus encoding with
+#   the trained BPE merges; product-quantized asymmetric-distance ANN)
 #   — never driver-verified, so tier 0 by both rules.
-# - vocab_bpe_train / sim_hardneg: NEW this round (iterative BPE merge
-#   training; hard-negative mining over trained cells). sim_hardneg's
-#   emb_cell_chunks extra_cols plumbing touched the shared staging the
-#   other trained-quantizer consumers execute — already tier 0 above.
-# - sim_cosine_topk / sim_ann_lsh / sim_ann_ivf: the r9 zero-norm
-#   exclusion + DuckDB-style [-1,1] cosine clamp changed their scoring
-#   expression (and their oracles); the rest of the cosine family is
-#   already tier 0 above.
-# - fn_json / fn_map: oracles gained json_valid/json_type guards to pin
-#   Spark's malformed-JSON -> NULL semantics (the unguarded DuckDB
-#   form RAISED on broken props).
+# - dedup_ngram_jaccard: exact-duplicate token-array collapse before
+#   PPJoin candidate generation (VERDICT r9 item 4) — output pair set
+#   unchanged by construction, but the candidate pipeline changed.
+# - kmeans_lloyd / sim_ann_ivf_trained / dedup_embedding /
+#   dedup_semantic / sim_knn_graph / sim_hardneg / sample_coreset:
+#   the trained-quantizer consumers — clustering's broadcast-assigner
+#   lifecycle (ADVICE r9 broadcast-leak fix) and _data_fingerprint
+#   (relpath + sorted walk) are shared plumbing on their executed path.
 _MODIFIED_THIS_ROUND = frozenset(
-    """kmeans_lloyd sim_ann_ivf_trained dedup_embedding dedup_semantic
-    sim_knn_graph dedup_ngram_jaccard
-    text_bm25 agg_sketch_cms join_bloom
-    vocab_bpe_train sim_hardneg sample_coreset
-    sim_cosine_topk sim_ann_lsh sim_ann_ivf
-    fn_json fn_map""".split()
+    """vocab_bpe_apply sim_ann_pq dedup_ngram_jaccard
+    kmeans_lloyd sim_ann_ivf_trained dedup_embedding dedup_semantic
+    sim_knn_graph sim_hardneg sample_coreset""".split()
 )
 
-# Green last in CORRECTNESS_r06.json — 2 rounds stale; the 11 VERDICT
-# r8 item 1 names. They go first among unmodified queries in round 9's
-# window.
-_VERIFIED_R6 = frozenset(
-    """agg_histogram fn_map fn_struct graph_pagerank graph_triangles
-    join_q2_shape mixture_weights pipeline_clean_corpus
-    pipeline_pack_sequences recursive_reachability source_stats""".split()
-)
-
-# Green last in CORRECTNESS_r07.json — 1 round stale. With 6 modified +
-# 11 r6-stale ahead of them, ~33 of these 38 fit the 50-query window;
-# the stable sort admits them in registration order and the remainder
-# become round 10's top priority.
+# Green last in CORRECTNESS_r07.json — 2 rounds stale; the 13 VERDICT
+# r9 item 1 names. They go first among unmodified queries in round
+# 10's window.
 _VERIFIED_R7 = frozenset(
     """agg_approx agg_approx_percentile agg_bool_all agg_corr_exact
-    agg_distinct agg_percentile decontaminate dedup_clusters
-    dedup_simhash filter_in_null filter_pred
-    fn_array fn_datetime fn_json fn_math_decimal fn_string
-    grouping_sets join_asof join_inner join_semi_anti join_theta_range
-    profile_table scan_project
-    text_langid text_lines text_quality text_scrub
-    text_stats text_tokens udf_compat_iterative udf_pandas_tokens
-    win_dist win_lag win_range win_rank win_running word_count""".split()
+    agg_distinct agg_percentile filter_in_null filter_pred
+    grouping_sets profile_table scan_project text_lines
+    word_count""".split()
 )
 
-# Green (rows+schema+hash) in CORRECTNESS_r08.json — freshest; these
-# can sit out round 9's window provided their code does not change.
-# (The five quantizer consumers + dedup_ngram_jaccard verified in
-# r07/r08 are EXCLUDED here because round-9 edits moved them to
-# _MODIFIED_THIS_ROUND.)
+# Green last in CORRECTNESS_r08.json — 1 round stale. With ~10
+# modified/new + 13 r7-stale ahead of them, ~27 of these 42 fit the
+# 50-query window; the stable sort admits them in registration order
+# and the remainder become round 11's top priority.
 _VERIFIED_R8 = frozenset(
     """agg_pivot agg_q1 agg_sketch_hll agg_skew_salted dedup_exact
     dedup_incremental dedup_incremental_minhash dedup_minhash
@@ -112,11 +78,29 @@ _VERIFIED_R8 = frozenset(
     fill_forward global_sort grouping_cube grouping_rollup
     join_broadcast join_multi join_outer join_skew_salted lm_next_token
     min_unique_prefix multimodal_decode multimodal_frames
-    multimodal_meta sample_stratified set_ops sim_ann_ivf sim_ann_lsh
-    sim_cosine_topk stream_session stream_sliding stream_tumbling
-    text_chunks text_fingerprint text_repetition text_split text_tfidf
-    topk_per_group ts_anomaly ts_resample udf_compat unpivot_measures
-    vocab_pair_counts win_gaps_islands""".split()
+    multimodal_meta sample_stratified set_ops stream_session
+    stream_sliding stream_tumbling text_chunks text_fingerprint
+    text_repetition text_split text_tfidf topk_per_group ts_anomaly
+    ts_resample udf_compat unpivot_measures vocab_pair_counts
+    win_gaps_islands""".split()
+)
+
+# Green (rows+schema+hash) in CORRECTNESS_r09.json — freshest; these
+# can sit out round 10's window provided their code does not change.
+# (The trained-quantizer consumers + dedup_ngram_jaccard verified in
+# r09 are EXCLUDED here because round-10 edits moved them to
+# _MODIFIED_THIS_ROUND.)
+_VERIFIED_R9 = frozenset(
+    """agg_histogram agg_sketch_cms decontaminate dedup_clusters
+    dedup_simhash fn_array fn_datetime fn_json fn_map fn_math_decimal
+    fn_string fn_struct graph_pagerank graph_triangles join_asof
+    join_bloom join_inner join_q2_shape join_semi_anti join_theta_range
+    mixture_weights pipeline_clean_corpus pipeline_pack_sequences
+    recursive_reachability sim_ann_ivf sim_ann_lsh sim_cosine_topk
+    source_stats text_bm25 text_langid text_quality text_scrub
+    text_stats text_tokens udf_compat_iterative udf_pandas_tokens
+    vocab_bpe_train win_dist win_lag win_range win_rank
+    win_running""".split()
 )
 
 
@@ -124,11 +108,11 @@ def _staleness_tier(name: str) -> int:
     """0 = needs verification now … 3 = freshest verification."""
     if name in _MODIFIED_THIS_ROUND:
         return 0
-    if name in _VERIFIED_R6:
-        return 1
     if name in _VERIFIED_R7:
-        return 2
+        return 1
     if name in _VERIFIED_R8:
+        return 2
+    if name in _VERIFIED_R9:
         return 3
     return 0  # never driver-verified
 
