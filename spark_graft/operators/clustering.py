@@ -136,6 +136,9 @@ class _FlatAssigner:
         Q, d2, idx = _quantize_assign(M, self._C, self._cn2)
         return Q, d2, self._cids[idx]
 
+    def release(self) -> None:
+        """No distributed state to free (closure-literal kernel)."""
+
 
 class _HierAssigner:
     """Large-k kernel: EXACT nearest-centroid assignment in
@@ -247,8 +250,37 @@ class _BroadcastAssigner:
     def assign(self, M: np.ndarray):
         return self._bc.value.assign(M)
 
+    def release(self) -> None:
+        """Free the executor- and driver-side broadcast blocks. Only
+        call once no job that captured this assigner can still run
+        (the callers here `.collect()` eagerly before releasing)."""
+        try:
+            self._bc.destroy(blocking=False)
+        except Exception:  # already destroyed / context gone — both fine
+            pass
 
-def make_assigner(cents: dict[int, list[int]], spark: SparkSession | None = None):
+
+# Serving-path broadcast assigners, keyed on centroid CONTENT, so
+# repeated serving queries over one trained quantizer reuse a single
+# broadcast instead of leaking one per call (ADVICE r9: make_assigner
+# used to create a fresh k x dim broadcast per invocation and never
+# unpersist it). Training-loop assigners bypass this cache (transient=
+# True) and are destroyed as soon as their round's job has collected.
+_BC_ASSIGNER_CACHE: dict[tuple, _BroadcastAssigner] = {}
+
+
+def _cents_key(cids: np.ndarray, C: np.ndarray) -> tuple:
+    import hashlib
+
+    return (len(cids), hashlib.md5(cids.tobytes() + C.tobytes()).hexdigest())
+
+
+def make_assigner(
+    cents: dict[int, list[int]],
+    spark: SparkSession | None = None,
+    *,
+    transient: bool = False,
+):
     """The nearest-centroid kernel shared by `assignment_udf` and
     `_update_stats`. Small k (< SPARK_GRAFT_HIER_K_MIN, default
     {_HIER_K_MIN_DEFAULT}): centroids as closure literals + flat argmin
@@ -264,11 +296,26 @@ def make_assigner(cents: dict[int, list[int]], spark: SparkSession | None = None
     int ops — ~seconds up to k ~ 1e5); past that the coarse level
     itself would be trained distributedly with the same Lloyd loop,
     which this architecture admits without changing the serving
-    contract."""
+    contract.
+
+    Broadcast lifecycle: pass ``transient=True`` when the assigner is
+    consumed by exactly one eagerly-executed job (the Lloyd update
+    rounds) and call ``release()`` afterwards; the default serving path
+    instead memoizes one broadcast per distinct centroid matrix in
+    `_BC_ASSIGNER_CACHE`, so a long-lived driver holds O(#live
+    quantizers) broadcast state, not O(#queries)."""
     parts = _centroid_matrix(cents)
     if spark is not None and len(cents) >= _hier_k_min():
+        if not transient:
+            key = _cents_key(parts[0], parts[1])
+            cached = _BC_ASSIGNER_CACHE.get(key)
+            if cached is not None:
+                return cached
         bc = spark.sparkContext.broadcast(_HierAssigner(*parts))
-        return _BroadcastAssigner(bc)
+        assigner = _BroadcastAssigner(bc)
+        if not transient:
+            _BC_ASSIGNER_CACHE[key] = assigner
+        return assigner
     return _FlatAssigner(*parts)
 
 
@@ -333,8 +380,11 @@ def _update_stats(
     at sf1 (64 aggregate expressions overflow codegen); this path is
     ~1s. Integer sums are order-independent, so the result is
     bit-identical however batches land. Centroid delivery follows
-    `make_assigner` (literals below the k threshold, broadcast above)."""
-    assigner = make_assigner(cents, spark)
+    `make_assigner` (literals below the k threshold, broadcast above);
+    the assigner is transient — each round's centroids are superseded
+    by the next, so the broadcast is destroyed right after the eager
+    collect instead of accumulating one per round on the driver."""
+    assigner = make_assigner(cents, spark, transient=True)
     schema = "cluster long, n long, " + ", ".join(f"s{i} long" for i in range(dim))
     cols = schema.replace(" long", "").split(", ")
 
@@ -350,16 +400,19 @@ def _update_stats(
             if rows:
                 yield pd.DataFrame(rows, columns=cols)
 
-    return (
-        emb.select("embedding")
-        .mapInPandas(part, schema)
-        .groupBy("cluster")
-        .agg(
-            F.sum("n").alias("n"),
-            *[F.sum(f"s{i}").alias(f"s{i}") for i in range(dim)],
+    try:
+        return (
+            emb.select("embedding")
+            .mapInPandas(part, schema)
+            .groupBy("cluster")
+            .agg(
+                F.sum("n").alias("n"),
+                *[F.sum(f"s{i}").alias(f"s{i}") for i in range(dim)],
+            )
+            .collect()
         )
-        .collect()
-    )
+    finally:
+        assigner.release()
 
 
 # (sf_dir, k, data fingerprint) -> trained centroids. Training is
@@ -377,21 +430,32 @@ _CENTROID_MEMO: dict[tuple[str, int, tuple], dict[int, list[int]]] = {}
 
 def clear_centroid_memo() -> None:
     _CENTROID_MEMO.clear()
+    for assigner in _BC_ASSIGNER_CACHE.values():
+        assigner.release()
+    _BC_ASSIGNER_CACHE.clear()
 
 
 def _data_fingerprint(sf_dir: str) -> tuple:
     """Cheap change detector for the embeddings table at `sf_dir`:
     (path, mtime_ns, size) of the parquet file, or of every part file
-    when it is a directory. Never reads data pages."""
+    when it is a directory. Never reads data pages. Part files are
+    keyed by their path RELATIVE to the dataset root and the whole
+    list is sorted (ADVICE r9: bare basenames collide across
+    partition subdirectories, and os.walk's traversal order is
+    unspecified — both could alias two different datasets or cause
+    spurious cache misses)."""
     path = os.path.join(sf_dir, "embeddings.parquet")
     try:
         if os.path.isdir(path):
             out = []
             for root, _, files in os.walk(path):
-                for f in sorted(files):
-                    st = os.stat(os.path.join(root, f))
-                    out.append((f, st.st_mtime_ns, st.st_size))
-            return tuple(out)
+                for f in files:
+                    full = os.path.join(root, f)
+                    st = os.stat(full)
+                    out.append(
+                        (os.path.relpath(full, path), st.st_mtime_ns, st.st_size)
+                    )
+            return tuple(sorted(out))
         st = os.stat(path)
         return (st.st_mtime_ns, st.st_size)
     except OSError:

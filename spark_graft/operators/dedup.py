@@ -755,7 +755,7 @@ def emb_cell_chunks(
     nonzero_only: bool = False,
 ) -> DataFrame:
     """Shared staging for the trained-quantizer blocked embedding ops
-    (`dedup_embedding`, `sim_knn_graph`, `sample_hardneg`): train the
+    (`dedup_embedding`, `sim_knn_graph`, `sim_hardneg`): train the
     k = max(8, ceil(n/256)) kmeans quantizer, assign every vector to its
     cell, and replicate rows onto the (pi, pj>=pi) md5 chunk-pair grid
     that caps any one applyInPandas task at EMB_BLOCK_CAP members per
