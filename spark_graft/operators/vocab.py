@@ -316,3 +316,112 @@ def vocab_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         out,
         "merge_round int, x string, y string, n_occurrences bigint, n_tokens_after bigint",
     )
+
+
+def _bpe_apply_round_ctes(r: int) -> str:
+    """Like _bpe_round_ctes, but the corpus CTEs carry doc_id so the
+    final encoding can be attributed per document. The merge-selection
+    CTE p{r} is corpus-global exactly as in training."""
+    return f"""
+        t{r} AS (SELECT list_filter(string_split(s, '{_BPE_SENT}'), t -> t <> '') AS ts FROM c{r}),
+        p{r} AS (
+            SELECT ts[i] AS x, ts[i + 1] AS y
+            FROM t{r}, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+            GROUP BY x, y ORDER BY count(*) DESC, x, y LIMIT 1
+        ),
+        c{r + 1} AS (
+            SELECT doc_id,
+                   replace(s, '#' || x || '{_BPE_SENT}' || y || '#', '#' || x || ' ' || y || '#') AS s
+            FROM c{r} CROSS JOIN p{r}
+        )"""
+
+
+@query(
+    "vocab_bpe_apply",
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+        c1 AS (SELECT doc_id, '{_BPE_SENT}' || array_to_string(ts, '{_BPE_SENT}') || '{_BPE_SENT}' AS s FROM toks),
+        {",".join(_bpe_apply_round_ctes(r) for r in range(1, BPE_ROUNDS + 1))},
+        enc AS (
+            SELECT doc_id,
+                   list_filter(string_split(s, '{_BPE_SENT}'), t -> t <> '') AS ps
+            FROM c{BPE_ROUNDS + 1}
+        )
+        SELECT doc_id,
+               CAST(len(ps) AS BIGINT) AS n_tokens,
+               CAST(len(list_filter(ps, p -> contains(p, ' '))) AS BIGINT) AS n_merged,
+               md5(array_to_string(ps, '#')) AS enc_md5
+        FROM enc
+    """,
+)
+def vocab_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode the corpus with the {BPE_ROUNDS} merges `vocab_bpe_train`
+    learns — the missing half of the tokenizer pipeline (a real pipeline
+    ships token sequences, not just the merge table). Per document:
+    encoded token count, how many tokens are merged pieces (contain a
+    space), and an md5 of the full '#'-joined encoded sequence — the
+    hash pins the COMPLETE per-doc encoding bit-exactly against the
+    oracle while keeping output rows at one per document. '#' is a safe
+    join char: raw tokens are [a-z0-9]+ and merges only add spaces.
+
+    Mechanics: the merge list is re-derived by the training loop (per
+    round one vocab-bounded pair-count shuffle + ONE argmax row to the
+    driver — same O(rounds) driver traffic as training; in production
+    the learned list would be persisted and replayed, which this loop
+    degenerates to when merges are known). Application is the same
+    sentinel-string codegen replace() chain as training, kept per-doc
+    with doc_id riding along, then one final split — so encoding is a
+    pure narrow pipeline over the scan: zero shuffles beyond the
+    per-round pair counts, nothing quadratic, and the encoded corpus
+    never crosses the driver. At 100 TB with a persisted merge list the
+    whole encode is shuffle-free (ref main.cpp:28-68's iterative shape,
+    applied instead of trained)."""
+    docs = table(spark, sf_dir, "documents")
+    corpus = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(_BPE_SENT), F.array_join(tokens("text"), _BPE_SENT), F.lit(_BPE_SENT)
+        ).alias("s"),
+    )
+    ts = F.filter(F.split("s", _BPE_SENT), lambda t: t != F.lit(""))
+    for _ in range(BPE_ROUNDS):
+        pairs = corpus.select(ts.alias("ts")).select(
+            F.explode(
+                F.when(
+                    F.size("ts") < 2, F.array().cast("array<struct<x:string,y:string>>")
+                ).otherwise(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("ts") - 1),
+                        lambda i: F.struct(
+                            F.element_at("ts", i).alias("x"),
+                            F.element_at("ts", i + F.lit(1)).alias("y"),
+                        ),
+                    )
+                )
+            ).alias("p")
+        ).select("p.x", "p.y")
+        top = (
+            pairs.groupBy("x", "y")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), "x", "y")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        x, y = top[0]["x"], top[0]["y"]
+        corpus = corpus.select(
+            "doc_id",
+            F.replace(
+                "s", F.lit(f"#{x}{_BPE_SENT}{y}#"), F.lit(f"#{x} {y}#")
+            ).alias("s"),
+        )
+    enc = corpus.select("doc_id", ts.alias("ps"))
+    return enc.select(
+        "doc_id",
+        F.size("ps").cast("bigint").alias("n_tokens"),
+        F.size(F.filter("ps", lambda p: p.contains(" ")))
+        .cast("bigint")
+        .alias("n_merged"),
+        F.md5(F.array_join("ps", "#")).alias("enc_md5"),
+    )

@@ -1060,6 +1060,63 @@ def test_vocab_bpe_matches_python_reference(spark, tmp_path_factory, texts):
     assert got == want
 
 
+@given(texts=doc_texts)
+@SETTINGS
+def test_vocab_bpe_apply_matches_python_encoder(spark, tmp_path_factory, texts):
+    """vocab_bpe_apply == a pure-python train-then-encode: learn
+    BPE_ROUNDS merges exactly like the trainer, apply them greedily
+    left-to-right per document, and the per-doc (n_tokens, n_merged,
+    md5 of the '#'-joined pieces) must all agree — the md5 pins the
+    complete encoded sequence, not just its length."""
+    import hashlib
+    import re
+
+    from collections import Counter
+
+    from spark_graft.operators.vocab import BPE_ROUNDS, vocab_bpe_apply
+
+    d = tmp_path_factory.mktemp("bpe_apply")
+    spark.createDataFrame(
+        [(i, t, "en", 0) for i, t in enumerate(texts)],
+        "doc_id bigint, text string, lang string, quality int",
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    got = sorted(
+        (r["doc_id"], r["n_tokens"], r["n_merged"], r["enc_md5"])
+        for r in vocab_bpe_apply(spark, str(d)).collect()
+    )
+
+    corpora = [[w for w in re.split(r"[^a-z0-9]+", t.lower()) if w] for t in texts]
+    for _ in range(BPE_ROUNDS):
+        c: Counter = Counter()
+        for ws in corpora:
+            c.update(zip(ws, ws[1:]))
+        if not c:
+            break
+        (x, y), _n = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        merged = []
+        for ws in corpora:
+            out, i = [], 0
+            while i < len(ws):
+                if i + 1 < len(ws) and ws[i] == x and ws[i + 1] == y:
+                    out.append(f"{x} {y}")
+                    i += 2
+                else:
+                    out.append(ws[i])
+                    i += 1
+            merged.append(out)
+        corpora = merged
+    want = sorted(
+        (
+            i,
+            len(ws),
+            sum(1 for p in ws if " " in p),
+            hashlib.md5("#".join(ws).encode()).hexdigest(),
+        )
+        for i, ws in enumerate(corpora)
+    )
+    assert got == want
+
+
 @given(
     sup_keys=st.lists(st.integers(min_value=0, max_value=200), min_size=1, max_size=40, unique=True),
     fact_keys=st.lists(st.integers(min_value=0, max_value=200), min_size=0, max_size=80),
