@@ -529,11 +529,58 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~20-byte strings and compare integers instead of strings. Both
     engines apply the identical mapping, so the hash-match is unaffected
     (even a collision — ~n^2/2^61 odds — would alter both sides
-    identically)."""
+    identically).
+
+    EXACT-DUPLICATE COLLAPSE (round 10 — the remaining published lever
+    after prefix + strict-positional filtering): docs with IDENTICAL
+    shingle sets are grouped by a set fingerprint (md5 of the sorted
+    60-bit array) and only one representative per group enters the
+    PPJoin. Jaccard depends only on the sets, so this is exact: every
+    rep-level near-dup pair expands to the cross product of the two
+    member lists at the same jaccard, and each group of m identical
+    docs contributes its m(m-1)/2 internal pairs at jaccard 1.0
+    directly — no candidate generation, no verify. On a
+    boilerplate-heavy corpus (where duplicated docs are exactly what
+    explodes candidate volume: d copies of one doc used to turn each
+    of its prefix buckets into a d-wide clique) candidate pairs now
+    scale with DISTINCT contents only. The member lists ride through
+    the bucket shuffle as a last struct field (sort order is decided
+    by the earlier n/pos/doc_id fields — doc_id is unique per bucket),
+    so expansion needs no join back; at 100 TB the groups table is the
+    staging asset you would persist once and share with dedup_exact."""
     docs = table(spark, sf_dir, "documents")
-    sh = shingle_rows(docs).select(
+    all_sh = shingle_rows(docs).select(
         "doc_id",
         F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("bigint").alias("s"),
+    )
+    doc_sets = all_sh.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list("s")).alias("ss")
+    )
+    groups = doc_sets.select(
+        "doc_id",
+        "ss",
+        F.md5(
+            F.array_join(F.transform("ss", lambda x: x.cast("string")), ",")
+        ).alias("fp"),
+    ).groupBy("fp").agg(
+        F.min("doc_id").alias("rep"),
+        F.array_sort(F.collect_list("doc_id")).alias("members"),
+        # every member of the group has the same ss by construction,
+        # so first() is deterministic in value
+        F.first("ss").alias("ss"),
+    )
+    # group-internal pairs: identical sets, jaccard exactly 1.0 — via
+    # the chunked expansion so a degenerate corpus of 1e5 copies of one
+    # doc cannot materialize a quadratic row
+    dup_pairs = exploded_pairs(
+        groups.filter(F.size("members") > 1).select("members"), "members"
+    ).select(
+        F.col("p.a").alias("doc_a"),
+        F.col("p.b").alias("doc_b"),
+        F.lit(1.0).alias("jaccard"),
+    )
+    sh = groups.select(
+        F.col("rep").alias("doc_id"), "members", F.explode("ss").alias("s")
     )
     # global shingle document-frequencies, REPEATED-ONLY: a shingle
     # absent from this table has df=1 by construction, so filtering to
@@ -549,14 +596,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") > 1)
     )
-    # one aggregate builds the rarity-ranked shingle list per doc
+    # one aggregate builds the rarity-ranked shingle list per rep
     # (struct sort = (df, s) lexicographic) — no window functions, no
-    # per-row sort shuffles.
+    # per-row sort shuffles. df now counts DISTINCT CONTENTS containing
+    # the shingle (reps, not raw docs) — a different but equally valid
+    # global rarity order, and PPJoin's filters are exact under ANY
+    # fixed global order.
     ranked_sets = (
         sh.join(freq, "s", "left")
-        .select("doc_id", "s", F.coalesce("df", F.lit(1)).alias("df"))
+        .select("doc_id", "members", "s", F.coalesce("df", F.lit(1)).alias("df"))
         .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list(F.struct("df", "s"))).alias("ranked"))
+        .agg(
+            F.array_sort(F.collect_list(F.struct("df", "s"))).alias("ranked"),
+            F.first("members").alias("members"),
+        )
     )
     n = F.size("ranked")
     prefix_arr = F.transform(
@@ -578,6 +631,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # list) and arms the POSITIONAL filter below.
     staged = ranked_sets.select(
         "doc_id",
+        "members",
         F.transform("ranked", lambda x: x["s"]).alias("sh"),
         F.posexplode(prefix_arr).alias("pos", "s"),
     )
@@ -593,16 +647,24 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = inter * 1.0 / (F.size("p.a.sh") + F.size("p.b.sh") - inter)
     # exploded_pairs (chunked) for the same reason as dedup_minhash: a
     # prefix shingle shared by 1e5 boilerplate docs must not become one
-    # quadratic row. Members are (n, pos, doc_id, sh) structs — the
-    # array_sort tie-breaks through pos then doc_id, but n stays the
-    # LEADING key, so the chunk sort still orders members by SHINGLE
-    # COUNT first and PPJoin's length/chunk filters below are unaffected
-    # by the positional field riding along.
+    # quadratic row. Members are (n, pos, doc_id, sh, mem) structs —
+    # the array_sort tie-breaks through pos then doc_id, but n stays
+    # the LEADING key, so the chunk sort still orders members by
+    # SHINGLE COUNT first and PPJoin's length/chunk filters below are
+    # unaffected by the positional and member-list fields riding along
+    # (doc_id is unique per bucket, so mem never participates in the
+    # sort).
     bucketed = (
         staged.groupBy("s")
         .agg(
             F.collect_list(
-                F.struct(F.size("sh").alias("n"), "pos", "doc_id", "sh")
+                F.struct(
+                    F.size("sh").alias("n"),
+                    "pos",
+                    "doc_id",
+                    "sh",
+                    F.col("members").alias("mem"),
+                )
             ).alias("ds")
         )
         .filter(F.size("ds") > 1)
@@ -677,7 +739,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             & ((td + tn) * _witness_cap(cb) >= tn * nmin)
         )
 
-    return (
+    # Rep pairs dedup BEFORE member expansion (a pair surviving in
+    # several buckets must expand exactly once), then each rep pair
+    # fans out to the cross product of the two member lists — a narrow
+    # double explode over the few TRUE near-dup pairs, no join back.
+    # The two groups of a rep pair are disjoint (different set
+    # fingerprints cannot share a doc), so every expanded (a, b) is
+    # unique and needs no second distinct.
+    cross_pairs = (
         exploded_pairs(
             bucketed,
             "ds",
@@ -685,14 +754,23 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             chunk_prune=_chunk_prune,
         )
         .select(
-            F.least("p.a.doc_id", "p.b.doc_id").alias("doc_a"),
-            F.greatest("p.a.doc_id", "p.b.doc_id").alias("doc_b"),
+            F.least("p.a.doc_id", "p.b.doc_id").alias("ra"),
+            F.greatest("p.a.doc_id", "p.b.doc_id").alias("rb"),
+            F.col("p.a.mem").alias("ma"),
+            F.col("p.b.mem").alias("mb"),
             jac.alias("_j"),
         )
         .filter(F.col("_j") >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round("_j", 4).alias("jaccard"))
-        .dropDuplicates(["doc_a", "doc_b"])
+        .dropDuplicates(["ra", "rb"])
+        .select(F.explode("ma").alias("a"), "mb", "_j")
+        .select("a", F.explode("mb").alias("b"), "_j")
+        .select(
+            F.least("a", "b").alias("doc_a"),
+            F.greatest("a", "b").alias("doc_b"),
+            F.round("_j", 4).alias("jaccard"),
+        )
     )
+    return cross_pairs.unionByName(dup_pairs)
 
 
 COSINE_THRESHOLD = 0.4

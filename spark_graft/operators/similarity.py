@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -18,6 +20,7 @@ from spark_graft.operators.clustering import (
     KMEANS_CTES,
     Q_SCALE,
     Q_SHIFT,
+    _QV,
     assignment_udf,
     lloyd_centroids,
 )
@@ -733,4 +736,260 @@ def sample_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rrk") == 1)
         .join(sizes, "cell")
         .select("cell", F.col("vec_id").alias("rep_id"), "d2", "n_members")
+    )
+
+
+# ---------------------------------------------------------------- PQ ANN
+
+PQ_M = 8  # subspaces: dim splits into PQ_M contiguous slices
+PQ_KS = 16  # codewords per subspace (codes fit one byte with room to 256)
+PQ_SUB_D = EMB_DIM // PQ_M  # fixture sub-dimension (oracle literal)
+
+
+def _pq_quantize(M):
+    """Fixed-point HALF-UP quantization — same arithmetic as the kmeans
+    assignment kernel (clustering._quantize_assign), so PQ inherits the
+    whole determinism contract."""
+    import numpy as np
+
+    return np.floor((M.astype(np.float64) + Q_SHIFT) * Q_SCALE + 0.5).astype(
+        np.int64
+    )
+
+
+def _pq_cb_parts(cb_m: dict[int, list[int]]):
+    """(sorted codeword ids, KSxSUB_D int64 matrix) for one subspace —
+    rows sorted by id so np.argmin's first-minimum rule resolves exact
+    distance ties to the lowest codeword id, like the oracle's
+    ORDER BY d2, cluster."""
+    import numpy as np
+
+    cids = sorted(cb_m)
+    return np.array(cids, dtype=np.int64), np.array(
+        [cb_m[c] for c in cids], dtype=np.int64
+    )
+
+
+def _pq_assign_sub(sub, C):
+    """First-minimum integer argmin of one quantized sub-vector batch
+    against one codebook matrix (expanded-identity d2, no overflow:
+    SUB_D * (2 * Q_SCALE)^2 << 2^63)."""
+    import numpy as np
+
+    qn2 = np.einsum("ij,ij->i", sub, sub)
+    cn2 = np.einsum("ij,ij->i", C, C)
+    d2 = qn2[:, None] + cn2[None, :] - 2 * (sub @ C.T)
+    return np.argmin(d2, axis=1)
+
+
+def _pq_codebooks(spark: SparkSession, e: DataFrame, sub_d: int):
+    """Train the PQ_M per-subspace codebooks: seed each subspace with
+    the sub-slices of the PQ_KS lowest vec_ids, then ONE Lloyd update
+    round (mirroring kmeans N_ITERS=2) for ALL subspaces in a single
+    distributed stats pass — mapInPandas emits per-(subspace, codeword)
+    partial counts/sums (the map-side combine), the shuffle carries
+    ~batches x PQ_M x PQ_KS tiny rows, and only PQ_M x PQ_KS x sub_d
+    ints reach the driver. Returns per-subspace {codeword_id: ints};
+    codewords that lose every member in the update round drop out,
+    exactly like lloyd_centroids (and the oracle's c1)."""
+    import math
+
+    seeds = e.select("vec_id", "embedding").orderBy("vec_id").limit(PQ_KS).collect()
+    if not seeds:
+        return None
+    cb: list[dict[int, list[int]]] = [dict() for _ in range(PQ_M)]
+    for r in seeds:
+        q = [
+            math.floor((float(x) + Q_SHIFT) * Q_SCALE + 0.5) for x in r["embedding"]
+        ]
+        for m in range(PQ_M):
+            cb[m][int(r["vec_id"])] = q[m * sub_d : (m + 1) * sub_d]
+    parts = [_pq_cb_parts(cb[m]) for m in range(PQ_M)]
+    schema = "m long, cluster long, n long, " + ", ".join(
+        f"s{i} long" for i in range(sub_d)
+    )
+    cols = schema.replace(" long", "").split(", ")
+
+    def part_fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = _pq_quantize(np.stack(pdf["embedding"].to_numpy()))
+            rows = []
+            for m in range(PQ_M):
+                cids, C = parts[m]
+                sub = Q[:, m * sub_d : (m + 1) * sub_d]
+                idx = _pq_assign_sub(sub, C)
+                for j in np.unique(idx):
+                    mask = idx == j
+                    rows.append(
+                        [m, int(cids[j]), int(mask.sum()), *sub[mask].sum(axis=0).tolist()]
+                    )
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+    stats = (
+        e.select("embedding")
+        .mapInPandas(part_fn, schema)
+        .groupBy("m", "cluster")
+        .agg(
+            F.sum("n").alias("n"),
+            *[F.sum(f"s{i}").alias(f"s{i}") for i in range(sub_d)],
+        )
+        .collect()
+    )
+    cb1: list[dict[int, list[int]]] = [dict() for _ in range(PQ_M)]
+    for r in stats:
+        cb1[int(r["m"])][int(r["cluster"])] = [
+            int(r[f"s{i}"]) // int(r["n"]) for i in range(sub_d)
+        ]
+    return cb1
+
+
+@query(
+    "sim_ann_pq",
+    oracle=f"""
+        WITH seeds AS (
+            SELECT vec_id FROM embeddings WHERE {NONZERO_SQL}
+            ORDER BY vec_id LIMIT {PQ_KS}
+        ),
+        q AS (
+            SELECT vec_id, CAST((i - 1) // {PQ_SUB_D} AS BIGINT) AS m, i AS pos,
+                   {_QV} AS qv
+            FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
+            WHERE {NONZERO_SQL}
+        ),
+        c0 AS (
+            SELECT m, vec_id AS cluster, pos, qv AS qc FROM q
+            WHERE vec_id IN (SELECT vec_id FROM seeds)
+        ),
+        d1 AS (
+            SELECT q.vec_id, q.m, c.cluster,
+                   CAST(sum((q.qv - c.qc) * (q.qv - c.qc)) AS BIGINT) AS d2
+            FROM q JOIN c0 c ON c.pos = q.pos
+            GROUP BY q.vec_id, q.m, c.cluster
+        ),
+        a1 AS (
+            SELECT vec_id, m, cluster,
+                   row_number() OVER (PARTITION BY vec_id, m
+                                      ORDER BY d2, cluster) AS rk
+            FROM d1
+        ),
+        c1 AS (
+            SELECT a.m, a.cluster, q.pos,
+                   CAST(sum(q.qv) // count(*) AS BIGINT) AS qc
+            FROM a1 a JOIN q ON q.vec_id = a.vec_id AND q.m = a.m
+            WHERE a.rk = 1
+            GROUP BY a.m, a.cluster, q.pos
+        ),
+        d2t AS (
+            SELECT q.vec_id, q.m, c.cluster,
+                   CAST(sum((q.qv - c.qc) * (q.qv - c.qc)) AS BIGINT) AS d2
+            FROM q JOIN c1 c ON c.pos = q.pos
+            GROUP BY q.vec_id, q.m, c.cluster
+        ),
+        a2 AS (
+            SELECT vec_id, m, cluster,
+                   row_number() OVER (PARTITION BY vec_id, m
+                                      ORDER BY d2, cluster) AS rk
+            FROM d2t
+        ),
+        codes AS (SELECT vec_id, m, cluster FROM a2 WHERE rk = 1),
+        probeq AS (
+            SELECT m, pos, qv FROM q
+            WHERE vec_id = (SELECT min(vec_id) FROM embeddings WHERE {NONZERO_SQL})
+        ),
+        dtab AS (
+            SELECT c.m, c.cluster,
+                   CAST(sum((p.qv - c.qc) * (p.qv - c.qc)) AS BIGINT) AS d2
+            FROM probeq p JOIN c1 c ON c.pos = p.pos
+            GROUP BY c.m, c.cluster
+        ),
+        adist AS (
+            SELECT cd.vec_id, CAST(sum(dt.d2) AS BIGINT) AS adist_fx
+            FROM codes cd JOIN dtab dt ON dt.m = cd.m AND dt.cluster = cd.cluster
+            GROUP BY cd.vec_id
+        ),
+        probe AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS pv
+            FROM embeddings WHERE {NONZERO_SQL} ORDER BY vec_id LIMIT 1
+        ),
+        topk AS (
+            SELECT vec_id, adist_fx FROM adist
+            ORDER BY adist_fx, vec_id LIMIT {TOP_K}
+        )
+        SELECT t.vec_id, t.adist_fx,
+               round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pv), 4)
+                   AS cos_sim
+        FROM topk t
+        JOIN embeddings e ON e.vec_id = t.vec_id
+        CROSS JOIN probe p
+    """,
+)
+def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jegou et al., TPAMI'11) — the
+    memory-bounded serving form at 100 TB: each vector is represented
+    by {PQ_M} one-byte codes (one per contiguous dim slice) instead of
+    dim floats (64x compression at dim=64/float32 before the coarse
+    index), and the probe scores vectors ASYMMETRICALLY — exact probe
+    sub-vector vs quantized codeword — via a {PQ_M}x{PQ_KS} integer
+    distance table, so per-vector cost is {PQ_M} table lookups + adds,
+    no float math, no vector access. Training composes the existing
+    Lloyd machinery per subspace (seed = sub-slices of the {PQ_KS}
+    lowest vec_ids, one update round, all subspaces in ONE distributed
+    stats pass); dim must divide evenly by PQ_M ({EMB_DIM} fixture ->
+    {PQ_SUB_D} dims/subspace). Output: top-{TOP_K} by (asymmetric
+    integer distance, vec_id) with the exact cosine rescore of the
+    survivors — the standard ADC-then-rescore serving pipeline.
+
+    Fixed-point throughout (quantization, codeword means, distances are
+    all int64, ties to the lowest codeword id), so the ENTIRE
+    train->encode->ADC->rescore pipeline hash-matches one DuckDB query
+    — the same end-to-end determinism guarantee as
+    `sim_ann_ivf_trained`, extended to compressed codes. At scale the
+    codes table (vec_id, {PQ_M} bytes) is the persisted serving asset;
+    re-encoding is one narrow Arrow pass, and ADC never touches the
+    raw vectors until the final top-k rescore."""
+    e = table(spark, sf_dir, "embeddings").filter(nonzero_vec(F.col("embedding")))
+    probe = _probe_vector(spark, sf_dir)
+    if probe is None:
+        return spark.createDataFrame(
+            [], "vec_id bigint, adist_fx bigint, cos_sim double"
+        )
+    sub_d = len(probe) // PQ_M
+    cb = _pq_codebooks(spark, e, sub_d)
+    import math
+
+    qp = [math.floor((x + Q_SHIFT) * Q_SCALE + 0.5) for x in probe]
+    parts = [_pq_cb_parts(cb[m]) for m in range(PQ_M)]
+    # asymmetric distance table: probe sub-vector vs every codeword,
+    # integer d2 — PQ_M x PQ_KS ints, computed driver-side and shipped
+    # in the UDF closure
+    dtab = []
+    for m in range(PQ_M):
+        _, C = parts[m]
+        sub = np.array(qp[m * sub_d : (m + 1) * sub_d], dtype=np.int64)
+        dtab.append(np.einsum("ij,ij->i", C - sub, C - sub))
+
+    @F.pandas_udf("long")
+    def adist(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype="int64")
+        Q = _pq_quantize(np.stack(emb.to_numpy()))
+        total = np.zeros(len(Q), dtype=np.int64)
+        for m in range(PQ_M):
+            _, C = parts[m]
+            idx = _pq_assign_sub(Q[:, m * sub_d : (m + 1) * sub_d], C)
+            total += dtab[m][idx]
+        return pd.Series(total)
+
+    cos = cosine(F.col("embedding"), _lit_vec(probe))
+    return (
+        e.select("vec_id", "embedding", adist("embedding").alias("adist_fx"))
+        .orderBy("adist_fx", "vec_id")
+        .limit(TOP_K)
+        .select("vec_id", "adist_fx", F.round(cos, 4).alias("cos_sim"))
     )

@@ -881,6 +881,34 @@ def test_ngram_jaccard_giant_boilerplate_bucket(spark, tmp_path_factory):
     assert len(got) > 100  # the bucket really is dense
 
 
+def test_ngram_jaccard_exact_duplicate_collapse(spark, tmp_path_factory):
+    """The round-10 exact-duplicate collapse: 200 byte-identical copies
+    of one doc (group larger than PAIR_CHUNK=128, so the group-internal
+    jaccard-1.0 expansion runs CHUNKED), a second 3-copy group whose
+    content is a near-dup of the first (the rep-level pair must expand
+    to all 200x3 cross pairs at the shared jaccard), and an unrelated
+    doc that must pair with nothing. Output == the python reference,
+    which knows nothing about the collapse."""
+    base = (
+        "the quick brown fox jumps over a lazy dog while seven wise "
+        "owls watch from tall oak trees near the old stone bridge at dawn"
+    ).split()
+    texts = {i: " ".join(base) for i in range(200)}
+    near = list(base)
+    near[0] = "variant"  # 23-shingle overlap of 25 -> jaccard > 0.8
+    for i in range(200, 203):
+        texts[i] = " ".join(near)
+    texts[203] = "completely different words about gardening and soup"
+    got = _run_ngram_jaccard(spark, tmp_path_factory.mktemp("njd"), texts)
+    want = _ngram_jaccard_ref(texts)
+    assert got == want
+    n_dup_a = 200 * 199 // 2
+    n_dup_b = 3
+    assert sum(1 for j in got.values() if j == 1.0) == n_dup_a + n_dup_b
+    cross = {k: j for k, j in got.items() if k[0] < 200 <= k[1] <= 202}
+    assert len(cross) == 600 and len(set(cross.values())) == 1
+
+
 @given(
     vals=st.lists(
         st.decimals(
