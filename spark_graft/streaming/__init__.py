@@ -2,6 +2,7 @@ from spark_graft.streaming.structured import (
     attribution_join_stream,
     dedup_stream,
     events_stream,
+    minhash_novelty_stream,
     tumbling_counts_stream,
     session_counts_stream,
     sliding_counts_stream,
@@ -15,6 +16,7 @@ __all__ = [
     "run_stream_foreach_batch_to_parquet",
     "dedup_stream",
     "events_stream",
+    "minhash_novelty_stream",
     "tumbling_counts_stream",
     "session_counts_stream",
     "sliding_counts_stream",

@@ -300,3 +300,129 @@ def cms_cells_stream(events: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cell"))
         .select(F.col("w.start").alias("window_start"), "d", "bucket", "cell")
     )
+
+
+def minhash_novelty_stream(docs: DataFrame) -> DataFrame:
+    """Streaming near-dup novelty gate — the structured-streaming twin
+    of `dedup_incremental_minhash` (operators.pipeline): documents
+    arrive as an unbounded stream, each is MinHash-banded, and every
+    band row probes the ACCUMULATED band index held in streaming state;
+    band collisions are verified with exact Jaccard (integer form,
+    5*inter >= 4*union) and every verified collision is emitted as a
+    (new_id, other_id) pair — `other_id` always arrived before
+    `new_id`, so the accepted set is exactly {arrivals} minus {emitted
+    new_ids}, the batch gate's keep-first contract when arrival order
+    is doc_id order.
+
+    Spark-first mechanics: signatures are computed as NARROW HOF
+    expressions (one md5 per shingle, double-hashed minima via
+    array_min/transform — no explode+groupBy, which would be a second
+    stateful operator upstream of the probe), so the ONLY stateful
+    operator is one `applyInPandasWithState` keyed on (band, sig): the
+    state per bucket is the (doc_id, shingle-set) list of its members —
+    the persisted (band, sig, doc_id) index of the batch twin made
+    explicit streaming state, sharded by the same key the probe joins
+    on. Within a micro-batch, rows are processed in doc_id order, so
+    in-batch keep-first matches the batch gate exactly.
+
+    State lifecycle: NoTimeout — a near-dup ingest index must remember
+    everything it has admitted (identity does not expire with event
+    time), so eviction is a retention-policy decision, not a watermark
+    one; upstream EXACT replay dedup within a watermark is
+    `dedup_stream`'s job. At 100 TB/day the state store is RocksDB and
+    each bucket's member list stays small because band signatures
+    partition the corpus ~uniformly (the same property that makes the
+    batch equi-join scale)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from spark_graft.functions import shingles_from_tokens, tokens
+    from spark_graft.operators.dedup import MINHASH_PRIME, N_BANDS, N_PERMS
+
+    rows_per_band = N_PERMS // N_BANDS
+    staged = (
+        docs.select("doc_id", tokens("text").alias("toks"))
+        .select("doc_id", shingles_from_tokens("toks", 3).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+    )
+    hashed = staged.select(
+        "doc_id",
+        "shingles",
+        F.transform(
+            "shingles",
+            lambda s: F.struct(
+                F.conv(F.substring(F.md5(s), 1, 8), 16, 10)
+                .cast("bigint")
+                .alias("h1"),
+                F.conv(F.substring(F.md5(s), 9, 8), 16, 10)
+                .cast("bigint")
+                .alias("h2"),
+            ),
+        ).alias("hs"),
+    )
+    sig = hashed.select(
+        "doc_id",
+        "shingles",
+        *[
+            F.array_min(
+                F.transform(
+                    "hs", lambda h: (h["h1"] + F.lit(p) * h["h2"]) % MINHASH_PRIME
+                )
+            ).alias(f"mh{p}")
+            for p in range(N_PERMS)
+        ],
+    )
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"mh{b * rows_per_band + r}").cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("sig"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    # shingle tokens are [a-z0-9 ]-only, so '|' is a safe set separator
+    banded = sig.select(
+        "doc_id",
+        F.array_join("shingles", "|").alias("sh"),
+        F.explode(band_arr).alias("bs"),
+    ).select("doc_id", "sh", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+    def probe(key, pdfs, state: GroupState):
+        ids, shs = state.get if state.exists else ((), ())
+        ids, shs = list(ids), list(shs)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        out_new, out_other = [], []
+        for _, row in pdf.sort_values("doc_id").iterrows():
+            did = int(row["doc_id"])
+            if did in ids:  # replayed row — the index already has it
+                continue
+            sh = set(row["sh"].split("|"))
+            for oid, osh in zip(ids, shs):
+                other = set(osh.split("|"))
+                inter = len(sh & other)
+                union = len(sh) + len(other) - inter
+                if 5 * inter >= 4 * union:
+                    out_new.append(did)
+                    out_other.append(oid)
+            ids.append(did)
+            shs.append(row["sh"])
+        state.update((ids, shs))
+        if out_new:
+            yield pd.DataFrame({"new_id": out_new, "other_id": out_other})
+
+    return banded.groupBy("band", "sig").applyInPandasWithState(
+        probe,
+        "new_id bigint, other_id bigint",
+        "ids array<bigint>, shs array<string>",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -527,3 +527,79 @@ def test_cms_stream_equals_batch_and_cells_merge(spark, sf_dir):
         .toPandas()
     )
     assert_frames_match(merged, corpus, "cms merged==corpus")
+
+
+def test_minhash_novelty_stream_equals_batch_gate(spark, tmp_path):
+    """minhash_novelty_stream == dedup_incremental_minhash: the same
+    corpus flows once through the batch gate (old deciles = index, last
+    decile = new batch) and once as 3 ordered micro-batches (two index
+    chunks, then the new batch) through the stateful streaming gate;
+    the accepted new-doc sets must be identical. The engineered corpus
+    pins the three interesting paths: a new exact copy of an OLD doc
+    (rejected via state accumulated two micro-batches earlier), a novel
+    new doc (accepted), and a new exact copy of THAT new doc (rejected
+    via in-batch keep-first — state written and probed within one
+    micro-batch)."""
+    import os
+    import time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_graft.streaming import minhash_novelty_stream, run_stream_to_memory
+
+    t0 = " ".join(f"alpha{i} beta{i}" for i in range(25))  # 50 words
+    t0_edit = t0.replace("alpha12", "gamma12")  # 45/51 shingles -> j~0.88
+    t1 = " ".join(f"delta{i} eps{i}" for i in range(25))
+    texts = {}
+    for i in range(40):
+        texts[i] = f"unique{i}x unique{i}y unique{i}z unique{i}w unique{i}v"
+    texts[0] = t0  # old, the index content
+    texts[19] = t0  # new: exact copy of old doc 0 -> rejected
+    texts[29] = t0_edit  # new: near-dup of old doc 0 (if bands collide)
+    texts[9] = t1  # new: novel -> accepted
+    texts[39] = t1  # new: exact copy of new doc 9 -> in-batch rejected
+
+    # batch gate over the full corpus
+    doc_dir = tmp_path / "docs"
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in sorted(texts.items())],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.mode("overwrite").parquet(str(doc_dir / "documents.parquet"))
+    accepted_batch = {
+        r["doc_id"]
+        for r in REGISTRY["dedup_incremental_minhash"].fn(spark, str(doc_dir)).collect()
+    }
+
+    # same corpus as ordered micro-batches: index chunks first, then new
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    old_ids = sorted(i for i in texts if i % 10 != 9)
+    new_ids = sorted(i for i in texts if i % 10 == 9)
+    chunks = [old_ids[:20], old_ids[20:], new_ids]
+    now = time.time()
+    for ci, ids in enumerate(chunks):
+        t = pa.Table.from_pandas(
+            pd.DataFrame({"doc_id": ids, "text": [texts[i] for i in ids]}),
+            preserve_index=False,
+        ).cast(pa.schema([("doc_id", pa.int64()), ("text", pa.string())]))
+        pq.write_table(t, str(src / f"c{ci}.parquet"))
+        os.utime(src / f"c{ci}.parquet", (now + ci * 10, now + ci * 10))
+    docs_stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    pairs = run_stream_to_memory(
+        minhash_novelty_stream(docs_stream), mode="append"
+    ).collect()
+    rejected_stream = {r["new_id"] for r in pairs if r["new_id"] % 10 == 9}
+    accepted_stream = set(new_ids) - rejected_stream
+
+    assert accepted_stream == accepted_batch, (accepted_stream, accepted_batch)
+    assert 19 in rejected_stream  # copy of an old doc: cross-batch state
+    assert 39 in rejected_stream  # copy of a same-batch doc: keep-first
+    assert 9 in accepted_stream  # novel content admitted
+    # other_id always precedes new_id in arrival (= doc_id) order
+    assert all(r["other_id"] < r["new_id"] for r in pairs)
