@@ -374,17 +374,29 @@ def main() -> None:
             "points": filters,
         }
     if pg:
+        b1 = pg.get("bounded_sf1", {}).get("minhash_pairs", 0)
+        b3 = pg.get("bounded_sf3", {}).get("minhash_pairs", 0)
         data["pagerank_graph_characterization"] = {
             "what": (
                 "MinHash pair-graph edge counts (relational, from "
                 "_MINHASH_PAIRS_SQL) on bounded vs zipf vocabularies — "
                 "graph_pagerank's per-round join cost is proportional to "
                 "this count and its degree-joined edge table is persisted "
-                "across rounds, so a superlinear bounded-corpus edge ratio "
-                "attributes the 4.75x-per-3x sf3 wall-clock ratio to the "
-                "fixture's pair graph, not to the loop plan."
+                "across rounds (recompute ruled out by construction)."
             ),
             "points": pg,
+            "bounded_edge_ratio_3x_docs": round(b3 / b1, 2) if b1 else None,
+            "verdict": (
+                "edges LINEAR in docs on both vocabularies; combined with "
+                "the linear zipf wall-clock in related_ops_zipf, the "
+                "bounded-fixture sf3 wall ratio is attributed to the "
+                "minhash candidate-DERIVATION volume on a low-entropy "
+                "vocabulary (the documented dedup_minhash regime, "
+                "dedup.py N_PERMS note), not to the iteration plan."
+                if b1 and b3 / b1 < 4 else
+                "edge growth superlinear on the bounded fixture — the "
+                "pair graph itself drives the wall ratio"
+            ),
         }
     if related:
         data["related_ops_zipf"] = {
