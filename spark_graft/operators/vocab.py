@@ -340,7 +340,7 @@ def _bpe_apply_round_ctes(r: int) -> str:
     "vocab_bpe_apply",
     oracle=f"""
         WITH toks AS (SELECT doc_id, {_TOK} AS ts FROM documents),
-        c1 AS (SELECT doc_id, '{_BPE_SENT}' || array_to_string(ts, '{_BPE_SENT}') || '{_BPE_SENT}' AS s FROM toks),
+        c1 AS (SELECT doc_id, '{_BPE_SENT}' || coalesce(array_to_string(ts, '{_BPE_SENT}'), '') || '{_BPE_SENT}' AS s FROM toks),
         {",".join(_bpe_apply_round_ctes(r) for r in range(1, BPE_ROUNDS + 1))},
         enc AS (
             SELECT doc_id,
@@ -350,7 +350,7 @@ def _bpe_apply_round_ctes(r: int) -> str:
         SELECT doc_id,
                CAST(len(ps) AS BIGINT) AS n_tokens,
                CAST(len(list_filter(ps, p -> contains(p, ' '))) AS BIGINT) AS n_merged,
-               md5(array_to_string(ps, '#')) AS enc_md5
+               md5(coalesce(array_to_string(ps, '#'), '')) AS enc_md5
         FROM enc
     """,
 )
