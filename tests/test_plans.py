@@ -90,6 +90,11 @@ def test_sql_only_queries_have_no_python_udfs(spark, sf_dir):
         "sim_hardneg",
         # r9: same Arrow-batched assignment kernel (no pair stage)
         "sample_coreset",
+        # r10: PQ training is one mapInPandas stats pass; serving is an
+        # Arrow UDF doing 8 int codebook lookups/row (see sim_ann_pq
+        # docstring — the codebook matmul exceeds codegen limits as a
+        # Catalyst tree, same rationale as kmeans_lloyd)
+        "sim_ann_pq",
     }
     for name, spec in REGISTRY.items():
         if name in allowed_python:
