@@ -568,3 +568,104 @@ def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.best").alias("longest_streak"),
         F.col("s.n").alias("n_streaks"),
     )
+
+
+# MATCH_RECOGNIZE / CEP pattern: view, one-or-more clicks, then a
+# purchase — contiguous in the per-user (ts, event_id) order. The
+# symbol alphabet is one char per event_type, so the pattern language
+# is plain regex over the user's timeline string.
+CEP_PATTERN = "vc+p"
+
+
+@query(
+    "events_pattern",
+    oracle=f"""
+        WITH seq AS (
+            SELECT user_id,
+                   string_agg(CASE event_type
+                                  WHEN 'view' THEN 'v'
+                                  WHEN 'click' THEN 'c'
+                                  WHEN 'purchase' THEN 'p'
+                                  WHEN 'signup' THEN 's'
+                                  ELSE 'e' END,
+                              '' ORDER BY ts, event_id) AS s
+            FROM events GROUP BY user_id
+        ),
+        m AS (
+            SELECT user_id, regexp_extract_all(s, '{CEP_PATTERN}', 0) AS ms
+            FROM seq
+        )
+        SELECT user_id,
+               CAST(len(ms) AS BIGINT) AS n_matches,
+               CAST(coalesce(list_sum(list_transform(ms, x -> len(x))), 0)
+                    AS BIGINT) AS n_events_matched,
+               CAST(CASE WHEN len(ms) > 0 THEN len(ms[1]) ELSE 0 END
+                    AS BIGINT) AS first_match_len,
+               CAST(coalesce(list_max(list_transform(ms, x -> len(x) - 2)), 0)
+                    AS BIGINT) AS max_click_run
+        FROM m
+    """,
+)
+def events_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence detection (the Flink-CEP / SQL:2016
+    row-pattern capability): per user, find every non-overlapping
+    contiguous run matching view -> click+ -> purchase in (ts, event_id)
+    order, and report match count, total events consumed, the first
+    match's length, and the longest click-run inside any match. Unlike
+    events_funnel (first-occurrence steps, gaps allowed), the pattern
+    here is CONTIGUOUS — an interleaved signup/error breaks it — which
+    is the semantics MATCH_RECOGNIZE's default AFTER MATCH SKIP PAST
+    LAST ROW gives.
+
+    Spark-first shape: one shuffle (groupBy user_id), each timeline
+    collapsed to a symbol string via array_sort(collect_list(struct)) —
+    event_id breaks timestamp ties deterministically — then the match
+    itself is a single codegen'd regexp_extract_all: leftmost,
+    non-overlapping, greedy in BOTH engines, and for this pattern class
+    (each symbol class disjoint from its successor's) greedy == longest,
+    so Java regex and DuckDB's RE2 provably agree. Per-user state is the
+    timeline length — the same bound any CEP engine carries; compose
+    with stream_session's session_id in the groupBy key to cap it at
+    session length at 100 TB. No window-over-single-partition, no
+    Python: the fold and the regex are both whole-stage-codegen
+    expressions."""
+    ev = table(spark, sf_dir, "events")
+    sym = (
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "signup", "s")
+        .otherwise("e")
+    )
+    seq = (
+        ev.select("user_id", "ts", "event_id", sym.alias("sym"))
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ts", "event_id", "sym"))),
+                    lambda r: r["sym"],
+                ),
+                "",
+            ).alias("s")
+        )
+    )
+    ms = F.regexp_extract_all("s", F.lit(CEP_PATTERN), 0)
+    return seq.select(
+        "user_id",
+        F.size(ms).cast("bigint").alias("n_matches"),
+        F.aggregate(
+            F.transform(ms, lambda x: F.length(x).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        ).alias("n_events_matched"),
+        F.when(F.size(ms) > 0, F.length(F.element_at(ms, 1)))
+        .otherwise(0)
+        .cast("bigint")
+        .alias("first_match_len"),
+        F.coalesce(
+            F.array_max(F.transform(ms, lambda x: F.length(x) - 2)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("max_click_run"),
+    )

@@ -203,7 +203,7 @@ def test_events_family_on_adversarial_timeline(spark, tmp_path_factory):
 
     queries = [
         "agg_skew_salted", "events_funnel", "events_paths",
-        "events_retention", "fill_forward", "fn_json", "fn_map",
+        "events_pattern", "events_retention", "fill_forward", "fn_json", "fn_map",
         "join_asof", "join_theta_range", "stream_session",
         "stream_sliding", "stream_tumbling", "ts_anomaly", "ts_resample",
         "win_gaps_islands",
