@@ -1,5 +1,6 @@
 from spark_graft.streaming.structured import (
     attribution_join_stream,
+    cep_pattern_stream,
     dedup_stream,
     events_stream,
     minhash_novelty_stream,
@@ -13,6 +14,7 @@ from spark_graft.streaming.structured import (
 
 __all__ = [
     "attribution_join_stream",
+    "cep_pattern_stream",
     "run_stream_foreach_batch_to_parquet",
     "dedup_stream",
     "events_stream",

@@ -426,3 +426,85 @@ def minhash_novelty_stream(docs: DataFrame) -> DataFrame:
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def cep_pattern_stream(events: DataFrame) -> DataFrame:
+    """Streaming CEP twin of the batch `events_pattern` query: per user,
+    cumulative counts of non-overlapping contiguous view -> click+ ->
+    purchase runs, emitted after every micro-batch.
+
+    Incremental matching is sound because the pattern's completed
+    matches are prefix-stable: a match that spans a batch boundary must,
+    at the boundary, be a partial match (`v` then `c`s), and for this
+    alphabet the partial-match suffix is UNIQUE (a `v` followed only by
+    `c`s — any later `v` would contradict "only cs"). So per-user state
+    is just that suffix plus the running counters: O(open click-run)
+    per user, NOT the full timeline, and completed spans are discarded
+    the moment they close. Eviction for idle users would be a state
+    timeout; it is left off here so the equivalence test is exact.
+
+    Like any CEP engine, contiguity semantics require event-time order.
+    The file-replay tests feed time-ordered micro-batches (each batch is
+    sorted internally on (ts, event_id)); an unordered production source
+    needs a watermark re-order buffer in front — out-of-order delivery
+    makes "contiguous" undefined, it does not merely approximate it."""
+    import re
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from spark_graft.operators.events import CEP_PATTERN
+
+    pat = re.compile(CEP_PATTERN)
+    partial = re.compile("vc*$")
+
+    def update(key, pdfs, state: GroupState):
+        tail, nm, nem, fml, mcr, seen = (
+            state.get if state.exists else ("", 0, 0, 0, 0, 0)
+        )
+        chunks = [pdf.sort_values(["ts", "event_id"]) for pdf in pdfs]
+        new = "".join("".join(pdf["sym"]) for pdf in chunks)
+        seen += len(new)
+        s = tail + new
+        last_end = 0
+        for m in pat.finditer(s):
+            L = m.end() - m.start()
+            nm += 1
+            nem += L
+            if fml == 0:
+                fml = L
+            mcr = max(mcr, L - 2)
+            last_end = m.end()
+        p = partial.search(s, last_end)
+        tail = p.group(0) if p else ""
+        state.update((tail, nm, nem, fml, mcr, seen))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_matches": [nm],
+                "n_events_matched": [nem],
+                "first_match_len": [fml],
+                "max_click_run": [mcr],
+                "n_events_seen": [seen],
+            }
+        )
+
+    sym = (
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "signup", "s")
+        .otherwise("e")
+    )
+    return (
+        events.select("user_id", "ts", "event_id", sym.alias("sym"))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            "user_id bigint, n_matches bigint, n_events_matched bigint, "
+            "first_match_len bigint, max_click_run bigint, n_events_seen bigint",
+            "tail string, nm bigint, nem bigint, fml bigint, mcr bigint, seen bigint",
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

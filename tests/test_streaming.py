@@ -8,6 +8,7 @@ memory sink, watermarks) produce identical results on the same data.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from spark_graft.registry import REGISTRY
 from spark_graft.streaming import (
@@ -603,3 +604,76 @@ def test_minhash_novelty_stream_equals_batch_gate(spark, tmp_path):
     assert 9 in accepted_stream  # novel content admitted
     # other_id always precedes new_id in arrival (= doc_id) order
     assert all(r["other_id"] < r["new_id"] for r in pairs)
+
+
+def test_cep_pattern_stream_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming CEP == batch events_pattern: the full event table is
+    replayed as THREE time-ordered micro-batches (split on the global
+    (ts, event_id) sort, so cross-batch event-time order holds — the
+    documented CEP precondition) through cep_pattern_stream's
+    partial-suffix state; the final emission per user must equal the
+    batch query exactly, including matches whose view/click-run/purchase
+    SPAN a batch boundary. The split points are arbitrary thirds, so at
+    sf0.001 hundreds of user timelines straddle batch boundaries."""
+    import os
+    import time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_graft.sources import table
+    from spark_graft.streaming import cep_pattern_stream, run_stream_to_memory
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "event_type")
+        .orderBy("ts", "event_id")
+        .toPandas()
+    )
+    src = tmp_path / "cep_src"
+    src.mkdir()
+    cuts = [0, len(ev) // 3, 2 * len(ev) // 3, len(ev)]
+    now = time.time()
+    for i in range(3):
+        chunk = ev.iloc[cuts[i]:cuts[i + 1]]
+        t = pa.Table.from_pandas(chunk, preserve_index=False).cast(
+            pa.schema(
+                [
+                    ("event_id", pa.int64()),
+                    ("ts", pa.timestamp("us")),
+                    ("user_id", pa.int64()),
+                    ("event_type", pa.string()),
+                ]
+            )
+        )
+        pq.write_table(t, str(src / f"c{i}.parquet"))
+        os.utime(src / f"c{i}.parquet", (now + i * 10, now + i * 10))
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    emitted = run_stream_to_memory(cep_pattern_stream(stream), mode="update")
+    # cumulative emissions: the final one per user has the max events seen
+    final = (
+        emitted.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.desc("n_events_seen"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id", "n_matches", "n_events_matched",
+            "first_match_len", "max_click_run",
+        )
+    )
+    batch = REGISTRY["events_pattern"].fn(spark, sf_dir)
+    assert_frames_match(final.toPandas(), batch.toPandas(), "cep stream==batch")
+    # sanity: the stream actually saw 3 batches and real matches exist
+    assert emitted.count() > final.count()
+    assert batch.filter(F.col("n_matches") > 0).count() > 0
