@@ -82,6 +82,89 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 2^32: the md5_bucket_raw value domain ([0, 2^32) from 8 hex chars),
+# so a quality score in [0, 1] maps to a keep threshold exactly.
+_IMP_DOMAIN = 4294967296.0
+
+
+@query(
+    "sample_importance",
+    oracle=f"""
+        WITH q AS (
+            SELECT doc_id,
+                   round(0.5 * least(n_tokens / 64.0, 1.0)
+                         + 0.5 * least(CASE WHEN n_tokens = 0 THEN 0.0
+                                            ELSE tok_chars * 1.0 / n_tokens
+                                       END / 8.0, 1.0),
+                         4) AS quality_score
+            FROM (
+                SELECT doc_id,
+                       len({_TOK}) AS n_tokens,
+                       list_sum(list_transform({_TOK}, t -> length(t))) AS tok_chars
+                FROM documents
+            )
+        )
+        SELECT doc_id, quality_score,
+               round({_IMP_DOMAIN} /
+                     CAST(floor(quality_score * {_IMP_DOMAIN}) AS BIGINT),
+                     6) AS weight
+        FROM q
+        WHERE CAST(('0x' || substr(md5('imp:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT)
+              < CAST(floor(quality_score * {_IMP_DOMAIN}) AS BIGINT)
+    """,
+)
+def sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted importance sampling — the resampling step of a
+    quality-classifier curation pipeline: each document keeps itself
+    with probability equal to its quality score (text_quality's exact
+    Gopher/C4-style formula), and kept rows carry the Horvitz-Thompson
+    weight 1/p so any downstream statistic over the sample stays
+    unbiased for the full corpus. Upsampling high-quality strata this
+    way (rather than hard thresholding) is the published fix for the
+    classifier-bias cliff: low-scoring docs are downweighted, not
+    erased.
+
+    Deterministic like every sampler here: u = md5('imp:' || doc_id)'s
+    leading 32 bits, keep iff u < floor(q * 2^32) — no RNG, stable
+    under re-runs and incremental appends, and the weight is derived
+    from the same integer threshold (not raw q), so weight * p == 1
+    exactly over the realized keep probability. floor() before the
+    bigint cast in BOTH engines: Spark's double->bigint cast truncates
+    while DuckDB's rounds, so the cast itself must never see a
+    fractional value. Plan: pure narrow filter over the scan — zero
+    shuffles at any scale; q = 0 docs (empty/punctuation-only) can
+    never satisfy u < 0, so the weight division is guarded by
+    construction."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.col("toks")
+    base = docs.select("doc_id", tokens("text").alias("toks")).select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.coalesce(
+            F.aggregate(F.transform(toks, F.length), F.lit(0), lambda a, x: a + x),
+            F.lit(0),
+        ).alias("tok_chars"),
+    )
+    atl = F.when(F.col("n_tokens") == 0, 0.0).otherwise(
+        F.col("tok_chars") * 1.0 / F.col("n_tokens")
+    )
+    q = base.select(
+        "doc_id",
+        F.round(
+            0.5 * F.least(F.col("n_tokens") / 64.0, F.lit(1.0))
+            + 0.5 * F.least(atl / 8.0, F.lit(1.0)),
+            4,
+        ).alias("quality_score"),
+    )
+    thresh = F.floor(F.col("quality_score") * _IMP_DOMAIN).cast("bigint")
+    return q.filter(_md5_bucket_raw("imp:", F.col("doc_id")) < thresh).select(
+        "doc_id",
+        "quality_score",
+        F.round(F.lit(_IMP_DOMAIN) / thresh, 6).alias("weight"),
+    )
+
+
 NEW_BATCH_MOD = 10  # doc_id % 10 == 9 plays the "newly arrived" batch
 
 
