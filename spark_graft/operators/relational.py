@@ -1147,3 +1147,158 @@ def agg_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cms_est") - F.col("ct")).alias("overcount"),
         (F.col("cms_est") >= F.col("ct")).alias("never_undercounts"),
     )
+
+
+# KMV / theta sketch: bottom-KMV_K 60-bit hashes per set. 2^60 is the
+# hash domain; (K-1) * DOMAIN / theta is the classic KMV estimator
+# (Bar-Yossef et al., RANDOM'02; Dasgupta et al.'s theta sketches add
+# the set algebra used below).
+KMV_K = 256
+KMV_DOMAIN = 1 << 60
+_KMV_PAIR = ("1-URGENT", "5-LOW")
+
+
+@query(
+    "agg_sketch_kmv",
+    oracle=f"""
+        WITH h AS (
+            SELECT DISTINCT o_orderpriority AS pr,
+                   CAST(('0x' || substr(md5('kmv:' || CAST(o_custkey AS VARCHAR)), 1, 15))
+                        AS BIGINT) AS h
+            FROM orders
+        ),
+        rk AS (
+            SELECT pr, h, row_number() OVER (PARTITION BY pr ORDER BY h) AS rk
+            FROM h
+        ),
+        bot AS (SELECT pr, h, rk FROM rk WHERE rk <= {KMV_K}),
+        per AS (
+            SELECT pr, count(*) AS n_in,
+                   max(CASE WHEN rk = {KMV_K} THEN h END) AS theta
+            FROM bot GROUP BY pr
+        ),
+        tmin AS (
+            SELECT min(coalesce(theta, {KMV_DOMAIN})) AS theta_min
+            FROM per WHERE pr IN ('{_KMV_PAIR[0]}', '{_KMV_PAIR[1]}')
+        ),
+        pairbot AS (
+            SELECT b.pr, b.h FROM bot b, tmin
+            WHERE b.pr IN ('{_KMV_PAIR[0]}', '{_KMV_PAIR[1]}') AND b.h < tmin.theta_min
+        )
+        SELECT pr AS set_label, CAST(n_in AS BIGINT) AS n_in_sketch, theta,
+               CASE WHEN n_in < {KMV_K} THEN n_in * 1.0
+                    ELSE {KMV_K - 1} * 1.0 * {KMV_DOMAIN} / theta END AS est_distinct
+        FROM per
+        UNION ALL
+        SELECT 'union:{_KMV_PAIR[0]}|{_KMV_PAIR[1]}',
+               CAST(count(DISTINCT h) AS BIGINT), (SELECT theta_min FROM tmin),
+               count(DISTINCT h) * 1.0 * {KMV_DOMAIN} / (SELECT theta_min FROM tmin)
+        FROM pairbot
+        UNION ALL
+        SELECT 'intersect:{_KMV_PAIR[0]}|{_KMV_PAIR[1]}',
+               CAST(count(*) AS BIGINT), (SELECT theta_min FROM tmin),
+               count(*) * 1.0 * {KMV_DOMAIN} / (SELECT theta_min FROM tmin)
+        FROM (SELECT h FROM pairbot GROUP BY h HAVING count(DISTINCT pr) = 2)
+    """,
+)
+def agg_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / theta sketch with SET ALGEBRA — the capability HLL lacks:
+    per order priority, the bottom-{KMV_K} 60-bit md5 hashes of its
+    distinct customers give an estimated distinct count ((K-1)*2^60 /
+    theta, exact below K); and because bottom-k sketches compose, the
+    UNION and INTERSECTION of two customer sets are estimated from the
+    two sketches alone — count the (distinct) surviving hashes below
+    theta_min = min(theta_a, theta_b) and rescale. When neither sketch
+    is full, theta_min is the whole domain and every estimate
+    degenerates to the exact count — one formula covers both regimes.
+
+    Scale shape: the only data-sized shuffle is the distinct on
+    (priority, hash); the bottom-k window plans WindowGroupLimit
+    (plan-asserted), so each map task ships AT MOST K rows per
+    priority into the 5-partition window — the map-side partial
+    eviction that makes KMV mergeable is exactly Spark's partial
+    top-k. Everything after is K-bounded. Deterministic md5 hashing
+    (not a seeded RNG) keeps both engines' sketches — and therefore
+    the estimates' full float bits — identical, so the driver
+    hash-gates a SKETCH, not just its contract. The union/intersect
+    labels pin the theta-sketch composition law; the k=256 relative
+    error (~1/sqrt(K-2) ≈ 6%) is asserted against exact counts in
+    tests/test_units.py."""
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("kmv:"), F.col("o_custkey").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    dh = (
+        orders.select(F.col("o_orderpriority").alias("pr"), h.alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("pr").orderBy("h")
+    # ONE scan + ONE bottom-k pass feeds all seven output rows: the
+    # sketch is <= 5*K rows, so materialize it (lineage cut) rather
+    # than let the singles/tmin/union/intersect subtrees each re-derive
+    # the distinct+window over the full table (measured: 7 scans of
+    # orders without this)
+    bot = (
+        dh.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= KMV_K)
+        .localCheckpoint()
+    )
+    per = bot.groupBy("pr").agg(
+        F.count(F.lit(1)).alias("n_in"),
+        F.max(F.when(F.col("rk") == KMV_K, F.col("h"))).alias("theta"),
+    )
+    singles = per.select(
+        F.col("pr").alias("set_label"),
+        F.col("n_in").cast("bigint").alias("n_in_sketch"),
+        "theta",
+        F.when(F.col("n_in") < KMV_K, F.col("n_in") * 1.0)
+        .otherwise(F.lit(float(KMV_K - 1)) * KMV_DOMAIN / F.col("theta"))
+        .alias("est_distinct"),
+    )
+    a, b = _KMV_PAIR
+    tmin = (
+        per.filter(F.col("pr").isin(a, b))
+        .agg(F.min(F.coalesce("theta", F.lit(KMV_DOMAIN))).alias("theta_min"))
+    )
+    pairbot = (
+        bot.filter(F.col("pr").isin(a, b))
+        .crossJoin(F.broadcast(tmin))
+        .filter(F.col("h") < F.col("theta_min"))
+    )
+    # global aggregates (not groupBy theta_min): ALWAYS one row each,
+    # so an empty pair/intersection yields (0, theta, 0.0) exactly like
+    # the oracle's aggregate-without-GROUP BY, never a missing row
+    union_row = (
+        pairbot.agg(F.countDistinct("h").alias("cnt"))
+        .crossJoin(F.broadcast(tmin))
+        .select(
+            F.lit(f"union:{a}|{b}").alias("set_label"),
+            F.col("cnt").cast("bigint").alias("n_in_sketch"),
+            F.col("theta_min").alias("theta"),
+            (F.col("cnt") * 1.0 * KMV_DOMAIN / F.col("theta_min")).alias(
+                "est_distinct"
+            ),
+        )
+    )
+    inter_row = (
+        pairbot.groupBy("h")
+        .agg(F.countDistinct("pr").alias("np"))
+        .filter(F.col("np") == 2)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(tmin))
+        .select(
+            F.lit(f"intersect:{a}|{b}").alias("set_label"),
+            F.col("cnt").cast("bigint").alias("n_in_sketch"),
+            F.col("theta_min").alias("theta"),
+            (F.col("cnt") * 1.0 * KMV_DOMAIN / F.col("theta_min")).alias(
+                "est_distinct"
+            ),
+        )
+    )
+    return singles.unionAll(union_row).unionAll(inter_row)

@@ -110,6 +110,34 @@ def test_topk_per_group_uses_window_group_limit(spark, sf_dir):
     assert "WindowGroupLimit" in plan
 
 
+def test_kmv_bottom_k_plans_partial_window_group_limit(spark, sf_dir):
+    """agg_sketch_kmv's bottom-k stage must plan a PARTIAL
+    WindowGroupLimit before the per-priority exchange — the map-side
+    eviction that makes the KMV sketch mergeable (each map task ships
+    at most K rows per set, however large the distinct-hash stream).
+    Asserted on the pre-checkpoint fragment because the query fn
+    materializes it (the 7 output rows reuse one <=5K-row sketch
+    instead of 7 scans)."""
+    from pyspark.sql import Window
+
+    from spark_graft.operators.relational import KMV_K
+    from spark_graft.sources import table
+
+    orders = table(spark, sf_dir, "orders")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("kmv:"), F.col("o_custkey").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    dh = orders.select(F.col("o_orderpriority").alias("pr"), h.alias("h")).distinct()
+    w = Window.partitionBy("pr").orderBy("h")
+    bot = dh.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= KMV_K)
+    plan = explain_str(bot, "simple")
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
 def test_semi_anti_plan_shapes(spark, sf_dir):
     plan = explain_str(q("join_semi_anti", spark, sf_dir), "simple")
     assert "LeftSemi" in plan and "LeftAnti" in plan

@@ -799,3 +799,62 @@ def test_centroid_memo_invalidates_on_regenerated_parquet(spark, tmp_path):
     write(0.5)
     retrained = lloyd_centroids(spark, str(d), k=4)
     assert retrained != first
+
+
+def test_kmv_estimates_within_error_and_theta_law(spark, sf_dir):
+    """agg_sketch_kmv's estimates must sit within the published KMV
+    error envelope against exact distinct counts (k=256 -> RSE ~
+    1/sqrt(k-2) ~ 6.3%; assert 5 sigma), its exact regime (n_in < K)
+    must be EXACT, and the theta-sketch composition law must hold:
+    inclusion-exclusion over the union/intersect rows is consistent
+    (|A| + |B| estimated below theta_min == union + intersect below
+    theta_min — an identity of the sketch algebra, not an
+    approximation)."""
+    from spark_graft.operators.relational import KMV_K, KMV_DOMAIN, _KMV_PAIR
+    from spark_graft.registry import REGISTRY
+    from spark_graft.sources import table
+
+    rows = {r["set_label"]: r for r in REGISTRY["agg_sketch_kmv"].fn(spark, sf_dir).collect()}
+    exact = {
+        r["pr"]: r["n"]
+        for r in table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("pr"))
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    for pr, n in exact.items():
+        est = rows[pr]["est_distinct"]
+        if rows[pr]["n_in_sketch"] < KMV_K:
+            assert est == float(n), (pr, est, n)
+        else:
+            rse = 1.0 / (KMV_K - 2) ** 0.5
+            assert abs(est - n) <= 5 * rse * n, (pr, est, n)
+    a, b = _KMV_PAIR
+    u, i = rows[f"union:{a}|{b}"], rows[f"intersect:{a}|{b}"]
+    theta_min = u["theta"]
+    assert i["theta"] == theta_min
+    # composition identity: counts below theta_min obey |A|+|B| = |A∪B|+|A∩B|
+    per_counts = {}
+    for pr in (a, b):
+        cnt = (
+            table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderpriority") == pr)
+            .select(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("kmv:"), F.col("o_custkey").cast("string"))),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                )
+                .cast("bigint")
+                .alias("h")
+            )
+            .distinct()
+            .filter(F.col("h") < theta_min)
+            .count()
+        )
+        per_counts[pr] = cnt
+    assert per_counts[a] + per_counts[b] == u["n_in_sketch"] + i["n_in_sketch"]
