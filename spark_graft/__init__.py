@@ -44,7 +44,8 @@ __all__ = ["REGISTRY", "QuerySpec", "query", "load_all_queries"]
 #   sample_importance: NEW this round (corpus encoding with the
 #   trained BPE merges; product-quantized asymmetric-distance ANN;
 #   CEP row-pattern matching; Horvitz-Thompson quality-weighted
-#   sampling; agg_sketch_kmv's theta-sketch set algebra) — never
+#   sampling; agg_sketch_kmv's theta-sketch set algebra;
+#   dedup_containment's asymmetric near-superset pairs) — never
 #   driver-verified, so tier 0 by both rules.
 # - dedup_ngram_jaccard: exact-duplicate token-array collapse before
 #   PPJoin candidate generation (VERDICT r9 item 4) — output pair set
@@ -56,7 +57,7 @@ __all__ = ["REGISTRY", "QuerySpec", "query", "load_all_queries"]
 #   (relpath + sorted walk) are shared plumbing on their executed path.
 _MODIFIED_THIS_ROUND = frozenset(
     """vocab_bpe_apply sim_ann_pq events_pattern sample_importance
-    agg_sketch_kmv dedup_ngram_jaccard
+    agg_sketch_kmv dedup_containment dedup_ngram_jaccard
     kmeans_lloyd sim_ann_ivf_trained dedup_embedding dedup_semantic
     sim_knn_graph sim_hardneg sample_coreset""".split()
 )

@@ -1316,3 +1316,143 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_drop").isNull().alias("keep"),
         )
     )
+
+
+# Containment threshold: C(a -> b) = |Sa ∩ Sb| / |Sa| >= 0.9 flags doc_a
+# as (near-)contained in doc_b. ceil(0.9 * n) in integer arithmetic is
+# (9n + 9) div 10, so both engines prune identically.
+CONTAIN_T_NUM, CONTAIN_T_DEN = 9, 10
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+        sets0 AS (SELECT doc_id, {_SHINGLES} AS sh0 FROM toks WHERE len({_SHINGLES}) > 0),
+        sets AS (
+            SELECT doc_id,
+                   list_transform(sh0,
+                       s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS sh
+            FROM sets0
+        ),
+        sh AS (SELECT doc_id, unnest(sh) AS s FROM sets),
+        freq AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+        ranked AS (
+            SELECT sh.doc_id, sh.s,
+                   row_number() OVER (PARTITION BY sh.doc_id ORDER BY f.df, sh.s) AS rk,
+                   count(*) OVER (PARTITION BY sh.doc_id) AS n
+            FROM sh JOIN freq f ON f.s = sh.s
+        ),
+        prefix AS (
+            SELECT doc_id, s, n FROM ranked
+            WHERE rk <= n - ({CONTAIN_T_NUM} * n + {CONTAIN_T_NUM}) // {CONTAIN_T_DEN} + 1
+        ),
+        lens AS (SELECT doc_id, len(sh) AS n FROM sets),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM prefix a
+            JOIN sh b ON b.s = a.s AND b.doc_id <> a.doc_id
+            JOIN lens lb ON lb.doc_id = b.doc_id
+            WHERE lb.n >= ({CONTAIN_T_NUM} * a.n + {CONTAIN_T_NUM}) // {CONTAIN_T_DEN}
+        )
+        SELECT c.doc_a, c.doc_b,
+               round(len(list_intersect(sa.sh, sb.sh)) * 1.0 / len(sa.sh), 4)
+                   AS containment
+        FROM cand c
+        JOIN sets sa ON sa.doc_id = c.doc_a
+        JOIN sets sb ON sb.doc_id = c.doc_b
+        WHERE len(list_intersect(sa.sh, sb.sh)) * {CONTAIN_T_DEN}
+              >= {CONTAIN_T_NUM} * len(sa.sh)
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT asymmetric n-gram containment pairs at t=0.9: every ORDERED
+    pair (a, b) where >= 90% of a's distinct 3-gram shingles also occur
+    in b — doc_a is (nearly) contained in doc_b. This is the
+    near-SUPERSET detector Jaccard cannot express: a paragraph quoted
+    inside a long page has high containment but low Jaccard, and
+    published training-data dedup drops (or down-weights) the contained
+    side specifically. Complements dedup_span_fraction (per-doc span
+    overlap mass) with pair-level attribution of WHO contains WHOM.
+
+    Candidate generation is the asymmetric prefix filter (the
+    overlap-join form of PPJoin's prefix): C(a->b) >= t forces
+    |Sa ∩ Sb| >= ceil(t*|Sa|), so a's first |Sa| - ceil(t*|Sa|) + 1
+    rarity-ranked shingles must witness every qualifying pair — only
+    THOSE probe the inverted index; the index side keeps all shingles
+    (|Sb| is unconstrained — the superset side of an asymmetric join
+    has no prefix). The index entry is (60-bit shingle, doc_id, n) —
+    16 bytes, never the shingle ARRAYS: candidates leave the buckets
+    as bare id pairs and verification joins them back to the
+    localCheckpoint-materialized per-doc sets (one exact
+    array_intersect per SURVIVING candidate). The in-bucket length
+    filter |Sb| >= ceil(t*|Sa|) prunes before the distinct. All
+    integer threshold arithmetic is (9n+9) div 10 in both engines.
+
+    Scale: one scan builds the checkpointed sets table; the index join
+    touches only rarity-prefix buckets on the probe side, so candidate
+    volume follows the rare end of the df distribution exactly like
+    dedup_ngram_jaccard (same characterized bounded-vocab worst case,
+    same open-vocab ~linear behavior); verification shuffles bare
+    (id, id) pairs plus two id-keyed joins against the 50-element set
+    arrays."""
+    docs = table(spark, sf_dir, "documents")
+    all_sh = shingle_rows(docs).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("bigint").alias("s"),
+    )
+    doc_sets = (
+        all_sh.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("s")).alias("ss"))
+        .withColumn("n", F.size("ss"))
+        .localCheckpoint()
+    )
+    sh = doc_sets.select("doc_id", "n", F.explode("ss").alias("s"))
+    freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") > 1)
+    prefix_len = F.col("n") - F.expr(
+        f"({CONTAIN_T_NUM} * n + {CONTAIN_T_NUM}) div {CONTAIN_T_DEN}"
+    ) + 1
+    prefix = (
+        sh.join(freq, "s", "left")
+        .select("doc_id", "n", "s", F.coalesce("df", F.lit(1)).alias("df"))
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("df", "s"))).alias("ranked"),
+            F.first("n").alias("n"),
+        )
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("n").alias("n_a"),
+            F.explode(
+                F.transform(
+                    F.slice(F.col("ranked"), 1, prefix_len), lambda x: x["s"]
+                )
+            ).alias("s"),
+        )
+    )
+    idx = sh.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"), "s")
+    cand = (
+        prefix.join(idx, "s")
+        .filter(
+            (F.col("doc_a") != F.col("doc_b"))
+            & (
+                F.col("n_b")
+                >= F.expr(f"({CONTAIN_T_NUM} * n_a + {CONTAIN_T_NUM}) div {CONTAIN_T_DEN}")
+            )
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = doc_sets.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("ss_a"))
+    sb = doc_sets.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("ss_b"))
+    inter = F.size(F.array_intersect("ss_a", "ss_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(inter * CONTAIN_T_DEN >= CONTAIN_T_NUM * F.size("ss_a"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter * 1.0 / F.size("ss_a"), 4).alias("containment"),
+        )
+    )
