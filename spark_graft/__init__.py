@@ -72,10 +72,11 @@ _VERIFIED_R7 = frozenset(
     word_count""".split()
 )
 
-# Green last in CORRECTNESS_r08.json — 1 round stale. With ~10
-# modified/new + 13 r7-stale ahead of them, ~27 of these 42 fit the
+# Green last in CORRECTNESS_r08.json — 1 round stale. With 14
+# modified/new + 13 r7-stale ahead of them (simulated this round:
+# window = 14 tier-0 + 13 tier-1 + 23 of these 42), 23 fit the
 # 50-query window; the stable sort admits them in registration order
-# and the remainder become round 11's top priority.
+# and the remaining 19 become round 11's top priority.
 _VERIFIED_R8 = frozenset(
     """agg_pivot agg_q1 agg_sketch_hll agg_skew_salted dedup_exact
     dedup_incremental dedup_incremental_minhash dedup_minhash
