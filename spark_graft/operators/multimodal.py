@@ -155,3 +155,50 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         sample_frames, "doc_id long, frame_idx int, frame_fp int"
     )
+
+
+@query(
+    "multimodal_dedup",
+    oracle="""
+        WITH meta AS (
+            SELECT doc_id,
+                   md5(text) AS digest,
+                   octet_length(encode(text)) AS n_bytes
+            FROM documents
+        )
+        SELECT digest,
+               min(doc_id) AS keep_id,
+               count(*) AS n_copies,
+               CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+               CAST(sum(n_bytes) - min(n_bytes) AS BIGINT) AS reclaimable_bytes
+        FROM meta
+        GROUP BY digest
+    """,
+)
+def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact media dedup by content digest — the first stage of every
+    multimodal pipeline: identical payload bytes (re-crawled images,
+    mirrored videos) collapse to one keep-first representative per
+    md5 group, with the copy count and the storage the collapse
+    reclaims. Runs entirely on metadata (digest + size) — the payload
+    is hashed JVM-side during the scan and never shuffled, which is
+    what makes this viable when the payloads are the 100 TB: the
+    groupBy moves 16-byte digests, not media bytes. Keep-first =
+    min(doc_id), the same deterministic survivor rule as dedup_exact
+    (dedup.py:214); near-dup (perceptual-hash) media dedup would slot
+    in by replacing the digest with a pHash from `decode_payload`'s
+    real decoder."""
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode("text", "utf-8")
+    )
+    meta = docs.select(
+        "doc_id",
+        F.md5("payload").alias("digest"),
+        F.octet_length("payload").alias("n_bytes"),
+    )
+    return meta.groupBy("digest").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+        (F.sum("n_bytes") - F.min("n_bytes")).cast("bigint").alias("reclaimable_bytes"),
+    )
