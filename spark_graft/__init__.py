@@ -46,7 +46,8 @@ __all__ = ["REGISTRY", "QuerySpec", "query", "load_all_queries"]
 #   CEP row-pattern matching; Horvitz-Thompson quality-weighted
 #   sampling; agg_sketch_kmv's theta-sketch set algebra;
 #   dedup_containment's asymmetric near-superset pairs;
-#   multimodal_dedup's content-digest media dedup) — never
+#   multimodal_dedup's content-digest media dedup; text_lm_score's
+#   corpus-bigram LM quality scoring) — never
 #   driver-verified, so tier 0 by both rules.
 # - dedup_ngram_jaccard: exact-duplicate token-array collapse before
 #   PPJoin candidate generation (VERDICT r9 item 4) — output pair set
@@ -58,7 +59,8 @@ __all__ = ["REGISTRY", "QuerySpec", "query", "load_all_queries"]
 #   (relpath + sorted walk) are shared plumbing on their executed path.
 _MODIFIED_THIS_ROUND = frozenset(
     """vocab_bpe_apply sim_ann_pq events_pattern sample_importance
-    agg_sketch_kmv dedup_containment multimodal_dedup dedup_ngram_jaccard
+    agg_sketch_kmv dedup_containment multimodal_dedup text_lm_score
+    dedup_ngram_jaccard
     kmeans_lloyd sim_ann_ivf_trained dedup_embedding dedup_semantic
     sim_knn_graph sim_hardneg sample_coreset""".split()
 )
@@ -73,11 +75,11 @@ _VERIFIED_R7 = frozenset(
     word_count""".split()
 )
 
-# Green last in CORRECTNESS_r08.json — 1 round stale. With 15
+# Green last in CORRECTNESS_r08.json — 1 round stale. With 16
 # modified/new + 13 r7-stale ahead of them (simulated this round:
-# window = 15 tier-0 + 13 tier-1 + 22 of these 42), 22 fit the
+# window = 16 tier-0 + 13 tier-1 + 21 of these 42), 21 fit the
 # 50-query window; the stable sort admits them in registration order
-# and the remaining 20 become round 11's top priority.
+# and the remaining 21 become round 11's top priority.
 _VERIFIED_R8 = frozenset(
     """agg_pivot agg_q1 agg_sketch_hll agg_skew_salted dedup_exact
     dedup_incremental dedup_incremental_minhash dedup_minhash

@@ -578,3 +578,87 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr(f"(tf_sat_fx * idf_fx) div {BM25_SCALE}")).alias("score_fx"),
     )
     return agg.orderBy(F.desc("score_fx"), F.asc("doc_id")).limit(BM25_TOP_DOCS)
+
+
+# parts-per-million scale for the integer-exact transition probability:
+# p(nxt|head) is carried as (1e6 * n) div nh, so the per-doc aggregate
+# is a sum of exact integers in both engines (never a float sum, whose
+# partition-order non-associativity would break the cross-engine hash).
+LM_PPM = 1_000_000
+
+
+@query(
+    "text_lm_score",
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+        pairs AS (
+            SELECT doc_id, ts[i] AS head, ts[i + 1] AS nxt
+            FROM toks, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+        ),
+        counted AS (
+            SELECT head, nxt, count(*) AS n FROM pairs GROUP BY head, nxt
+        ),
+        tot AS (
+            SELECT head, CAST(sum(n) AS BIGINT) AS nh FROM counted GROUP BY head
+        )
+        SELECT p.doc_id,
+               count(*) AS n_bigrams,
+               round(sum(({LM_PPM} * c.n) // t.nh) * 1.0 / count(*), 4)
+                   AS avg_p_ppm,
+               CAST(min(({LM_PPM} * c.n) // t.nh) AS BIGINT) AS min_p_ppm
+        FROM pairs p
+        JOIN counted c ON c.head = p.head AND c.nxt = p.nxt
+        JOIN tot t ON t.head = p.head
+        GROUP BY p.doc_id
+    """,
+)
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based LM quality score (the CCNet idea with the corpus
+    itself as the LM): score every document by the average — and the
+    worst — transition probability of its token bigrams under the
+    corpus bigram model. Garbage/shuffled text has improbable
+    transitions and scores low; repeated boilerplate scores high; both
+    tails are exactly what a curation pipeline filters or reweights
+    (compose with sample_importance). Trained and applied in one query
+    because the corpus IS the training set here; in production the
+    counted/tot tables are the persisted LM asset and scoring is just
+    the two joins.
+
+    Determinism: p(nxt|head) is carried as the INTEGER (1e6*n) div nh —
+    a float sum over doubles would be partition-order dependent and
+    break the cross-engine hash; the integer sum is exact (max 1e6 per
+    bigram * doc length — no overflow headroom issues), with ONE double
+    division at the end. Scale shape: bigram counts and head totals are
+    vocab-bounded aggregates; scoring shuffles doc bigrams once on
+    (head, nxt) and once on head — AQE broadcasts the count tables when
+    they fit (vocabularies usually do), collapsing both joins to
+    map-side. Docs with < 2 tokens have no bigrams and no row, exactly
+    like the oracle's inner joins."""
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", tokens("text").alias("ts"))
+    pairs = base.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("ts") < 2,
+                F.array().cast("array<struct<head:string,nxt:string>>"),
+            ).otherwise(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ts") - 1),
+                    lambda i: F.struct(
+                        F.element_at("ts", i).alias("head"),
+                        F.element_at("ts", i + F.lit(1)).alias("nxt"),
+                    ),
+                )
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.head", "p.nxt")
+    counted = pairs.groupBy("head", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    tot = counted.groupBy("head").agg(F.sum("n").cast("bigint").alias("nh"))
+    ppm = F.expr(f"({LM_PPM} * n) div nh")
+    scored = pairs.join(counted, ["head", "nxt"]).join(tot, "head")
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.sum(ppm) * 1.0 / F.count(F.lit(1)), 4).alias("avg_p_ppm"),
+        F.min(ppm).cast("bigint").alias("min_p_ppm"),
+    )
