@@ -322,7 +322,7 @@ def main() -> None:
     # differs.)
     related = {}
     for name in ("pipeline_clean_corpus", "text_tfidf", "dedup_span_fraction",
-                 "graph_pagerank"):
+                 "graph_pagerank", "dedup_containment", "text_lm_score"):
         z1 = spark_seconds(spark, os.path.join(args.workdir, "zipf_sf1_docs"), name)
         z3 = spark_seconds(spark, os.path.join(args.workdir, "zipf_sf3_docs"), name)
         related[name] = {
