@@ -47,7 +47,8 @@ __all__ = ["REGISTRY", "QuerySpec", "query", "load_all_queries"]
 #   sampling; agg_sketch_kmv's theta-sketch set algebra;
 #   dedup_containment's asymmetric near-superset pairs;
 #   multimodal_dedup's content-digest media dedup; text_lm_score's
-#   corpus-bigram LM quality scoring) — never
+#   corpus-bigram LM quality scoring; events_attribution's
+#   last-touch batch twin of the stream-stream join) — never
 #   driver-verified, so tier 0 by both rules.
 # - dedup_ngram_jaccard: exact-duplicate token-array collapse before
 #   PPJoin candidate generation (VERDICT r9 item 4) — output pair set
@@ -60,6 +61,7 @@ __all__ = ["REGISTRY", "QuerySpec", "query", "load_all_queries"]
 _MODIFIED_THIS_ROUND = frozenset(
     """vocab_bpe_apply sim_ann_pq events_pattern sample_importance
     agg_sketch_kmv dedup_containment multimodal_dedup text_lm_score
+    events_attribution
     dedup_ngram_jaccard
     kmeans_lloyd sim_ann_ivf_trained dedup_embedding dedup_semantic
     sim_knn_graph sim_hardneg sample_coreset""".split()
@@ -75,11 +77,11 @@ _VERIFIED_R7 = frozenset(
     word_count""".split()
 )
 
-# Green last in CORRECTNESS_r08.json — 1 round stale. With 16
+# Green last in CORRECTNESS_r08.json — 1 round stale. With 17
 # modified/new + 13 r7-stale ahead of them (simulated this round:
-# window = 16 tier-0 + 13 tier-1 + 21 of these 42), 21 fit the
+# window = 17 tier-0 + 13 tier-1 + 20 of these 42), 20 fit the
 # 50-query window; the stable sort admits them in registration order
-# and the remaining 21 become round 11's top priority.
+# and the remaining 22 become round 11's top priority.
 _VERIFIED_R8 = frozenset(
     """agg_pivot agg_q1 agg_sketch_hll agg_skew_salted dedup_exact
     dedup_incremental dedup_incremental_minhash dedup_minhash

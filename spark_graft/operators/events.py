@@ -669,3 +669,97 @@ def events_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("max_click_run"),
     )
+
+
+ATTRIB_WINDOW_MIN = 30  # last-touch lookback, matches the streaming join
+
+
+@query(
+    "events_attribution",
+    oracle=f"""
+        WITH p AS (
+            SELECT event_id AS purchase_id, user_id, ts AS pts
+            FROM events WHERE event_type = 'purchase'
+        ),
+        c AS (
+            SELECT event_id AS click_id, user_id, ts AS cts
+            FROM events WHERE event_type = 'click'
+        ),
+        m AS (
+            SELECT p.purchase_id, c.click_id, c.cts,
+                   row_number() OVER (PARTITION BY p.purchase_id
+                                      ORDER BY c.cts DESC, c.click_id DESC) AS rk
+            FROM p JOIN c
+              ON c.user_id = p.user_id
+             AND c.cts <= p.pts
+             AND p.pts - c.cts <= INTERVAL {ATTRIB_WINDOW_MIN} MINUTE
+        )
+        SELECT p.purchase_id, p.user_id, p.pts AS purchase_ts,
+               m.click_id AS last_click_id,
+               CAST((epoch_us(p.pts) - epoch_us(m.cts)) // 1000000 AS BIGINT)
+                   AS secs_to_convert
+        FROM p
+        LEFT JOIN (SELECT purchase_id, click_id, cts FROM m WHERE rk = 1) m
+          ON m.purchase_id = p.purchase_id
+    """,
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAST-TOUCH attribution — the batch-declared twin of the
+    watermarked stream-stream join (spark_graft.streaming
+    attribution_join_stream): every purchase attributed to the user's
+    most recent click within the preceding {ATTRIB_WINDOW_MIN} minutes
+    (ties broken by click_id), NULL when unattributed, plus the exact
+    seconds-to-convert. The streaming variant emits ALL in-window
+    click-purchase pairs under two watermarks; this picks the marketing
+    answer (the last touch) and carries the DuckDB oracle.
+
+    Scale shape: the same interval-binning trick as join_theta_range —
+    both sides get a {ATTRIB_WINDOW_MIN}-minute coarse bucket on the
+    equi key, the purchase side explodes to its own and the PREVIOUS
+    bucket (a qualifying click can only live in those two), so the hash
+    join compares temporally-adjacent events instead of
+    O(per-user-clicks x per-user-purchases). A click's bucket equals
+    exactly one of the two probes, so no pair is generated twice and no
+    distinct is needed. Last-touch is max(struct(cts, cid)) inside the
+    same aggregation — never a window over all pairs — and the final
+    LEFT join re-admits unattributed purchases. Exact integer
+    seconds via unix_micros (epoch_us in DuckDB): no float time math."""
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("pts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("cts"),
+    )
+    win_s = ATTRIB_WINDOW_MIN * 60
+    pb = F.floor(F.unix_timestamp("pts") / win_s)
+    cb = F.floor(F.unix_timestamp("cts") / win_s)
+    p_ex = p.select(
+        "purchase_id", "user_id", "pts", F.explode(F.array(pb, pb - 1)).alias("bkt")
+    )
+    pairs = p_ex.alias("a").join(
+        c.withColumn("bkt", cb).alias("b"),
+        (F.col("a.user_id") == F.col("b.c_user_id"))
+        & (F.col("a.bkt") == F.col("b.bkt"))
+        & (F.col("b.cts") <= F.col("a.pts"))
+        & (
+            F.col("a.pts") - F.col("b.cts")
+            <= F.expr(f"INTERVAL {ATTRIB_WINDOW_MIN} MINUTES")
+        ),
+    )
+    last = (
+        pairs.groupBy("purchase_id")
+        .agg(F.max(F.struct("cts", "click_id")).alias("lc"))
+        .select("purchase_id", F.col("lc.click_id").alias("last_click_id"), F.col("lc.cts").alias("lcts"))
+    )
+    return p.join(last, "purchase_id", "left").select(
+        "purchase_id",
+        "user_id",
+        F.col("pts").alias("purchase_ts"),
+        "last_click_id",
+        F.expr("(unix_micros(pts) - unix_micros(lcts)) div 1000000")
+        .cast("bigint")
+        .alias("secs_to_convert"),
+    )

@@ -202,7 +202,7 @@ def test_events_family_on_adversarial_timeline(spark, tmp_path_factory):
     import duckdb
 
     queries = [
-        "agg_skew_salted", "events_funnel", "events_paths",
+        "agg_skew_salted", "events_attribution", "events_funnel", "events_paths",
         "events_pattern", "events_retention", "fill_forward", "fn_json", "fn_map",
         "join_asof", "join_theta_range", "stream_session",
         "stream_sliding", "stream_tumbling", "ts_anomaly", "ts_resample",
