@@ -40,16 +40,16 @@ __all__ = ["REGISTRY", "QuerySpec", "query", "load_all_queries"]
 
 # Queries whose implementation or shared plumbing changed during
 # ROUND 10 — tier 0, the driver must re-verify them on the new code:
-# - vocab_bpe_apply / sim_ann_pq / events_pattern /
-#   sample_importance: NEW this round (corpus encoding with the
-#   trained BPE merges; product-quantized asymmetric-distance ANN;
-#   CEP row-pattern matching; Horvitz-Thompson quality-weighted
-#   sampling; agg_sketch_kmv's theta-sketch set algebra;
-#   dedup_containment's asymmetric near-superset pairs;
-#   multimodal_dedup's content-digest media dedup; text_lm_score's
-#   corpus-bigram LM quality scoring; events_attribution's
-#   last-touch batch twin of the stream-stream join) — never
-#   driver-verified, so tier 0 by both rules.
+# - NEW this round (never driver-verified, so tier 0 by both rules):
+#   vocab_bpe_apply (corpus encoding with the trained BPE merges),
+#   sim_ann_pq (product-quantized asymmetric-distance ANN),
+#   events_pattern (CEP row-pattern matching), sample_importance
+#   (Horvitz-Thompson quality-weighted sampling), agg_sketch_kmv
+#   (theta-sketch set algebra), dedup_containment (asymmetric
+#   near-superset pairs), multimodal_dedup (content-digest media
+#   dedup), text_lm_score (corpus-bigram LM quality scoring),
+#   events_attribution (last-touch batch twin of the stream-stream
+#   join).
 # - dedup_ngram_jaccard: exact-duplicate token-array collapse before
 #   PPJoin candidate generation (VERDICT r9 item 4) — output pair set
 #   unchanged by construction, but the candidate pipeline changed.
