@@ -462,8 +462,13 @@ def cep_pattern_stream(events: DataFrame) -> DataFrame:
         tail, nm, nem, fml, mcr, seen = (
             state.get if state.exists else ("", 0, 0, 0, 0, 0)
         )
-        chunks = [pdf.sort_values(["ts", "event_id"]) for pdf in pdfs]
-        new = "".join("".join(pdf["sym"]) for pdf in chunks)
+        # ONE global sort after concat — a group's rows can arrive as
+        # several Arrow chunks in nondeterministic order, so sorting
+        # each chunk independently would interleave event-time ranges
+        # (same fix as minhash_novelty_stream's in-batch ordering)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts", "event_id"])
+        new = "".join(batch["sym"])
         seen += len(new)
         s = tail + new
         last_end = 0

@@ -614,7 +614,11 @@ def test_cep_pattern_stream_equals_batch(spark, sf_dir, tmp_path):
     partial-suffix state; the final emission per user must equal the
     batch query exactly, including matches whose view/click-run/purchase
     SPAN a batch boundary. The split points are arbitrary thirds, so at
-    sf0.001 hundreds of user timelines straddle batch boundaries."""
+    sf0.001 hundreds of user timelines straddle batch boundaries.
+    Arrow batches are capped at 64 rows for the run so a group's rows
+    arrive as MULTIPLE out-of-order chunks — pinning the in-batch
+    concat-then-global-sort (per-chunk sorting would interleave
+    event-time ranges and corrupt the symbol string)."""
     import os
     import time
 
@@ -657,7 +661,11 @@ def test_cep_pattern_stream_equals_batch(spark, sf_dir, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .parquet(str(src))
     )
-    emitted = run_stream_to_memory(cep_pattern_stream(stream), mode="update")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+    try:
+        emitted = run_stream_to_memory(cep_pattern_stream(stream), mode="update")
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
     # cumulative emissions: the final one per user has the max events seen
     final = (
         emitted.withColumn(
