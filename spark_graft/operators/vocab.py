@@ -330,9 +330,14 @@ def _bpe_apply_round_ctes(r: int) -> str:
             GROUP BY x, y ORDER BY count(*) DESC, x, y LIMIT 1
         ),
         c{r + 1} AS (
+            -- LEFT JOIN ON TRUE, not CROSS JOIN: when a round finds no
+            -- pair (p{{r}} empty — pairs dried up before BPE_ROUNDS),
+            -- the corpus must pass through unchanged (Spark breaks out
+            -- of the loop and keeps every doc); a cross join against an
+            -- empty p{{r}} would wipe c{{r+1}} and return 0 rows
             SELECT doc_id,
-                   replace(s, '#' || x || '{_BPE_SENT}' || y || '#', '#' || x || ' ' || y || '#') AS s
-            FROM c{r} CROSS JOIN p{r}
+                   coalesce(replace(s, '#' || x || '{_BPE_SENT}' || y || '#', '#' || x || ' ' || y || '#'), s) AS s
+            FROM c{r} LEFT JOIN p{r} ON TRUE
         )"""
 
 

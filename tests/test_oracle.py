@@ -247,3 +247,30 @@ def test_events_family_on_adversarial_timeline(spark, tmp_path_factory):
         spark_pdf = spec.fn(spark, str(d)).toPandas()
         oracle_pdf = con.execute(spec.oracle).df()
         assert_frames_match(spark_pdf, oracle_pdf, f"adversarial:{name}")
+
+
+def test_bpe_apply_survives_dry_merge_rounds(spark, tmp_path_factory):
+    """Regression: a corpus whose bigram pairs dry up BEFORE BPE_ROUNDS
+    rounds (here round 1 merges the only pair, round 2 finds none) must
+    still encode every document. The oracle's per-round corpus CTE used
+    to CROSS JOIN an empty merge-selection row and wipe the corpus to 0
+    rows while Spark (which breaks out of the loop) kept all docs; the
+    row-preserving LEFT JOIN keeps both engines at one row per doc."""
+    import duckdb
+
+    docs = ["x", "a b", "a b", "y"]  # round 1: (a,b); round 2: nothing
+    d = tmp_path_factory.mktemp("drybpe")
+    spark.createDataFrame(
+        [(i, t, "en", "web", len(t)) for i, t in enumerate(docs)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
+    )
+    for name in ("vocab_bpe_apply", "vocab_bpe_train"):
+        spec = REGISTRY[name]
+        spark_pdf = spec.fn(spark, str(d)).toPandas()
+        oracle_pdf = con.execute(spec.oracle).df()
+        assert_frames_match(spark_pdf, oracle_pdf, f"dry-rounds:{name}")
+    assert len(REGISTRY["vocab_bpe_apply"].fn(spark, str(d)).collect()) == len(docs)
