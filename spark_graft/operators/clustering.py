@@ -306,12 +306,18 @@ def make_assigner(
     quantizers) broadcast state, not O(#queries)."""
     parts = _centroid_matrix(cents)
     if spark is not None and len(cents) >= _hier_k_min():
+        sc = spark.sparkContext
         if not transient:
-            key = _cents_key(parts[0], parts[1])
+            # key includes the SparkContext identity: _CENTROID_MEMO is
+            # plain data and survives a session restart, but a cached
+            # broadcast belongs to the STOPPED context — reusing it
+            # would fail with "Broadcast used after SparkContext
+            # shutdown" instead of rebroadcasting under the new one
+            key = (sc.applicationId, *_cents_key(parts[0], parts[1]))
             cached = _BC_ASSIGNER_CACHE.get(key)
             if cached is not None:
                 return cached
-        bc = spark.sparkContext.broadcast(_HierAssigner(*parts))
+        bc = sc.broadcast(_HierAssigner(*parts))
         assigner = _BroadcastAssigner(bc)
         if not transient:
             _BC_ASSIGNER_CACHE[key] = assigner
