@@ -1158,6 +1158,28 @@ KMV_DOMAIN = 1 << 60
 _KMV_PAIR = ("1-URGENT", "5-LOW")
 
 
+def kmv_bottom_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KMV sketch's bottom-k stage (pre-checkpoint): distinct
+    (priority, 60-bit md5 hash) pairs, then the k smallest hashes per
+    priority via a rank window. Shared by `agg_sketch_kmv` and the plan
+    test that pins the PARTIAL WindowGroupLimit (the map-side eviction
+    that makes the sketch mergeable) — the test must assert on the
+    SHIPPED fragment, not a copy that could go stale."""
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("kmv:"), F.col("o_custkey").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    dh = orders.select(F.col("o_orderpriority").alias("pr"), h.alias("h")).distinct()
+    w = Window.partitionBy("pr").orderBy("h")
+    return dh.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= KMV_K)
+
+
 @query(
     "agg_sketch_kmv",
     oracle=f"""
@@ -1224,31 +1246,12 @@ def agg_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels pin the theta-sketch composition law; the k=256 relative
     error (~1/sqrt(K-2) ≈ 6%) is asserted against exact counts in
     tests/test_units.py."""
-    from pyspark.sql import Window
-
-    orders = table(spark, sf_dir, "orders")
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit("kmv:"), F.col("o_custkey").cast("string"))), 1, 15
-        ),
-        16,
-        10,
-    ).cast("bigint")
-    dh = (
-        orders.select(F.col("o_orderpriority").alias("pr"), h.alias("h"))
-        .distinct()
-    )
-    w = Window.partitionBy("pr").orderBy("h")
     # ONE scan + ONE bottom-k pass feeds all seven output rows: the
     # sketch is <= 5*K rows, so materialize it (lineage cut) rather
     # than let the singles/tmin/union/intersect subtrees each re-derive
     # the distinct+window over the full table (measured: 7 scans of
     # orders without this)
-    bot = (
-        dh.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= KMV_K)
-        .localCheckpoint()
-    )
+    bot = kmv_bottom_k(spark, sf_dir).localCheckpoint()
     per = bot.groupBy("pr").agg(
         F.count(F.lit(1)).alias("n_in"),
         F.max(F.when(F.col("rk") == KMV_K, F.col("h"))).alias("theta"),

@@ -1,6 +1,7 @@
 from spark_graft.streaming.structured import (
     attribution_join_stream,
     cep_pattern_stream,
+    cms_cells_stream,
     dedup_stream,
     events_stream,
     minhash_novelty_stream,
@@ -15,6 +16,7 @@ from spark_graft.streaming.structured import (
 __all__ = [
     "attribution_join_stream",
     "cep_pattern_stream",
+    "cms_cells_stream",
     "run_stream_foreach_batch_to_parquet",
     "dedup_stream",
     "events_stream",

@@ -256,7 +256,7 @@ def sliding_counts_stream(events: DataFrame) -> DataFrame:
 
 def cms_cells_stream(events: DataFrame) -> DataFrame:
     """Streaming count-min sketch: per watermarked 1-hour tumbling
-    window, the {CMS_DEPTH}x{CMS_WIDTH} cell grid of `agg_sketch_cms`
+    window, the CMS_DEPTH x CMS_WIDTH (4x256) cell grid of `agg_sketch_cms`
     (operators.relational) built over user_id frequencies — the
     heavy-hitter monitoring half of production frequency tracking,
     running incrementally.

@@ -115,26 +115,13 @@ def test_kmv_bottom_k_plans_partial_window_group_limit(spark, sf_dir):
     WindowGroupLimit before the per-priority exchange — the map-side
     eviction that makes the KMV sketch mergeable (each map task ships
     at most K rows per set, however large the distinct-hash stream).
-    Asserted on the pre-checkpoint fragment because the query fn
-    materializes it (the 7 output rows reuse one <=5K-row sketch
-    instead of 7 scans)."""
-    from pyspark.sql import Window
+    Asserted on the SHIPPED pre-checkpoint fragment (the query fn
+    materializes it so the 7 output rows reuse one <=5K-row sketch
+    instead of 7 scans) — kmv_bottom_k is the same function the query
+    calls, so this cannot go stale against the production plan."""
+    from spark_graft.operators.relational import kmv_bottom_k
 
-    from spark_graft.operators.relational import KMV_K
-    from spark_graft.sources import table
-
-    orders = table(spark, sf_dir, "orders")
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit("kmv:"), F.col("o_custkey").cast("string"))), 1, 15
-        ),
-        16,
-        10,
-    ).cast("bigint")
-    dh = orders.select(F.col("o_orderpriority").alias("pr"), h.alias("h")).distinct()
-    w = Window.partitionBy("pr").orderBy("h")
-    bot = dh.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= KMV_K)
-    plan = explain_str(bot, "simple")
+    plan = explain_str(kmv_bottom_k(spark, sf_dir), "simple")
     assert "WindowGroupLimit" in plan and "Partial" in plan
 
 
