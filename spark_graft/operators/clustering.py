@@ -51,6 +51,21 @@ Q_SHIFT = 1.0  # data range is (-1, 1); shifting keeps quantized values
 # positive so integer-division semantics (floor vs truncate) agree
 # between engines by never being exercised on negatives
 
+
+def quantize_vec(xs) -> list[int]:
+    """Fixed-point HALF-UP quantization of ONE float vector — the
+    scalar twin of the `_quantize_assign` matrix kernel below (identical
+    IEEE-double arithmetic: math.floor on float64 == np.floor). Every
+    driver-side quantization (trained-IVF probe, PQ probe, PQ codebook
+    seeds) must go through this ONE definition: the cross-engine
+    determinism contract hinges on train/encode/probe staying
+    bit-identical, so a drift in any one re-implementation would
+    silently desynchronize them."""
+    import math
+
+    return [math.floor((float(x) + Q_SHIFT) * Q_SCALE + 0.5) for x in xs]
+
+
 # the inner CAST AS DOUBLE is load-bearing: DuckDB would otherwise run
 # the whole expression in FLOAT (7 significant digits — off-by-one at
 # the 1e6 quantization scale), while Spark computes in double

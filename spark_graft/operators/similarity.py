@@ -23,6 +23,7 @@ from spark_graft.operators.clustering import (
     _QV,
     assignment_udf,
     lloyd_centroids,
+    quantize_vec,
 )
 from spark_graft.registry import query
 from spark_graft.sources import table
@@ -387,7 +388,6 @@ def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment+filter is narrow, rescore is TakeOrderedAndProject; at
     100 TB the assignment is precomputed once as the partition layout
     and a query touches only nprobe partitions."""
-    import math
 
     cents = lloyd_centroids(spark, sf_dir)
     probe = _probe_vector(spark, sf_dir)
@@ -395,7 +395,7 @@ def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _empty_topk(spark)
     # HALF_UP quantization, matching F.round / DuckDB round on the
     # non-negative shifted values (python round() is HALF_EVEN)
-    qp = [math.floor((x + Q_SHIFT) * Q_SCALE + 0.5) for x in probe]
+    qp = quantize_vec(probe)
     nearest = sorted(
         (sum((a - b) ** 2 for a, b in zip(qp, cv)), cid)
         for cid, cv in sorted(cents.items())
@@ -792,16 +792,13 @@ def _pq_codebooks(spark: SparkSession, e: DataFrame, sub_d: int):
     ints reach the driver. Returns per-subspace {codeword_id: ints};
     codewords that lose every member in the update round drop out,
     exactly like lloyd_centroids (and the oracle's c1)."""
-    import math
 
     seeds = e.select("vec_id", "embedding").orderBy("vec_id").limit(PQ_KS).collect()
     if not seeds:
         return None
     cb: list[dict[int, list[int]]] = [dict() for _ in range(PQ_M)]
     for r in seeds:
-        q = [
-            math.floor((float(x) + Q_SHIFT) * Q_SCALE + 0.5) for x in r["embedding"]
-        ]
+        q = quantize_vec(r["embedding"])
         for m in range(PQ_M):
             cb[m][int(r["vec_id"])] = q[m * sub_d : (m + 1) * sub_d]
     parts = [_pq_cb_parts(cb[m]) for m in range(PQ_M)]
@@ -961,9 +958,8 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     sub_d = len(probe) // PQ_M
     cb = _pq_codebooks(spark, e, sub_d)
-    import math
 
-    qp = [math.floor((x + Q_SHIFT) * Q_SCALE + 0.5) for x in probe]
+    qp = quantize_vec(probe)
     parts = [_pq_cb_parts(cb[m]) for m in range(PQ_M)]
     # asymmetric distance table: probe sub-vector vs every codeword,
     # integer d2 — PQ_M x PQ_KS ints, computed driver-side and shipped
