@@ -314,6 +314,18 @@ def minhash_novelty_stream(docs: DataFrame) -> DataFrame:
     new_ids}, the batch gate's keep-first contract when arrival order
     is doc_id order.
 
+    PAIR MULTIPLICITY CONTRACT: a pair colliding in several bands is
+    emitted once PER COLLIDING BAND (at most N_BANDS times) — the
+    standard LSH-banding at-least-once behavior, because each (band,
+    sig) bucket is an independent state group and cross-group dedup
+    would need a second stateful operator (a chained streaming
+    dropDuplicates after applyInPandasWithState fails in Spark 4.1 with
+    a columnar-row cast error — measured, not assumed; in production
+    the downstream dedup lives in the foreachBatch sink, where the
+    micro-batch is a plain DataFrame). The batch twin dedups candidate
+    pairs before verifying; consumers of THIS stream must treat the
+    pair feed as a set, as the equivalence test does.
+
     Spark-first mechanics: signatures are computed as NARROW HOF
     expressions (one md5 per shingle, double-hashed minima via
     array_min/transform — no explode+groupBy, which would be a second

@@ -604,6 +604,14 @@ def test_minhash_novelty_stream_equals_batch_gate(spark, tmp_path):
     assert 9 in accepted_stream  # novel content admitted
     # other_id always precedes new_id in arrival (= doc_id) order
     assert all(r["other_id"] < r["new_id"] for r in pairs)
+    # pair-multiplicity contract: a pair may repeat once per colliding
+    # band (consumers dedup), but never more than N_BANDS times
+    from collections import Counter
+
+    from spark_graft.operators.dedup import N_BANDS
+
+    mult = Counter((r["new_id"], r["other_id"]) for r in pairs)
+    assert max(mult.values()) <= N_BANDS, mult.most_common(3)
 
 
 def test_cep_pattern_stream_equals_batch(spark, sf_dir, tmp_path):
