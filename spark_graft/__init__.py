@@ -50,6 +50,10 @@ __all__ = ["REGISTRY", "QuerySpec", "query", "load_all_queries"]
 #   dedup), text_lm_score (corpus-bigram LM quality scoring),
 #   events_attribution (last-touch batch twin of the stream-stream
 #   join).
+# - fn_json / fn_map: JSON value-type semantics pinned (try_cast for
+#   non-integral k; the map oracle now requires every value to be a
+#   JSON null or int32 exactly like from_json('map<string,int>')) —
+#   both Spark exprs and oracles changed, so tier 0.
 # - dedup_ngram_jaccard: exact-duplicate token-array collapse before
 #   PPJoin candidate generation (VERDICT r9 item 4) — output pair set
 #   unchanged by construction, but the candidate pipeline changed.
@@ -61,7 +65,7 @@ __all__ = ["REGISTRY", "QuerySpec", "query", "load_all_queries"]
 _MODIFIED_THIS_ROUND = frozenset(
     """vocab_bpe_apply sim_ann_pq events_pattern sample_importance
     agg_sketch_kmv dedup_containment multimodal_dedup text_lm_score
-    events_attribution
+    events_attribution fn_json fn_map
     dedup_ngram_jaccard
     kmeans_lloyd sim_ann_ivf_trained dedup_embedding dedup_semantic
     sim_knn_graph sim_hardneg sample_coreset""".split()
@@ -77,11 +81,11 @@ _VERIFIED_R7 = frozenset(
     word_count""".split()
 )
 
-# Green last in CORRECTNESS_r08.json — 1 round stale. With 17
+# Green last in CORRECTNESS_r08.json — 1 round stale. With 19
 # modified/new + 13 r7-stale ahead of them (simulated this round:
-# window = 17 tier-0 + 13 tier-1 + 20 of these 42), 20 fit the
+# window = 19 tier-0 + 13 tier-1 + 18 of these 42), 18 fit the
 # 50-query window; the stable sort admits them in registration order
-# and the remaining 22 become round 11's top priority.
+# and the remaining 24 become round 11's top priority.
 _VERIFIED_R8 = frozenset(
     """agg_pivot agg_q1 agg_sketch_hll agg_skew_salted dedup_exact
     dedup_incremental dedup_incremental_minhash dedup_minhash
@@ -103,7 +107,7 @@ _VERIFIED_R8 = frozenset(
 # _MODIFIED_THIS_ROUND.)
 _VERIFIED_R9 = frozenset(
     """agg_histogram agg_sketch_cms decontaminate dedup_clusters
-    dedup_simhash fn_array fn_datetime fn_json fn_map fn_math_decimal
+    dedup_simhash fn_array fn_datetime fn_math_decimal
     fn_string fn_struct graph_pagerank graph_triangles join_asof
     join_bloom join_inner join_q2_shape join_semi_anti join_theta_range
     mixture_weights pipeline_clean_corpus pipeline_pack_sequences

@@ -105,8 +105,13 @@ def fn_math_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_json",
     oracle="""
         SELECT event_id,
-               CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
-                         THEN json_extract_string(props, '$.k') END AS INT) AS k_val,
+               -- integral-pattern guard before TRY_CAST: DuckDB
+               -- string->int casting ROUNDS ('2.7' -> 3) where Spark's
+               -- try_cast yields NULL
+               TRY_CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
+                              AND regexp_matches(trim(coalesce(json_extract_string(props, '$.k'), '')),
+                                                 '^[+-]?[0-9]+$')
+                             THEN json_extract_string(props, '$.k') END AS INT) AS k_val,
                (CASE WHEN props IS NOT NULL AND json_valid(props)
                      THEN json_extract_string(props, '$.k') END IS NOT NULL) AS has_k
         FROM events
@@ -125,7 +130,10 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.get_json_object("props", "$.k")
     return table(spark, sf_dir, "events").select(
         "event_id",
-        k.cast("int").alias("k_val"),
+        # try_cast, not cast: under ANSI a non-integral k ('{"k":"abc"}',
+        # '{"k":2.7}') would RAISE mid-scan in both engines; the declared
+        # degradation is NULL (TRY_CAST in the oracle mirrors it)
+        k.try_cast("int").alias("k_val"),
         k.isNotNull().alias("has_k"),
     )
 
@@ -162,17 +170,29 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT event_id, props,
                    -- json_type must stay inside CASE: DuckDB's AND does
                    -- not short-circuit, and json_type RAISES on
-                   -- malformed input (json_valid alone is total)
-                   coalesce(CASE WHEN props IS NOT NULL AND json_valid(props)
-                                 THEN json_type(props) END = 'OBJECT',
-                            false) AS ok
+                   -- malformed input (json_valid alone is total).
+                   -- Spark's from_json('map<string,int>') NULLs the
+                   -- WHOLE map if ANY value fails int parsing, so ok
+                   -- additionally requires every value to be a JSON
+                   -- null or an int32-range integer (keys are quoted
+                   -- into the path so dotted keys don't split it).
+                   coalesce(
+                       CASE WHEN props IS NOT NULL AND json_valid(props) THEN
+                           CASE WHEN json_type(props) = 'OBJECT' THEN
+                               len(list_filter(json_keys(props), kk ->
+                                   NOT (json_type(props, '$."' || kk || '"') = 'NULL'
+                                        OR (json_type(props, '$."' || kk || '"') IN ('BIGINT', 'UBIGINT')
+                                            AND TRY_CAST(json_extract_string(props, '$."' || kk || '"') AS INT)
+                                                IS NOT NULL)))) = 0
+                           ELSE false END
+                       END, false) AS ok
             FROM events
         )
         SELECT event_id,
                CASE WHEN ok THEN
                    coalesce(array_to_string(list_sort(CAST(json_keys(props) AS VARCHAR[])), ','), '')
                END AS ks,
-               CAST(CASE WHEN ok THEN json_extract_string(props, '$.k') END AS INT) AS k_val,
+               TRY_CAST(CASE WHEN ok THEN json_extract_string(props, '$.k') END AS INT) AS k_val,
                CASE WHEN ok THEN len(json_keys(props)) END AS n_keys
         FROM g
     """,

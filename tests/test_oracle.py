@@ -231,6 +231,17 @@ def test_events_family_on_adversarial_timeline(spark, tmp_path_factory):
     add(dt.datetime(2024, 1, 8, 6, 0, 0, 1), 5, "purchase", 1.5, '{"k": 0}')
     for day in (1, 2, 8):  # retention cohort offsets 0/1/7
         add(dt.datetime(2024, 1, day, 10, 0, 0), 6, "view", 3.0, '{"k": 6}')
+    # JSON value-type edges (r10): non-int values, floats (DuckDB string
+    # casts ROUND '2.7' where Spark try_cast NULLs), JSON nulls, int32
+    # overflow, booleans, arrays, quoted numbers, dotted keys, nesting —
+    # fn_json/fn_map must degrade to NULL identically, never raise
+    for j, props in enumerate([
+        '{"k": "abc"}', '{"k": 2.7}', '{"k": null}', '{"k": 3000000000}',
+        '{"k": true}', '[1, 2]', '{"k": "1"}', '{"a.b": 2, "k": 3}',
+        '{"k": -5}', '{"k": 2147483648}', '{"nested": {"x": 1}, "k": 2}',
+        '{"a": "x", "k": 1}',
+    ]):
+        add(dt.datetime(2024, 1, 9, 1, j, 0), 7, "view", 1.0, props)
 
     d = tmp_path_factory.mktemp("advevents")
     spark.createDataFrame(
