@@ -54,6 +54,9 @@ __all__ = ["REGISTRY", "QuerySpec", "query", "load_all_queries"]
 #   non-integral k; the map oracle now requires every value to be a
 #   JSON null or int32 exactly like from_json('map<string,int>')) —
 #   both Spark exprs and oracles changed, so tier 0.
+# - agg_corr_exact / win_dist: relational adversarial net fixes
+#   (explicit NULL for zero-variance correlation; NULLS FIRST pinned
+#   in the distribution-window oracle) — tier 0.
 # - dedup_ngram_jaccard: exact-duplicate token-array collapse before
 #   PPJoin candidate generation (VERDICT r9 item 4) — output pair set
 #   unchanged by construction, but the candidate pipeline changed.
@@ -65,7 +68,7 @@ __all__ = ["REGISTRY", "QuerySpec", "query", "load_all_queries"]
 _MODIFIED_THIS_ROUND = frozenset(
     """vocab_bpe_apply sim_ann_pq events_pattern sample_importance
     agg_sketch_kmv dedup_containment multimodal_dedup text_lm_score
-    events_attribution fn_json fn_map
+    events_attribution fn_json fn_map agg_corr_exact win_dist
     dedup_ngram_jaccard
     kmeans_lloyd sim_ann_ivf_trained dedup_embedding dedup_semantic
     sim_knn_graph sim_hardneg sample_coreset""".split()
@@ -75,17 +78,17 @@ _MODIFIED_THIS_ROUND = frozenset(
 # r9 item 1 names. They go first among unmodified queries in round
 # 10's window.
 _VERIFIED_R7 = frozenset(
-    """agg_approx agg_approx_percentile agg_bool_all agg_corr_exact
+    """agg_approx agg_approx_percentile agg_bool_all
     agg_distinct agg_percentile filter_in_null filter_pred
     grouping_sets profile_table scan_project text_lines
     word_count""".split()
 )
 
-# Green last in CORRECTNESS_r08.json — 1 round stale. With 19
-# modified/new + 13 r7-stale ahead of them (simulated this round:
-# window = 19 tier-0 + 13 tier-1 + 18 of these 42), 18 fit the
+# Green last in CORRECTNESS_r08.json — 1 round stale. With 21
+# modified/new + 12 r7-stale ahead of them (simulated this round:
+# window = 21 tier-0 + 12 tier-1 + 17 of these 42), 17 fit the
 # 50-query window; the stable sort admits them in registration order
-# and the remaining 24 become round 11's top priority.
+# and the remaining 25 become round 11's top priority.
 _VERIFIED_R8 = frozenset(
     """agg_pivot agg_q1 agg_sketch_hll agg_skew_salted dedup_exact
     dedup_incremental dedup_incremental_minhash dedup_minhash
@@ -114,7 +117,7 @@ _VERIFIED_R9 = frozenset(
     recursive_reachability sim_ann_ivf sim_ann_lsh sim_cosine_topk
     source_stats text_bm25 text_langid text_quality text_scrub
     text_stats text_tokens udf_compat_iterative udf_pandas_tokens
-    vocab_bpe_train win_dist win_lag win_range win_rank
+    vocab_bpe_train win_lag win_range win_rank
     win_running""".split()
 )
 

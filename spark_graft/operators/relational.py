@@ -973,9 +973,16 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM lineitem GROUP BY l_returnflag
         )
         SELECT l_returnflag, n,
-               round((n * sxy - sx * sy)
-                     / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
-                   AS corr_qty_price
+               -- correlation is UNDEFINED for zero variance (n = 1, or
+               -- an all-tied group): explicit NULL in both engines
+               -- (DuckDB's x/0.0 happens to return NULL; Spark under
+               -- ANSI raises — the CASE makes the contract explicit
+               -- rather than leaning on either engine's default)
+               CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0
+                    THEN NULL
+                    ELSE round((n * sxy - sx * sy)
+                               / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+               END AS corr_qty_price
         FROM s
     """,
 )
@@ -1006,11 +1013,17 @@ def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dp * dp).cast("double").alias("syy"),
         F.sum(dq * dp).cast("double").alias("sxy"),
     )
-    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    var2 = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * (
+        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
     )
-    return s.select("l_returnflag", "n", F.round(corr, 6).alias("corr_qty_price"))
+    corr = F.when(
+        var2 == 0, F.lit(None).cast("double")
+    ).otherwise(
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(var2), 6
+        )
+    )
+    return s.select("l_returnflag", "n", corr.alias("corr_qty_price"))
 
 
 # ------------------------------------------------------------ agg_sketch_cms

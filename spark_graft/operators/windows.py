@@ -137,7 +137,11 @@ def win_range(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(percent_rank() OVER w, 6) AS pct_rank,
                round(cume_dist() OVER w, 6) AS cume
         FROM customer
-        WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+        -- NULLS FIRST: Spark ASC defaults to nulls-first while
+        -- DuckDB windows default to nulls-last; global_rank's bucket
+        -- assignment (NULL > cut IS NULL -> bucket 0) already sorts
+        -- NULL acctbals first, so the oracle must pin the same order
+        WINDOW w AS (ORDER BY c_acctbal NULLS FIRST, c_custkey)
     """,
 )
 def win_dist(spark: SparkSession, sf_dir: str) -> DataFrame:

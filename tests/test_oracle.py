@@ -285,3 +285,89 @@ def test_bpe_apply_survives_dry_merge_rounds(spark, tmp_path_factory):
         oracle_pdf = con.execute(spec.oracle).df()
         assert_frames_match(spark_pdf, oracle_pdf, f"dry-rounds:{name}")
     assert len(REGISTRY["vocab_bpe_apply"].fn(spark, str(d)).collect()) == len(docs)
+
+
+# TPC-H-only oracled queries (their SQL references no events/documents/
+# embeddings table), auto-enrolled so new relational queries join the
+# net without editing this file.
+TPCH_TABLES = ("region", "nation", "customer", "supplier", "part",
+               "orders", "lineitem")
+TPCH_ONLY = sorted(
+    n for n, s in REGISTRY.items()
+    if s.oracle is not None
+    and any(_re.search(rf"\b{t}\b", s.oracle.lower()) for t in TPCH_TABLES)
+    and not any(_re.search(rf"\b{t}\b", s.oracle.lower())
+                for t in ("events", "documents", "embeddings"))
+)
+
+
+def test_relational_family_on_adversarial_tables(spark, tmp_path_factory):
+    """Fixture-independence net for the relational family (the largest —
+    40+ queries): every TPC-H-only oracled query must hash-match DuckDB
+    on handcrafted adversarial tables the generated fixtures never
+    exhibit — NULL foreign keys and NULL measures, dangling references
+    (orders whose customer doesn't exist), join partners with NO matches
+    in either direction (a nation with no customers, a region with no
+    nations), duplicate keys on the many side, all-tied sort/rank keys,
+    zero and negative amounts, zero-discount boundaries, single-row and
+    two-row tables, and groups of size one. Catches fixture-shaped
+    assumptions (referential integrity, non-null measures, diverse
+    group keys, no ties) that the sf sweeps cannot."""
+    import datetime as dt
+
+    import duckdb
+
+    d = tmp_path_factory.mktemp("advtpch")
+    T = dt.datetime(1995, 6, 15)
+
+    def w(name, rows, schema):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(d / f"{name}.parquet")
+        )
+
+    w("region", [(0, "EMPTY REGION"), (1, "ASIA")], "r_regionkey int, r_name string")
+    # nation 3 dangles to a missing region; nation 2 has no customers
+    w("nation",
+      [(0, "JAPAN", 1), (1, "CHINA", 1), (2, "LONELY", 1), (3, "DANGLING", 99)],
+      "n_nationkey int, n_name string, n_regionkey int")
+    w("customer",
+      [(1, "Customer#1", 0, -999.99, "BUILDING"),
+       (2, "Customer#2", 0, 0.0, "BUILDING"),      # duplicate segment+nation
+       (3, "Customer#3", 1, None, "MACHINERY"),    # NULL acctbal
+       (4, "Customer#4", 99, 5.0, "RARESEG"),      # dangling nation
+       (5, "Cust", 1, 5.0, "MACHINERY")],          # short name (prefix edge)
+      "c_custkey bigint, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string")
+    w("supplier",
+      [(1, "Supplier#1", 0, 1.0)],
+      "s_suppkey bigint, s_name string, s_nationkey int, s_acctbal double")
+    w("part",
+      [(1, "part one", "B#1", "TYPE A", 1, 10.0),
+       (2, "part two", "B#1", "TYPE A", 1, 10.0),  # full tie with part 1
+       (3, "part three", "B#2", "TYPE B", 50, 0.0)],  # zero price
+      "p_partkey bigint, p_name string, p_brand string, p_type string, p_size int, p_retailprice double")
+    w("orders",
+      [(10, 1, "O", 100.0, T, "1-URGENT"),
+       (11, 1, "O", 100.0, T, "1-URGENT"),          # exact tie, same cust
+       (12, None, "F", 50.0, T, "5-LOW"),           # NULL custkey
+       (13, 999, "F", None, T, "5-LOW"),            # dangling cust + NULL price
+       (14, 3, "P", 0.0, dt.datetime(1992, 1, 1), "3-MEDIUM")],
+      "o_orderkey bigint, o_custkey bigint, o_orderstatus string, o_totalprice double, o_orderdate timestamp, o_orderpriority string")
+    w("lineitem",
+      [(10, 1, 1, 1, 1.0, 100.0, 0.0, 0.0, "N", "O", T),   # zero discount/tax
+       (10, 2, 1, 2, 0.0, 0.0, 0.06, 0.02, "N", "O", T),   # zero qty+price
+       (11, 3, 1, 1, 50.0, 1000.0, 0.1, 0.08, "R", "F", dt.datetime(1999, 1, 1)),  # post-cutoff shipdate
+       (99, 1, 1, 1, 5.0, 5.0, 0.02, 0.0, "A", "F", T)],   # dangling order
+      "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, l_linenumber int, "
+      "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+      "l_returnflag string, l_linestatus string, l_shipdate timestamp")
+
+    con = duckdb.connect()
+    for t in TPCH_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet/*.parquet'"
+        )
+    for name in TPCH_ONLY:
+        spec = REGISTRY[name]
+        spark_pdf = spec.fn(spark, str(d)).toPandas()
+        oracle_pdf = con.execute(spec.oracle).df()
+        assert_frames_match(spark_pdf, oracle_pdf, f"adversarial:{name}")
