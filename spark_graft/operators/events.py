@@ -588,7 +588,12 @@ CEP_PATTERN = "vc+p"
                                   WHEN 'purchase' THEN 'p'
                                   WHEN 'signup' THEN 's'
                                   ELSE 'e' END,
-                              '' ORDER BY ts, event_id) AS s
+                              -- NULLS FIRST pinned: Spark's array_sort
+                              -- over struct(ts, event_id, sym) places a
+                              -- NULL ts field first, DuckDB's ORDER BY
+                              -- defaults NULLS LAST (same pin as the
+                              -- win_dist r10 fix)
+                              '' ORDER BY ts NULLS FIRST, event_id) AS s
             FROM events GROUP BY user_id
         ),
         m AS (

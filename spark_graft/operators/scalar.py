@@ -175,14 +175,24 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
                    -- WHOLE map if ANY value fails int parsing, so ok
                    -- additionally requires every value to be a JSON
                    -- null or an int32-range integer (keys are quoted
-                   -- into the path so dotted keys don't split it).
+                   -- into the path so dotted keys don't split it, and
+                   -- \\ / " inside a key are path-escaped so a key like
+                   -- a"b or c\\d can't break the path — an unescaped
+                   -- quote RAISES a JSON path error mid-query where
+                   -- Spark's from_json parses any key fine).
                    coalesce(
                        CASE WHEN props IS NOT NULL AND json_valid(props) THEN
                            CASE WHEN json_type(props) = 'OBJECT' THEN
-                               len(list_filter(json_keys(props), kk ->
-                                   NOT (json_type(props, '$."' || kk || '"') = 'NULL'
-                                        OR (json_type(props, '$."' || kk || '"') IN ('BIGINT', 'UBIGINT')
-                                            AND TRY_CAST(json_extract_string(props, '$."' || kk || '"') AS INT)
+                               len(list_filter(
+                                   list_transform(
+                                       json_keys(props),
+                                       kraw -> '$."' ||
+                                               replace(replace(kraw, '\\', '\\\\'),
+                                                       '"', '\\"') || '"'),
+                                   kk ->
+                                   NOT (json_type(props, kk) = 'NULL'
+                                        OR (json_type(props, kk) IN ('BIGINT', 'UBIGINT')
+                                            AND TRY_CAST(json_extract_string(props, kk) AS INT)
                                                 IS NOT NULL)))) = 0
                            ELSE false END
                        END, false) AS ok

@@ -240,6 +240,12 @@ def test_events_family_on_adversarial_timeline(spark, tmp_path_factory):
         '{"k": true}', '[1, 2]', '{"k": "1"}', '{"a.b": 2, "k": 3}',
         '{"k": -5}', '{"k": 2147483648}', '{"nested": {"x": 1}, "k": 2}',
         '{"a": "x", "k": 1}',
+        # r11: keys containing " and \ — an unescaped splice into a
+        # DuckDB JSON path ('$."' || kk || '"') RAISES a path error,
+        # while Spark's from_json parses any key; fn_map's oracle must
+        # path-escape the key (ADVICE r10)
+        '{"a\\"b": 1, "k": 2}', '{"c\\\\d": 3, "k": 4}',
+        '{"q\\"": null}', '{"\\\\": 7, "mix\\"\\\\": 8}',
     ]):
         add(dt.datetime(2024, 1, 9, 1, j, 0), 7, "view", 1.0, props)
 
@@ -258,6 +264,60 @@ def test_events_family_on_adversarial_timeline(spark, tmp_path_factory):
         spark_pdf = spec.fn(spark, str(d)).toPandas()
         oracle_pdf = con.execute(spec.oracle).df()
         assert_frames_match(spark_pdf, oracle_pdf, f"adversarial:{name}")
+
+
+def test_events_pattern_null_ts_ordering(spark, tmp_path_factory):
+    """Latent divergence closed in r11 (ADVICE r10): a NULL ts places
+    the event FIRST in Spark's array_sort over struct(ts, event_id, sym)
+    (null struct fields compare smallest) but LAST under DuckDB's
+    default ORDER BY ts (NULLS LAST) — opposite ends of the symbol
+    string, so a vc+p match spanning the boundary breaks the hash. The
+    oracle now pins ORDER BY ts NULLS FIRST; this fixture puts a NULL-ts
+    'view' ahead of a click+purchase run so the match EXISTS only under
+    the NULLS FIRST order (user 1), and a NULL-ts 'purchase' that
+    completes a pattern only under NULLS LAST (user 2) — wrong ordering
+    on either side flips both users' match counts."""
+    import datetime as dt
+
+    import duckdb
+
+    T = dt.datetime(2024, 2, 1, 0, 0, 0)
+    rows = [
+        # user 1: NULL-ts view, then click, purchase -> 'vcp' match only
+        # if the NULL sorts first ('cpv' has no match)
+        (0, None, 1, "view", 1.0, None),
+        (1, T, 1, "click", 1.0, None),
+        (2, T + dt.timedelta(minutes=1), 1, "purchase", 1.0, None),
+        # user 2: view, click, then NULL-ts purchase -> 'pvc' under
+        # NULLS FIRST (no match); 'vcp' (a match) under NULLS LAST
+        (3, T, 2, "view", 1.0, None),
+        (4, T + dt.timedelta(minutes=1), 2, "click", 1.0, None),
+        (5, None, 2, "purchase", 1.0, None),
+        # user 3: two NULL-ts events — event_id must break the tie
+        # identically on both sides (view id 6 < click id 7 < purchase)
+        (6, None, 3, "view", 1.0, None),
+        (7, None, 3, "click", 1.0, None),
+        (8, T, 3, "purchase", 1.0, None),
+    ]
+    d = tmp_path_factory.mktemp("nulltsev")
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    ).coalesce(1).write.parquet(str(d / "events.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet/*.parquet'"
+    )
+    spec = REGISTRY["events_pattern"]
+    spark_pdf = spec.fn(spark, str(d)).toPandas()
+    oracle_pdf = con.execute(spec.oracle).df()
+    assert_frames_match(spark_pdf, oracle_pdf, "null-ts:events_pattern")
+    # and the NULLS FIRST order is the one that actually ran: users 1
+    # and 3 match, user 2 does not
+    got = {int(r.user_id): int(r.n_matches)
+           for r in spark_pdf.itertuples(index=False)}
+    assert got == {1: 1, 2: 0, 3: 1}
 
 
 def test_bpe_apply_survives_dry_merge_rounds(spark, tmp_path_factory):
