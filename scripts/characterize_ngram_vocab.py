@@ -191,6 +191,77 @@ def filter_stats(doc_dir: str) -> dict:
     )
 
 
+def containment_filter_stats(doc_dir: str) -> dict:
+    """Candidate volume of dedup_containment's asymmetric prefix join,
+    computed relationally from the query's own oracle CTEs: join ROWS
+    (the shuffle cost driver) and DISTINCT ordered pairs (the verify
+    cost driver), on raw docs vs round-11's exact-duplicate-collapsed
+    representatives — the volume the Spark plan actually generates and
+    verifies (group-internal pairs emit at containment 1.0 with no
+    candidate generation)."""
+    import duckdb
+
+    import spark_graft
+
+    spark_graft.load_all_queries()
+    oracle = spark_graft.REGISTRY["dedup_containment"].oracle
+    head, _, _ = oracle.partition("cand AS")
+    assert head != oracle, "oracle no longer has a cand CTE — update me"
+    sql = head.rstrip().rstrip(",") + """
+        , cnd AS (
+            SELECT a.doc_id AS da, b.doc_id AS db
+            FROM prefix a
+            JOIN sh b ON b.s = a.s AND b.doc_id <> a.doc_id
+            JOIN lens lb ON lb.doc_id = b.doc_id
+            WHERE lb.n >= (9 * a.n + 9) // 10
+        ),
+        reps AS (SELECT min(doc_id) AS doc_id, list_sort(sh) AS sh
+                 FROM sets GROUP BY list_sort(sh)),
+        rsh AS (SELECT doc_id, unnest(sh) AS s FROM reps),
+        rfreq AS (SELECT s, count(*) AS df FROM rsh GROUP BY s),
+        rranked AS (
+            SELECT rsh.doc_id, rsh.s,
+                   row_number() OVER (PARTITION BY rsh.doc_id
+                                      ORDER BY f.df, rsh.s) AS rk,
+                   count(*) OVER (PARTITION BY rsh.doc_id) AS n
+            FROM rsh JOIN rfreq f ON f.s = rsh.s
+        ),
+        rprefix AS (
+            SELECT doc_id, s, n FROM rranked
+            WHERE rk <= n - (9 * n + 9) // 10 + 1
+        ),
+        rlens AS (SELECT doc_id, len(sh) AS n FROM reps),
+        rcnd AS (
+            SELECT a.doc_id AS da, b.doc_id AS db
+            FROM rprefix a
+            JOIN rsh b ON b.s = a.s AND b.doc_id <> a.doc_id
+            JOIN rlens lb ON lb.doc_id = b.doc_id
+            WHERE lb.n >= (9 * a.n + 9) // 10
+        )
+        SELECT (SELECT count(*) FROM cnd) AS raw_rows,
+               (SELECT count(*) FROM (SELECT DISTINCT da, db FROM cnd) x)
+                   AS raw_pairs,
+               (SELECT count(*) FROM rcnd) AS collapsed_rows_r11,
+               (SELECT count(*) FROM (SELECT DISTINCT da, db FROM rcnd) x)
+                   AS collapsed_pairs_r11,
+               (SELECT count(*) FROM sets) AS n_docs,
+               (SELECT count(*) FROM reps) AS n_distinct_contents
+    """
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{doc_dir}/documents.parquet'"
+    )
+    row = con.execute(sql).fetchone()
+    con.close()
+    return dict(
+        zip(
+            ["raw_rows", "raw_pairs", "collapsed_rows_r11",
+             "collapsed_pairs_r11", "n_docs", "n_distinct_contents"],
+            [int(x) for x in row],
+        )
+    )
+
+
 def gen_dup_heavy(src_dir: str, out_dir: str, seed: int = 7) -> None:
     """Web-boilerplate model at the sf1 row count: distinct contents
     from the bounded sf1 corpus, each replicated with a skewed copy
@@ -241,10 +312,53 @@ def gen_dup_heavy(src_dir: str, out_dir: str, seed: int = 7) -> None:
     )
 
 
+def containment_main(workdir: str) -> None:
+    """Round-11 focused run: add containment candidate/pair counts (raw
+    vs collapsed) + dedup_containment wall-clock per corpus to
+    BENCH_SF1.json's ppjoin_filter_characterization, leaving every
+    other key (and the full-run jaccard numbers) untouched."""
+    import spark_graft
+    from spark_graft.session import get_spark
+
+    spark_graft.load_all_queries()
+    spark = get_spark("containment-characterization")
+    rows = {}
+    for tag, d in (("bounded_sf1", "/tmp/testdata/sf1"),
+                   ("bounded_sf3", "/tmp/testdata/sf3"),
+                   ("zipf_sf1", os.path.join(workdir, "zipf_sf1_docs")),
+                   ("zipf_sf3", os.path.join(workdir, "zipf_sf3_docs")),
+                   ("dup_heavy_sf1", os.path.join(workdir, "dup_heavy_sf1"))):
+        if not os.path.exists(os.path.join(d, "documents.parquet")):
+            continue
+        r = containment_filter_stats(d)
+        r["spark_sec_r11"] = spark_seconds(spark, d, "dedup_containment")
+        rows[tag] = r
+        print("containment", tag, r)
+    path = os.path.join(REPO, "BENCH_SF1.json")
+    data = json.load(open(path)) if os.path.exists(path) else {}
+    block = data.setdefault("ppjoin_filter_characterization", {"points": {}})
+    for tag, r in rows.items():
+        block["points"].setdefault(tag, {})["containment_r11"] = r
+    block["containment_what"] = (
+        "dedup_containment's asymmetric prefix-join volume (join rows / "
+        "distinct ordered pairs, from the query's oracle CTEs) on raw "
+        "docs vs round-11 exact-duplicate-collapsed representatives, "
+        "plus r11 wall-clock (median of 3 warm runs, noop sink, "
+        "collapsed plan)."
+    )
+    json.dump(data, open(path, "w"), indent=1)
+    print("wrote", path)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", default="/tmp/zipfdocs")
+    ap.add_argument("--containment-only", action="store_true")
     args = ap.parse_args()
+
+    if args.containment_only:
+        containment_main(args.workdir)
+        return
 
     import spark_graft
     from spark_graft.session import get_spark

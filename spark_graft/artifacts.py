@@ -1,0 +1,263 @@
+"""Trained-artifact persistence: save/load the three trained models the
+engine produces — BPE merge lists (`vocab_bpe_train`), kmeans centroid
+matrices (`clustering.lloyd_centroids`), and PQ codebooks
+(`similarity._pq_codebooks`) — as parquet + a JSON meta sidecar, so the
+production contract their docstrings promise (train ONCE, persist,
+serve many corpora without re-training) is a real code path instead of
+prose. VERDICT r10 item 3.
+
+The reference's iterative driver (main.cpp:28-68) re-trains every run
+because it is a single-process demo; at 100 TB the merge list /
+centroid matrix / codebook is the asset — kilobytes that gate hours of
+cluster time — and re-deriving it per serving job would repeat the full
+training scan. Serving consumers accept a path to one of these
+artifacts (`vocab_bpe_apply(merges_path=...)`,
+`sim_ann_ivf_trained(centroids_path=...)`, `sim_ann_pq(
+codebooks_path=...)`) and skip training entirely; for bpe_apply the
+served plan is a pure narrow replace() chain — zero shuffles,
+plan-asserted in tests/test_artifacts.py.
+
+Format (format_version 1): a directory holding
+  - data.parquet — the payload rows (schema per kind, below)
+  - meta.json    — {"kind", "format_version", "params",
+                    "data_fingerprint", "trained_on"}
+written driver-side with pyarrow: every payload is O(kilobytes)
+(merges: rounds x 2 strings; centroids: k x dim int64; codebooks:
+M x KS x sub_d int64), so distributed IO would be overhead — the
+parquet is still a plain dataset any engine (or a Spark read at serve
+time) can load.
+
+Fingerprint validation: meta records
+`clustering._data_fingerprint(sf_dir, table)` of the TRAINING table
+(documents for merges, embeddings for centroids/codebooks). Loading
+with a `sf_dir` recomputes and compares — serving an artifact against
+the corpus it was trained on is validated for free, and a stale
+artifact after an overwrite raises `ArtifactMismatch` instead of
+silently serving wrong codes (the same staleness contract as the
+in-process centroid memo). Cross-corpus serving — the actual
+train-once/serve-many case — passes `validate=False` (or no sf_dir),
+which skips the comparison but still checks kind and format_version.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+from spark_graft.operators.clustering import _data_fingerprint
+
+FORMAT_VERSION = 1
+
+_KINDS = {
+    "bpe_merges": "documents",
+    "kmeans_centroids": "embeddings",
+    "pq_codebooks": "embeddings",
+}
+
+
+class ArtifactMismatch(ValueError):
+    """Artifact kind/version/fingerprint does not match what the caller
+    asked to serve."""
+
+
+def _jsonable(v: Any) -> Any:
+    """Fingerprint tuples -> nested lists, so saved and recomputed
+    fingerprints compare equal after a JSON round-trip."""
+    return json.loads(json.dumps(v))
+
+
+def _write(path: str, kind: str, pa_table, params: dict, sf_dir: str | None) -> None:
+    import pyarrow.parquet as pq
+
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(pa_table, os.path.join(path, "data.parquet"))
+    meta = {
+        "kind": kind,
+        "format_version": FORMAT_VERSION,
+        "params": params,
+        "trained_on": sf_dir,
+        "data_fingerprint": (
+            _jsonable(_data_fingerprint(sf_dir, _KINDS[kind]))
+            if sf_dir is not None
+            else None
+        ),
+    }
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+
+
+def _read(path: str, kind: str, sf_dir: str | None, validate: bool):
+    import pyarrow.parquet as pq
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    if meta.get("kind") != kind:
+        raise ArtifactMismatch(
+            f"{path}: artifact kind {meta.get('kind')!r}, expected {kind!r}"
+        )
+    if meta.get("format_version") != FORMAT_VERSION:
+        raise ArtifactMismatch(
+            f"{path}: format_version {meta.get('format_version')}, "
+            f"reader supports {FORMAT_VERSION}"
+        )
+    if validate and sf_dir is not None and meta.get("data_fingerprint") is not None:
+        now = _jsonable(_data_fingerprint(sf_dir, _KINDS[kind]))
+        if now != meta["data_fingerprint"]:
+            raise ArtifactMismatch(
+                f"{path}: fingerprint of {_KINDS[kind]} at {sf_dir} does not "
+                f"match the data this artifact was trained on "
+                f"({meta.get('trained_on')}); pass validate=False to serve "
+                f"a pre-trained artifact on a different corpus"
+            )
+    return pq.read_table(os.path.join(path, "data.parquet")), meta
+
+
+# ------------------------------------------------------------- BPE merges
+
+
+def save_bpe_merges(
+    path: str, merges: list[tuple[str, str]], *, sf_dir: str | None = None
+) -> None:
+    """Persist an ORDERED BPE merge list (application order matters:
+    round r's pair may contain round r-1's merged token)."""
+    import pyarrow as pa
+
+    _write(
+        path,
+        "bpe_merges",
+        pa.table(
+            {
+                "merge_round": list(range(1, len(merges) + 1)),
+                "x": [x for x, _ in merges],
+                "y": [y for _, y in merges],
+            },
+            schema=pa.schema(
+                [("merge_round", pa.int32()), ("x", pa.string()), ("y", pa.string())]
+            ),
+        ),
+        {"n_merges": len(merges)},
+        sf_dir,
+    )
+
+
+def load_bpe_merges(
+    path: str, *, sf_dir: str | None = None, validate: bool = True
+) -> list[tuple[str, str]]:
+    t, _ = _read(path, "bpe_merges", sf_dir, validate)
+    d = t.sort_by("merge_round").to_pydict()
+    return list(zip(d["x"], d["y"]))
+
+
+def train_and_save_bpe(spark, sf_dir: str, path: str) -> list[tuple[str, str]]:
+    """Run the vocab_bpe_train loop and persist its merge list — the
+    train half of the train-once/serve-many pipeline."""
+    from spark_graft.registry import REGISTRY
+
+    rows = REGISTRY["vocab_bpe_train"].fn(spark, sf_dir).orderBy("merge_round").collect()
+    merges = [(r["x"], r["y"]) for r in rows]
+    save_bpe_merges(path, merges, sf_dir=sf_dir)
+    return merges
+
+
+# ------------------------------------------------------- kmeans centroids
+
+
+def save_kmeans_centroids(
+    path: str, cents: dict[int, list[int]], *, sf_dir: str | None = None
+) -> None:
+    import pyarrow as pa
+
+    cids = sorted(cents)
+    _write(
+        path,
+        "kmeans_centroids",
+        pa.table(
+            {"cluster": cids, "q": [cents[c] for c in cids]},
+            schema=pa.schema(
+                [("cluster", pa.int64()), ("q", pa.list_(pa.int64()))]
+            ),
+        ),
+        {"k": len(cids), "dim": len(cents[cids[0]]) if cids else 0},
+        sf_dir,
+    )
+
+
+def load_kmeans_centroids(
+    path: str, *, sf_dir: str | None = None, validate: bool = True
+) -> dict[int, list[int]]:
+    t, _ = _read(path, "kmeans_centroids", sf_dir, validate)
+    d = t.to_pydict()
+    return {int(c): [int(v) for v in q] for c, q in zip(d["cluster"], d["q"])}
+
+
+def train_and_save_centroids(spark, sf_dir: str, path: str, k: int | None = None):
+    from spark_graft.operators.clustering import K, lloyd_centroids
+
+    cents = lloyd_centroids(spark, sf_dir, k if k is not None else K)
+    save_kmeans_centroids(path, cents, sf_dir=sf_dir)
+    return cents
+
+
+# ----------------------------------------------------------- PQ codebooks
+
+
+def save_pq_codebooks(
+    path: str, cb: list[dict[int, list[int]]], *, sf_dir: str | None = None
+) -> None:
+    import pyarrow as pa
+
+    ms, clusters, qcs = [], [], []
+    for m, book in enumerate(cb):
+        for c in sorted(book):
+            ms.append(m)
+            clusters.append(c)
+            qcs.append(book[c])
+    _write(
+        path,
+        "pq_codebooks",
+        pa.table(
+            {"m": ms, "cluster": clusters, "qc": qcs},
+            schema=pa.schema(
+                [
+                    ("m", pa.int64()),
+                    ("cluster", pa.int64()),
+                    ("qc", pa.list_(pa.int64())),
+                ]
+            ),
+        ),
+        {"n_subspaces": len(cb), "sub_d": len(qcs[0]) if qcs else 0},
+        sf_dir,
+    )
+
+
+def load_pq_codebooks(
+    path: str, *, sf_dir: str | None = None, validate: bool = True
+) -> list[dict[int, list[int]]]:
+    t, meta = _read(path, "pq_codebooks", sf_dir, validate)
+    d = t.to_pydict()
+    cb: list[dict[int, list[int]]] = [
+        dict() for _ in range(int(meta["params"]["n_subspaces"]))
+    ]
+    for m, c, qc in zip(d["m"], d["cluster"], d["qc"]):
+        cb[int(m)][int(c)] = [int(v) for v in qc]
+    return cb
+
+
+def train_and_save_pq(spark, sf_dir: str, path: str):
+    from pyspark.sql import functions as F
+
+    from spark_graft.operators.similarity import (
+        PQ_M,
+        _pq_codebooks,
+        nonzero_vec,
+    )
+    from spark_graft.sources import table
+
+    e = table(spark, sf_dir, "embeddings").filter(nonzero_vec(F.col("embedding")))
+    first = e.select(F.size("embedding")).first()
+    if first is None:
+        raise ValueError(f"no nonzero embeddings at {sf_dir}: nothing to train on")
+    cb = _pq_codebooks(spark, e, int(first[0]) // PQ_M)
+    save_pq_codebooks(path, cb, sf_dir=sf_dir)
+    return cb

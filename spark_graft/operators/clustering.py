@@ -456,16 +456,18 @@ def clear_centroid_memo() -> None:
     _BC_ASSIGNER_CACHE.clear()
 
 
-def _data_fingerprint(sf_dir: str) -> tuple:
-    """Cheap change detector for the embeddings table at `sf_dir`:
+def _data_fingerprint(sf_dir: str, table_name: str = "embeddings") -> tuple:
+    """Cheap change detector for the `table_name` table at `sf_dir`:
     (path, mtime_ns, size) of the parquet file, or of every part file
     when it is a directory. Never reads data pages. Part files are
     keyed by their path RELATIVE to the dataset root and the whole
     list is sorted (ADVICE r9: bare basenames collide across
     partition subdirectories, and os.walk's traversal order is
     unspecified — both could alias two different datasets or cause
-    spurious cache misses)."""
-    path = os.path.join(sf_dir, "embeddings.parquet")
+    spurious cache misses). The default table keeps every existing
+    centroid-memo call site byte-identical; spark_graft.artifacts
+    passes "documents" to fingerprint BPE training corpora."""
+    path = os.path.join(sf_dir, f"{table_name}.parquet")
     try:
         if os.path.isdir(path):
             out = []

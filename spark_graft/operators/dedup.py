@@ -1381,33 +1381,91 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     rarity-ranked shingles must witness every qualifying pair — only
     THOSE probe the inverted index; the index side keeps all shingles
     (|Sb| is unconstrained — the superset side of an asymmetric join
-    has no prefix). The index entry is (60-bit shingle, doc_id, n) —
+    has no prefix). The index entry is (60-bit shingle, rep_id, n) —
     16 bytes, never the shingle ARRAYS: candidates leave the buckets
     as bare id pairs and verification joins them back to the
-    localCheckpoint-materialized per-doc sets (one exact
+    localCheckpoint-materialized per-content sets (one exact
     array_intersect per SURVIVING candidate). The in-bucket length
     filter |Sb| >= ceil(t*|Sa|) prunes before the distinct. All
     integer threshold arithmetic is (9n+9) div 10 in both engines.
 
-    Scale: one scan builds the checkpointed sets table; the index join
-    touches only rarity-prefix buckets on the probe side, so candidate
-    volume follows the rare end of the df distribution exactly like
-    dedup_ngram_jaccard (same characterized bounded-vocab worst case,
-    same open-vocab ~linear behavior); verification shuffles bare
-    (id, id) pairs plus two id-keyed joins against the 50-element set
-    arrays."""
+    EXACT-DUPLICATE COLLAPSE (round 11 — the same lever round 10
+    wired into dedup_ngram_jaccard, VERDICT r10 item 2): containment
+    depends only on the shingle SETS, so docs with identical sets are
+    grouped by a set fingerprint and only one representative per group
+    enters the probe/index join — BOTH sides, since the asymmetric
+    join's probe and index legs read the same collapsed table. Every
+    ORDERED pair inside a group has containment exactly 1.0 (Sa = Sb),
+    emitted directly through the chunked pair expansion with no
+    candidate generation and no verify; a verified rep-level pair
+    (ra -> rb) expands to the ordered cross product members(ra) x
+    members(rb) at the same containment (groups are disjoint, so no
+    self-pairs and no second distinct). On a boilerplate-heavy corpus
+    — d copies of one page used to put d index entries in every one
+    of its shingle buckets AND d probe rows in its prefix buckets,
+    a d^2 clique per bucket — candidate volume now scales with
+    DISTINCT CONTENTS only (measured: see
+    ppjoin_filter_characterization.containment_* in BENCH_SF1.json).
+
+    Scale: one scan builds the checkpointed groups table (the same
+    staging asset dedup_ngram_jaccard and dedup_exact share at 100 TB);
+    the index join touches only rarity-prefix buckets on the probe
+    side, so candidate volume follows the rare end of the df
+    distribution exactly like dedup_ngram_jaccard (same characterized
+    bounded-vocab worst case, same open-vocab ~linear behavior);
+    verification shuffles bare (id, id) pairs plus two id-keyed joins
+    against the 50-element set arrays, and member lists ride those
+    verification joins for free — expansion needs no extra join."""
     docs = table(spark, sf_dir, "documents")
     all_sh = shingle_rows(docs).select(
         "doc_id",
         F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("bigint").alias("s"),
     )
-    doc_sets = (
-        all_sh.groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list("s")).alias("ss"))
+    doc_sets = all_sh.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list("s")).alias("ss")
+    )
+    groups = (
+        doc_sets.select(
+            "doc_id",
+            "ss",
+            F.md5(
+                F.array_join(F.transform("ss", lambda x: x.cast("string")), ",")
+            ).alias("fp"),
+        )
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("rep"),
+            F.array_sort(F.collect_list("doc_id")).alias("members"),
+            # identical ss across the group by construction
+            F.first("ss").alias("ss"),
+        )
         .withColumn("n", F.size("ss"))
         .localCheckpoint()
     )
-    sh = doc_sets.select("doc_id", "n", F.explode("ss").alias("s"))
+    # group-internal ORDERED pairs: identical sets, containment exactly
+    # 1.0 in both directions — chunked expansion so a degenerate corpus
+    # of 1e5 copies of one doc cannot materialize a quadratic row
+    dup_pairs = (
+        exploded_pairs(
+            groups.filter(F.size("members") > 1).select("members"), "members"
+        )
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("p.a").alias("x"), F.col("p.b").alias("y")),
+                    F.struct(F.col("p.b").alias("x"), F.col("p.a").alias("y")),
+                )
+            ).alias("q")
+        )
+        .select(
+            F.col("q.x").alias("doc_a"),
+            F.col("q.y").alias("doc_b"),
+            F.lit(1.0).alias("containment"),
+        )
+    )
+    sh = groups.select(
+        F.col("rep").alias("doc_id"), "n", F.explode("ss").alias("s")
+    )
     freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") > 1)
     prefix_len = F.col("n") - F.expr(
         f"({CONTAIN_T_NUM} * n + {CONTAIN_T_NUM}) div {CONTAIN_T_DEN}"
@@ -1443,16 +1501,30 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sa = doc_sets.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("ss_a"))
-    sb = doc_sets.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("ss_b"))
+    # member lists ride the verification joins (groups is already the
+    # join target for the set arrays) — rep-pair expansion needs no
+    # extra join back
+    sa = groups.select(
+        F.col("rep").alias("doc_a"),
+        F.col("ss").alias("ss_a"),
+        F.col("members").alias("ma"),
+    )
+    sb = groups.select(
+        F.col("rep").alias("doc_b"),
+        F.col("ss").alias("ss_b"),
+        F.col("members").alias("mb"),
+    )
     inter = F.size(F.array_intersect("ss_a", "ss_b"))
-    return (
+    cross_pairs = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .filter(inter * CONTAIN_T_DEN >= CONTAIN_T_NUM * F.size("ss_a"))
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(inter * 1.0 / F.size("ss_a"), 4).alias("containment"),
-        )
+        .select("ma", "mb", F.round(inter * 1.0 / F.size("ss_a"), 4).alias("_c"))
+        # ordered expansion: (ra -> rb) covers ALL (a in Ga, b in Gb);
+        # the reverse direction (Gb -> Ga) has its own rep pair with its
+        # own containment, so no direction is lost or double-counted
+        .select(F.explode("ma").alias("doc_a"), "mb", "_c")
+        .select("doc_a", F.explode("mb").alias("doc_b"), "_c")
+        .select("doc_a", "doc_b", F.col("_c").alias("containment"))
     )
+    return cross_pairs.unionByName(dup_pairs)

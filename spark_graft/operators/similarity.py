@@ -371,7 +371,9 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT {TOP_K}
     """,
 )
-def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_ann_ivf_trained(
+    spark: SparkSession, sf_dir: str, centroids_path: str | None = None
+) -> DataFrame:
     """IVF ANN served from a TRAINED coarse quantizer — the composed
     train->index->query pipeline: `lloyd_centroids` (the kmeans_lloyd
     loop) produces the integer centroid matrix, every vector is
@@ -387,9 +389,19 @@ def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     stacks cannot make. Serving shape: centroids are plan literals,
     assignment+filter is narrow, rescore is TakeOrderedAndProject; at
     100 TB the assignment is precomputed once as the partition layout
-    and a query touches only nprobe partitions."""
+    and a query touches only nprobe partitions.
 
-    cents = lloyd_centroids(spark, sf_dir)
+    `centroids_path` serves a persisted `spark_graft.artifacts`
+    kmeans_centroids artifact instead of training (VERDICT r10 item 3):
+    the serve job then issues ZERO training rounds — only the probe
+    lookup and the rescore scan run."""
+
+    if centroids_path is not None:
+        from spark_graft import artifacts
+
+        cents = artifacts.load_kmeans_centroids(centroids_path, sf_dir=sf_dir)
+    else:
+        cents = lloyd_centroids(spark, sf_dir)
     probe = _probe_vector(spark, sf_dir)
     if probe is None:
         return _empty_topk(spark)
@@ -926,7 +938,9 @@ def _pq_codebooks(spark: SparkSession, e: DataFrame, sub_d: int):
         CROSS JOIN probe p
     """,
 )
-def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_ann_pq(
+    spark: SparkSession, sf_dir: str, codebooks_path: str | None = None
+) -> DataFrame:
     """Product-quantization ANN (Jegou et al., TPAMI'11) — the
     memory-bounded serving form at 100 TB: each vector is represented
     by {PQ_M} one-byte codes (one per contiguous dim slice) instead of
@@ -949,7 +963,10 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     `sim_ann_ivf_trained`, extended to compressed codes. At scale the
     codes table (vec_id, {PQ_M} bytes) is the persisted serving asset;
     re-encoding is one narrow Arrow pass, and ADC never touches the
-    raw vectors until the final top-k rescore."""
+    raw vectors until the final top-k rescore. `codebooks_path` serves
+    a persisted `spark_graft.artifacts` pq_codebooks artifact instead
+    of training (VERDICT r10 item 3) — the serve job is then the ADC
+    scan + rescore alone."""
     e = table(spark, sf_dir, "embeddings").filter(nonzero_vec(F.col("embedding")))
     probe = _probe_vector(spark, sf_dir)
     if probe is None:
@@ -957,7 +974,20 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             [], "vec_id bigint, adist_fx bigint, cos_sim double"
         )
     sub_d = len(probe) // PQ_M
-    cb = _pq_codebooks(spark, e, sub_d)
+    if codebooks_path is not None:
+        # serve a persisted artifacts.pq_codebooks artifact instead of
+        # training (VERDICT r10 item 3): ADC runs straight off the scan
+        from spark_graft import artifacts
+
+        cb = artifacts.load_pq_codebooks(codebooks_path, sf_dir=sf_dir)
+        got_sub = len(next(iter(cb[0].values()))) if cb and cb[0] else 0
+        if len(cb) != PQ_M or got_sub != sub_d:
+            raise artifacts.ArtifactMismatch(
+                f"{codebooks_path}: {len(cb)} subspaces x sub_d {got_sub}, "
+                f"corpus needs {PQ_M} x {sub_d}"
+            )
+    else:
+        cb = _pq_codebooks(spark, e, sub_d)
 
     qp = quantize_vec(probe)
     parts = [_pq_cb_parts(cb[m]) for m in range(PQ_M)]

@@ -359,7 +359,9 @@ def _bpe_apply_round_ctes(r: int) -> str:
         FROM enc
     """,
 )
-def vocab_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+def vocab_bpe_apply(
+    spark: SparkSession, sf_dir: str, merges_path: str | None = None
+) -> DataFrame:
     """Encode the corpus with the {BPE_ROUNDS} merges `vocab_bpe_train`
     learns — the missing half of the tokenizer pipeline (a real pipeline
     ships token sequences, not just the merge table). Per document:
@@ -369,18 +371,18 @@ def vocab_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle while keeping output rows at one per document. '#' is a safe
     join char: raw tokens are [a-z0-9]+ and merges only add spaces.
 
-    Mechanics: the merge list is re-derived by the training loop (per
-    round one vocab-bounded pair-count shuffle + ONE argmax row to the
-    driver — same O(rounds) driver traffic as training; in production
-    the learned list would be persisted and replayed, which this loop
-    degenerates to when merges are known). Application is the same
+    Mechanics: with no `merges_path` the merge list is re-derived by
+    the training loop (per round one vocab-bounded pair-count shuffle +
+    ONE argmax row to the driver — same O(rounds) driver traffic as
+    training); with `merges_path` (a `spark_graft.artifacts` bpe_merges
+    artifact — the train-once/serve-many production contract, VERDICT
+    r10 item 3) the persisted list is replayed and the WHOLE encode is
+    shuffle-free: a pure narrow replace() chain over the scan,
+    plan-asserted in tests/test_artifacts.py. Application is the same
     sentinel-string codegen replace() chain as training, kept per-doc
-    with doc_id riding along, then one final split — so encoding is a
-    pure narrow pipeline over the scan: zero shuffles beyond the
-    per-round pair counts, nothing quadratic, and the encoded corpus
-    never crosses the driver. At 100 TB with a persisted merge list the
-    whole encode is shuffle-free (ref main.cpp:28-68's iterative shape,
-    applied instead of trained)."""
+    with doc_id riding along, then one final split — nothing quadratic,
+    and the encoded corpus never crosses the driver (ref
+    main.cpp:28-68's iterative shape, applied instead of trained)."""
     docs = table(spark, sf_dir, "documents")
     corpus = docs.select(
         "doc_id",
@@ -389,6 +391,17 @@ def vocab_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s"),
     )
     ts = F.filter(F.split("s", _BPE_SENT), lambda t: t != F.lit(""))
+    if merges_path is not None:
+        from spark_graft import artifacts
+
+        for x, y in artifacts.load_bpe_merges(merges_path, sf_dir=sf_dir):
+            corpus = corpus.select(
+                "doc_id",
+                F.replace(
+                    "s", F.lit(f"#{x}{_BPE_SENT}{y}#"), F.lit(f"#{x} {y}#")
+                ).alias("s"),
+            )
+        return _bpe_encode(corpus, ts)
     for _ in range(BPE_ROUNDS):
         pairs = corpus.select(ts.alias("ts")).select(
             F.explode(
@@ -421,6 +434,13 @@ def vocab_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "s", F.lit(f"#{x}{_BPE_SENT}{y}#"), F.lit(f"#{x} {y}#")
             ).alias("s"),
         )
+    return _bpe_encode(corpus, ts)
+
+
+def _bpe_encode(corpus: DataFrame, ts) -> DataFrame:
+    """Final encode projection shared by the fused and artifact-served
+    vocab_bpe_apply paths: split the merged sentinel string back into
+    pieces and emit the per-doc counts + full-encoding md5."""
     enc = corpus.select("doc_id", ts.alias("ps"))
     return enc.select(
         "doc_id",

@@ -1,0 +1,85 @@
+"""Trained-artifact save/load round trips (VERDICT r10 item 3): for
+each of the three trained models — BPE merges, kmeans centroids, PQ
+codebooks — train -> save -> load -> serve must be bit-identical to the
+fused train+serve path, the serve-only bpe_apply plan must be
+shuffle-free, and a stale/mismatched artifact must refuse to serve."""
+
+from __future__ import annotations
+
+import pytest
+
+from spark_graft import artifacts
+from spark_graft.registry import REGISTRY
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_bpe_merges_roundtrip_and_shufflefree_serve(spark, sf_dir, tmp_path):
+    from spark_graft.plans import executed_plan_str
+
+    path = str(tmp_path / "bpe")
+    merges = artifacts.train_and_save_bpe(spark, sf_dir, path)
+    assert merges == artifacts.load_bpe_merges(path, sf_dir=sf_dir)
+    fused = REGISTRY["vocab_bpe_apply"].fn(spark, sf_dir)
+    served = REGISTRY["vocab_bpe_apply"].fn(spark, sf_dir, merges_path=path)
+    assert _rows(served) == _rows(fused)
+    # the serve-only encode is a pure narrow replace() chain: no
+    # Exchange anywhere in the executed plan (the fused path pays one
+    # pair-count shuffle per training round; serving pays none)
+    physical = executed_plan_str(served)
+    assert "Exchange" not in physical, physical
+
+
+def test_kmeans_centroids_roundtrip(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "cents")
+    cents = artifacts.train_and_save_centroids(spark, sf_dir, path)
+    assert cents == artifacts.load_kmeans_centroids(path, sf_dir=sf_dir)
+    fused = REGISTRY["sim_ann_ivf_trained"].fn(spark, sf_dir)
+    served = REGISTRY["sim_ann_ivf_trained"].fn(spark, sf_dir, centroids_path=path)
+    assert _rows(served) == _rows(fused)
+
+
+def test_pq_codebooks_roundtrip(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "pq")
+    cb = artifacts.train_and_save_pq(spark, sf_dir, path)
+    assert cb == artifacts.load_pq_codebooks(path, sf_dir=sf_dir)
+    fused = REGISTRY["sim_ann_pq"].fn(spark, sf_dir)
+    served = REGISTRY["sim_ann_pq"].fn(spark, sf_dir, codebooks_path=path)
+    assert _rows(served) == _rows(fused)
+
+
+def test_fingerprint_mismatch_refuses_to_serve(spark, sf_dir, tmp_path):
+    """An artifact trained on corpus A must raise when validated against
+    corpus B (stale/wrong-data protection), and still serve with
+    validate=False — the explicit cross-corpus train-once/serve-many
+    path."""
+    import shutil
+
+    other = tmp_path / "otherdata"
+    other.mkdir()
+    # same schema, different bytes -> different fingerprint
+    spark.createDataFrame(
+        [(0, [0.1] * 8 + [0.2] * 56)], "vec_id bigint, embedding array<float>"
+    ).coalesce(1).write.parquet(str(other / "embeddings.parquet"))
+    path = str(tmp_path / "cents")
+    artifacts.train_and_save_centroids(spark, sf_dir, path)
+    with pytest.raises(artifacts.ArtifactMismatch):
+        artifacts.load_kmeans_centroids(path, sf_dir=str(other))
+    assert artifacts.load_kmeans_centroids(
+        path, sf_dir=str(other), validate=False
+    ) == artifacts.load_kmeans_centroids(path, sf_dir=sf_dir)
+    # kind confusion is caught even without any fingerprint check
+    with pytest.raises(artifacts.ArtifactMismatch):
+        artifacts.load_bpe_merges(path, validate=False)
+    shutil.rmtree(other)
+
+
+def test_pq_wrong_shape_artifact_refuses(spark, sf_dir, tmp_path):
+    """A codebook whose subspace count / sub-dimension doesn't match the
+    serving corpus raises instead of silently computing garbage ADC."""
+    path = str(tmp_path / "badpq")
+    artifacts.save_pq_codebooks(path, [{0: [1, 2, 3]}])  # 1 subspace, sub_d 3
+    with pytest.raises(artifacts.ArtifactMismatch):
+        REGISTRY["sim_ann_pq"].fn(spark, sf_dir, codebooks_path=path).collect()

@@ -909,6 +909,104 @@ def test_ngram_jaccard_exact_duplicate_collapse(spark, tmp_path_factory):
     assert len(cross) == 600 and len(set(cross.values())) == 1
 
 
+def _containment_ref(texts: dict[int, str]) -> dict[tuple[int, int], float]:
+    """Pure-python mirror of the dedup_containment contract (the oracle
+    SQL): distinct word-3-gram shingles as 60-bit md5 ints, global doc-
+    frequency, (df, s)-ranked asymmetric prefix of size
+    n - ceil(0.9*n) + 1 probing the FULL index, length filter
+    |Sb| >= ceil(0.9*|Sa|), exact containment |Sa∩Sb|/|Sa| >= 0.9 over
+    ORDERED pairs, HALF_UP round to 4 decimals. Knows nothing about the
+    exact-duplicate collapse."""
+    import hashlib
+    import re
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def sh_int(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    sets: dict[int, set[int]] = {}
+    for i, t in texts.items():
+        ws = [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+        sh = {sh_int(" ".join(ws[j : j + 3])) for j in range(len(ws) - 2)}
+        if sh:
+            sets[i] = sh
+    df: Counter = Counter(s for ss in sets.values() for s in ss)
+    prefix = {}
+    for i, ss in sets.items():
+        n = len(ss)
+        k = n - (9 * n + 9) // 10 + 1
+        prefix[i] = set(sorted(ss, key=lambda s: (df[s], s))[:k])
+    out = {}
+    for a, sa in sets.items():
+        for b, sb in sets.items():
+            if a == b or not (prefix[a] & sb):
+                continue
+            if len(sb) < (9 * len(sa) + 9) // 10:
+                continue
+            inter = len(sa & sb)
+            if inter * 10 >= 9 * len(sa):
+                c = inter / len(sa)
+                out[(a, b)] = float(
+                    Decimal(repr(c)).quantize(Decimal("0.0001"), ROUND_HALF_UP)
+                )
+    return out
+
+
+def test_containment_exact_duplicate_collapse(spark, tmp_path_factory):
+    """The round-11 exact-duplicate collapse in dedup_containment
+    (VERDICT r10 item 2), against a python reference that knows nothing
+    about it: 200 byte-identical copies of one doc (group larger than
+    PAIR_CHUNK=128, so the group-internal containment-1.0 expansion runs
+    CHUNKED and in BOTH directions), a 3-copy near-dup group (the
+    rep-level pair must expand to all 200x3 ORDERED pairs EACH WAY at
+    the shared containment), a 2-copy SUPERSET group that exposes the
+    asymmetry (contained -> superset qualifies at 1.0, superset ->
+    contained falls below t and must not appear), and an unrelated doc
+    that pairs with nothing."""
+    from spark_graft.registry import REGISTRY
+
+    base = (
+        "the quick brown fox jumps over a lazy dog while seven wise "
+        "owls watch from tall oak trees near the old stone bridge at dawn"
+    ).split()  # 25 words -> 23 shingles
+    texts = {i: " ".join(base) for i in range(200)}
+    near = list(base)
+    near[0] = "variant"  # 22 of 23 shingles shared -> containment 22/23
+    for i in range(200, 203):
+        texts[i] = " ".join(near)
+    sup = base + (
+        "and the river runs softly past the mill wheel turning slow"
+    ).split()  # superset: S_base subset of S_sup, |S_sup| = 34
+    for i in range(203, 205):
+        texts[i] = " ".join(sup)
+    texts[205] = "completely different words about gardening and soup"
+    d = str(tmp_path_factory.mktemp("cnd"))
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in sorted(texts.items())],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.mode("overwrite").parquet(d + "/documents.parquet")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in REGISTRY["dedup_containment"].fn(spark, d).collect()
+    }
+    want = _containment_ref(texts)
+    assert got == want
+    # structural expectations the reference confirms:
+    in_a = 200 * 199  # ordered pairs inside the 200-group
+    in_b, in_c = 3 * 2, 2 * 1
+    a_to_c = 200 * 2  # contained -> superset at exactly 1.0
+    assert sum(1 for c in got.values() if c == 1.0) == in_a + in_b + in_c + a_to_c
+    # asymmetry: no superset -> contained pair (23/34 < 0.9)
+    assert not any(203 <= a <= 204 and b < 203 for a, b in got)
+    # rep-pair expansion: every ordered A<->B cross pair present, one value
+    ab = {k: c for k, c in got.items() if k[0] < 200 <= k[1] <= 202}
+    ba = {k: c for k, c in got.items() if k[1] < 200 <= k[0] <= 202}
+    assert len(ab) == 600 and len(ba) == 600
+    assert set(ab.values()) == set(ba.values()) == {round(22 / 23, 4)}
+    assert 205 not in {i for k in got for i in k}
+
+
 @given(
     vals=st.lists(
         st.decimals(
