@@ -440,7 +440,9 @@ def minhash_novelty_stream(docs: DataFrame) -> DataFrame:
     )
 
 
-def cep_pattern_stream(events: DataFrame) -> DataFrame:
+def cep_pattern_stream(
+    events: DataFrame, reorder_delay: str | None = None
+) -> DataFrame:
     """Streaming CEP twin of the batch `events_pattern` query: per user,
     cumulative counts of non-overlapping contiguous view -> click+ ->
     purchase runs, emitted after every micro-batch.
@@ -456,10 +458,26 @@ def cep_pattern_stream(events: DataFrame) -> DataFrame:
     timeout; it is left off here so the equivalence test is exact.
 
     Like any CEP engine, contiguity semantics require event-time order.
-    The file-replay tests feed time-ordered micro-batches (each batch is
-    sorted internally on (ts, event_id)); an unordered production source
-    needs a watermark re-order buffer in front — out-of-order delivery
-    makes "contiguous" undefined, it does not merely approximate it."""
+    With the default `reorder_delay=None` the source must deliver
+    time-ordered micro-batches (each batch may interleave users; rows
+    are sorted per user in the operator). `reorder_delay` (e.g.
+    "30 minutes") lifts that precondition (VERDICT r10 item 4) with the
+    standard event-time RE-ORDER BUFFER every CEP engine fronts an
+    unordered stream with (Flink CEP buffers inside its NFA operator
+    the same way): the source is watermarked on ts, each user's
+    arriving events are held in state, and only events whose event time
+    the watermark has PASSED are released — in (ts, event_id) order —
+    to the symbol machine. Delivery disorder bounded by the delay is
+    then invisible to the matcher; rows later than the delay are
+    dropped by Spark's watermark filter before the operator (the
+    documented bounded-late-data contract, NOT a silent corruption of
+    "contiguous"). Per-user state is the in-flight window only (events
+    within the delay of the watermark frontier) plus the O(click-run)
+    matcher suffix; the released prefix is evicted immediately. An
+    event-time timeout re-invokes idle groups when the watermark passes
+    their oldest buffered event (Spark's no-data micro-batches drive
+    this even after the source drains), so buffered events flush
+    without requiring new data for that user."""
     import re
 
     import pandas as pd
@@ -469,6 +487,34 @@ def cep_pattern_stream(events: DataFrame) -> DataFrame:
 
     pat = re.compile(CEP_PATTERN)
     partial = re.compile("vc*$")
+
+    def _advance(tail, nm, nem, fml, mcr, new: str):
+        """Feed `new` symbols into the matcher state; returns the
+        updated (tail, nm, nem, fml, mcr)."""
+        s = tail + new
+        last_end = 0
+        for m in pat.finditer(s):
+            L = m.end() - m.start()
+            nm += 1
+            nem += L
+            if fml == 0:
+                fml = L
+            mcr = max(mcr, L - 2)
+            last_end = m.end()
+        p = partial.search(s, last_end)
+        return (p.group(0) if p else ""), nm, nem, fml, mcr
+
+    def _emit(key, nm, nem, fml, mcr, seen):
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_matches": [nm],
+                "n_events_matched": [nem],
+                "first_match_len": [fml],
+                "max_click_run": [mcr],
+                "n_events_seen": [seen],
+            }
+        )
 
     def update(key, pdfs, state: GroupState):
         tail, nm, nem, fml, mcr, seen = (
@@ -482,29 +528,49 @@ def cep_pattern_stream(events: DataFrame) -> DataFrame:
         batch = batch.sort_values(["ts", "event_id"])
         new = "".join(batch["sym"])
         seen += len(new)
-        s = tail + new
-        last_end = 0
-        for m in pat.finditer(s):
-            L = m.end() - m.start()
-            nm += 1
-            nem += L
-            if fml == 0:
-                fml = L
-            mcr = max(mcr, L - 2)
-            last_end = m.end()
-        p = partial.search(s, last_end)
-        tail = p.group(0) if p else ""
+        tail, nm, nem, fml, mcr = _advance(tail, nm, nem, fml, mcr, new)
         state.update((tail, nm, nem, fml, mcr, seen))
-        yield pd.DataFrame(
-            {
-                "user_id": [key[0]],
-                "n_matches": [nm],
-                "n_events_matched": [nem],
-                "first_match_len": [fml],
-                "max_click_run": [mcr],
-                "n_events_seen": [seen],
-            }
-        )
+        yield _emit(key, nm, nem, fml, mcr, seen)
+
+    def update_reorder(key, pdfs, state: GroupState):
+        if state.exists:
+            tail, nm, nem, fml, mcr, seen, bts, beid, bsym = state.get
+            bts, beid = list(bts), list(beid)
+        else:
+            tail, nm, nem, fml, mcr, seen = "", 0, 0, 0, 0, 0
+            bts, beid, bsym = [], [], ""
+        chunks = [c for c in pdfs if len(c)]
+        if chunks:  # timeout invocations arrive with no data
+            batch = pd.concat(chunks, ignore_index=True)
+            bts.extend(
+                int(v)
+                for v in batch["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+            )
+            beid.extend(int(v) for v in batch["event_id"])
+            bsym += "".join(batch["sym"])
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        order = sorted(range(len(bts)), key=lambda i: (bts[i], beid[i]))
+        # release strictly BELOW the watermark: Spark only guarantees no
+        # future row older than the watermark, so a row AT it may still
+        # arrive and must find the frontier not yet advanced past it
+        rel = [i for i in order if bts[i] < wm_us]
+        keep = [i for i in order if bts[i] >= wm_us]
+        if rel:
+            new = "".join(bsym[i] for i in rel)
+            seen += len(new)
+            tail, nm, nem, fml, mcr = _advance(tail, nm, nem, fml, mcr, new)
+        bts, beid = [bts[i] for i in keep], [beid[i] for i in keep]
+        bsym = "".join(bsym[i] for i in keep)
+        state.update((tail, nm, nem, fml, mcr, seen, bts, beid, bsym))
+        if bts:
+            # wake this group when the watermark passes its oldest
+            # buffered event (must be > current watermark by contract;
+            # everything < wm was just released, so only the == edge
+            # needs the max)
+            state.setTimeoutTimestamp(
+                max(min(bts) // 1000, state.getCurrentWatermarkMs() + 1)
+            )
+        yield _emit(key, nm, nem, fml, mcr, seen)
 
     sym = (
         F.when(F.col("event_type") == "view", "v")
@@ -513,6 +579,21 @@ def cep_pattern_stream(events: DataFrame) -> DataFrame:
         .when(F.col("event_type") == "signup", "s")
         .otherwise("e")
     )
+    if reorder_delay is not None:
+        return (
+            events.withWatermark("ts", reorder_delay)
+            .select("user_id", "ts", "event_id", sym.alias("sym"))
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                update_reorder,
+                "user_id bigint, n_matches bigint, n_events_matched bigint, "
+                "first_match_len bigint, max_click_run bigint, n_events_seen bigint",
+                "tail string, nm bigint, nem bigint, fml bigint, mcr bigint, "
+                "seen bigint, bts array<bigint>, beid array<bigint>, bsym string",
+                "update",
+                GroupStateTimeout.EventTimeTimeout,
+            )
+        )
     return (
         events.select("user_id", "ts", "event_id", sym.alias("sym"))
         .groupBy("user_id")

@@ -693,3 +693,123 @@ def test_cep_pattern_stream_equals_batch(spark, sf_dir, tmp_path):
     # sanity: the stream actually saw 3 batches and real matches exist
     assert emitted.count() > final.count()
     assert batch.filter(F.col("n_matches") > 0).count() > 0
+
+
+def test_cep_pattern_stream_reorder_equals_batch_on_shuffled_arrival(
+    spark, sf_dir, tmp_path
+):
+    """The round-11 event-time re-order buffer (VERDICT r10 item 4)
+    lifts the ordered-source precondition: events are replayed in a
+    deliberately SHUFFLED arrival order — each event displaced by a
+    deterministic jitter up to +-24h around its event time, far larger
+    than typical same-user gaps, so many users' click/view/purchase
+    sequences arrive inverted — through cep_pattern_stream with a
+    48-hour reorder_delay. The buffer must hold events until the
+    watermark passes them and feed the symbol machine in true
+    (ts, event_id) order, so the final emission per user still equals
+    the batch events_pattern exactly. Two trailing far-future flush
+    files push the watermark past every real event, and the event-time
+    TIMEOUT path (not new per-user data) is what releases the last
+    buffered events — the flush files carry only a dummy user."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_graft.sources import table
+    from spark_graft.streaming import cep_pattern_stream, run_stream_to_memory
+
+    D_US = 48 * 3600 * 10**6  # reorder window, microseconds
+    ev = (
+        table(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "event_type")
+        .toPandas()
+    )
+    ts_us = ev["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+    jitter = (ev["event_id"].to_numpy() * 2654435761) % D_US - D_US // 2
+    ev = ev.assign(_pkey=ts_us + jitter).sort_values(["_pkey", "event_id"])
+    # the shuffle must actually invert same-user event order somewhere
+    inverted = sum(
+        list(g["event_id"]) != list(g.sort_values(["ts", "event_id"])["event_id"])
+        for _, g in ev.groupby("user_id")
+    )
+    assert inverted > 5, f"jitter displaced order for only {inverted} users"
+
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+        ]
+    )
+    src = tmp_path / "cep_shuf_src"
+    src.mkdir()
+    now = time.time()
+    n_chunks = 5
+    cuts = [len(ev) * i // n_chunks for i in range(n_chunks + 1)]
+    for i in range(n_chunks):
+        chunk = ev.iloc[cuts[i]:cuts[i + 1]].drop(columns="_pkey")
+        t = pa.Table.from_pandas(chunk, preserve_index=False).cast(schema)
+        pq.write_table(t, str(src / f"c{i}.parquet"))
+        os.utime(src / f"c{i}.parquet", (now + i * 10, now + i * 10))
+    # flush batches: dummy-user events far past max_ts + delay; the
+    # second guarantees the watermark from the FIRST is already applied
+    # while a batch (with timeouts firing) still runs, regardless of
+    # no-data micro-batch behavior under availableNow
+    max_us = int(ts_us.max())
+    for j, off in enumerate((D_US + 24 * 3600 * 10**6, D_US + 48 * 3600 * 10**6)):
+        t = pa.table(
+            {
+                "event_id": [10**9 + j],
+                "ts": [max_us + off],
+                "user_id": [-1],
+                "event_type": ["view"],
+            },
+            schema=schema,
+        )
+        pq.write_table(t, str(src / f"flush{j}.parquet"))
+        os.utime(
+            src / f"flush{j}.parquet",
+            (now + (n_chunks + j) * 10, now + (n_chunks + j) * 10),
+        )
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+    try:
+        emitted = run_stream_to_memory(
+            cep_pattern_stream(stream, reorder_delay="48 hours"), mode="update"
+        )
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+    final = (
+        emitted.filter(F.col("user_id") >= 0)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.desc("n_events_seen"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    # every real event was eventually released from the buffer
+    per_user = {r["user_id"]: r["n_events_seen"] for r in final.collect()}
+    want_counts = ev[ev.user_id >= 0].groupby("user_id").size().to_dict()
+    assert per_user == want_counts
+    batch = REGISTRY["events_pattern"].fn(spark, sf_dir)
+    assert_frames_match(
+        final.select(
+            "user_id", "n_matches", "n_events_matched",
+            "first_match_len", "max_click_run",
+        ).toPandas(),
+        batch.toPandas(),
+        "cep reorder stream==batch",
+    )
+    assert batch.filter(F.col("n_matches") > 0).count() > 0
