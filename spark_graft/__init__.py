@@ -30,84 +30,57 @@ __all__ = ["REGISTRY", "QuerySpec", "query", "load_all_queries"]
 #   tier 0 — never driver-verified, or modified this round (an edit to
 #            a query fn or its oracle invalidates prior verification,
 #            so edited queries must re-enter the window);
-#   tier 1 — hash-green last in CORRECTNESS_r07 (2 rounds stale,
+#   tier 1 — hash-green last in CORRECTNESS_r08 (2 rounds stale,
 #            highest priority among unmodified queries);
-#   tier 2 — hash-green last in CORRECTNESS_r08 (1 round stale);
-#   tier 3 — hash-green in CORRECTNESS_r09 on code unchanged since.
+#   tier 2 — hash-green last in CORRECTNESS_r09 (1 round stale);
+#   tier 3 — hash-green in CORRECTNESS_r10 on code unchanged since.
 # Refresh these sets from CORRECTNESS_r{N}.json at the start of each
 # round, and add every query touched during the round to
 # _MODIFIED_THIS_ROUND.
 
-# Queries whose implementation or shared plumbing changed during
-# ROUND 10 — tier 0, the driver must re-verify them on the new code:
-# - NEW this round (never driver-verified, so tier 0 by both rules):
-#   vocab_bpe_apply (corpus encoding with the trained BPE merges),
-#   sim_ann_pq (product-quantized asymmetric-distance ANN),
-#   events_pattern (CEP row-pattern matching), sample_importance
-#   (Horvitz-Thompson quality-weighted sampling), agg_sketch_kmv
-#   (theta-sketch set algebra), dedup_containment (asymmetric
-#   near-superset pairs), multimodal_dedup (content-digest media
-#   dedup), text_lm_score (corpus-bigram LM quality scoring),
-#   events_attribution (last-touch batch twin of the stream-stream
-#   join).
-# - fn_json / fn_map: JSON value-type semantics pinned (try_cast for
-#   non-integral k; the map oracle now requires every value to be a
-#   JSON null or int32 exactly like from_json('map<string,int>')) —
-#   both Spark exprs and oracles changed, so tier 0.
-# - agg_corr_exact / win_dist: relational adversarial net fixes
-#   (explicit NULL for zero-variance correlation; NULLS FIRST pinned
-#   in the distribution-window oracle) — tier 0.
-# - dedup_ngram_jaccard: exact-duplicate token-array collapse before
-#   PPJoin candidate generation (VERDICT r9 item 4) — output pair set
-#   unchanged by construction, but the candidate pipeline changed.
-# - kmeans_lloyd / sim_ann_ivf_trained / dedup_embedding /
-#   dedup_semantic / sim_knn_graph / sim_hardneg / sample_coreset:
-#   the trained-quantizer consumers — clustering's broadcast-assigner
-#   lifecycle (ADVICE r9 broadcast-leak fix) and _data_fingerprint
-#   (relpath + sorted walk) are shared plumbing on their executed path.
+# Queries whose implementation or oracle changed during ROUND 11 —
+# tier 0, the driver must re-verify them on the new code:
+# - NEW this round: multimodal_neardup (perceptual average-hash
+#   near-dup over the stub decoder's pixels, VERDICT r10 item 5).
+# - fn_map: oracle now path-escapes \\ and " in JSON keys before
+#   splicing them into json_type/json_extract paths (ADVICE r10).
+# - events_pattern: oracle pins ORDER BY ts NULLS FIRST to match
+#   Spark's null-struct-field-first array_sort (ADVICE r10).
+# - dedup_containment: exact-duplicate collapse — identical shingle
+#   sets pair as representatives; group-internal ordered pairs emit at
+#   containment 1.0 unverified (VERDICT r10 item 2).
+# - vocab_bpe_apply / sim_ann_ivf_trained / sim_ann_pq: accept a
+#   persisted spark_graft.artifacts model (merges/centroids/codebooks)
+#   and skip training when given one; the default fused path is
+#   restructured around the shared serve code (VERDICT r10 item 3).
+# NOT tier-0: the kmeans-family consumers of clustering's
+# _data_fingerprint — round 11 only added a defaulted table_name
+# parameter (artifacts passes "documents"); every existing call site
+# evaluates byte-identically, unlike r10's relpath+sort change which
+# altered returned values.
 _MODIFIED_THIS_ROUND = frozenset(
-    """vocab_bpe_apply sim_ann_pq events_pattern sample_importance
-    agg_sketch_kmv dedup_containment multimodal_dedup text_lm_score
-    events_attribution fn_json fn_map agg_corr_exact win_dist
-    dedup_ngram_jaccard
-    kmeans_lloyd sim_ann_ivf_trained dedup_embedding dedup_semantic
-    sim_knn_graph sim_hardneg sample_coreset""".split()
+    """multimodal_neardup fn_map events_pattern dedup_containment
+    vocab_bpe_apply sim_ann_ivf_trained sim_ann_pq""".split()
 )
 
-# Green last in CORRECTNESS_r07.json — 2 rounds stale; the 13 VERDICT
-# r9 item 1 names. They go first among unmodified queries in round
-# 10's window.
-_VERIFIED_R7 = frozenset(
-    """agg_approx agg_approx_percentile agg_bool_all
-    agg_distinct agg_percentile filter_in_null filter_pred
-    grouping_sets profile_table scan_project text_lines
-    word_count""".split()
-)
-
-# Green last in CORRECTNESS_r08.json — 1 round stale. With 21
-# modified/new + 12 r7-stale ahead of them (simulated this round:
-# window = 21 tier-0 + 12 tier-1 + 17 of these 42), 17 fit the
-# 50-query window; the stable sort admits them in registration order
-# and the remaining 25 become round 11's top priority.
+# Green last in CORRECTNESS_r08.json — 2 rounds stale; the 25 VERDICT
+# r10 item 1 names. They go first among unmodified queries in round
+# 11's window: 7 tier-0 + 25 of these = 32, leaving 18 slots.
 _VERIFIED_R8 = frozenset(
-    """agg_pivot agg_q1 agg_sketch_hll agg_skew_salted dedup_exact
-    dedup_incremental dedup_incremental_minhash dedup_minhash
-    dedup_span_fraction events_funnel events_paths events_retention
-    fill_forward global_sort grouping_cube grouping_rollup
-    join_broadcast join_multi join_outer join_skew_salted lm_next_token
-    min_unique_prefix multimodal_decode multimodal_frames
-    multimodal_meta sample_stratified set_ops stream_session
-    stream_sliding stream_tumbling text_chunks text_fingerprint
-    text_repetition text_split text_tfidf topk_per_group ts_anomaly
-    ts_resample udf_compat unpivot_measures vocab_pair_counts
+    """agg_pivot agg_q1 agg_sketch_hll dedup_exact dedup_incremental
+    dedup_incremental_minhash dedup_minhash dedup_span_fraction
+    events_paths events_retention global_sort grouping_cube
+    grouping_rollup join_broadcast join_multi join_outer
+    min_unique_prefix sample_stratified set_ops stream_sliding
+    topk_per_group ts_anomaly udf_compat unpivot_measures
     win_gaps_islands""".split()
 )
 
-# Green (rows+schema+hash) in CORRECTNESS_r09.json — freshest; these
-# can sit out round 10's window provided their code does not change.
-# (The trained-quantizer consumers + dedup_ngram_jaccard verified in
-# r09 are EXCLUDED here because round-10 edits moved them to
-# _MODIFIED_THIS_ROUND.)
+# Green last in CORRECTNESS_r09.json — 1 round stale. With 7 modified/
+# new + 25 r8-stale ahead of them, 18 of these 39 fit the 50-query
+# window (simulated this round); the stable sort admits them in
+# registration order and the remaining 21 become round 12's top
+# priority.
 _VERIFIED_R9 = frozenset(
     """agg_histogram agg_sketch_cms decontaminate dedup_clusters
     dedup_simhash fn_array fn_datetime fn_math_decimal
@@ -121,16 +94,35 @@ _VERIFIED_R9 = frozenset(
     win_running""".split()
 )
 
+# Green (rows+schema+hash) in CORRECTNESS_r10.json — freshest; these
+# can sit out round 11's window provided their code does not change.
+# (fn_map, events_pattern, dedup_containment, vocab_bpe_apply,
+# sim_ann_ivf_trained, and sim_ann_pq verified in r10 are EXCLUDED
+# here because round-11 edits moved them to _MODIFIED_THIS_ROUND.)
+_VERIFIED_R10 = frozenset(
+    """agg_approx agg_approx_percentile agg_bool_all agg_corr_exact
+    agg_distinct agg_percentile agg_sketch_kmv agg_skew_salted
+    dedup_embedding dedup_ngram_jaccard dedup_semantic
+    events_attribution events_funnel fill_forward filter_in_null
+    filter_pred fn_json grouping_sets join_skew_salted kmeans_lloyd
+    lm_next_token multimodal_decode multimodal_dedup multimodal_frames
+    multimodal_meta profile_table sample_coreset sample_importance
+    scan_project sim_hardneg sim_knn_graph stream_session
+    stream_tumbling text_chunks text_fingerprint text_lines
+    text_lm_score text_repetition text_split text_tfidf ts_resample
+    vocab_pair_counts win_dist word_count""".split()
+)
+
 
 def _staleness_tier(name: str) -> int:
     """0 = needs verification now … 3 = freshest verification."""
     if name in _MODIFIED_THIS_ROUND:
         return 0
-    if name in _VERIFIED_R7:
-        return 1
     if name in _VERIFIED_R8:
-        return 2
+        return 1
     if name in _VERIFIED_R9:
+        return 2
+    if name in _VERIFIED_R10:
         return 3
     return 0  # never driver-verified
 

@@ -202,3 +202,201 @@ def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_bytes").cast("bigint").alias("total_bytes"),
         (F.sum("n_bytes") - F.min("n_bytes")).cast("bigint").alias("reclaimable_bytes"),
     )
+
+
+# ------------------------------------------------------ perceptual near-dup
+
+AHASH_HAM_T = 3  # near-dup hamming threshold over the 64-bit average-hash
+# 4 bands x 16 bits: any pair within hamming<=3 shares at least one full
+# band (pigeonhole), so the band join has NO false negatives at this
+# threshold — the same completeness argument as simhash band tables.
+_AHASH_BANDS = 4
+_AHASH_BITS = 64
+
+
+def _ahash_band_sql(i: int) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN {_AHASH_BITS} * pix[{16 * i + j + 1}] > ps "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(16)
+    )
+    return f"CAST({terms} AS BIGINT) AS b{i}"
+
+
+_AHASH_ORACLE = f"""
+    WITH base AS (
+        SELECT doc_id, text, length(text) AS n
+        FROM documents WHERE length(text) > 0
+    ),
+    px AS (
+        SELECT doc_id,
+               list_transform(range(0, {_AHASH_BITS}),
+                   k -> unicode(substr(text, (k * n) // {_AHASH_BITS} + 1, 1))
+                        % 256) AS pix
+        FROM base
+    ),
+    withsum AS (SELECT doc_id, pix, list_sum(pix) AS ps FROM px),
+    sigs AS (
+        SELECT doc_id,
+               {", ".join(_ahash_band_sql(i) for i in range(_AHASH_BANDS))}
+        FROM withsum
+    ),
+    bands AS (
+        SELECT doc_id, u.bi,
+               CASE u.bi WHEN 0 THEN b0 WHEN 1 THEN b1
+                         WHEN 2 THEN b2 ELSE b3 END AS bv
+        FROM sigs, unnest([0, 1, 2, 3]) AS u(bi)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        FROM bands a JOIN bands b
+          ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+    ),
+    ver AS (
+        SELECT c.da, c.db
+        FROM cand c
+        JOIN sigs sa ON sa.doc_id = c.da
+        JOIN sigs sb ON sb.doc_id = c.db
+        WHERE bit_count(xor(sa.b0, sb.b0)) + bit_count(xor(sa.b1, sb.b1))
+            + bit_count(xor(sa.b2, sb.b2)) + bit_count(xor(sa.b3, sb.b3))
+            <= {AHASH_HAM_T}
+    ),
+    part AS (
+        SELECT da AS doc_id, db AS p FROM ver
+        UNION ALL SELECT db AS doc_id, da AS p FROM ver
+    ),
+    agg AS (
+        SELECT doc_id, count(*) AS n_neardups, min(p) AS nearest_id
+        FROM part GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           printf('%04x%04x%04x%04x', s.b3, s.b2, s.b1, s.b0) AS ahash_hex,
+           CAST(coalesce(a.n_neardups, 0) AS BIGINT) AS n_neardups,
+           a.nearest_id
+    FROM sigs s LEFT JOIN agg a ON a.doc_id = s.doc_id
+"""
+
+
+def ahash_pixels(text: str) -> list[int] | None:
+    """STUB pixel model for the perceptual hash — the deterministic
+    stand-in for `decode_payload`'s real decoder: the "image" of a
+    payload is its {_AHASH_BITS} evenly-sampled codepoints mod 256 (a
+    1x64 grayscale strip). Two payloads sharing most of their content
+    sample mostly-equal pixels, so near-identical media get
+    hamming-close hashes — the property a real aHash has over real
+    pixels. Undecodable (empty) payloads return None and are excluded,
+    like a codec failure would be. Swap this body for a real
+    decode+resize to productionize; everything downstream (banding,
+    candidate join, hamming verify) is payload-agnostic."""
+    n = len(text)
+    if n == 0:
+        return None
+    return [ord(text[(k * n) // _AHASH_BITS]) % 256 for k in range(_AHASH_BITS)]
+
+
+@query("multimodal_neardup", oracle=_AHASH_ORACLE)
+def multimodal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual (average-hash) NEAR-dup media detection — the
+    promised second stage after `multimodal_dedup`'s exact digests
+    (VERDICT r10 item 5): per decodable payload, a 64-bit aHash (each
+    sampled pixel thresholded against the integer pixel mean — strict
+    `64*pix > sum` so both engines agree on the boundary), and the
+    near-dup neighborhood at hamming <= {AHASH_HAM_T}: partner count
+    and lowest partner id (the keep-candidate under the min-id survivor
+    rule). Output is one row per decodable doc, so the hash gate pins
+    the FULL hash arithmetic even on corpora with zero near-dups.
+
+    Spark-first shape: hashing is one Arrow-batched mapInPandas over
+    the payload scan (the decode stage — a real decoder changes
+    `ahash_pixels` only), localCheckpoint-materialized so the Python
+    stage runs once. Pairing is the simhash/minhash band discipline:
+    the 64-bit hash splits into 4 x 16-bit bands (LSH-COMPLETE for
+    hamming <= {AHASH_HAM_T}: <= 3 differing bits cannot touch all 4
+    bands), candidates group on (band_idx, band_value) moving 5-int
+    structs — never payloads — and the hamming verify runs INSIDE the
+    chunked pair expansion (exploded_pairs), so a degenerate corpus of
+    1e5 identical images costs bounded 128x128 chunk tasks, not one
+    quadratic row. Partner aggregation is one groupBy over verified
+    pairs. At 100 TB: hash once at ingest next to the exact digest
+    (multimodal_dedup's staging asset), and the band index is the
+    persisted search structure — rehashing is never needed to re-query
+    at a different threshold <= 3."""
+    from spark_graft.operators.dedup import exploded_pairs
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def ahash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                pix = ahash_pixels(text if text is not None else "")
+                if pix is None:
+                    continue
+                ps = sum(pix)
+                bands = []
+                for i in range(_AHASH_BANDS):
+                    b = 0
+                    for j in range(16):
+                        if _AHASH_BITS * pix[16 * i + j] > ps:
+                            b |= 1 << j
+                    bands.append(b)
+                rows.append((int(doc_id), *bands))
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["doc_id", "b0", "b1", "b2", "b3"]
+                )
+
+    sigs = docs.mapInPandas(
+        ahash_batches, "doc_id long, b0 long, b1 long, b2 long, b3 long"
+    ).localCheckpoint()
+
+    member = F.struct("doc_id", "b0", "b1", "b2", "b3")
+    buckets = (
+        sigs.select(
+            member.alias("m"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("bi"), F.col(f"b{i}").alias("bv")
+                        )
+                        for i in range(_AHASH_BANDS)
+                    ]
+                )
+            ).alias("bb"),
+        )
+        .select(F.col("bb.bi").alias("bi"), F.col("bb.bv").alias("bv"), "m")
+        .groupBy("bi", "bv")
+        .agg(F.collect_list("m").alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+
+    def _ham_ok(p):
+        ham = sum(
+            F.bit_count(p["a"][f"b{i}"].bitwiseXOR(p["b"][f"b{i}"]))
+            for i in range(_AHASH_BANDS)
+        )
+        return ham <= AHASH_HAM_T
+
+    pairs = (
+        exploded_pairs(buckets, "ds", pair_filter=_ham_ok)
+        .select(
+            F.least("p.a.doc_id", "p.b.doc_id").alias("da"),
+            F.greatest("p.a.doc_id", "p.b.doc_id").alias("db"),
+        )
+        .distinct()
+    )
+    partners = pairs.select(F.col("da").alias("doc_id"), F.col("db").alias("p")).unionByName(
+        pairs.select(F.col("db").alias("doc_id"), F.col("da").alias("p"))
+    )
+    agg = partners.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_neardups"), F.min("p").alias("nearest_id")
+    )
+    return sigs.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.format_string("%04x%04x%04x%04x", "b3", "b2", "b1", "b0").alias(
+            "ahash_hex"
+        ),
+        F.coalesce("n_neardups", F.lit(0)).cast("bigint").alias("n_neardups"),
+        "nearest_id",
+    )

@@ -1288,3 +1288,71 @@ def test_join_bloom_bitmap_has_no_false_negatives(spark, sup_keys, fact_keys):
     passed = {r.key for r in fact.filter(cond).collect()}
     required = set(fact_keys) & set(sup_keys)
     assert required <= passed, (sorted(required - passed), sorted(passed))
+
+
+def test_multimodal_neardup_planted_pairs(spark, tmp_path_factory):
+    """multimodal_neardup's pair path on PLANTED near-dups (the
+    committed fixtures have none at sf0.01, so the driver hash-gate
+    only pins per-doc hash arithmetic there): a 200-copy identical
+    group (hamming 0 through the CHUNKED expansion — group bigger than
+    PAIR_CHUNK), a single-char-substituted variant whose sampled pixel
+    strip differs in 1-3 of 64 bits (caught only via the band join +
+    hamming verify, never an exact-hash match — the "one corrupted
+    pixel" analogue; an APPEND would shift every sample position like a
+    resize and land far outside the budget), a heavily different doc
+    (must pair with nothing), and an empty doc (undecodable — excluded
+    from output entirely). Verified against the DuckDB oracle AND
+    structurally."""
+    import duckdb
+
+    from spark_graft.operators.multimodal import AHASH_HAM_T, ahash_pixels
+    from tests.compare import assert_frames_match
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far " * 40).strip()
+    texts = {i: base for i in range(200)}
+
+    def bits(t):
+        p = ahash_pixels(t)
+        s = sum(p)
+        return [1 if 64 * q > s else 0 for q in p]
+
+    # find a same-length single-char substitution with hamming in (0, T]
+    b0, variant = bits(base), None
+    for pos in range(0, len(base), 37):
+        for ch in "a0 ":
+            if base[pos] == ch:
+                continue
+            cand = base[:pos] + ch + base[pos + 1:]
+            ham = sum(x != y for x, y in zip(b0, bits(cand)))
+            if 0 < ham <= AHASH_HAM_T:
+                variant = cand
+                break
+        if variant:
+            break
+    assert variant is not None, "no substitution landed in (0, T]"
+    texts[200] = variant
+    texts[201] = "completely different words about gardening and soup " * 20
+    texts[202] = ""  # undecodable
+    d = str(tmp_path_factory.mktemp("mmnd"))
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in sorted(texts.items())],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.mode("overwrite").parquet(d + "/documents.parquet")
+    from spark_graft.registry import REGISTRY
+
+    spec = REGISTRY["multimodal_neardup"]
+    got = spec.fn(spark, d).toPandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'")
+    assert_frames_match(got, con.execute(spec.oracle).df(), "planted:neardup")
+    by_id = got.set_index("doc_id")
+    # the identical group: 199 partners each + the variant = 200
+    assert (by_id.loc[range(200), "n_neardups"] == 200).all()
+    assert (by_id.loc[range(1, 200), "nearest_id"] == 0).all()
+    assert by_id.loc[0, "nearest_id"] == 1
+    # the variant pairs with the whole group but NOT via identical hash
+    assert by_id.loc[200, "n_neardups"] == 200
+    assert by_id.loc[200, "ahash_hex"] != by_id.loc[0, "ahash_hex"]
+    # the unrelated doc pairs with nothing; the empty doc has no row
+    assert by_id.loc[201, "n_neardups"] == 0
+    assert 202 not in by_id.index
