@@ -53,6 +53,11 @@ __all__ = ["REGISTRY", "QuerySpec", "query", "load_all_queries"]
 #   persisted spark_graft.artifacts model (merges/centroids/codebooks)
 #   and skip training when given one; the default fused path is
 #   restructured around the shared serve code (VERDICT r10 item 3).
+# - graph_pagerank: pagerank() split into edges_with_degrees /
+#   pagerank_round / _pagerank_rounds so the bucketed-edge-table layout
+#   (save_bucketed_edges + pagerank_from_table, VERDICT r10 item 6)
+#   shares the exact round join — same expressions, but the executed
+#   path was restructured, so it re-enters the window.
 # NOT tier-0: the kmeans-family consumers of clustering's
 # _data_fingerprint — round 11 only added a defaulted table_name
 # parameter (artifacts passes "documents"); every existing call site
@@ -60,7 +65,7 @@ __all__ = ["REGISTRY", "QuerySpec", "query", "load_all_queries"]
 # altered returned values.
 _MODIFIED_THIS_ROUND = frozenset(
     """multimodal_neardup fn_map events_pattern dedup_containment
-    vocab_bpe_apply sim_ann_ivf_trained sim_ann_pq""".split()
+    vocab_bpe_apply sim_ann_ivf_trained sim_ann_pq graph_pagerank""".split()
 )
 
 # Green last in CORRECTNESS_r08.json — 2 rounds stale; the 25 VERDICT
