@@ -281,11 +281,12 @@ def test_graph_pagerank_stays_distributed(spark, sf_dir):
 
     from spark_graft.operators import graph
 
-    for fn in (graph.graph_pagerank, graph.pagerank):
+    for fn in (graph.graph_pagerank, graph.pagerank, graph._pagerank_rounds):
         assert ".collect()" not in inspect.getsource(fn), fn.__name__
-    core = inspect.getsource(graph.pagerank)
-    assert "localCheckpoint" in core
-    assert ".persist()" in core
+    # the round loop (r11: split into _pagerank_rounds so the bucketed
+    # layout shares it) checkpoints per round; pagerank owns the cache
+    assert "localCheckpoint" in inspect.getsource(graph._pagerank_rounds)
+    assert ".persist()" in inspect.getsource(graph.pagerank)
 
 
 def test_text_chunks_is_shuffle_free(spark, sf_dir):
