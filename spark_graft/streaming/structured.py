@@ -606,3 +606,82 @@ def cep_pattern_stream(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def eval_gram_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STATIC side of `decontaminate_stream`: the distinct 60-bit
+    4-token-gram keys of the held-out eval decile, derived with the
+    batch `decontaminate` query's exact expressions (same constants,
+    same md5->bigint mapping). In production this is the persisted
+    benchmark-suite gram table, built once per suite release."""
+    from spark_graft.functions import shingles_from_tokens, tokens
+    from spark_graft.operators.pipeline import DECON_N, EVAL_MOD
+
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.filter((F.col("doc_id") % EVAL_MOD) == 0)
+        .select(
+            F.explode(
+                shingles_from_tokens(tokens("text"), DECON_N)
+            ).alias("g0")
+        )
+        .select(
+            F.conv(F.substring(F.md5("g0"), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("g")
+        )
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+
+
+def decontaminate_stream(docs: DataFrame, eval_grams: DataFrame) -> DataFrame:
+    """Streaming benchmark decontamination — the STREAM-STATIC JOIN
+    capability (the canonical enrich-a-stream-with-a-dimension-table
+    pattern, previously uncovered by the streaming module): arriving
+    training documents are exploded to the same 60-bit gram keys as
+    batch `decontaminate` (equivalence-pinned by test), LEFT
+    stream-static joined against the static eval-set gram table —
+    wrapped in F.broadcast, because a benchmark suite's gram table is
+    bounded by construction, so every micro-batch joins MAP-SIDE with
+    no stream-side shuffle and the static side ships once per executor
+    — then re-aggregated per doc_id in update mode. Every doc's grams
+    arrive inside its single source row, so its aggregate finalizes
+    within the micro-batch that carries it; cross-batch state is one
+    counter row per doc, and a production deployment caps it with a
+    processing-time TTL on the sink side (the aggregate itself needs no
+    watermark: doc_ids never recur in an append-only corpus feed).
+
+    At 100 TB: the stream side moves only 8-byte gram keys within each
+    batch's narrow pipeline (raw text never shuffles), and flagged docs
+    emit incrementally — the filter-before-training gate runs ON the
+    ingest stream instead of as a nightly batch."""
+    from spark_graft.functions import shingles_from_tokens, tokens
+    from spark_graft.operators.pipeline import DECON_N, EVAL_MOD
+
+    grams = (
+        docs.filter((F.col("doc_id") % EVAL_MOD) != 0)
+        .select(
+            "doc_id",
+            F.explode(
+                shingles_from_tokens(tokens("text"), DECON_N)
+            ).alias("g0"),
+        )
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("g0"), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("g"),
+        )
+    )
+    agg = (
+        grams.join(F.broadcast(eval_grams), "g", "left")
+        .groupBy("doc_id")
+        .agg(F.count("g").alias("n_grams"), F.count("hit").alias("n_hit"))
+    )
+    return agg.filter(F.col("n_hit") > 0).select(
+        "doc_id",
+        "n_grams",
+        "n_hit",
+        F.round(F.col("n_hit") / F.col("n_grams"), 4).alias("contam_frac"),
+    )

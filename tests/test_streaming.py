@@ -813,3 +813,75 @@ def test_cep_pattern_stream_reorder_equals_batch_on_shuffled_arrival(
         "cep reorder stream==batch",
     )
     assert batch.filter(F.col("n_matches") > 0).count() > 0
+
+
+def test_decontaminate_stream_equals_batch(spark, sf_dir, tmp_path):
+    """Stream-static join twin == batch decontaminate: the training
+    deciles replay as 3 micro-batches against the STATIC eval-gram
+    table; the final per-doc emission must equal the oracle-checked
+    batch query exactly. The static side is broadcast (plan requirement
+    of the pattern: the dimension ships once per executor, the stream
+    side never shuffles raw text) — asserted on the streaming plan via
+    the query-progress-independent physical string. Docs whose grams
+    straddle nothing (each doc's grams live in ONE source row) finalize
+    within their arrival batch, so update-mode last-emission-per-doc is
+    the converged answer."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_graft.sources import table
+    from spark_graft.streaming import (
+        decontaminate_stream,
+        eval_gram_table,
+        run_stream_to_memory,
+    )
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    src = tmp_path / "decon_src"
+    src.mkdir()
+    schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+    cuts = [0, len(docs) // 3, 2 * len(docs) // 3, len(docs)]
+    now = time.time()
+    for i in range(3):
+        chunk = docs.iloc[cuts[i]:cuts[i + 1]]
+        pq.write_table(
+            pa.Table.from_pandas(chunk, preserve_index=False).cast(schema),
+            str(src / f"c{i}.parquet"),
+        )
+        os.utime(src / f"c{i}.parquet", (now + i * 10, now + i * 10))
+
+    static_grams = eval_gram_table(spark, sf_dir).localCheckpoint()
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = decontaminate_stream(stream, static_grams)
+    from spark_graft.plans import explain_str
+
+    assert "BroadcastHashJoin" in explain_str(out, "simple")
+    emitted = run_stream_to_memory(out, mode="update")
+    # update mode re-emits a doc only if its aggregate changed; since
+    # each doc finalizes in one batch, rows are already final — but a
+    # doc could appear once per batch boundary file split, so keep last
+    final = (
+        emitted.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(F.desc("n_grams"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    batch = REGISTRY["decontaminate"].fn(spark, sf_dir)
+    assert_frames_match(final.toPandas(), batch.toPandas(), "decon stream==batch")
+    assert batch.count() > 0  # the equivalence is not vacuous
