@@ -31,15 +31,17 @@ DETAIL = os.path.join(REPO, "BENCH_DETAIL_SUBSET.json")
 
 # The spot-check set: every query whose sf0.1->sf1 ratio has ever
 # exceeded ~2.4x, plus the r8 additions (sim_knn_graph, dedup_semantic),
-# the r9 vocab-family additions (text_bm25, vocab_bpe_train), and the
+# the r9 vocab-family additions (text_bm25, vocab_bpe_train), the
 # r10 additions above that band (dedup_containment, vocab_bpe_apply,
-# text_lm_score, events_pattern, agg_sketch_kmv).
+# text_lm_score, events_pattern, agg_sketch_kmv), and the r11 addition
+# (multimodal_neardup — its bucket-entropy scale story lives here).
 QUERIES = """
 agg_percentile decontaminate dedup_clusters dedup_embedding dedup_minhash
 dedup_ngram_jaccard dedup_semantic dedup_span_fraction graph_pagerank
 pipeline_clean_corpus profile_table sim_knn_graph
 text_bm25 vocab_bpe_train
 dedup_containment vocab_bpe_apply text_lm_score events_pattern agg_sketch_kmv
+multimodal_neardup
 """.split()
 
 
