@@ -885,3 +885,94 @@ def test_decontaminate_stream_equals_batch(spark, sf_dir, tmp_path):
     batch = REGISTRY["decontaminate"].fn(spark, sf_dir)
     assert_frames_match(final.toPandas(), batch.toPandas(), "decon stream==batch")
     assert batch.count() > 0  # the equivalence is not vacuous
+
+
+def test_cep_reorder_buffer_survives_checkpoint_restart(spark, tmp_path):
+    """The reorder buffer's state — buffered (ts, event_id, symbol)
+    arrays that the watermark has NOT yet released — must round-trip
+    the state store across a PROCESS restart: run 1 ingests a user's
+    view+click but terminates before the watermark passes them (nothing
+    released, n_events_seen stays 0); run 2 is a BRAND-NEW query object
+    on the same checkpoint that reads ONLY the purchase plus two
+    far-future flush events. The final counters show one full vc+p
+    match over 3 released events — two of which run 2 never read, so
+    they can only have come from the restored buffer. A lost or
+    mis-typed state schema would yield n_events_seen=1 and no match."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_graft.streaming import cep_pattern_stream
+
+    src, out = tmp_path / "cep_ckpt_src", tmp_path / "cep_ckpt_out"
+    src.mkdir()
+    ckpt = str(tmp_path / "cep_ckpt")
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+        ]
+    )
+    T0 = 1_700_000_000_000_000  # us epoch, arbitrary fixed instant
+    MIN = 60 * 10**6
+
+    def add_file(name, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": [r[0] for r in rows],
+                    "ts": [r[1] for r in rows],
+                    "user_id": [r[2] for r in rows],
+                    "event_type": [r[3] for r in rows],
+                },
+                schema=schema,
+            ),
+            str(src / name),
+        )
+
+    def make_query():
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, event_type string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        emitted = cep_pattern_stream(stream, reorder_delay="30 minutes")
+
+        def write_batch(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(str(out))
+
+        return (
+            emitted.writeStream.foreachBatch(write_batch)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    # run 1: view + click arrive; watermark never passes them
+    add_file("f0.parquet", [(0, T0, 1, "view"), (1, T0 + MIN, 1, "click")])
+    q1 = make_query()
+    q1.awaitTermination()
+    run1 = {
+        r["user_id"]: (r["n_matches"], r["n_events_seen"])
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    assert run1[1] == (0, 0)  # buffered, nothing released yet
+
+    # run 2: new query object, same checkpoint; only the purchase +
+    # flush events are new input
+    add_file("f1.parquet", [(2, T0 + 2 * MIN, 1, "purchase")])
+    add_file("f2.parquet", [(10**9, T0 + 120 * MIN, -1, "view")])
+    add_file("f3.parquet", [(10**9 + 1, T0 + 180 * MIN, -1, "view")])
+    q2 = make_query()
+    q2.awaitTermination()
+    rows = spark.read.parquet(str(out)).collect()
+    best = max(
+        (r for r in rows if r["user_id"] == 1), key=lambda r: r["n_events_seen"]
+    )
+    assert best["n_events_seen"] == 3  # 2 restored from state + 1 new
+    assert best["n_matches"] == 1 and best["n_events_matched"] == 3
+    assert best["first_match_len"] == 3 and best["max_click_run"] == 1
