@@ -394,14 +394,9 @@ def vocab_bpe_apply(
     if merges_path is not None:
         from spark_graft import artifacts
 
-        for x, y in artifacts.load_bpe_merges(merges_path, sf_dir=sf_dir):
-            corpus = corpus.select(
-                "doc_id",
-                F.replace(
-                    "s", F.lit(f"#{x}{_BPE_SENT}{y}#"), F.lit(f"#{x} {y}#")
-                ).alias("s"),
-            )
-        return _bpe_encode(corpus, ts)
+        return bpe_apply_merges(
+            docs, artifacts.load_bpe_merges(merges_path, sf_dir=sf_dir)
+        )
     for _ in range(BPE_ROUNDS):
         pairs = corpus.select(ts.alias("ts")).select(
             F.explode(
@@ -434,6 +429,34 @@ def vocab_bpe_apply(
                 "s", F.lit(f"#{x}{_BPE_SENT}{y}#"), F.lit(f"#{x} {y}#")
             ).alias("s"),
         )
+    return _bpe_encode(corpus, ts)
+
+
+def bpe_apply_merges(
+    docs: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """Encode ANY (doc_id, text) frame — batch table or unbounded
+    stream — with an already-trained ORDERED merge list: the sentinel
+    string build, the per-merge codegen replace() chain, and the final
+    split are all narrow per-row expressions, so the plan is stateless
+    and shuffle-free on either frame kind. This is the serve half
+    `vocab_bpe_apply(merges_path=...)` uses, and what
+    `streaming.bpe_encode_stream` maps over each micro-batch
+    (tokenize-on-ingest)."""
+    corpus = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(_BPE_SENT), F.array_join(tokens("text"), _BPE_SENT), F.lit(_BPE_SENT)
+        ).alias("s"),
+    )
+    for x, y in merges:
+        corpus = corpus.select(
+            "doc_id",
+            F.replace(
+                "s", F.lit(f"#{x}{_BPE_SENT}{y}#"), F.lit(f"#{x} {y}#")
+            ).alias("s"),
+        )
+    ts = F.filter(F.split("s", _BPE_SENT), lambda t: t != F.lit(""))
     return _bpe_encode(corpus, ts)
 
 

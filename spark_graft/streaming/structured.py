@@ -685,3 +685,22 @@ def decontaminate_stream(docs: DataFrame, eval_grams: DataFrame) -> DataFrame:
         "n_hit",
         F.round(F.col("n_hit") / F.col("n_grams"), 4).alias("contam_frac"),
     )
+
+
+def bpe_encode_stream(docs: DataFrame, merges_path: str) -> DataFrame:
+    """Streaming BPE corpus encoding from a persisted
+    `spark_graft.artifacts` merge list — TOKENIZE-ON-INGEST, the
+    streaming half of the train-once/serve-many contract: the merge
+    list is loaded once on the driver and baked into the plan as
+    literals, and each arriving document flows through the same
+    narrow codegen replace() chain as batch
+    `vocab_bpe_apply(merges_path=...)`. The plan is STATELESS —
+    no state store, no watermark, no shuffle (append mode, exactly-once
+    per document under checkpointed sources/sinks) — so throughput is
+    pure map parallelism at any scale; the encoded stream (n_tokens /
+    n_merged / enc_md5 per doc) lands directly in the training-data
+    sink. Equivalence vs the batch encode is exact and tested."""
+    from spark_graft import artifacts
+    from spark_graft.operators.vocab import bpe_apply_merges
+
+    return bpe_apply_merges(docs, artifacts.load_bpe_merges(merges_path))

@@ -976,3 +976,59 @@ def test_cep_reorder_buffer_survives_checkpoint_restart(spark, tmp_path):
     assert best["n_events_seen"] == 3  # 2 restored from state + 1 new
     assert best["n_matches"] == 1 and best["n_events_matched"] == 3
     assert best["first_match_len"] == 3 and best["max_click_run"] == 1
+
+
+def test_bpe_encode_stream_equals_batch_serve(spark, sf_dir, tmp_path):
+    """Streaming tokenize-on-ingest == the batch artifact-served encode:
+    train once (artifacts.train_and_save_bpe), replay the documents as 3
+    micro-batches through bpe_encode_stream, and the appended rows must
+    equal vocab_bpe_apply(merges_path=...) exactly. The plan must be
+    STATELESS (no state store node) — a stateless narrow map is what
+    makes ingest-time tokenization free at any scale."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_graft import artifacts
+    from spark_graft.registry import REGISTRY
+    from spark_graft.sources import table
+    from spark_graft.streaming import bpe_encode_stream, run_stream_to_memory
+
+    mpath = str(tmp_path / "bpe_merges")
+    artifacts.train_and_save_bpe(spark, sf_dir, mpath)
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    src = tmp_path / "bpe_src"
+    src.mkdir()
+    schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+    cuts = [0, len(docs) // 3, 2 * len(docs) // 3, len(docs)]
+    now = time.time()
+    for i in range(3):
+        pq.write_table(
+            pa.Table.from_pandas(
+                docs.iloc[cuts[i]:cuts[i + 1]], preserve_index=False
+            ).cast(schema),
+            str(src / f"c{i}.parquet"),
+        )
+        os.utime(src / f"c{i}.parquet", (now + i * 10, now + i * 10))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    enc = bpe_encode_stream(stream, mpath)
+    logical = enc._jdf.queryExecution().logical().toString()
+    assert "EventTimeWatermark" not in logical  # stateless narrow map
+    out = run_stream_to_memory(enc, mode="append")
+    batch = REGISTRY["vocab_bpe_apply"].fn(spark, sf_dir, merges_path=mpath)
+    assert_frames_match(out.toPandas(), batch.toPandas(), "bpe stream==batch serve")
+    # stateless: the completed streaming query used no state store
+    assert out.count() == len(docs)
