@@ -70,7 +70,7 @@ _MODIFIED_THIS_ROUND = frozenset(
 
 # Green last in CORRECTNESS_r08.json — 2 rounds stale; the 25 VERDICT
 # r10 item 1 names. They go first among unmodified queries in round
-# 11's window: 7 tier-0 + 25 of these = 32, leaving 18 slots.
+# 11's window: 8 tier-0 + 25 of these = 33, leaving 17 slots.
 _VERIFIED_R8 = frozenset(
     """agg_pivot agg_q1 agg_sketch_hll dedup_exact dedup_incremental
     dedup_incremental_minhash dedup_minhash dedup_span_fraction
@@ -81,15 +81,18 @@ _VERIFIED_R8 = frozenset(
     win_gaps_islands""".split()
 )
 
-# Green last in CORRECTNESS_r09.json — 1 round stale. With 7 modified/
-# new + 25 r8-stale ahead of them, 18 of these 39 fit the 50-query
-# window (simulated this round); the stable sort admits them in
-# registration order and the remaining 21 become round 12's top
+# Green last in CORRECTNESS_r09.json — 1 round stale (graph_pagerank,
+# r9-green, is EXCLUDED here because the round-11 bucketed-layout
+# refactor moved it to _MODIFIED_THIS_ROUND — the sets must stay
+# disjoint so the simulated window arithmetic is exact). With 8
+# modified/new + 25 r8-stale ahead of them, 17 of these 38 fit the
+# 50-query window (simulated this round); the stable sort admits them
+# in registration order and the remaining 21 become round 12's top
 # priority.
 _VERIFIED_R9 = frozenset(
     """agg_histogram agg_sketch_cms decontaminate dedup_clusters
     dedup_simhash fn_array fn_datetime fn_math_decimal
-    fn_string fn_struct graph_pagerank graph_triangles join_asof
+    fn_string fn_struct graph_triangles join_asof
     join_bloom join_inner join_q2_shape join_semi_anti join_theta_range
     mixture_weights pipeline_clean_corpus pipeline_pack_sequences
     recursive_reachability sim_ann_ivf sim_ann_lsh sim_cosine_topk

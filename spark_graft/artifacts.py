@@ -101,7 +101,18 @@ def _read(path: str, kind: str, sf_dir: str | None, validate: bool):
             f"{path}: format_version {meta.get('format_version')}, "
             f"reader supports {FORMAT_VERSION}"
         )
-    if validate and sf_dir is not None and meta.get("data_fingerprint") is not None:
+    if validate and sf_dir is not None:
+        if meta.get("data_fingerprint") is None:
+            # validation REQUESTED but impossible: the artifact was
+            # saved without a training fingerprint. Silently skipping
+            # would serve stale/wrong data under the staleness contract
+            # the caller just asked for.
+            raise ArtifactMismatch(
+                f"{path}: validation against {sf_dir} requested, but this "
+                f"artifact was saved without a training fingerprint "
+                f"(save with sf_dir=... to enable it); pass validate=False "
+                f"to serve it without the staleness check"
+            )
         now = _jsonable(_data_fingerprint(sf_dir, _KINDS[kind]))
         if now != meta["data_fingerprint"]:
             raise ArtifactMismatch(
@@ -152,6 +163,10 @@ def load_bpe_merges(
 def train_and_save_bpe(spark, sf_dir: str, path: str) -> list[tuple[str, str]]:
     """Run the vocab_bpe_train loop and persist its merge list — the
     train half of the train-once/serve-many pipeline."""
+    # import the module (registering its @query decorators) rather than
+    # assuming the caller already ran load_all_queries() — a fresh
+    # process calling only artifacts.* would otherwise KeyError here
+    from spark_graft.operators import vocab  # noqa: F401
     from spark_graft.registry import REGISTRY
 
     rows = REGISTRY["vocab_bpe_train"].fn(spark, sf_dir).orderBy("merge_round").collect()

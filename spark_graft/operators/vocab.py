@@ -384,19 +384,14 @@ def vocab_bpe_apply(
     and the encoded corpus never crosses the driver (ref
     main.cpp:28-68's iterative shape, applied instead of trained)."""
     docs = table(spark, sf_dir, "documents")
-    corpus = docs.select(
-        "doc_id",
-        F.concat(
-            F.lit(_BPE_SENT), F.array_join(tokens("text"), _BPE_SENT), F.lit(_BPE_SENT)
-        ).alias("s"),
-    )
-    ts = F.filter(F.split("s", _BPE_SENT), lambda t: t != F.lit(""))
     if merges_path is not None:
         from spark_graft import artifacts
 
         return bpe_apply_merges(
             docs, artifacts.load_bpe_merges(merges_path, sf_dir=sf_dir)
         )
+    corpus = _sentinel_corpus(docs)
+    ts = F.filter(F.split("s", _BPE_SENT), lambda t: t != F.lit(""))
     for _ in range(BPE_ROUNDS):
         pairs = corpus.select(ts.alias("ts")).select(
             F.explode(
@@ -432,6 +427,19 @@ def vocab_bpe_apply(
     return _bpe_encode(corpus, ts)
 
 
+def _sentinel_corpus(docs: DataFrame) -> DataFrame:
+    """(doc_id, s): the sentinel-joined token string every BPE path —
+    fused training, artifact-served encode, streaming encode — builds
+    identically (ONE definition, so fused-vs-served bit-equality cannot
+    drift)."""
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(_BPE_SENT), F.array_join(tokens("text"), _BPE_SENT), F.lit(_BPE_SENT)
+        ).alias("s"),
+    )
+
+
 def bpe_apply_merges(
     docs: DataFrame, merges: list[tuple[str, str]]
 ) -> DataFrame:
@@ -443,12 +451,7 @@ def bpe_apply_merges(
     `vocab_bpe_apply(merges_path=...)` uses, and what
     `streaming.bpe_encode_stream` maps over each micro-batch
     (tokenize-on-ingest)."""
-    corpus = docs.select(
-        "doc_id",
-        F.concat(
-            F.lit(_BPE_SENT), F.array_join(tokens("text"), _BPE_SENT), F.lit(_BPE_SENT)
-        ).alias("s"),
-    )
+    corpus = _sentinel_corpus(docs)
     for x, y in merges:
         corpus = corpus.select(
             "doc_id",

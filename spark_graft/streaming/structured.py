@@ -477,7 +477,12 @@ def cep_pattern_stream(
     event-time timeout re-invokes idle groups when the watermark passes
     their oldest buffered event (Spark's no-data micro-batches drive
     this even after the source drains), so buffered events flush
-    without requiring new data for that user."""
+    without requiring new data for that user. NULL event times are
+    dropped in this mode (event-time order is undefined for them; the
+    batch twin's global sort pins them first, a placement no stream
+    can reproduce), and event times are compared to the watermark as
+    UTC epoch micros computed JVM-side (unix_micros), so the buffer is
+    correct under ANY session timezone."""
     import re
 
     import pandas as pd
@@ -542,10 +547,12 @@ def cep_pattern_stream(
         chunks = [c for c in pdfs if len(c)]
         if chunks:  # timeout invocations arrive with no data
             batch = pd.concat(chunks, ignore_index=True)
-            bts.extend(
-                int(v)
-                for v in batch["ts"].to_numpy().astype("datetime64[us]").astype("int64")
-            )
+            # ts_us was computed JVM-side by unix_micros (UTC epoch),
+            # matching getCurrentWatermarkMs' epoch — converting the
+            # timestamp column itself through pandas would render it in
+            # the SESSION timezone and shift every comparison by the
+            # zone offset on non-UTC sessions
+            bts.extend(int(v) for v in batch["ts_us"])
             beid.extend(int(v) for v in batch["event_id"])
             bsym += "".join(batch["sym"])
         wm_us = state.getCurrentWatermarkMs() * 1000
@@ -580,9 +587,22 @@ def cep_pattern_stream(
         .otherwise("e")
     )
     if reorder_delay is not None:
+        # NULL event times are dropped: event-time ordering is undefined
+        # for them. (The batch twin, which sorts the COMPLETE timeline,
+        # pins them first — a stream can never know when "first" has
+        # closed, so no buffer can reproduce that placement; equivalence
+        # vs batch holds on the null-filtered corpus, tested.) ts_us is
+        # the UTC epoch computed JVM-side — see update_reorder.
         return (
-            events.withWatermark("ts", reorder_delay)
-            .select("user_id", "ts", "event_id", sym.alias("sym"))
+            events.filter(F.col("ts").isNotNull())
+            .withWatermark("ts", reorder_delay)
+            .select(
+                "user_id",
+                "ts",
+                F.unix_micros("ts").alias("ts_us"),
+                "event_id",
+                sym.alias("sym"),
+            )
             .groupBy("user_id")
             .applyInPandasWithState(
                 update_reorder,

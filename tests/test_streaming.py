@@ -1032,3 +1032,71 @@ def test_bpe_encode_stream_equals_batch_serve(spark, sf_dir, tmp_path):
     assert_frames_match(out.toPandas(), batch.toPandas(), "bpe stream==batch serve")
     # stateless: the completed streaming query used no state store
     assert out.count() == len(docs)
+
+
+def test_cep_reorder_drops_null_event_times(spark, tmp_path):
+    """The reorder path's documented null-ts contract: NULL event times
+    are dropped (event-time order is undefined for them; the batch
+    twin's global sort pins them first — unreproducible on a stream),
+    so the streamed counters equal batch events_pattern over the
+    NULL-FILTERED corpus, and the null event is never counted."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_graft.streaming import cep_pattern_stream, run_stream_to_memory
+
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+        ]
+    )
+    T0 = 1_700_000_000_000_000
+    MIN = 60 * 10**6
+    rows = [
+        (0, T0, 1, "view"),
+        (1, None, 1, "view"),  # null ts: dropped by the reorder path
+        (2, T0 + MIN, 1, "click"),
+        (3, T0 + 2 * MIN, 1, "purchase"),
+        (9, T0 + 600 * MIN, -1, "view"),  # flush
+        (10, T0 + 900 * MIN, -1, "view"),  # flush 2
+    ]
+    src = tmp_path / "nullsrc"
+    src.mkdir()
+    import os
+    import time
+
+    now = time.time()
+    for i, r in enumerate(rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": [r[0]],
+                    "ts": [r[1]],
+                    "user_id": [r[2]],
+                    "event_type": [r[3]],
+                },
+                schema=schema,
+            ),
+            str(src / f"f{i}.parquet"),
+        )
+        os.utime(src / f"f{i}.parquet", (now + i * 10, now + i * 10))
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    emitted = run_stream_to_memory(
+        cep_pattern_stream(stream, reorder_delay="30 minutes"), mode="update"
+    )
+    best = max(
+        (r for r in emitted.collect() if r["user_id"] == 1),
+        key=lambda r: r["n_events_seen"],
+    )
+    # the null event neither counts nor breaks the contiguous vcp run
+    assert best["n_events_seen"] == 3
+    assert best["n_matches"] == 1 and best["n_events_matched"] == 3
