@@ -186,6 +186,30 @@ def _pagerank_rounds(
 EDGE_BUCKETS = 8  # test-scale bucket count; size to the cluster at 100 TB
 
 
+def clear_stale_table(spark: SparkSession, table_name: str) -> None:
+    """Drop `table_name` AND remove an orphaned warehouse location.
+
+    `mode("overwrite").saveAsTable` can replace a cataloged table but
+    dies with LOCATION_ALREADY_EXISTS when an interrupted earlier run
+    left the table's directory on disk with no catalog entry (the
+    catalog write happens after the data write). Clearing both sides
+    makes a re-run from a dirty checkout deterministic."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    parsed = urlparse(warehouse)
+    root = parsed.path if parsed.scheme in ("", "file") else None
+    if root is None:
+        return  # remote warehouse: nothing to clean locally
+    # default-database managed tables live at <warehouse>/<name.lower()>
+    location = os.path.join(root, table_name.split(".")[-1].lower())
+    if os.path.isdir(location):
+        shutil.rmtree(location, ignore_errors=True)
+
+
 def save_bucketed_edges(
     spark: SparkSession,
     pairs: DataFrame,
@@ -200,6 +224,7 @@ def save_bucketed_edges(
     the bucket layout. Train-of-rounds cost becomes
     n_iters x (ranks shuffle + bucketed scan), never n_iters x (edge
     shuffle). Plan-asserted in tests/test_plans.py."""
+    clear_stale_table(spark, table_name)
     edges_with_degrees(pairs).write.format("parquet").bucketBy(
         n_buckets, "src"
     ).sortBy("src").mode("overwrite").saveAsTable(table_name)

@@ -553,7 +553,10 @@ def test_pagerank_bucketed_edge_table_round_join_never_reshuffles_edges(spark, s
     pairs = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
+        from spark_graft.operators.graph import clear_stale_table
+
         save_bucketed_edges(spark, pairs, "pr_edges_bucketed_t")
+        clear_stale_table(spark, "pr_edges_flat_t")
         edges_with_degrees(pairs).write.format("parquet").mode(
             "overwrite"
         ).saveAsTable("pr_edges_flat_t")
@@ -593,3 +596,41 @@ def test_pagerank_bucketed_edge_table_round_join_never_reshuffles_edges(spark, s
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS pr_edges_bucketed_t")
         spark.sql("DROP TABLE IF EXISTS pr_edges_flat_t")
+
+
+def test_save_bucketed_edges_recovers_from_orphaned_location(spark, sf_dir):
+    """An interrupted run leaves the table directory on disk with no
+    catalog entry; a later `saveAsTable` then dies with
+    LOCATION_ALREADY_EXISTS (VERDICT r11 item 1). `save_bucketed_edges`
+    must clear both catalog and orphan location, succeed twice in a
+    row, and produce a readable table each time."""
+    import os
+    from urllib.parse import urlparse
+
+    from spark_graft.operators.graph import (
+        pagerank_from_table,
+        save_bucketed_edges,
+    )
+
+    table = "pr_edges_orphan_t"
+    warehouse = urlparse(
+        spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    ).path
+    location = os.path.join(warehouse, table)
+    try:
+        # simulate the interrupt: directory present, catalog empty
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        os.makedirs(os.path.join(location, "stale-subdir"), exist_ok=True)
+        with open(os.path.join(location, "part-stale.parquet"), "w") as f:
+            f.write("not parquet")
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1)], "doc_a bigint, doc_b bigint"
+        )
+        for _ in range(2):  # twice in a row: overwrite path is also clean
+            save_bucketed_edges(spark, pairs, table)
+            got = pagerank_from_table(spark, table).collect()
+            assert len(got) == 3
+        assert not os.path.exists(os.path.join(location, "part-stale.parquet"))
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
