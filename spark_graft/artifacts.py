@@ -20,8 +20,13 @@ plan-asserted in tests/test_artifacts.py.
 Format (format_version 1): a directory holding
   - data.parquet — the payload rows (schema per kind, below)
   - meta.json    — {"kind", "format_version", "params",
-                    "data_fingerprint", "trained_on"}
-written driver-side with pyarrow: every payload is O(kilobytes)
+                    "data_fingerprint", "trained_on", "payload_sha256"}
+written driver-side with pyarrow, ATOMICALLY: staged into a temp
+directory and renamed over the target, so a crash mid-save or a
+concurrent reader never sees a mismatched payload/meta pair, and the
+loader verifies payload_sha256 against the parquet bytes (artifacts
+saved before r12 lack the key and skip that check). Every payload is
+O(kilobytes)
 (merges: rounds x 2 strings; centroids: k x dim int64; codebooks:
 M x KS x sub_d int64), so distributed IO would be overhead — the
 parquet is still a plain dataset any engine (or a Spark read at serve
@@ -37,6 +42,9 @@ silently serving wrong codes (the same staleness contract as the
 in-process centroid memo). Cross-corpus serving — the actual
 train-once/serve-many case — passes `validate=False` (or no sf_dir),
 which skips the comparison but still checks kind and format_version.
+`validate` defaults to None = "validate iff sf_dir is given"; an
+explicit `validate=True` WITHOUT sf_dir raises instead of silently
+no-opping (ADVICE r11), so the signature reflects the actual behavior.
 """
 
 from __future__ import annotations
@@ -68,30 +76,74 @@ def _jsonable(v: Any) -> Any:
 
 
 def _write(path: str, kind: str, pa_table, params: dict, sf_dir: str | None) -> None:
+    """Atomically (re)write the artifact directory.
+
+    The payload and meta are staged into a sibling temp directory and
+    swapped in with directory renames, so a crash mid-save or a
+    concurrent reader never observes a mismatched payload/meta pair:
+    the old artifact stays fully servable until the new one is
+    complete. meta additionally records a sha256 of the payload bytes
+    (verified on load) so even a torn copy of the directory is caught.
+    ADVICE r11."""
+    import hashlib
+    import shutil
+
     import pyarrow.parquet as pq
 
-    os.makedirs(path, exist_ok=True)
-    pq.write_table(pa_table, os.path.join(path, "data.parquet"))
+    tmp = f"{path}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    data_path = os.path.join(tmp, "data.parquet")
+    pq.write_table(pa_table, data_path)
+    with open(data_path, "rb") as f:
+        payload_sha = hashlib.sha256(f.read()).hexdigest()
     meta = {
         "kind": kind,
         "format_version": FORMAT_VERSION,
         "params": params,
         "trained_on": sf_dir,
+        "payload_sha256": payload_sha,
         "data_fingerprint": (
             _jsonable(_data_fingerprint(sf_dir, _KINDS[kind]))
             if sf_dir is not None
             else None
         ),
     }
-    with open(os.path.join(path, "meta.json"), "w") as f:
+    with open(os.path.join(tmp, "meta.json"), "w") as f:
         json.dump(meta, f, indent=1)
+    old = f"{path}.old-{os.getpid()}"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
 
 
-def _read(path: str, kind: str, sf_dir: str | None, validate: bool):
+def _read(path: str, kind: str, sf_dir: str | None, validate: bool | None):
+    import hashlib
+
     import pyarrow.parquet as pq
 
+    # validate=None (the default) means "validate iff sf_dir given".
+    # An EXPLICIT validate=True with no sf_dir used to silently no-op
+    # (ADVICE r11); it now refuses, so a caller who believes staleness
+    # validation is on never runs without it.
+    if validate and sf_dir is None:
+        raise ArtifactMismatch(
+            f"{path}: validate=True requires sf_dir= (the corpus to "
+            f"fingerprint against); pass sf_dir or drop validate"
+        )
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
+    want_sha = meta.get("payload_sha256")
+    if want_sha is not None:  # absent in artifacts saved before r12
+        with open(os.path.join(path, "data.parquet"), "rb") as f:
+            got_sha = hashlib.sha256(f.read()).hexdigest()
+        if got_sha != want_sha:
+            raise ArtifactMismatch(
+                f"{path}: payload sha256 does not match meta.json — "
+                f"torn or corrupted artifact copy"
+            )
     if meta.get("kind") != kind:
         raise ArtifactMismatch(
             f"{path}: artifact kind {meta.get('kind')!r}, expected {kind!r}"
@@ -101,7 +153,7 @@ def _read(path: str, kind: str, sf_dir: str | None, validate: bool):
             f"{path}: format_version {meta.get('format_version')}, "
             f"reader supports {FORMAT_VERSION}"
         )
-    if validate and sf_dir is not None:
+    if validate is not False and sf_dir is not None:
         if meta.get("data_fingerprint") is None:
             # validation REQUESTED but impossible: the artifact was
             # saved without a training fingerprint. Silently skipping
@@ -153,7 +205,7 @@ def save_bpe_merges(
 
 
 def load_bpe_merges(
-    path: str, *, sf_dir: str | None = None, validate: bool = True
+    path: str, *, sf_dir: str | None = None, validate: bool | None = None
 ) -> list[tuple[str, str]]:
     t, _ = _read(path, "bpe_merges", sf_dir, validate)
     d = t.sort_by("merge_round").to_pydict()
@@ -199,7 +251,7 @@ def save_kmeans_centroids(
 
 
 def load_kmeans_centroids(
-    path: str, *, sf_dir: str | None = None, validate: bool = True
+    path: str, *, sf_dir: str | None = None, validate: bool | None = None
 ) -> dict[int, list[int]]:
     t, _ = _read(path, "kmeans_centroids", sf_dir, validate)
     d = t.to_pydict()
@@ -247,7 +299,7 @@ def save_pq_codebooks(
 
 
 def load_pq_codebooks(
-    path: str, *, sf_dir: str | None = None, validate: bool = True
+    path: str, *, sf_dir: str | None = None, validate: bool | None = None
 ) -> list[dict[int, list[int]]]:
     t, meta = _read(path, "pq_codebooks", sf_dir, validate)
     d = t.to_pydict()

@@ -76,6 +76,39 @@ def test_fingerprint_mismatch_refuses_to_serve(spark, sf_dir, tmp_path):
     shutil.rmtree(other)
 
 
+def test_explicit_validate_without_sf_dir_refuses(tmp_path):
+    """validate=True with no sf_dir used to silently skip validation
+    (ADVICE r11); it must now raise, so a caller who believes the
+    staleness check is on never runs without it."""
+    path = str(tmp_path / "bpe")
+    artifacts.save_bpe_merges(path, [("a", "b")])
+    with pytest.raises(artifacts.ArtifactMismatch, match="requires sf_dir"):
+        artifacts.load_bpe_merges(path, validate=True)
+    # the default (validate=None) still means "skip when no sf_dir"
+    assert artifacts.load_bpe_merges(path) == [("a", "b")]
+
+
+def test_torn_payload_refuses_and_resave_is_atomic(tmp_path):
+    """meta.json records a sha256 of data.parquet: a payload swapped
+    out from under its meta (torn copy, crashed half-save) raises; a
+    re-save over an existing artifact swaps atomically and leaves no
+    temp debris (ADVICE r11)."""
+    import os
+
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    artifacts.save_bpe_merges(a, [("a", "b")])
+    artifacts.save_bpe_merges(b, [("x", "y"), ("xy", "z")])
+    # overwrite in place: loader sees the new payload, no stale tmp/old
+    artifacts.save_bpe_merges(a, [("p", "q")])
+    assert artifacts.load_bpe_merges(a) == [("p", "q")]
+    assert sorted(os.listdir(tmp_path)) == ["a", "b"]
+    # tear: b's payload under a's meta -> checksum mismatch
+    os.replace(os.path.join(b, "data.parquet"), os.path.join(a, "data.parquet"))
+    with pytest.raises(artifacts.ArtifactMismatch, match="sha256"):
+        artifacts.load_bpe_merges(a)
+
+
 def test_pq_wrong_shape_artifact_refuses(spark, sf_dir, tmp_path):
     """A codebook whose subspace count / sub-dimension doesn't match the
     serving corpus raises instead of silently computing garbage ADC."""
