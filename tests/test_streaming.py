@@ -614,6 +614,89 @@ def test_minhash_novelty_stream_equals_batch_gate(spark, tmp_path):
     assert max(mult.values()) <= N_BANDS, mult.most_common(3)
 
 
+def test_minhash_novelty_stream_seeded_restart_equals_batch_gate(spark, tmp_path):
+    """Bootstrap-from-corpus (VERDICT r11 item 8): a fresh deployment
+    with NO checkpoint streams ONLY the new batch, seeded with the
+    persisted band index of the previously-admitted corpus
+    (`build_novelty_seed_index`); the accepted set must equal
+    `dedup_incremental_minhash` over old+new TOGETHER. The corpus
+    engineers the three paths: a new exact copy of a SEED doc (rejected
+    purely from the seed — doc 0 never flows through this stream), a
+    novel doc (accepted), and an exact copy of that novel doc
+    (in-batch keep-first rejection, state written on top of the seed).
+    An UNSEEDED run over the same new-batch-only stream re-admits the
+    known copy — proving the seed is what closes the redeploy hole."""
+    import os
+    import time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_graft.streaming import (
+        build_novelty_seed_index,
+        minhash_novelty_stream,
+        run_stream_to_memory,
+    )
+
+    t0 = " ".join(f"alpha{i} beta{i}" for i in range(25))
+    t1 = " ".join(f"delta{i} eps{i}" for i in range(25))
+    texts = {}
+    for i in range(40):
+        texts[i] = f"unique{i}x unique{i}y unique{i}z unique{i}w unique{i}v"
+    texts[0] = t0  # old (seed) content
+    texts[19] = t0  # new: exact copy of seed doc 0 -> rejected via seed
+    texts[9] = t1  # new: novel -> accepted
+    texts[39] = t1  # new: exact copy of new doc 9 -> in-batch rejected
+
+    doc_dir = tmp_path / "docs"
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in sorted(texts.items())],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.mode("overwrite").parquet(str(doc_dir / "documents.parquet"))
+    accepted_batch = {
+        r["doc_id"]
+        for r in REGISTRY["dedup_incremental_minhash"].fn(spark, str(doc_dir)).collect()
+    }
+
+    old_ids = sorted(i for i in texts if i % 10 != 9)
+    new_ids = sorted(i for i in texts if i % 10 == 9)
+    # the old deployment's admitted corpus -> persisted band index
+    seed_path = str(tmp_path / "seed_index.parquet")
+    build_novelty_seed_index(
+        spark.createDataFrame(
+            [(i, texts[i]) for i in old_ids], "doc_id bigint, text string"
+        )
+    ).toPandas().to_parquet(seed_path, index=False)
+
+    # the restarted deployment sees ONLY the new batch
+    src = tmp_path / "stream_src_new_only"
+    src.mkdir()
+    t = pa.Table.from_pandas(
+        pd.DataFrame({"doc_id": new_ids, "text": [texts[i] for i in new_ids]}),
+        preserve_index=False,
+    ).cast(pa.schema([("doc_id", pa.int64()), ("text", pa.string())]))
+    pq.write_table(t, str(src / "new.parquet"))
+
+    def run(seed):
+        stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+        pairs = run_stream_to_memory(
+            minhash_novelty_stream(stream, seed_index_path=seed), mode="append"
+        ).collect()
+        return pairs, set(new_ids) - {r["new_id"] for r in pairs}
+
+    pairs, accepted_seeded = run(seed_path)
+    assert accepted_seeded == accepted_batch, (accepted_seeded, accepted_batch)
+    assert 19 not in accepted_seeded  # known content rejected from seed alone
+    assert 9 in accepted_seeded and 39 not in accepted_seeded
+    # the rejection's witness is a doc this stream never ingested
+    assert any(r["new_id"] == 19 and r["other_id"] == 0 for r in pairs)
+    # ...and WITHOUT the seed the known copy is re-admitted: the seed is
+    # load-bearing, not decorative
+    _, accepted_unseeded = run(None)
+    assert 19 in accepted_unseeded
+
+
 def test_cep_pattern_stream_equals_batch(spark, sf_dir, tmp_path):
     """Streaming CEP == batch events_pattern: the full event table is
     replayed as THREE time-ordered micro-batches (split on the global
@@ -885,6 +968,118 @@ def test_decontaminate_stream_equals_batch(spark, sf_dir, tmp_path):
     batch = REGISTRY["decontaminate"].fn(spark, sf_dir)
     assert_frames_match(final.toPandas(), batch.toPandas(), "decon stream==batch")
     assert batch.count() > 0  # the equivalence is not vacuous
+
+
+def test_decontaminate_stream_state_evicts_past_watermark(spark, sf_dir, tmp_path):
+    """The per-doc aggregation state must NOT grow monotonically with
+    docs ingested (VERDICT r11 item 4): with an ingest-time watermark,
+    a doc's counter row is evicted once the watermark passes its
+    arrival window, so steady-state rows track the recent ingest window
+    — not every document ever seen. Five micro-batches arrive one hour
+    apart with a 1-minute watermark+window; each batch's state must
+    hold only that batch's docs (earlier batches evicted), and the
+    emitted rows must still equal the batch decontaminate query."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_graft.sources import table
+    from spark_graft.streaming import decontaminate_stream, eval_gram_table
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    src = tmp_path / "decon_ttl_src"
+    src.mkdir()
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("text", pa.string()),
+            ("ingest_ts", pa.timestamp("us")),
+        ]
+    )
+    N_BATCH = 5
+    T0 = 1_700_000_000_000_000  # us epoch
+    HOUR = 3600 * 10**6
+    cuts = [len(docs) * i // N_BATCH for i in range(N_BATCH + 1)]
+    now = time.time()
+    batch_docs = []
+    for i in range(N_BATCH):
+        chunk = docs.iloc[cuts[i]:cuts[i + 1]].copy()
+        chunk["ingest_ts"] = T0 + i * HOUR
+        chunk["ingest_ts"] = chunk["ingest_ts"].astype("datetime64[us]")
+        pq.write_table(
+            pa.Table.from_pandas(chunk, preserve_index=False).cast(schema),
+            str(src / f"c{i}.parquet"),
+        )
+        os.utime(src / f"c{i}.parquet", (now + i * 10, now + i * 10))
+        batch_docs.append(len(chunk))
+
+    static_grams = eval_gram_table(spark, sf_dir).localCheckpoint()
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ingest_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = decontaminate_stream(
+        stream, static_grams, watermark="1 minute", window="1 minute"
+    )
+    name = "decon_ttl_sink"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    import json
+
+    progress = [
+        json.loads(p.json) if hasattr(p, "json") else p for p in q.recentProgress
+    ]
+    state_rows = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in progress
+        if p.get("stateOperators")
+    ]
+    # non-eval docs only (eval decile is filtered out before the agg)
+    from spark_graft.operators.pipeline import EVAL_MOD
+
+    per_batch_nontrivial = [
+        int((docs.iloc[cuts[i]:cuts[i + 1]].doc_id % EVAL_MOD != 0).sum())
+        for i in range(N_BATCH)
+    ]
+    total = sum(per_batch_nontrivial)
+    assert len(state_rows) >= N_BATCH
+    # bounded: no snapshot ever holds anywhere near every doc ingested,
+    # and the peak tracks a single batch's docs, not the running total
+    assert max(state_rows) < total, (state_rows, total)
+    assert max(state_rows) <= max(per_batch_nontrivial) * 2, (
+        state_rows,
+        per_batch_nontrivial,
+    )
+    # ...and the answer is still exactly the batch query's
+    emitted = spark.sql(f"SELECT * FROM {name}")
+    final = (
+        emitted.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(F.desc("n_grams"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    batch = REGISTRY["decontaminate"].fn(spark, sf_dir)
+    assert_frames_match(
+        final.toPandas(), batch.toPandas(), "decon ttl stream==batch"
+    )
 
 
 def test_cep_reorder_buffer_survives_checkpoint_restart(spark, tmp_path):
