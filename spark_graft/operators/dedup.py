@@ -246,8 +246,21 @@ def minhash_doc_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
     array (measured ~1.0s of the sf0.1 query); aggregate-min does the
     identical arithmetic JVM-side for free. Same values: shingle rows
     are distinct per doc, so row-min == set-min."""
+    return minhash_doc_table_from_toks(
+        docs.select("doc_id", tokens(text_col).alias("toks"))
+    )
+
+
+def minhash_doc_table_from_toks(base: DataFrame) -> DataFrame:
+    """`minhash_doc_table` over an ALREADY-TOKENIZED (doc_id, toks)
+    frame — the entry point for composed pipelines (e.g.
+    pipeline_pretrain_corpus) that stage tokens once and feed multiple
+    stages from the same projection, honoring `shingles_from_tokens`'
+    attribute-not-expression performance contract."""
     hashed = (
-        shingle_rows(docs, text_col)
+        base.select(
+            "doc_id", F.explode(shingles_from_tokens("toks", 3)).alias("s")
+        )
         .select("doc_id", "s", F.md5("s").alias("dg"))
         .select(
             "doc_id",
@@ -1245,6 +1258,127 @@ def dedup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_substring",
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+        dg AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(ts[i : i + {SPAN_N - 1}], ' ') AS g
+            FROM toks,
+                 unnest(generate_series(1, greatest(len(ts) - {SPAN_N - 1}, 0))) AS u(i)
+        ),
+        shared AS (SELECT g FROM dg GROUP BY g HAVING count(*) > 1),
+        starts AS (
+            SELECT t.doc_id, u.i
+            FROM toks t,
+                 unnest(generate_series(1, greatest(len(t.ts) - {SPAN_N - 1}, 0))) AS u(i)
+            WHERE array_to_string(t.ts[u.i : u.i + {SPAN_N - 1}], ' ')
+                  IN (SELECT g FROM shared)
+        ),
+        covered AS (
+            SELECT DISTINCT doc_id, i + o.off AS p
+            FROM starts, unnest(generate_series(0, {SPAN_N - 1})) AS o(off)
+        ),
+        cov AS (SELECT doc_id, list(DISTINCT p) AS cps FROM covered GROUP BY doc_id)
+        SELECT t.doc_id,
+               len(t.ts) AS n_tokens,
+               coalesce(len(c.cps), 0) AS n_removed,
+               CASE WHEN len(t.ts) = 0 THEN 0.0
+                    ELSE round(coalesce(len(c.cps), 0)
+                               / CAST(len(t.ts) AS DOUBLE), 4) END AS removed_frac,
+               coalesce(array_to_string(
+                   [t.ts[p] FOR p IN generate_series(1, len(t.ts))
+                    IF NOT list_contains(coalesce(c.cps, []::BIGINT[]), p)],
+                   ' '), '') AS clean_text
+        FROM toks t LEFT JOIN cov c USING (doc_id)
+    """,
+)
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup REMOVAL — the ExactSubstr transform of
+    'Deduplicating Training Data Makes Language Models Better' (Lee et
+    al. 2022) that `dedup_span_fraction` (above) only MEASURES: emit
+    every document with all cross-document-repeated {SPAN_N}-token
+    spans excised. A token is removed iff ANY {SPAN_N}-span covering it
+    occurs in at least one OTHER document (span doc-frequency > 1);
+    what remains is the document's unique prose, which is what a
+    production curation pipeline actually feeds to training after
+    whole-doc dedup has caught the easy cases (VERDICT r11 item 6 /
+    "what's missing" item 1).
+
+    Shape: span doc-frequency from the SAME distinct-spans-per-doc +
+    count-window machinery as dedup_span_fraction (two keyed shuffles,
+    no self-join), shared spans grouped back to one array per doc
+    (third shuffle, keyed by doc_id), then the per-doc SPAN-MASK
+    REWRITE is pure in-array expression work: positional spans are
+    re-derived from the token array, matched against the doc's shared
+    set, expanded to covered positions, and the kept tokens re-joined —
+    no extra shuffle, no Python, one narrow projection chain per doc.
+    Per-doc cost is O(n_tokens * n_covered) from the array membership
+    probes — fine at the fixture's doc lengths; at 100 TB hash spans to
+    int64 before the shuffles (as dedup_ngram_jaccard does) and replace
+    the membership probe with a sorted-starts sweep if documents grow
+    to book length. Exactly reproducible, so the whole transform is
+    hash-gated against the oracle — including the rewritten text."""
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", tokens("text").alias("toks"))
+    dg = base.select(
+        "doc_id", F.explode(shingles_from_tokens("toks", SPAN_N)).alias("g")
+    )
+    shared_per_doc = (
+        dg.withColumn("n_docs", F.count(F.lit(1)).over(Window.partitionBy("g")))
+        .filter(F.col("n_docs") > 1)
+        .groupBy("doc_id")
+        .agg(F.collect_set("g").alias("sg"))
+    )
+    j = base.join(shared_per_doc, "doc_id", "left").select(
+        "doc_id",
+        "toks",
+        F.coalesce("sg", F.array().cast("array<string>")).alias("sg"),
+    )
+    # sequence(1, 0) is DESCENDING in Spark — guard short docs to []
+    start_idx = F.when(
+        F.size("toks") < SPAN_N, F.array().cast("array<int>")
+    ).otherwise(F.sequence(F.lit(1), F.size("toks") - (SPAN_N - 1)))
+    with_starts = j.select(
+        "doc_id",
+        "toks",
+        F.filter(
+            start_idx,
+            lambda i: F.array_contains(
+                "sg", F.array_join(F.slice("toks", i, SPAN_N), " ")
+            ),
+        ).alias("starts"),
+    )
+    with_cov = with_starts.select(
+        "doc_id",
+        "toks",
+        F.array_distinct(
+            F.flatten(
+                F.transform("starts", lambda s: F.sequence(s, s + F.lit(SPAN_N - 1)))
+            )
+        ).alias("cov"),
+    )
+    all_pos = F.when(F.size("toks") == 0, F.array().cast("array<int>")).otherwise(
+        F.sequence(F.lit(1), F.size("toks"))
+    )
+    kept = F.transform(
+        F.filter(all_pos, lambda p: ~F.array_contains(F.col("cov"), p)),
+        lambda p: F.element_at(F.col("toks"), p),
+    )
+    return with_cov.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.size("cov").alias("n_removed"),
+        F.when(F.size("toks") == 0, F.lit(0.0))
+        .otherwise(F.round(F.size("cov") / F.size("toks").cast("double"), 4))
+        .alias("removed_frac"),
+        F.array_join(kept, " ").alias("clean_text"),
+    )
+
+
 def _semantic_oracle() -> str:
     # the pair discovery is dedup_embedding's oracle (trained-quantizer
     # cells + cosine threshold) verbatim; keep/drop is a per-vector
@@ -1322,6 +1456,9 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 # as (near-)contained in doc_b. ceil(0.9 * n) in integer arithmetic is
 # (9n + 9) div 10, so both engines prune identically.
 CONTAIN_T_NUM, CONTAIN_T_DEN = 9, 10
+# collapse identical-content groups only when dup rate exceeds 2%:
+# (n_docs - n_distinct_contents) / n_docs > NUM/DEN (VERDICT r11 item 5)
+CONTAIN_COLLAPSE_NUM, CONTAIN_COLLAPSE_DEN = 2, 100
 
 
 @query(
@@ -1406,6 +1543,11 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     a d^2 clique per bucket — candidate volume now scales with
     DISTINCT CONTENTS only (measured: see
     ppjoin_filter_characterization.containment_* in BENCH_SF1.json).
+    Round 12 GATES the collapse on the measured dup rate: two exact
+    scalars off the checkpointed per-doc sets decide whether >2% of
+    docs share a content fingerprint; below that the collapse groupBy
+    is pure overhead (~20% at sf1, r11 A/B) and the pipeline runs the
+    singleton-group projection instead — identical output either way.
 
     Scale: one scan builds the checkpointed groups table (the same
     staging asset dedup_ngram_jaccard and dedup_exact share at 100 TB);
@@ -1421,27 +1563,58 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("bigint").alias("s"),
     )
-    doc_sets = all_sh.groupBy("doc_id").agg(
-        F.array_sort(F.collect_list("s")).alias("ss")
-    )
-    groups = (
-        doc_sets.select(
-            "doc_id",
-            "ss",
+    doc_sets = (
+        all_sh.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("s")).alias("ss"))
+        .withColumn(
+            "fp",
             F.md5(
                 F.array_join(F.transform("ss", lambda x: x.cast("string")), ",")
-            ).alias("fp"),
+            ),
         )
-        .groupBy("fp")
-        .agg(
-            F.min("doc_id").alias("rep"),
-            F.array_sort(F.collect_list("doc_id")).alias("members"),
-            # identical ss across the group by construction
-            F.first("ss").alias("ss"),
-        )
-        .withColumn("n", F.size("ss"))
         .localCheckpoint()
     )
+    # GATE the exact-duplicate collapse on the MEASURED dup rate
+    # (VERDICT r11 item 5): the fingerprint groupBy that makes
+    # boilerplate-heavy corpora linear is pure overhead when
+    # n_distinct_contents ~= n_docs (the r11 A/B measured ~20% slower
+    # on dup-free bounded corpora), so pay it only when >2% of docs
+    # share a content fingerprint. Two exact scalars off the already-
+    # checkpointed per-doc sets; either branch yields the identical
+    # result (singleton groups == no collapse), so the gate is a pure
+    # physical-plan decision — hash-stable by construction.
+    mode = os.environ.get("SPARK_GRAFT_CONTAIN_COLLAPSE", "auto")
+    if mode == "auto":
+        n_docs, n_distinct = doc_sets.select(
+            F.count(F.lit(1)), F.countDistinct("fp")
+        ).first()
+        collapse = (
+            (n_docs - n_distinct) * CONTAIN_COLLAPSE_DEN
+            > n_docs * CONTAIN_COLLAPSE_NUM
+        )
+    else:  # "always" / "never": characterization + operator override
+        collapse = mode == "always"
+    if collapse:
+        groups = (
+            doc_sets.groupBy("fp")
+            .agg(
+                F.min("doc_id").alias("rep"),
+                F.array_sort(F.collect_list("doc_id")).alias("members"),
+                # identical ss across the group by construction
+                F.first("ss").alias("ss"),
+            )
+            .withColumn("n", F.size("ss"))
+            .localCheckpoint()
+        )
+    else:
+        # singleton "groups": a narrow projection of the checkpointed
+        # per-doc sets — no second shuffle, no collect_list of members
+        groups = doc_sets.select(
+            F.col("doc_id").alias("rep"),
+            F.array(F.col("doc_id")).alias("members"),
+            "ss",
+            F.size("ss").alias("n"),
+        )
     # group-internal ORDERED pairs: identical sets, containment exactly
     # 1.0 in both directions — chunked expansion so a degenerate corpus
     # of 1e5 copies of one doc cannot materialize a quadratic row
