@@ -657,3 +657,250 @@ def source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0) - F.countDistinct("fp") / F.count(F.lit(1)).cast("double"), 4
         ).alias("dup_rate"),
     )
+
+
+def _pretrain_oracle() -> str:
+    from spark_graft.operators.dedup import (
+        _SHINGLES,
+        N_BANDS,
+        N_PERMS,
+    )
+
+    rows_per_band = N_PERMS // N_BANDS
+    return f"""
+        WITH base AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+        feat AS (
+            SELECT doc_id, toks,
+                   len(toks) AS n_tokens,
+                   md5(coalesce(array_to_string(toks, ' '), '')) AS fp,
+                   {_lang_stop_sql("en")} AS c_en,
+                   {_lang_stop_sql("es")} AS c_es,
+                   {_lang_stop_sql("fr")} AS c_fr,
+                   {_lang_stop_sql("de")} AS c_de
+            FROM base
+        ),
+        kept AS (
+            SELECT doc_id, toks, n_tokens, fp FROM feat
+            WHERE doc_id % {EVAL_MOD} <> 0
+              AND n_tokens >= {MIN_TOKENS}
+              AND c_en > 0 AND c_en >= greatest(c_es, c_fr, c_de)
+        ),
+        s1 AS (
+            SELECT doc_id, toks, n_tokens FROM (
+                SELECT doc_id, toks, n_tokens,
+                       row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+                FROM kept
+            ) WHERE rk = 1
+        ),
+        sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM s1),
+        shs AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+        hs AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS h1,
+                   CAST(('0x' || substr(md5(s), 9, 8)) AS BIGINT) AS h2
+            FROM shs
+        ),
+        mins AS (
+            SELECT hs.doc_id, g.p, min((h1 + g.p * h2) % 2147483647) AS mh
+            FROM hs CROSS JOIN generate_series(0, {N_PERMS - 1}) AS g(p)
+            GROUP BY hs.doc_id, g.p
+        ),
+        bands AS (
+            SELECT doc_id, CAST(p // {rows_per_band} AS INT) AS band,
+                   md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY p)) AS sig
+            FROM mins GROUP BY doc_id, p // {rows_per_band}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        ),
+        near_drop AS (
+            SELECT DISTINCT c.doc_b AS doc_id
+            FROM cand c
+            JOIN sh sa ON sa.doc_id = c.doc_a
+            JOIN sh sb ON sb.doc_id = c.doc_b
+            WHERE len(list_intersect(sa.sh, sb.sh)) * 1.0
+                  / len(list_distinct(list_concat(sa.sh, sb.sh)))
+                  >= {JACCARD_THRESHOLD}
+        ),
+        s2 AS (
+            SELECT doc_id, toks, n_tokens FROM s1
+            WHERE doc_id NOT IN (SELECT doc_id FROM near_drop)
+        ),
+        eval_g AS (
+            SELECT DISTINCT
+                   CAST(('0x' || substr(md5(array_to_string(toks[i : i + {DECON_N - 1}], ' ')), 1, 15)) AS BIGINT) AS g
+            FROM base,
+                 unnest(generate_series(1, greatest(len(toks) - {DECON_N - 1}, 0))) AS u(i)
+            WHERE doc_id % {EVAL_MOD} = 0
+        ),
+        flagged AS (
+            SELECT DISTINCT s2.doc_id
+            FROM s2,
+                 unnest(generate_series(1, greatest(len(s2.toks) - {DECON_N - 1}, 0))) AS u(i)
+            JOIN eval_g e
+              ON e.g = CAST(('0x' || substr(md5(array_to_string(s2.toks[u.i : u.i + {DECON_N - 1}], ' ')), 1, 15)) AS BIGINT)
+        ),
+        s3 AS (
+            SELECT doc_id, n_tokens,
+                   CAST(('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % {PACK_SHARDS} AS shard
+            FROM s2
+            WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
+        ),
+        packed AS (
+            SELECT doc_id, shard, n_tokens,
+                   sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING) - n_tokens
+                       AS start_tok
+            FROM s3
+        )
+        SELECT doc_id, shard, n_tokens,
+               CAST(start_tok // {PACK_BUDGET} AS BIGINT) AS chunk_id,
+               CAST(start_tok % {PACK_BUDGET} AS BIGINT) AS tok_offset
+        FROM packed
+    """
+
+
+@query("pipeline_pretrain_corpus", oracle=_pretrain_oracle())
+def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL pretraining-corpus pipeline as ONE declared query
+    (VERDICT r11 item 7): quality floor -> English langid -> exact
+    dedup keep-first -> MinHash near-dup gate -> benchmark
+    decontamination -> sequence packing. `pipeline_clean_corpus` proved
+    the narrow stages fuse; this extends the chain through the WIDE
+    stages (LSH banding, gram join) to the training-ready (doc_id,
+    shard, chunk_id, tok_offset) layout — the plan a production
+    curation run actually submits, where the win is SHARED work: tokens
+    are staged once and every stage (counts, fingerprint, stopword
+    votes, shingles, grams) is an expression over that one projection,
+    so adding a stage never adds a scan-and-retokenize pass.
+
+    Stage semantics (each individually oracle-checked by its standalone
+    query): quality/langid/exact-dedup are pipeline_clean_corpus's
+    exact expressions (plus dropping the doc_id % {EVAL_MOD} eval
+    decile up front — the eval set never enters the training corpus);
+    the near-dup gate drops the HIGHER doc_id of every verified
+    minhash pair (dedup_minhash's bands + exact-Jaccard verify over
+    the survivors, keep-first like the exact stage; non-transitive by
+    design — same contract as dedup_semantic's greedy keep/drop); the
+    decontamination gate drops any survivor sharing a {DECON_N}-gram
+    with the eval decile's gram table (decontaminate's 60-bit hashed
+    grams); packing is pipeline_pack_sequences' per-shard running sum.
+
+    Scale: the only wide ops are the ones the standalone queries
+    already characterized — the fp window, the minhash doc aggregate,
+    the band buckets (chunked pair expansion), the doc_id-keyed verify
+    and anti-joins, the gram join, and the per-shard pack window. No
+    stage re-shuffles another's output on the same key twice; the
+    anti-join chain stays on doc_id. Plan-pinned in tests/test_plans.py
+    (no cartesian, no SinglePartition window, gates compose as
+    left-anti joins)."""
+    from spark_graft.operators.dedup import (
+        JACCARD_THRESHOLD as _JT,
+        exploded_pairs,
+        minhash_bands,
+        minhash_doc_table_from_toks,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", tokens("text").alias("toks"))
+    counts = stopword_count_cols(F.col("toks"))
+    feat = base.select(
+        "doc_id",
+        "toks",
+        F.size("toks").alias("n_tokens"),
+        F.md5(F.array_join("toks", " ")).alias("fp"),
+        *counts.values(),
+    )
+    kept = feat.filter(
+        ((F.col("doc_id") % EVAL_MOD) != 0)
+        & (F.col("n_tokens") >= MIN_TOKENS)
+        & (F.col("c_en") > 0)
+        & (F.col("c_en") >= F.greatest("c_es", "c_fr", "c_de"))
+    )
+    # the survivor set feeds FOUR downstream consumers (minhash band
+    # path, two verify sides, the gate anti-joins); without a lineage
+    # cut Spark re-executes the tokenize+window chain once per
+    # reference (observed: the whole fp-window subtree duplicated in
+    # the executed plan). localCheckpoint materializes it once — at
+    # 100 TB this is the persisted post-dedup staging table every
+    # curation run writes anyway.
+    s1 = (
+        kept.withColumn(
+            "rk", F.row_number().over(Window.partitionBy("fp").orderBy("doc_id"))
+        )
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "toks", "n_tokens")
+        .localCheckpoint()
+    )
+    # near-dup gate: dedup_minhash's machinery over the survivors
+    per_doc = minhash_doc_table_from_toks(s1.select("doc_id", "toks"))
+    buckets = (
+        minhash_bands(per_doc)
+        .groupBy("band", "sig")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    cand = (
+        exploded_pairs(buckets, "ds")
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sets = per_doc.select("doc_id", F.col("shingles").alias("sh"))
+    jac = (
+        F.size(F.array_intersect("sa.sh", "sb.sh"))
+        * 1.0
+        / F.size(F.array_union("sa.sh", "sb.sh"))
+    )
+    near_drop = (
+        cand.join(sets.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sets.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= _JT)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    # s2 also has two consumers (the gram probe + the final anti-join
+    # left side); cutting here stops the minhash verify chain from
+    # executing twice
+    s2 = s1.join(near_drop, "doc_id", "left_anti").localCheckpoint()
+    # decontamination gate: decontaminate's 60-bit grams, semi/anti form
+    gram60 = lambda src: src.select(  # noqa: E731
+        "doc_id",
+        F.explode(shingles_from_tokens("toks", DECON_N)).alias("g0"),
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("g0"), 1, 15), 16, 10).cast("bigint").alias("g"),
+    )
+    eval_g = (
+        gram60(base.filter((F.col("doc_id") % EVAL_MOD) == 0))
+        .select("g")
+        .distinct()
+    )
+    flagged = (
+        gram60(s2.select("doc_id", "toks"))
+        .join(eval_g, "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    s3 = s2.join(flagged, "doc_id", "left_anti").select(
+        "doc_id",
+        "n_tokens",
+        (_md5_bucket_raw("pack:", F.col("doc_id")) % PACK_SHARDS).alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = s3.withColumn(
+        "start_tok", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return packed.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.expr(f"start_tok div {PACK_BUDGET}").alias("chunk_id"),
+        (F.col("start_tok") % PACK_BUDGET).alias("tok_offset"),
+    )
