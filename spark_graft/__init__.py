@@ -30,83 +30,55 @@ __all__ = ["REGISTRY", "QuerySpec", "query", "load_all_queries"]
 #   tier 0 — never driver-verified, or modified this round (an edit to
 #            a query fn or its oracle invalidates prior verification,
 #            so edited queries must re-enter the window);
-#   tier 1 — hash-green last in CORRECTNESS_r08 (2 rounds stale,
+#   tier 1 — hash-green last in CORRECTNESS_r09 (2 rounds stale,
 #            highest priority among unmodified queries);
-#   tier 2 — hash-green last in CORRECTNESS_r09 (1 round stale);
-#   tier 3 — hash-green in CORRECTNESS_r10 on code unchanged since.
+#   tier 2 — hash-green last in CORRECTNESS_r10 (1 round stale);
+#   tier 3 — hash-green in CORRECTNESS_r11 on code unchanged since.
 # Refresh these sets from CORRECTNESS_r{N}.json at the start of each
 # round, and add every query touched during the round to
 # _MODIFIED_THIS_ROUND.
 
-# Queries whose implementation or oracle changed during ROUND 11 —
+# Queries whose implementation or oracle changed during ROUND 12 —
 # tier 0, the driver must re-verify them on the new code:
-# - NEW this round: multimodal_neardup (perceptual average-hash
-#   near-dup over the stub decoder's pixels, VERDICT r10 item 5).
-# - fn_map: oracle now path-escapes \\ and " in JSON keys before
-#   splicing them into json_type/json_extract paths (ADVICE r10).
-# - events_pattern: oracle pins ORDER BY ts NULLS FIRST to match
-#   Spark's null-struct-field-first array_sort (ADVICE r10).
-# - dedup_containment: exact-duplicate collapse — identical shingle
-#   sets pair as representatives; group-internal ordered pairs emit at
-#   containment 1.0 unverified (VERDICT r10 item 2).
-# - vocab_bpe_apply / sim_ann_ivf_trained / sim_ann_pq: accept a
-#   persisted spark_graft.artifacts model (merges/centroids/codebooks)
-#   and skip training when given one; the default fused path is
-#   restructured around the shared serve code (VERDICT r10 item 3).
-# - graph_pagerank: pagerank() split into edges_with_degrees /
-#   pagerank_round / _pagerank_rounds so the bucketed-edge-table layout
-#   (save_bucketed_edges + pagerank_from_table, VERDICT r10 item 6)
-#   shares the exact round join — same expressions, but the executed
-#   path was restructured, so it re-enters the window.
-# NOT tier-0: the kmeans-family consumers of clustering's
-# _data_fingerprint — round 11 only added a defaulted table_name
-# parameter (artifacts passes "documents"); every existing call site
-# evaluates byte-identically, unlike r10's relpath+sort change which
-# altered returned values.
+# - NEW this round: dedup_substring (the Lee et al. 2022 ExactSubstr
+#   REMOVAL transform, VERDICT r11 item 6) and
+#   pipeline_pretrain_corpus (the fused six-stage pretraining chain,
+#   VERDICT r11 item 7).
+# - dedup_containment: the exact-duplicate collapse is now GATED on
+#   the measured dup rate (>2% of docs sharing a content fingerprint;
+#   VERDICT r11 item 5) — either branch is value-identical, but the
+#   executed path changed, so it re-enters the window.
+# NOT tier-0:
+# - dedup_minhash (and its consumers dedup_clusters, graph_pagerank,
+#   graph_triangles, dedup_incremental_minhash): round 12 split
+#   minhash_doc_table into a from-toks core + a tokenizing wrapper so
+#   pipeline_pretrain_corpus can feed staged tokens; the wrapper
+#   produces the byte-identical expression tree (same select chain),
+#   unlike r11's pagerank restructure which changed the executed path.
+# - vocab_bpe_apply / sim_ann_ivf_trained / sim_ann_pq: round 12 made
+#   artifact SAVES atomic and load validation stricter; the default
+#   fused paths the driver runs never load an artifact, so their
+#   evaluated plans are unchanged.
 _MODIFIED_THIS_ROUND = frozenset(
-    """multimodal_neardup fn_map events_pattern dedup_containment
-    vocab_bpe_apply sim_ann_ivf_trained sim_ann_pq graph_pagerank""".split()
+    """dedup_substring pipeline_pretrain_corpus dedup_containment""".split()
 )
 
-# Green last in CORRECTNESS_r08.json — 2 rounds stale; the 25 VERDICT
-# r10 item 1 names. They go first among unmodified queries in round
-# 11's window: 8 tier-0 + 25 of these = 33, leaving 17 slots.
-_VERIFIED_R8 = frozenset(
-    """agg_pivot agg_q1 agg_sketch_hll dedup_exact dedup_incremental
-    dedup_incremental_minhash dedup_minhash dedup_span_fraction
-    events_paths events_retention global_sort grouping_cube
-    grouping_rollup join_broadcast join_multi join_outer
-    min_unique_prefix sample_stratified set_ops stream_sliding
-    topk_per_group ts_anomaly udf_compat unpivot_measures
-    win_gaps_islands""".split()
-)
-
-# Green last in CORRECTNESS_r09.json — 1 round stale (graph_pagerank,
-# r9-green, is EXCLUDED here because the round-11 bucketed-layout
-# refactor moved it to _MODIFIED_THIS_ROUND — the sets must stay
-# disjoint so the simulated window arithmetic is exact). With 8
-# modified/new + 25 r8-stale ahead of them, 17 of these 38 fit the
-# 50-query window (simulated this round); the stable sort admits them
-# in registration order and the remaining 21 become round 12's top
-# priority.
+# Green last in CORRECTNESS_r09.json — 2 rounds stale, the 21 VERDICT
+# r11 item 2 names; they rotate into round 12's window right after the
+# tier-0 set (3 + 21 = 24, leaving 26 slots for tier 2).
 _VERIFIED_R9 = frozenset(
-    """agg_histogram agg_sketch_cms decontaminate dedup_clusters
-    dedup_simhash fn_array fn_datetime fn_math_decimal
-    fn_string fn_struct graph_triangles join_asof
-    join_bloom join_inner join_q2_shape join_semi_anti join_theta_range
-    mixture_weights pipeline_clean_corpus pipeline_pack_sequences
-    recursive_reachability sim_ann_ivf sim_ann_lsh sim_cosine_topk
-    source_stats text_bm25 text_langid text_quality text_scrub
-    text_stats text_tokens udf_compat_iterative udf_pandas_tokens
-    vocab_bpe_train win_lag win_range win_rank
+    """agg_histogram agg_sketch_cms fn_array fn_datetime fn_math_decimal
+    fn_string fn_struct join_asof join_bloom join_inner join_q2_shape
+    join_semi_anti join_theta_range recursive_reachability sim_ann_ivf
+    sim_ann_lsh sim_cosine_topk win_lag win_range win_rank
     win_running""".split()
 )
 
-# Green (rows+schema+hash) in CORRECTNESS_r10.json — freshest; these
-# can sit out round 11's window provided their code does not change.
-# (fn_map, events_pattern, dedup_containment, vocab_bpe_apply,
-# sim_ann_ivf_trained, and sim_ann_pq verified in r10 are EXCLUDED
-# here because round-11 edits moved them to _MODIFIED_THIS_ROUND.)
+# Green last in CORRECTNESS_r10.json — 1 round stale. 26 of these 44
+# fit round 12's 50-query window (simulated this round); the stable
+# sort admits them in registration order and the remaining 18 — still
+# r10-green, satisfying the nothing-older-than-r10 invariant — become
+# round 13's top priority.
 _VERIFIED_R10 = frozenset(
     """agg_approx agg_approx_percentile agg_bool_all agg_corr_exact
     agg_distinct agg_percentile agg_sketch_kmv agg_skew_salted
@@ -121,16 +93,36 @@ _VERIFIED_R10 = frozenset(
     vocab_pair_counts win_dist word_count""".split()
 )
 
+# Green (rows+schema+hash) in CORRECTNESS_r11.json — freshest; these
+# sit out round 12's window provided their code does not change.
+# (dedup_containment, r11-green, is EXCLUDED here because the round-12
+# dup-rate gate moved it to _MODIFIED_THIS_ROUND — the sets must stay
+# disjoint so the simulated window arithmetic is exact.)
+_VERIFIED_R11 = frozenset(
+    """agg_pivot agg_q1 agg_sketch_hll decontaminate dedup_clusters
+    dedup_exact dedup_incremental dedup_incremental_minhash
+    dedup_minhash dedup_simhash dedup_span_fraction events_paths
+    events_pattern events_retention fn_map global_sort graph_pagerank
+    graph_triangles grouping_cube grouping_rollup join_broadcast
+    join_multi join_outer min_unique_prefix mixture_weights
+    multimodal_neardup pipeline_clean_corpus pipeline_pack_sequences
+    sample_stratified set_ops sim_ann_ivf_trained sim_ann_pq
+    source_stats stream_sliding text_bm25 text_langid text_quality
+    text_scrub text_stats text_tokens topk_per_group ts_anomaly
+    udf_compat udf_compat_iterative udf_pandas_tokens unpivot_measures
+    vocab_bpe_apply vocab_bpe_train win_gaps_islands""".split()
+)
+
 
 def _staleness_tier(name: str) -> int:
     """0 = needs verification now … 3 = freshest verification."""
     if name in _MODIFIED_THIS_ROUND:
         return 0
-    if name in _VERIFIED_R8:
-        return 1
     if name in _VERIFIED_R9:
-        return 2
+        return 1
     if name in _VERIFIED_R10:
+        return 2
+    if name in _VERIFIED_R11:
         return 3
     return 0  # never driver-verified
 
