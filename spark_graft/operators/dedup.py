@@ -1315,11 +1315,17 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     set, expanded to covered positions, and the kept tokens re-joined —
     no extra shuffle, no Python, one narrow projection chain per doc.
     Per-doc cost is O(n_tokens * n_covered) from the array membership
-    probes — fine at the fixture's doc lengths; at 100 TB hash spans to
-    int64 before the shuffles (as dedup_ngram_jaccard does) and replace
-    the membership probe with a sorted-starts sweep if documents grow
-    to book length. Exactly reproducible, so the whole transform is
-    hash-gated against the oracle — including the rewritten text."""
+    probes — fine at the fixture's doc lengths; at 100 TB replace the
+    membership probe with a sorted-starts sweep if documents grow to
+    book length. Spans deliberately stay STRINGS through the shuffles:
+    the decontaminate-style 60-bit md5 mapping was implemented and
+    MEASURED SLOWER here (sf0.1 1.98 -> 2.61 s, sf1 8.44 -> 10.12 s)
+    because the positional rebuild probe must re-derive the span key
+    per start index — an md5 per position costs more than the ~50-byte
+    string shuffle saves; the mask rewrite is what distinguishes this
+    op from decontaminate, where hashing measured 2.3x faster. Exactly
+    reproducible, so the whole transform is hash-gated against the
+    oracle — including the rewritten text."""
     from pyspark.sql.window import Window
 
     docs = table(spark, sf_dir, "documents")
