@@ -1590,6 +1590,10 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # result (singleton groups == no collapse), so the gate is a pure
     # physical-plan decision — hash-stable by construction.
     mode = os.environ.get("SPARK_GRAFT_CONTAIN_COLLAPSE", "auto")
+    if mode not in ("auto", "always", "never"):
+        raise ValueError(
+            f"SPARK_GRAFT_CONTAIN_COLLAPSE={mode!r}: expected auto/always/never"
+        )
     if mode == "auto":
         n_docs, n_distinct = doc_sets.select(
             F.count(F.lit(1)), F.countDistinct("fp")

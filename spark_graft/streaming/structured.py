@@ -393,7 +393,12 @@ def _seed_index(path: str) -> dict:
     the same ship-the-dimension-once economics as a broadcast join
     side. Beyond broadcast-able sizes, preload the state store itself
     (state-store writer / transformWithState initial state) instead."""
-    if path not in _SEED_CACHE:
+    import os
+
+    # key by (path, mtime): re-seeding by overwriting the same path
+    # must not serve a stale cached index in long-lived executors
+    key = (path, os.path.getmtime(path))
+    if key not in _SEED_CACHE:
         import pyarrow.parquet as pq
 
         t = pq.read_table(path).to_pydict()
@@ -405,8 +410,9 @@ def _seed_index(path: str) -> dict:
             ids, shs = idx.setdefault((band, sig), ([], []))
             ids.append(int(did))
             shs.append(sh)
-        _SEED_CACHE[path] = idx
-    return _SEED_CACHE[path]
+        _SEED_CACHE.clear()  # at most one live index per worker
+        _SEED_CACHE[key] = idx
+    return _SEED_CACHE[key]
 
 
 def minhash_novelty_stream(
@@ -754,7 +760,12 @@ def decontaminate_stream(
     it, and doc_ids never recur in an append-only corpus feed — the
     window never splits or merges a doc's counts. Sources that carry no
     ingest timestamp get one stamped at ingest (`current_timestamp()`),
-    making the eviction a processing-time TTL.
+    making the eviction a processing-time TTL. CAVEAT for sources that
+    DO carry `ingest_col`: a row later than the watermark is dropped
+    UNEVALUATED (a contaminated doc would slip through), so size
+    `watermark` above the source's maximum ingest disorder — with the
+    default stamped-at-ingest column the timestamp is monotone per
+    batch and nothing can arrive late.
 
     At 100 TB: the stream side moves only 8-byte gram keys within each
     batch's narrow pipeline (raw text never shuffles), flagged docs

@@ -1356,3 +1356,99 @@ def test_multimodal_neardup_planted_pairs(spark, tmp_path_factory):
     # the unrelated doc pairs with nothing; the empty doc has no row
     assert by_id.loc[201, "n_neardups"] == 0
     assert 202 not in by_id.index
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=20),
+        min_size=1,
+        max_size=8,
+    )
+)
+@SETTINGS
+def test_dedup_substring_matches_python_reference(spark, docs):
+    """The span-mask rewrite == a plain python implementation of the
+    ExactSubstr semantics for ANY corpus: a token is removed iff some
+    8-token span covering it occurs in >= 2 documents. The 3-letter
+    vocabulary makes shared spans common, exercising partial masks,
+    full removals, and untouched docs in one draw."""
+    from spark_graft.operators.dedup import SPAN_N, dedup_substring
+
+    texts = [" ".join(d) for d in docs]
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+            "doc_id bigint, text string, lang string, source string, n_chars bigint",
+        ).write.mode("overwrite").parquet(f"{td}/documents.parquet")
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+            for r in dedup_substring(spark, td).collect()
+        }
+
+    span_docs: dict[str, set[int]] = {}
+    for i, d in enumerate(docs):
+        for j in range(len(d) - SPAN_N + 1):
+            span_docs.setdefault(" ".join(d[j : j + SPAN_N]), set()).add(i)
+    for i, d in enumerate(docs):
+        covered: set[int] = set()
+        for j in range(len(d) - SPAN_N + 1):
+            if len(span_docs[" ".join(d[j : j + SPAN_N])]) > 1:
+                covered.update(range(j, j + SPAN_N))
+        kept = [t for p, t in enumerate(d) if p not in covered]
+        assert got[i] == (len(d), len(covered), " ".join(kept)), (i, d, got[i])
+
+
+def test_pretrain_pipeline_each_gate_drops_its_doc(spark, tmp_path):
+    """Adversarial end-to-end fixture for pipeline_pretrain_corpus: one
+    document per gate, engineered so exactly that gate (and no other)
+    removes it — quality floor (7 tokens), langid (Spanish), exact dup
+    (byte-identical copy), minhash near-dup (1-token edit of a 50-token
+    doc), decontamination (shares a 4-gram with the eval-decile doc),
+    plus the eval doc itself — and the survivors come out packed with
+    exact chunk offsets."""
+    from spark_graft.registry import REGISTRY
+
+    filler = {
+        i: f"the w{i}a w{i}b w{i}c w{i}d w{i}e w{i}f w{i}g w{i}h"
+        for i in range(1, 15)
+    }
+    big = "the " + " ".join(f"alpha{i} beta{i}" for i in range(25))  # 51 toks
+    texts = dict(filler)
+    texts[10] = "held out benchmark prompt " + "evalpad " * 8  # eval decile
+    texts[1] = "the too short seven tokens"  # 5 < MIN_TOKENS=8
+    texts[2] = "el perro la casa de los gatos y el sol y la luna es bonita"
+    texts[3] = filler[4]  # exact dup pair (3, 4): keep-first keeps id 3
+    texts[5] = big
+    texts[6] = big.replace("alpha12", "gamma12")  # near-dup of doc 5
+    texts[7] = "the quick tour then held out benchmark prompt plus trailing pads"
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in sorted(texts.items())],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    rows = REGISTRY["pipeline_pretrain_corpus"].fn(spark, str(tmp_path)).collect()
+    out_ids = {r["doc_id"] for r in rows}
+    assert 10 not in out_ids  # eval decile never enters training
+    assert 1 not in out_ids  # quality floor
+    assert 2 not in out_ids  # langid
+    assert 3 in out_ids and 4 not in out_ids  # exact dup: keep-first (min id)
+    assert 5 in out_ids and 6 not in out_ids  # near-dup gate: keep lower id
+    assert 7 not in out_ids  # decontaminated (shares a 4-gram with doc 10)
+    # every untouched filler doc survives
+    assert {8, 9, 11, 12, 13, 14} <= out_ids
+    # packing invariant: within each shard, offsets are the exact
+    # running sum of token counts in doc_id order
+    from collections import defaultdict
+
+    by_shard = defaultdict(list)
+    for r in sorted(rows, key=lambda r: r["doc_id"]):
+        by_shard[r["shard"]].append(r)
+    from spark_graft.operators.pipeline import PACK_BUDGET
+
+    for shard, rs in by_shard.items():
+        run = 0
+        for r in rs:
+            assert r["chunk_id"] == run // PACK_BUDGET and r["tok_offset"] == run % PACK_BUDGET, r
+            run += r["n_tokens"]
