@@ -41,9 +41,11 @@ __all__ = ["REGISTRY", "QuerySpec", "query", "load_all_queries"]
 # Queries whose implementation or oracle changed during ROUND 12 —
 # tier 0, the driver must re-verify them on the new code:
 # - NEW this round: dedup_substring (the Lee et al. 2022 ExactSubstr
-#   REMOVAL transform, VERDICT r11 item 6) and
-#   pipeline_pretrain_corpus (the fused six-stage pretraining chain,
-#   VERDICT r11 item 7).
+#   REMOVAL transform, VERDICT r11 item 6), pipeline_pretrain_corpus
+#   (the fused six-stage pretraining chain, VERDICT r11 item 7), and
+#   quality_classifier (fixed-point gradient-descent training of a
+#   document-quality model — the R12 iterative driver extended to
+#   model training, with artifact-served zero-Exchange scoring).
 # - dedup_containment: the exact-duplicate collapse is now GATED on
 #   the measured dup rate (>2% of docs sharing a content fingerprint;
 #   VERDICT r11 item 5) — either branch is value-identical, but the
@@ -60,7 +62,8 @@ __all__ = ["REGISTRY", "QuerySpec", "query", "load_all_queries"]
 #   fused paths the driver runs never load an artifact, so their
 #   evaluated plans are unchanged.
 _MODIFIED_THIS_ROUND = frozenset(
-    """dedup_substring pipeline_pretrain_corpus dedup_containment""".split()
+    """dedup_substring pipeline_pretrain_corpus quality_classifier
+    dedup_containment""".split()
 )
 
 # Green last in CORRECTNESS_r09.json — 2 rounds stale, the 21 VERDICT

@@ -1,7 +1,8 @@
-"""Trained-artifact persistence: save/load the three trained models the
+"""Trained-artifact persistence: save/load the four trained models the
 engine produces — BPE merge lists (`vocab_bpe_train`), kmeans centroid
-matrices (`clustering.lloyd_centroids`), and PQ codebooks
-(`similarity._pq_codebooks`) — as parquet + a JSON meta sidecar, so the
+matrices (`clustering.lloyd_centroids`), PQ codebooks
+(`similarity._pq_codebooks`), and quality-classifier weights
+(`pipeline.quality_classifier`, r12) — as parquet + a JSON meta sidecar, so the
 production contract their docstrings promise (train ONCE, persist,
 serve many corpora without re-training) is a real code path instead of
 prose. VERDICT r10 item 3.
@@ -61,6 +62,7 @@ _KINDS = {
     "bpe_merges": "documents",
     "kmeans_centroids": "embeddings",
     "pq_codebooks": "embeddings",
+    "quality_weights": "documents",
 }
 
 
@@ -309,6 +311,46 @@ def load_pq_codebooks(
     for m, c, qc in zip(d["m"], d["cluster"], d["qc"]):
         cb[int(m)][int(c)] = [int(v) for v in qc]
     return cb
+
+
+# ------------------------------------------------- quality-classifier weights
+
+
+def save_quality_weights(
+    path: str, w: list[int], *, sf_dir: str | None = None
+) -> None:
+    """Persist the 4 fixed-point quality-classifier weights (bias,
+    token-count, stopword, token-length features — micro-units)."""
+    import pyarrow as pa
+
+    _write(
+        path,
+        "quality_weights",
+        pa.table(
+            {"j": list(range(len(w))), "w": [int(v) for v in w]},
+            schema=pa.schema([("j", pa.int32()), ("w", pa.int64())]),
+        ),
+        {"n_features": len(w)},
+        sf_dir,
+    )
+
+
+def load_quality_weights(
+    path: str, *, sf_dir: str | None = None, validate: bool | None = None
+) -> list[int]:
+    t, _ = _read(path, "quality_weights", sf_dir, validate)
+    d = t.sort_by("j").to_pydict()
+    return [int(v) for v in d["w"]]
+
+
+def train_and_save_quality(spark, sf_dir: str, path: str) -> list[int]:
+    """Run the quality_classifier descent loop and persist the weights
+    — the train half of its train-once/serve-many contract."""
+    from spark_graft.operators.pipeline import _qc_features, _qc_train
+
+    w = _qc_train(_qc_features(spark, sf_dir).localCheckpoint())
+    save_quality_weights(path, w, sf_dir=sf_dir)
+    return w
 
 
 def train_and_save_pq(spark, sf_dir: str, path: str):

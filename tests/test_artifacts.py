@@ -50,6 +50,21 @@ def test_pq_codebooks_roundtrip(spark, sf_dir, tmp_path):
     assert _rows(served) == _rows(fused)
 
 
+def test_quality_weights_roundtrip_and_shufflefree_serve(spark, sf_dir, tmp_path):
+    from spark_graft.plans import executed_plan_str
+
+    path = str(tmp_path / "qw")
+    w = artifacts.train_and_save_quality(spark, sf_dir, path)
+    assert w == artifacts.load_quality_weights(path, sf_dir=sf_dir)
+    assert any(v != 0 for v in w)  # training moved off the zero init
+    fused = REGISTRY["quality_classifier"].fn(spark, sf_dir)
+    served = REGISTRY["quality_classifier"].fn(spark, sf_dir, weights_path=path)
+    assert _rows(served) == _rows(fused)
+    # serving is one narrow pass over the corpus: no Exchange at all
+    physical = executed_plan_str(served)
+    assert "Exchange" not in physical, physical
+
+
 def test_fingerprint_mismatch_refuses_to_serve(spark, sf_dir, tmp_path):
     """An artifact trained on corpus A must raise when validated against
     corpus B (stale/wrong-data protection), and still serve with
