@@ -1048,7 +1048,13 @@ def quality_classifier(
 
 
 def _qc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    return qc_features_from(table(spark, sf_dir, "documents"))
+
+
+def qc_features_from(docs: DataFrame) -> DataFrame:
+    """(doc_id, y, x0..x3) from any (doc_id, text) frame — batch or
+    stream (pure narrow expressions), shared with
+    streaming.quality_score_stream."""
     sw_list = ",".join(f"'{w}'" for w in STOPWORDS["en"])
     return (
         docs.select("doc_id", tokens("text").alias("ts"))

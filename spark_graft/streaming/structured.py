@@ -811,6 +811,32 @@ def decontaminate_stream(
     )
 
 
+def quality_score_stream(docs: DataFrame, weights_path: str) -> DataFrame:
+    """Streaming quality scoring from a persisted
+    `spark_graft.artifacts` quality-classifier model — SCORE-ON-INGEST,
+    the streaming half of quality_classifier's train-once/serve-many
+    contract: the 4 fixed-point weights are loaded once on the driver
+    and baked into the plan as literals, and each arriving document
+    flows through the same integer feature + clamp expressions as the
+    batch artifact-served scorer. STATELESS — no state store, no
+    watermark, no shuffle (append mode), so throughput is pure map
+    parallelism at any scale: the quality gate runs ON the ingest
+    stream, and downstream sinks route by `pred` instead of waiting
+    for a nightly batch scoring job. Equivalence vs the batch serve is
+    exact and tested (the scoring arithmetic is bit-identical integer
+    work in both plans)."""
+    from spark_graft import artifacts
+    from spark_graft.operators.pipeline import QC_S, _qc_p_expr, qc_features_from
+
+    w = artifacts.load_quality_weights(weights_path)
+    return qc_features_from(docs).selectExpr(
+        "doc_id",
+        "y AS label",
+        f"round(CAST({_qc_p_expr(w)} AS DOUBLE) / {QC_S}, 6) AS score",
+        f"{_qc_p_expr(w)} >= {QC_S // 2} AS pred",
+    )
+
+
 def bpe_encode_stream(docs: DataFrame, merges_path: str) -> DataFrame:
     """Streaming BPE corpus encoding from a persisted
     `spark_graft.artifacts` merge list — TOKENIZE-ON-INGEST, the

@@ -1229,6 +1229,63 @@ def test_bpe_encode_stream_equals_batch_serve(spark, sf_dir, tmp_path):
     assert out.count() == len(docs)
 
 
+def test_quality_score_stream_equals_batch_serve(spark, sf_dir, tmp_path):
+    """Streaming score-on-ingest == the batch artifact-served scorer:
+    train once (artifacts.train_and_save_quality), replay the documents
+    as 3 micro-batches through quality_score_stream, and the appended
+    rows must equal quality_classifier(weights_path=...) exactly —
+    including the fixed-point scores, since the arithmetic is the same
+    integer expressions in both plans. STATELESS like bpe_encode_stream
+    (no watermark, no state store node)."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_graft import artifacts
+    from spark_graft.sources import table
+    from spark_graft.streaming import quality_score_stream, run_stream_to_memory
+
+    wpath = str(tmp_path / "qweights")
+    artifacts.train_and_save_quality(spark, sf_dir, wpath)
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    src = tmp_path / "qscore_src"
+    src.mkdir()
+    schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+    cuts = [0, len(docs) // 3, 2 * len(docs) // 3, len(docs)]
+    now = time.time()
+    for i in range(3):
+        pq.write_table(
+            pa.Table.from_pandas(
+                docs.iloc[cuts[i]:cuts[i + 1]], preserve_index=False
+            ).cast(schema),
+            str(src / f"c{i}.parquet"),
+        )
+        os.utime(src / f"c{i}.parquet", (now + i * 10, now + i * 10))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    scored = quality_score_stream(stream, wpath)
+    logical = scored._jdf.queryExecution().logical().toString()
+    assert "EventTimeWatermark" not in logical  # stateless narrow map
+    out = run_stream_to_memory(scored, mode="append")
+    batch = REGISTRY["quality_classifier"].fn(spark, sf_dir, weights_path=wpath)
+    assert_frames_match(
+        out.toPandas(), batch.toPandas(), "quality stream==batch serve"
+    )
+    assert out.count() == len(docs)
+
+
 def test_cep_reorder_drops_null_event_times(spark, tmp_path):
     """The reorder path's documented null-ts contract: NULL event times
     are dropped (event-time order is undefined for them; the batch
