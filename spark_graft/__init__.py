@@ -68,7 +68,7 @@ _MODIFIED_THIS_ROUND = frozenset(
 
 # Green last in CORRECTNESS_r09.json — 2 rounds stale, the 21 VERDICT
 # r11 item 2 names; they rotate into round 12's window right after the
-# tier-0 set (3 + 21 = 24, leaving 26 slots for tier 2).
+# tier-0 set (4 + 21 = 25, leaving 25 slots for tier 2).
 _VERIFIED_R9 = frozenset(
     """agg_histogram agg_sketch_cms fn_array fn_datetime fn_math_decimal
     fn_string fn_struct join_asof join_bloom join_inner join_q2_shape
@@ -77,9 +77,9 @@ _VERIFIED_R9 = frozenset(
     win_running""".split()
 )
 
-# Green last in CORRECTNESS_r10.json — 1 round stale. 26 of these 44
+# Green last in CORRECTNESS_r10.json — 1 round stale. 25 of these 44
 # fit round 12's 50-query window (simulated this round); the stable
-# sort admits them in registration order and the remaining 18 — still
+# sort admits them in registration order and the remaining 19 — still
 # r10-green, satisfying the nothing-older-than-r10 invariant — become
 # round 13's top priority.
 _VERIFIED_R10 = frozenset(

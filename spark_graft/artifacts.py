@@ -82,18 +82,28 @@ def _write(path: str, kind: str, pa_table, params: dict, sf_dir: str | None) -> 
 
     The payload and meta are staged into a sibling temp directory and
     swapped in with directory renames, so a crash mid-save or a
-    concurrent reader never observes a mismatched payload/meta pair:
-    the old artifact stays fully servable until the new one is
-    complete. meta additionally records a sha256 of the payload bytes
-    (verified on load) so even a torn copy of the directory is caught.
-    ADVICE r11."""
+    concurrent reader never observes a MISMATCHED payload/meta pair;
+    meta additionally records a sha256 of the payload bytes (verified
+    on load) so even a torn copy of the directory is caught (ADVICE
+    r11). POSIX rename cannot atomically replace a non-empty
+    directory, so there is an unavoidable instant between the two
+    renames where `path` itself is absent and the previous artifact
+    sits at `<path>.old-<pid>`; `_read` transparently falls back to
+    that sibling, so a reader racing the swap (or following a save
+    crashed inside the window) still serves the last COMPLETE
+    artifact. Stale .tmp-*/.old-* debris from crashed saves of ANY pid
+    is cleared at the start of the next save (concurrent saves to the
+    same path are not supported — last writer wins, as with any
+    overwrite)."""
+    import glob
     import hashlib
     import shutil
 
     import pyarrow.parquet as pq
 
+    for stale in glob.glob(f"{path}.tmp-*") + glob.glob(f"{path}.old-*"):
+        shutil.rmtree(stale, ignore_errors=True)
     tmp = f"{path}.tmp-{os.getpid()}"
-    shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp)
     data_path = os.path.join(tmp, "data.parquet")
     pq.write_table(pa_table, data_path)
@@ -114,7 +124,6 @@ def _write(path: str, kind: str, pa_table, params: dict, sf_dir: str | None) -> 
     with open(os.path.join(tmp, "meta.json"), "w") as f:
         json.dump(meta, f, indent=1)
     old = f"{path}.old-{os.getpid()}"
-    shutil.rmtree(old, ignore_errors=True)
     if os.path.exists(path):
         os.rename(path, old)
     os.rename(tmp, path)
@@ -135,6 +144,14 @@ def _read(path: str, kind: str, sf_dir: str | None, validate: bool | None):
             f"{path}: validate=True requires sf_dir= (the corpus to "
             f"fingerprint against); pass sf_dir or drop validate"
         )
+    if not os.path.exists(os.path.join(path, "meta.json")):
+        # a save crashed (or is mid-swap) between its two renames: the
+        # last COMPLETE artifact sits at <path>.old-<pid> — serve it
+        import glob
+
+        olds = sorted(glob.glob(f"{path}.old-*"), key=os.path.getmtime)
+        if olds:
+            path = olds[-1]
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
     want_sha = meta.get("payload_sha256")

@@ -198,6 +198,14 @@ def clear_stale_table(spark: SparkSession, table_name: str) -> None:
     import shutil
     from urllib.parse import urlparse
 
+    if "." in table_name:
+        # <warehouse>/<bare-name> is only the managed location for
+        # DEFAULT-database tables; guessing it for db.tbl would rmtree
+        # an unrelated table's data directory
+        raise ValueError(
+            f"clear_stale_table only supports default-database table "
+            f"names, got qualified {table_name!r}"
+        )
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
     parsed = urlparse(warehouse)
@@ -205,7 +213,7 @@ def clear_stale_table(spark: SparkSession, table_name: str) -> None:
     if root is None:
         return  # remote warehouse: nothing to clean locally
     # default-database managed tables live at <warehouse>/<name.lower()>
-    location = os.path.join(root, table_name.split(".")[-1].lower())
+    location = os.path.join(root, table_name.lower())
     if os.path.isdir(location):
         shutil.rmtree(location, ignore_errors=True)
 

@@ -410,7 +410,11 @@ def _seed_index(path: str) -> dict:
             ids, shs = idx.setdefault((band, sig), ([], []))
             ids.append(int(did))
             shs.append(sh)
-        _SEED_CACHE.clear()  # at most one live index per worker
+        # evict only SUPERSEDED versions of this path — concurrent
+        # streams seeded from different paths must not thrash each
+        # other's (broadcast-sized) index out of the worker cache
+        for k in [k for k in _SEED_CACHE if k[0] == path]:
+            del _SEED_CACHE[k]
         _SEED_CACHE[key] = idx
     return _SEED_CACHE[key]
 

@@ -124,6 +124,27 @@ def test_torn_payload_refuses_and_resave_is_atomic(tmp_path):
         artifacts.load_bpe_merges(a)
 
 
+def test_crashed_swap_serves_previous_artifact(tmp_path):
+    """A save that dies between its two renames leaves no directory at
+    `path` and the previous complete artifact at `<path>.old-<pid>`;
+    the loader must transparently serve that sibling, and the next
+    successful save must clear the debris (code-review r12)."""
+    import os
+    import shutil
+
+    a = str(tmp_path / "a")
+    artifacts.save_bpe_merges(a, [("a", "b")])
+    # simulate the crash window: the first rename happened, the second
+    # never did
+    os.rename(a, a + ".old-99999")
+    shutil.rmtree(a, ignore_errors=True)
+    assert artifacts.load_bpe_merges(a) == [("a", "b")]
+    # recovery: a fresh save wins and removes the orphaned sibling
+    artifacts.save_bpe_merges(a, [("x", "y")])
+    assert artifacts.load_bpe_merges(a) == [("x", "y")]
+    assert sorted(os.listdir(tmp_path)) == ["a"]
+
+
 def test_pq_wrong_shape_artifact_refuses(spark, sf_dir, tmp_path):
     """A codebook whose subspace count / sub-dimension doesn't match the
     serving corpus raises instead of silently computing garbage ADC."""
