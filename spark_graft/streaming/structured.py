@@ -474,7 +474,15 @@ def minhash_novelty_stream(
     first emission can name an other_id that never flowed through this
     query's stream). The seed loads once per executor process (see
     `_seed_index`); it is never consulted again for a bucket once that
-    bucket's state exists."""
+    bucket's state exists. Beyond broadcast-able seed sizes the right
+    primitive is Spark 4's `transformWithStateInPandas(initialState=)`
+    — the seed ships as a DISTRIBUTED grouped DataFrame straight into
+    the state stores; probed in this environment and currently
+    unusable (its state server needs google.protobuf, broken in this
+    container: STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE), so the
+    per-executor cache is the implemented path and the migration is a
+    mechanical swap of the probe function when the dependency is
+    available."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
