@@ -45,7 +45,9 @@ __all__ = ["REGISTRY", "QuerySpec", "query", "load_all_queries"]
 #   (the fused six-stage pretraining chain, VERDICT r11 item 7), and
 #   quality_classifier (fixed-point gradient-descent training of a
 #   document-quality model — the R12 iterative driver extended to
-#   model training, with artifact-served zero-Exchange scoring).
+#   model training, with artifact-served zero-Exchange scoring), and
+#   multimodal_resize (the resize/thumbnail stage of the multimodal
+#   quartet: stub decode + exact integer box filter in mapInPandas).
 # - dedup_containment: the exact-duplicate collapse is now GATED on
 #   the measured dup rate (>2% of docs sharing a content fingerprint;
 #   VERDICT r11 item 5) — either branch is value-identical, but the
@@ -63,12 +65,12 @@ __all__ = ["REGISTRY", "QuerySpec", "query", "load_all_queries"]
 #   evaluated plans are unchanged.
 _MODIFIED_THIS_ROUND = frozenset(
     """dedup_substring pipeline_pretrain_corpus quality_classifier
-    dedup_containment""".split()
+    multimodal_resize dedup_containment""".split()
 )
 
 # Green last in CORRECTNESS_r09.json — 2 rounds stale, the 21 VERDICT
 # r11 item 2 names; they rotate into round 12's window right after the
-# tier-0 set (4 + 21 = 25, leaving 25 slots for tier 2).
+# tier-0 set (5 + 21 = 26, leaving 24 slots for tier 2).
 _VERIFIED_R9 = frozenset(
     """agg_histogram agg_sketch_cms fn_array fn_datetime fn_math_decimal
     fn_string fn_struct join_asof join_bloom join_inner join_q2_shape
@@ -77,9 +79,9 @@ _VERIFIED_R9 = frozenset(
     win_running""".split()
 )
 
-# Green last in CORRECTNESS_r10.json — 1 round stale. 25 of these 44
+# Green last in CORRECTNESS_r10.json — 1 round stale. 24 of these 44
 # fit round 12's 50-query window (simulated this round); the stable
-# sort admits them in registration order and the remaining 19 — still
+# sort admits them in registration order and the remaining 20 — still
 # r10-green, satisfying the nothing-older-than-r10 invariant — become
 # round 13's top priority.
 _VERIFIED_R10 = frozenset(

@@ -412,3 +412,110 @@ def multimodal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_neardups", F.lit(0)).cast("bigint").alias("n_neardups"),
         "nearest_id",
     )
+
+
+RESIZE_OUT_W = 16  # thumbnail width (the stub pixel model is a 1-D strip)
+
+
+def resize_payload(text: str) -> tuple[int, list[int]] | None:
+    """STUB decode+resize — the deterministic stand-in for a real
+    PIL/ffmpeg thumbnail pass: the "image" is a 1-D grayscale strip of
+    `decode_payload`-width pixels sampled from the payload (the same
+    position-mixed model as `ahash_pixels`, at the payload's own
+    decoded width instead of a fixed 64), and the RESIZE is an exact
+    integer box filter down to {RESIZE_OUT_W} pixels — each output
+    pixel the integer mean of its source segment, the arithmetic a
+    real area-average downscale performs per channel. Returns
+    (src_width, thumbnail) or None for undecodable (empty) payloads.
+    Swap the body for a real decode + `Image.resize` to productionize;
+    the operator's plumbing (Arrow batches, schema, row drops) is
+    payload-agnostic."""
+    n = len(text)
+    if n == 0:
+        return None
+    w = (n * 7919) % 640 + 16  # decode_payload's width model
+    pix = [(ord(text[(k * n) // w]) * 131 + k * 31) % 256 for k in range(w)]
+    out = []
+    for j in range(RESIZE_OUT_W):
+        a, b = (j * w) // RESIZE_OUT_W, ((j + 1) * w) // RESIZE_OUT_W
+        seg = pix[a:b]
+        out.append(sum(seg) // len(seg))
+    return w, out
+
+
+@query(
+    "multimodal_resize",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id, text, length(text) AS n
+            FROM documents WHERE length(text) > 0
+        ),
+        dims AS (SELECT doc_id, text, n, (n * 7919) % 640 + 16 AS w FROM base),
+        px AS (
+            SELECT doc_id, w,
+                   list_transform(range(0, w),
+                       k -> (unicode(substr(text, (k * n) // w + 1, 1))
+                             * 131 + k * 31) % 256) AS pix
+            FROM dims
+        ),
+        th AS (
+            SELECT doc_id, w,
+                   list_transform(range(0, {RESIZE_OUT_W}), j ->
+                       list_sum(pix[(j * w) // {RESIZE_OUT_W} + 1
+                                    : ((j + 1) * w) // {RESIZE_OUT_W}])
+                       // (((j + 1) * w) // {RESIZE_OUT_W}
+                           - (j * w) // {RESIZE_OUT_W})) AS t
+            FROM px
+        )
+        SELECT doc_id, w AS src_w, {RESIZE_OUT_W} AS out_w,
+               array_to_string(
+                   list_transform(t, p -> printf('%02x', CAST(p AS BIGINT))),
+                   '') AS thumb_hex
+        FROM th
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/thumbnail via mapInPandas — the remaining stage of the
+    decode / feature-extract / RESIZE / frame-sample multimodal quartet
+    (`multimodal_decode` and `multimodal_frames` cover the others):
+    binary payloads arrive as Arrow batches, the (stubbed) decoder
+    yields the source pixel strip at the payload's decoded width, an
+    exact integer box filter downsamples it to {RESIZE_OUT_W} pixels,
+    and the thumbnail leaves as a hex string (a real pipeline writes
+    the re-encoded bytes — same column shape). Undecodable payloads
+    drop, like a codec failure would — mapInPandas because the output
+    cardinality is data-dependent.
+
+    At 100 TB: thumbnailing is a pure map stage — no shuffle, no state,
+    Arrow-batched per partition — so it pipelines with the scan and
+    scales with executors alone. The oracle reproduces the stub's
+    integer sampling + box-mean arithmetic in SQL, so schema, batch
+    plumbing, AND the resample arithmetic are hash-gated; only the
+    pixel source is fake (the marked function swaps for PIL)."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text")
+    )
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hexes = [], [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                r = resize_payload(text if text is not None else "")
+                if r is None:
+                    continue
+                w, thumb = r
+                ids.append(did)
+                ws.append(w)
+                hexes.append("".join(f"{p:02x}" for p in thumb))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "src_w": ws,
+                    "out_w": [RESIZE_OUT_W] * len(ids),
+                    "thumb_hex": hexes,
+                }
+            )
+
+    return docs.mapInPandas(
+        resize_batches, "doc_id long, src_w int, out_w int, thumb_hex string"
+    )
