@@ -42,7 +42,7 @@ __all__ = ["REGISTRY", "QuerySpec", "query", "load_all_queries"]
 # tier 0, the driver must re-verify them on the new code:
 # - NEW this round: dedup_substring (the Lee et al. 2022 ExactSubstr
 #   REMOVAL transform, VERDICT r11 item 6), pipeline_pretrain_corpus
-#   (the fused six-stage pretraining chain, VERDICT r11 item 7), and
+#   (the fused six-stage pretraining chain, VERDICT r11 item 7),
 #   quality_classifier (fixed-point gradient-descent training of a
 #   document-quality model — the R12 iterative driver extended to
 #   model training, with artifact-served zero-Exchange scoring), and
