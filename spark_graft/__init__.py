@@ -45,9 +45,11 @@ __all__ = ["REGISTRY", "QuerySpec", "query", "load_all_queries"]
 #   (the fused six-stage pretraining chain, VERDICT r11 item 7),
 #   quality_classifier (fixed-point gradient-descent training of a
 #   document-quality model — the R12 iterative driver extended to
-#   model training, with artifact-served zero-Exchange scoring), and
+#   model training, with artifact-served zero-Exchange scoring),
 #   multimodal_resize (the resize/thumbnail stage of the multimodal
-#   quartet: stub decode + exact integer box filter in mapInPandas).
+#   quartet: stub decode + exact integer box filter in mapInPandas),
+#   and vocab_fertility (per-source tokenizer-efficiency scorecard
+#   from the BPE encode).
 # - dedup_containment: the exact-duplicate collapse is now GATED on
 #   the measured dup rate (>2% of docs sharing a content fingerprint;
 #   VERDICT r11 item 5) — either branch is value-identical, but the
@@ -65,12 +67,12 @@ __all__ = ["REGISTRY", "QuerySpec", "query", "load_all_queries"]
 #   evaluated plans are unchanged.
 _MODIFIED_THIS_ROUND = frozenset(
     """dedup_substring pipeline_pretrain_corpus quality_classifier
-    multimodal_resize dedup_containment""".split()
+    multimodal_resize vocab_fertility dedup_containment""".split()
 )
 
 # Green last in CORRECTNESS_r09.json — 2 rounds stale, the 21 VERDICT
 # r11 item 2 names; they rotate into round 12's window right after the
-# tier-0 set (5 + 21 = 26, leaving 24 slots for tier 2).
+# tier-0 set (6 + 21 = 27, leaving 23 slots for tier 2).
 _VERIFIED_R9 = frozenset(
     """agg_histogram agg_sketch_cms fn_array fn_datetime fn_math_decimal
     fn_string fn_struct join_asof join_bloom join_inner join_q2_shape
@@ -79,9 +81,9 @@ _VERIFIED_R9 = frozenset(
     win_running""".split()
 )
 
-# Green last in CORRECTNESS_r10.json — 1 round stale. 24 of these 44
+# Green last in CORRECTNESS_r10.json — 1 round stale. 23 of these 44
 # fit round 12's 50-query window (simulated this round); the stable
-# sort admits them in registration order and the remaining 20 — still
+# sort admits them in registration order and the remaining 21 — still
 # r10-green, satisfying the nothing-older-than-r10 invariant — become
 # round 13's top priority.
 _VERIFIED_R10 = frozenset(

@@ -476,3 +476,102 @@ def _bpe_encode(corpus: DataFrame, ts) -> DataFrame:
         .alias("n_merged"),
         F.md5(F.array_join("ps", "#")).alias("enc_md5"),
     )
+
+
+@query(
+    "vocab_fertility",
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+        c1 AS (SELECT doc_id, '{_BPE_SENT}' || coalesce(array_to_string(ts, '{_BPE_SENT}'), '') || '{_BPE_SENT}' AS s FROM toks),
+        {",".join(_bpe_apply_round_ctes(r) for r in range(1, BPE_ROUNDS + 1))},
+        enc AS (
+            SELECT doc_id,
+                   list_filter(string_split(s, '{_BPE_SENT}'), t -> t <> '') AS ps
+            FROM c{BPE_ROUNDS + 1}
+        ),
+        per_doc AS (
+            SELECT doc_id,
+                   CAST(len(ps) AS BIGINT) AS n_tokens,
+                   CAST(len(list_filter(ps, p -> contains(p, ' '))) AS BIGINT)
+                       AS n_merged
+            FROM enc
+        ),
+        chars AS (
+            SELECT d.doc_id, d.source,
+                   CAST(coalesce(list_sum(list_transform(t.ts, x -> CAST(length(x) AS BIGINT))), 0) AS BIGINT) AS tc
+            FROM documents d JOIN toks t USING (doc_id)
+        )
+        SELECT c.source,
+               count(*) AS n_docs,
+               CAST(sum(c.tc) AS BIGINT) AS n_tok_chars,
+               CAST(sum(p.n_tokens) AS BIGINT) AS n_tokens,
+               CAST(sum(p.n_merged) AS BIGINT) AS n_merged,
+               CASE WHEN sum(c.tc) = 0 THEN 0.0
+                    ELSE round(100.0 * sum(p.n_tokens) / sum(c.tc), 4)
+               END AS fertility,
+               CASE WHEN sum(p.n_tokens) = 0 THEN 0.0
+                    ELSE round(CAST(sum(p.n_merged) AS DOUBLE)
+                               / sum(p.n_tokens), 4)
+               END AS merged_share
+        FROM chars c JOIN per_doc p USING (doc_id)
+        GROUP BY c.source
+    """,
+)
+def vocab_fertility(
+    spark: SparkSession, sf_dir: str, merges_path: str | None = None
+) -> DataFrame:
+    """Per-SOURCE tokenizer fertility — encoded tokens per 100 token
+    characters under the trained BPE, plus the merged-piece share: the
+    scorecard a mixture decision actually reads (a domain whose text
+    the tokenizer fragments into many pieces costs proportionally more
+    context window per byte of content, and up/down-weighting by
+    fertility is standard practice when balancing a pretraining mix).
+    Complements `source_stats` (volume/dup view) with the
+    tokenizer-efficiency view of the same per-source scorecard.
+
+    Mechanics: the corpus is encoded by `vocab_bpe_apply`'s exact
+    sentinel-replace chain (fused training by default, or a persisted
+    `spark_graft.artifacts` merge list via `merges_path` for the
+    serve-only path), the per-doc token counts join back to the
+    (doc_id, source) projection on doc_id, and ONE groupBy(source)
+    produces the card. Integer sums then a single double division per
+    source row, so the ratios hash-match bit-exactly. At 100 TB this
+    is a map-stage encode + one bounded-cardinality aggregate; with
+    `merges_path` the whole plan is the artifact-served narrow encode
+    plus the one source shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    if merges_path is not None:
+        from spark_graft import artifacts
+
+        enc = bpe_apply_merges(
+            docs, artifacts.load_bpe_merges(merges_path, sf_dir=sf_dir)
+        )
+    else:
+        enc = vocab_bpe_apply(spark, sf_dir)
+    chars = docs.select(
+        "doc_id",
+        "source",
+        F.coalesce(
+            F.aggregate(
+                F.transform(tokens("text"), F.length),
+                F.lit(0).cast("bigint"),
+                lambda a, x: a + x,
+            ),
+            F.lit(0).cast("bigint"),
+        ).alias("tc"),
+    )
+    joined = chars.join(enc.select("doc_id", "n_tokens", "n_merged"), "doc_id")
+    sum_tc = F.sum("tc")
+    sum_tok = F.sum("n_tokens")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        sum_tc.alias("n_tok_chars"),
+        sum_tok.alias("n_tokens"),
+        F.sum("n_merged").alias("n_merged"),
+        F.when(sum_tc == 0, F.lit(0.0))
+        .otherwise(F.round(F.lit(100.0) * sum_tok / sum_tc, 4))
+        .alias("fertility"),
+        F.when(sum_tok == 0, F.lit(0.0))
+        .otherwise(F.round(F.sum("n_merged").cast("double") / sum_tok, 4))
+        .alias("merged_share"),
+    )

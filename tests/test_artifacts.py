@@ -25,6 +25,10 @@ def test_bpe_merges_roundtrip_and_shufflefree_serve(spark, sf_dir, tmp_path):
     fused = REGISTRY["vocab_bpe_apply"].fn(spark, sf_dir)
     served = REGISTRY["vocab_bpe_apply"].fn(spark, sf_dir, merges_path=path)
     assert _rows(served) == _rows(fused)
+    # the fertility scorecard serves from the same artifact
+    assert _rows(
+        REGISTRY["vocab_fertility"].fn(spark, sf_dir, merges_path=path)
+    ) == _rows(REGISTRY["vocab_fertility"].fn(spark, sf_dir))
     # the serve-only encode is a pure narrow replace() chain: no
     # Exchange anywhere in the executed plan (the fused path pays one
     # pair-count shuffle per training round; serving pays none)
