@@ -77,6 +77,27 @@ def _jsonable(v: Any) -> Any:
     return json.loads(json.dumps(v))
 
 
+def _glob_siblings(path: str, suffix: str) -> list[str]:
+    """glob for `<path><suffix>` with the PATH escaped — artifact paths
+    containing glob metacharacters ([, ?, *; e.g. parametrized test
+    ids) must not silently match nothing (code-review r12)."""
+    import glob
+
+    return glob.glob(glob.escape(path) + suffix)
+
+
+def _old_siblings(path: str) -> list[str]:
+    """`<path>.old-*` directories, oldest first (mtime; entries that
+    vanish mid-listing — a racing writer's cleanup — are skipped)."""
+    out = []
+    for p in _glob_siblings(path, ".old-*"):
+        try:
+            out.append((os.path.getmtime(p), p))
+        except OSError:
+            pass
+    return [p for _, p in sorted(out)]
+
+
 def _write(path: str, kind: str, pa_table, params: dict, sf_dir: str | None) -> None:
     """Atomically (re)write the artifact directory.
 
@@ -95,13 +116,21 @@ def _write(path: str, kind: str, pa_table, params: dict, sf_dir: str | None) -> 
     is cleared at the start of the next save (concurrent saves to the
     same path are not supported — last writer wins, as with any
     overwrite)."""
-    import glob
     import hashlib
     import shutil
 
     import pyarrow.parquet as pq
 
-    for stale in glob.glob(f"{path}.tmp-*") + glob.glob(f"{path}.old-*"):
+    # recovery BEFORE cleanup: if a previous save crashed between its
+    # two renames, the only complete artifact is an .old-* sibling —
+    # restore it to the primary path first, so readers always have a
+    # complete artifact to hit while THIS save spends time writing,
+    # and a crash during this save cannot lose it (code-review r12)
+    if not os.path.exists(path):
+        olds = _old_siblings(path)
+        if olds:
+            os.rename(olds[-1], path)
+    for stale in _glob_siblings(path, ".tmp-*") + _old_siblings(path):
         shutil.rmtree(stale, ignore_errors=True)
     tmp = f"{path}.tmp-{os.getpid()}"
     os.makedirs(tmp)
@@ -144,19 +173,30 @@ def _read(path: str, kind: str, sf_dir: str | None, validate: bool | None):
             f"{path}: validate=True requires sf_dir= (the corpus to "
             f"fingerprint against); pass sf_dir or drop validate"
         )
-    if not os.path.exists(os.path.join(path, "meta.json")):
-        # a save crashed (or is mid-swap) between its two renames: the
-        # last COMPLETE artifact sits at <path>.old-<pid> — serve it
-        import glob
-
-        olds = sorted(glob.glob(f"{path}.old-*"), key=os.path.getmtime)
-        if olds:
-            path = olds[-1]
-    with open(os.path.join(path, "meta.json")) as f:
-        meta = json.load(f)
+    # Resolve the directory to read, racing-writer-safe: try the
+    # primary path, fall back to the newest complete .old-* sibling (a
+    # save crashed or is mid-swap between its two renames), and RETRY
+    # the primary if the sibling vanishes under us (the writer's
+    # completing rename deletes .old-* right after installing the new
+    # primary — so a miss on one side means the other side now exists;
+    # code-review r12).
+    meta = None
+    read_dir = path
+    for _ in range(4):
+        try:
+            with open(os.path.join(read_dir, "meta.json")) as f:
+                meta = json.load(f)
+            break
+        except FileNotFoundError:
+            olds = _old_siblings(path)
+            read_dir = olds[-1] if read_dir == path and olds else path
+    if meta is None:
+        with open(os.path.join(path, "meta.json")) as f:  # raise cleanly
+            meta = json.load(f)
+        read_dir = path
     want_sha = meta.get("payload_sha256")
     if want_sha is not None:  # absent in artifacts saved before r12
-        with open(os.path.join(path, "data.parquet"), "rb") as f:
+        with open(os.path.join(read_dir, "data.parquet"), "rb") as f:
             got_sha = hashlib.sha256(f.read()).hexdigest()
         if got_sha != want_sha:
             raise ArtifactMismatch(
@@ -192,7 +232,7 @@ def _read(path: str, kind: str, sf_dir: str | None, validate: bool | None):
                 f"({meta.get('trained_on')}); pass validate=False to serve "
                 f"a pre-trained artifact on a different corpus"
             )
-    return pq.read_table(os.path.join(path, "data.parquet")), meta
+    return pq.read_table(os.path.join(read_dir, "data.parquet")), meta
 
 
 # ------------------------------------------------------------- BPE merges
@@ -355,9 +395,18 @@ def save_quality_weights(
 def load_quality_weights(
     path: str, *, sf_dir: str | None = None, validate: bool | None = None
 ) -> list[int]:
-    t, _ = _read(path, "quality_weights", sf_dir, validate)
+    t, meta = _read(path, "quality_weights", sf_dir, validate)
     d = t.sort_by("j").to_pydict()
-    return [int(v) for v in d["w"]]
+    w = [int(v) for v in d["w"]]
+    # refuse wrong-shape models here, like the PQ loader does — a
+    # 3-weight artifact would otherwise die with a bare IndexError deep
+    # inside plan construction (code-review r12)
+    if len(w) != 4 or meta.get("params", {}).get("n_features") not in (None, len(w)):
+        raise ArtifactMismatch(
+            f"{path}: expected 4 quality-classifier weights, got {len(w)} "
+            f"(meta n_features={meta.get('params', {}).get('n_features')})"
+        )
+    return w
 
 
 def train_and_save_quality(spark, sf_dir: str, path: str) -> list[int]:

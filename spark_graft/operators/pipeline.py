@@ -1039,6 +1039,15 @@ def quality_classifier(
     else:
         feat = feat.localCheckpoint()  # feeds every round + final scoring
         w = _qc_train(feat)
+    return qc_score(feat, w)
+
+
+def qc_score(feat: DataFrame, w: list[int]) -> DataFrame:
+    """Score a `qc_features_from` frame with trained weights — the ONE
+    definition of the (label, score, pred) projection, shared by the
+    fused query, the artifact-served path, and
+    streaming.quality_score_stream, so their tested bit-equality cannot
+    drift apart by hand-synced copies (code-review r12)."""
     return feat.selectExpr(
         "doc_id",
         "y AS label",

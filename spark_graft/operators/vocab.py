@@ -390,7 +390,14 @@ def vocab_bpe_apply(
         return bpe_apply_merges(
             docs, artifacts.load_bpe_merges(merges_path, sf_dir=sf_dir)
         )
-    corpus = _sentinel_corpus(docs)
+    return _bpe_apply_fused(docs)
+
+
+def _bpe_apply_fused(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
+    """vocab_bpe_apply's fused train-and-encode path, with optional
+    passthrough columns riding the narrow chain (vocab_fertility keeps
+    source/char counts so it never pays a corpus-wide join back)."""
+    corpus = _sentinel_corpus(docs, keep)
     ts = F.filter(F.split("s", _BPE_SENT), lambda t: t != F.lit(""))
     for _ in range(BPE_ROUNDS):
         pairs = corpus.select(ts.alias("ts")).select(
@@ -420,20 +427,24 @@ def vocab_bpe_apply(
         x, y = top[0]["x"], top[0]["y"]
         corpus = corpus.select(
             "doc_id",
+            *keep,
             F.replace(
                 "s", F.lit(f"#{x}{_BPE_SENT}{y}#"), F.lit(f"#{x} {y}#")
             ).alias("s"),
         )
-    return _bpe_encode(corpus, ts)
+    return _bpe_encode(corpus, ts, keep)
 
 
-def _sentinel_corpus(docs: DataFrame) -> DataFrame:
-    """(doc_id, s): the sentinel-joined token string every BPE path —
-    fused training, artifact-served encode, streaming encode — builds
-    identically (ONE definition, so fused-vs-served bit-equality cannot
-    drift)."""
+def _sentinel_corpus(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id, *keep, s): the sentinel-joined token string every BPE
+    path — fused training, artifact-served encode, streaming encode —
+    builds identically (ONE definition, so fused-vs-served bit-equality
+    cannot drift). `keep` names extra columns to carry through the
+    narrow chain (vocab_fertility rides source/char counts along the
+    encode instead of paying a corpus-wide join back on doc_id)."""
     return docs.select(
         "doc_id",
+        *keep,
         F.concat(
             F.lit(_BPE_SENT), F.array_join(tokens("text"), _BPE_SENT), F.lit(_BPE_SENT)
         ).alias("s"),
@@ -441,7 +452,7 @@ def _sentinel_corpus(docs: DataFrame) -> DataFrame:
 
 
 def bpe_apply_merges(
-    docs: DataFrame, merges: list[tuple[str, str]]
+    docs: DataFrame, merges: list[tuple[str, str]], keep: tuple[str, ...] = ()
 ) -> DataFrame:
     """Encode ANY (doc_id, text) frame — batch table or unbounded
     stream — with an already-trained ORDERED merge list: the sentinel
@@ -451,25 +462,27 @@ def bpe_apply_merges(
     `vocab_bpe_apply(merges_path=...)` uses, and what
     `streaming.bpe_encode_stream` maps over each micro-batch
     (tokenize-on-ingest)."""
-    corpus = _sentinel_corpus(docs)
+    corpus = _sentinel_corpus(docs, keep)
     for x, y in merges:
         corpus = corpus.select(
             "doc_id",
+            *keep,
             F.replace(
                 "s", F.lit(f"#{x}{_BPE_SENT}{y}#"), F.lit(f"#{x} {y}#")
             ).alias("s"),
         )
     ts = F.filter(F.split("s", _BPE_SENT), lambda t: t != F.lit(""))
-    return _bpe_encode(corpus, ts)
+    return _bpe_encode(corpus, ts, keep)
 
 
-def _bpe_encode(corpus: DataFrame, ts) -> DataFrame:
+def _bpe_encode(corpus: DataFrame, ts, keep: tuple[str, ...] = ()) -> DataFrame:
     """Final encode projection shared by the fused and artifact-served
     vocab_bpe_apply paths: split the merged sentinel string back into
     pieces and emit the per-doc counts + full-encoding md5."""
-    enc = corpus.select("doc_id", ts.alias("ps"))
+    enc = corpus.select("doc_id", *keep, ts.alias("ps"))
     return enc.select(
         "doc_id",
+        *keep,
         F.size("ps").cast("bigint").alias("n_tokens"),
         F.size(F.filter("ps", lambda p: p.contains(" ")))
         .cast("bigint")
@@ -530,25 +543,17 @@ def vocab_fertility(
     tokenizer-efficiency view of the same per-source scorecard.
 
     Mechanics: the corpus is encoded by `vocab_bpe_apply`'s exact
-    sentinel-replace chain (fused training by default, or a persisted
-    `spark_graft.artifacts` merge list via `merges_path` for the
-    serve-only path), the per-doc token counts join back to the
-    (doc_id, source) projection on doc_id, and ONE groupBy(source)
-    produces the card. Integer sums then a single double division per
-    source row, so the ratios hash-match bit-exactly. At 100 TB this
-    is a map-stage encode + one bounded-cardinality aggregate; with
-    `merges_path` the whole plan is the artifact-served narrow encode
-    plus the one source shuffle."""
+    fused train-and-encode loop (or the artifact-served replace chain
+    via `merges_path`) — with (source, char count)
+    RIDING the narrow encode chain as passthrough columns, so there is
+    NO corpus-wide join back on doc_id: the plan is the map-stage
+    encode plus exactly ONE shuffle, the bounded-cardinality
+    groupBy(source) (plan contract: a doc_id join here would add two
+    corpus-sized exchanges; code-review r12 removed it). Integer sums
+    then a single double division per source row, so the ratios
+    hash-match bit-exactly."""
     docs = table(spark, sf_dir, "documents")
-    if merges_path is not None:
-        from spark_graft import artifacts
-
-        enc = bpe_apply_merges(
-            docs, artifacts.load_bpe_merges(merges_path, sf_dir=sf_dir)
-        )
-    else:
-        enc = vocab_bpe_apply(spark, sf_dir)
-    chars = docs.select(
+    docs2 = docs.select(
         "doc_id",
         "source",
         F.coalesce(
@@ -559,8 +564,18 @@ def vocab_fertility(
             ),
             F.lit(0).cast("bigint"),
         ).alias("tc"),
+        "text",
     )
-    joined = chars.join(enc.select("doc_id", "n_tokens", "n_merged"), "doc_id")
+    if merges_path is not None:
+        from spark_graft import artifacts
+
+        joined = bpe_apply_merges(
+            docs2,
+            artifacts.load_bpe_merges(merges_path, sf_dir=sf_dir),
+            keep=("source", "tc"),
+        )
+    else:
+        joined = _bpe_apply_fused(docs2, keep=("source", "tc"))
     sum_tc = F.sum("tc")
     sum_tok = F.sum("n_tokens")
     return joined.groupBy("source").agg(

@@ -385,6 +385,7 @@ def build_novelty_seed_index(docs: DataFrame) -> DataFrame:
 
 
 _SEED_CACHE: dict = {}
+_SEED_CACHE_MAX = 4  # concurrent live seed indexes per worker process
 
 
 def _seed_index(path: str) -> dict:
@@ -410,11 +411,18 @@ def _seed_index(path: str) -> dict:
             ids, shs = idx.setdefault((band, sig), ([], []))
             ids.append(int(did))
             shs.append(sh)
-        # evict only SUPERSEDED versions of this path — concurrent
-        # streams seeded from different paths must not thrash each
-        # other's (broadcast-sized) index out of the worker cache
+        # evict SUPERSEDED versions of this path (re-seeding must not
+        # serve stale data) and cap total residency — concurrent
+        # streams with different seed paths must not thrash each other
+        # out of the cache, but a deployment re-seeding to a FRESH path
+        # per restart must not accumulate one broadcast-sized index per
+        # restart in a long-lived worker either (code-review r12):
+        # beyond the cap, drop the oldest-inserted entries (dict
+        # preserves insertion order)
         for k in [k for k in _SEED_CACHE if k[0] == path]:
             del _SEED_CACHE[k]
+        while len(_SEED_CACHE) >= _SEED_CACHE_MAX:
+            del _SEED_CACHE[next(iter(_SEED_CACHE))]
         _SEED_CACHE[key] = idx
     return _SEED_CACHE[key]
 
@@ -838,14 +846,10 @@ def quality_score_stream(docs: DataFrame, weights_path: str) -> DataFrame:
     exact and tested (the scoring arithmetic is bit-identical integer
     work in both plans)."""
     from spark_graft import artifacts
-    from spark_graft.operators.pipeline import QC_S, _qc_p_expr, qc_features_from
+    from spark_graft.operators.pipeline import qc_features_from, qc_score
 
-    w = artifacts.load_quality_weights(weights_path)
-    return qc_features_from(docs).selectExpr(
-        "doc_id",
-        "y AS label",
-        f"round(CAST({_qc_p_expr(w)} AS DOUBLE) / {QC_S}, 6) AS score",
-        f"{_qc_p_expr(w)} >= {QC_S // 2} AS pred",
+    return qc_score(
+        qc_features_from(docs), artifacts.load_quality_weights(weights_path)
     )
 
 
