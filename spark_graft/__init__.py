@@ -30,94 +30,89 @@ __all__ = ["REGISTRY", "QuerySpec", "query", "load_all_queries"]
 #   tier 0 — never driver-verified, or modified this round (an edit to
 #            a query fn or its oracle invalidates prior verification,
 #            so edited queries must re-enter the window);
-#   tier 1 — hash-green last in CORRECTNESS_r09 (2 rounds stale,
+#   tier 1 — hash-green last in CORRECTNESS_r10 (3 rounds stale,
 #            highest priority among unmodified queries);
-#   tier 2 — hash-green last in CORRECTNESS_r10 (1 round stale);
-#   tier 3 — hash-green in CORRECTNESS_r11 on code unchanged since.
+#   tier 2 — hash-green last in CORRECTNESS_r11 (2 rounds stale);
+#   tier 3 — hash-green in CORRECTNESS_r12 on code unchanged since.
 # Refresh these sets from CORRECTNESS_r{N}.json at the start of each
 # round, and add every query touched during the round to
 # _MODIFIED_THIS_ROUND.
 
-# Queries whose implementation or oracle changed during ROUND 12 —
-# tier 0, the driver must re-verify them on the new code:
-# - NEW this round: dedup_substring (the Lee et al. 2022 ExactSubstr
-#   REMOVAL transform, VERDICT r11 item 6), pipeline_pretrain_corpus
-#   (the fused six-stage pretraining chain, VERDICT r11 item 7),
-#   quality_classifier (fixed-point gradient-descent training of a
-#   document-quality model — the R12 iterative driver extended to
-#   model training, with artifact-served zero-Exchange scoring),
-#   multimodal_resize (the resize/thumbnail stage of the multimodal
-#   quartet: stub decode + exact integer box filter in mapInPandas),
-#   and vocab_fertility (per-source tokenizer-efficiency scorecard
-#   from the BPE encode).
-# - dedup_containment: the exact-duplicate collapse is now GATED on
-#   the measured dup rate (>2% of docs sharing a content fingerprint;
-#   VERDICT r11 item 5) — either branch is value-identical, but the
-#   executed path changed, so it re-enters the window.
-# NOT tier-0:
-# - dedup_minhash (and its consumers dedup_clusters, graph_pagerank,
-#   graph_triangles, dedup_incremental_minhash): round 12 split
-#   minhash_doc_table into a from-toks core + a tokenizing wrapper so
-#   pipeline_pretrain_corpus can feed staged tokens; the wrapper
-#   produces the byte-identical expression tree (same select chain),
-#   unlike r11's pagerank restructure which changed the executed path.
-# - vocab_bpe_apply / sim_ann_ivf_trained / sim_ann_pq: round 12 made
-#   artifact SAVES atomic and load validation stricter; the default
-#   fused paths the driver runs never load an artifact, so their
-#   evaluated plans are unchanged.
+# Queries whose implementation changed during ROUND 13 — tier 0, the
+# driver must re-verify them on the new code. All five are the VERDICT
+# r12 window-df conversions (items 1 and 5): document/span/bucket
+# frequency moved from `count().over(Window.partitionBy(<power-law
+# key>))` — which funnels the hottest key's entire row set into ONE
+# task with no partial aggregation and no AQE skew split — to the
+# partial-aggregated groupBy+join form text_bm25/dedup_containment
+# already used (value-identical rows, strictly skew-safe plan;
+# AB_WINDOW_DF_SKEW.json holds the skewed-fixture A/B):
+# - text_tfidf: term df now tf.groupBy(term) joined back;
+# - dedup_span_fraction / dedup_substring: span df now the
+#   df>1-filtered groupBy(g) freq table joined back;
+# - dedup_simhash: bucket population via groupBy(simhash) + explicit
+#   broadcast (<=65536 rows by construction);
+# - dedup_clusters: member counts via groupBy(label) + join.
+# - NEW: pipeline_media_corpus (the fused multimodal curation chain,
+#   VERDICT r12 missing-item 2) — never driver-verified.
+# - dedup_substring additionally replaced the per-token covered-probe
+#   with the sorted-starts sweep (VERDICT r12 item 3).
 _MODIFIED_THIS_ROUND = frozenset(
-    """dedup_substring pipeline_pretrain_corpus quality_classifier
-    multimodal_resize vocab_fertility dedup_containment""".split()
+    """text_tfidf dedup_span_fraction dedup_substring dedup_simhash
+    dedup_clusters pipeline_media_corpus""".split()
 )
 
-# Green last in CORRECTNESS_r09.json — 2 rounds stale, the 21 VERDICT
-# r11 item 2 names; they rotate into round 12's window right after the
-# tier-0 set (6 + 21 = 27, leaving 23 slots for tier 2).
-_VERIFIED_R9 = frozenset(
-    """agg_histogram agg_sketch_cms fn_array fn_datetime fn_math_decimal
-    fn_string fn_struct join_asof join_bloom join_inner join_q2_shape
-    join_semi_anti join_theta_range recursive_reachability sim_ann_ivf
-    sim_ann_lsh sim_cosine_topk win_lag win_range win_rank
-    win_running""".split()
-)
-
-# Green last in CORRECTNESS_r10.json — 1 round stale. 23 of these 44
-# fit round 12's 50-query window (simulated this round); the stable
-# sort admits them in registration order and the remaining 21 — still
-# r10-green, satisfying the nothing-older-than-r10 invariant — become
-# round 13's top priority.
-_VERIFIED_R10 = frozenset(
+# Green last in CORRECTNESS_r10.json — 3 rounds stale, the 21 names
+# VERDICT r12 item 2 lists; they rotate into round 13's window right
+# after the tier-0 set (6 + 21 = 27, leaving 23 slots for tier 2).
+_VERIFIED_R10_ONLY = frozenset(
     """agg_approx agg_approx_percentile agg_bool_all agg_corr_exact
-    agg_distinct agg_percentile agg_sketch_kmv agg_skew_salted
-    dedup_embedding dedup_ngram_jaccard dedup_semantic
-    events_attribution events_funnel fill_forward filter_in_null
-    filter_pred fn_json grouping_sets join_skew_salted kmeans_lloyd
-    lm_next_token multimodal_decode multimodal_dedup multimodal_frames
-    multimodal_meta profile_table sample_coreset sample_importance
-    scan_project sim_hardneg sim_knn_graph stream_session
-    stream_tumbling text_chunks text_fingerprint text_lines
-    text_lm_score text_repetition text_split text_tfidf ts_resample
-    vocab_pair_counts win_dist word_count""".split()
+    agg_distinct agg_percentile agg_sketch_kmv dedup_semantic
+    filter_in_null filter_pred fn_json grouping_sets profile_table
+    sample_coreset sample_importance scan_project sim_hardneg
+    sim_knn_graph text_lines win_dist word_count""".split()
 )
 
-# Green (rows+schema+hash) in CORRECTNESS_r11.json — freshest; these
-# sit out round 12's window provided their code does not change.
-# (dedup_containment, r11-green, is EXCLUDED here because the round-12
-# dup-rate gate moved it to _MODIFIED_THIS_ROUND — the sets must stay
-# disjoint so the simulated window arithmetic is exact.)
-_VERIFIED_R11 = frozenset(
-    """agg_pivot agg_q1 agg_sketch_hll decontaminate dedup_clusters
-    dedup_exact dedup_incremental dedup_incremental_minhash
-    dedup_minhash dedup_simhash dedup_span_fraction events_paths
-    events_pattern events_retention fn_map global_sort graph_pagerank
-    graph_triangles grouping_cube grouping_rollup join_broadcast
-    join_multi join_outer min_unique_prefix mixture_weights
-    multimodal_neardup pipeline_clean_corpus pipeline_pack_sequences
-    sample_stratified set_ops sim_ann_ivf_trained sim_ann_pq
-    source_stats stream_sliding text_bm25 text_langid text_quality
-    text_scrub text_stats text_tokens topk_per_group ts_anomaly
-    udf_compat udf_compat_iterative udf_pandas_tokens unpivot_measures
+# Green last in CORRECTNESS_r11.json — 2 rounds stale (49 r11-green
+# queries sat out r12's window; the 3 of them modified this round —
+# dedup_clusters, dedup_simhash, dedup_span_fraction — are EXCLUDED
+# here and live in _MODIFIED_THIS_ROUND so the sets stay disjoint and
+# the simulated window arithmetic is exact). 23 of these 46 fit round
+# 13's 50-query window in registration order; the remaining 23 — still
+# r11-green, nothing-older-than-r11 after this round's rotation of the
+# r10 set — become round 14's top priority.
+_VERIFIED_R11_ONLY = frozenset(
+    """agg_pivot agg_q1 agg_sketch_hll decontaminate dedup_exact
+    dedup_incremental dedup_incremental_minhash dedup_minhash
+    events_paths events_pattern events_retention fn_map global_sort
+    graph_pagerank graph_triangles grouping_cube grouping_rollup
+    join_broadcast join_multi join_outer min_unique_prefix
+    mixture_weights multimodal_neardup pipeline_clean_corpus
+    pipeline_pack_sequences sample_stratified set_ops
+    sim_ann_ivf_trained sim_ann_pq source_stats stream_sliding
+    text_bm25 text_langid text_quality text_scrub text_stats
+    text_tokens topk_per_group ts_anomaly udf_compat
+    udf_compat_iterative udf_pandas_tokens unpivot_measures
     vocab_bpe_apply vocab_bpe_train win_gaps_islands""".split()
+)
+
+# Green (rows+schema+hash) in CORRECTNESS_r12.json — freshest; these
+# sit out round 13's window provided their code does not change.
+# (text_tfidf and dedup_substring, r12-green, are EXCLUDED because the
+# round-13 window-df conversion moved them to _MODIFIED_THIS_ROUND.)
+_VERIFIED_R12 = frozenset(
+    """agg_histogram agg_sketch_cms agg_skew_salted dedup_containment
+    dedup_embedding dedup_ngram_jaccard events_attribution events_funnel
+    fill_forward fn_array fn_datetime fn_math_decimal fn_string
+    fn_struct join_asof join_bloom join_inner join_q2_shape
+    join_semi_anti join_skew_salted join_theta_range kmeans_lloyd
+    lm_next_token multimodal_decode multimodal_dedup multimodal_frames
+    multimodal_meta multimodal_resize pipeline_pretrain_corpus
+    quality_classifier recursive_reachability sim_ann_ivf sim_ann_lsh
+    sim_cosine_topk stream_session stream_tumbling text_chunks
+    text_fingerprint text_lm_score text_repetition text_split
+    ts_resample vocab_fertility vocab_pair_counts win_lag win_range
+    win_rank win_running""".split()
 )
 
 
@@ -125,11 +120,11 @@ def _staleness_tier(name: str) -> int:
     """0 = needs verification now … 3 = freshest verification."""
     if name in _MODIFIED_THIS_ROUND:
         return 0
-    if name in _VERIFIED_R9:
+    if name in _VERIFIED_R10_ONLY:
         return 1
-    if name in _VERIFIED_R10:
+    if name in _VERIFIED_R11_ONLY:
         return 2
-    if name in _VERIFIED_R11:
+    if name in _VERIFIED_R12:
         return 3
     return 0  # never driver-verified
 

@@ -480,12 +480,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Near-dup docs (small symmetric token difference) land in the same or
     Hamming-adjacent buckets; dedup is then a groupBy on the signature —
     one shuffle of 2-byte keys. (Production: 64-bit simhash + 4 rotated
-    band tables for Hamming<=3; same plan shape.)"""
+    band tables for Hamming<=3; same plan shape.)
+
+    Bucket population comes from a partial-aggregated groupBy(simhash)
+    joined back — not a count window: the 16-bit key space bounds the
+    partition count, so on an all-near-dup corpus a window would
+    serialize the dominant bucket into one task, while the groupBy
+    combines map-side and the <=65536-row population table broadcasts."""
     docs = table(spark, sf_dir, "documents")
-    from pyspark.sql.window import Window
 
     sigs = simhash_table(docs)
-    return sigs.withColumn("n_bucket", F.count(F.lit(1)).over(Window.partitionBy("simhash")))
+    pop = sigs.groupBy("simhash").agg(F.count(F.lit(1)).alias("n_bucket"))
+    return sigs.join(F.broadcast(pop), "simhash").select("doc_id", "simhash", "n_bucket")
 
 
 @query(
@@ -1097,20 +1103,23 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain converges in ~20 rounds, not 1M.
 
     Everything stays distributed: the label table is never collected —
-    membership counts come from one more shuffle on cluster_id, and the
+    membership counts come from a partial-aggregated groupBy(label)
+    joined back (NOT a count window over label: a mega-cluster — the
+    expected shape of a boilerplate-heavy corpus — would land every
+    member row in one window task, while the groupBy combines map-side
+    and produces a one-row-per-cluster table AQE can broadcast). The
     only values that ever reach the driver are the per-round convergence
     scalar and the round count. At 100 TB each iteration would checkpoint
     labels to durable storage instead of localCheckpoint, with the
     identical per-round plan. Oracle: transitive closure by recursive
     CTE, min reachable id per node."""
-    from pyspark.sql.window import Window
-
     pairs = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
     labels, _ = connected_components(pairs)
-    return labels.select(
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("n_members"))
+    return labels.join(sizes, "label").select(
         F.col("id").alias("doc_id"),
         F.col("label").alias("cluster_id"),
-        F.count(F.lit(1)).over(Window.partitionBy("label")).alias("n_members"),
+        "n_members",
     )
 
 
@@ -1231,28 +1240,37 @@ def dedup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: distinct spans per doc from the staged token array (the
     shingle expression dedups in-array — no distributed DISTINCT), span
-    doc-frequency as a count window over the span key (no self-join —
-    the same df-as-window trick as text_tfidf), then one groupBy(doc).
-    Two keyed shuffles total, both on bounded-width keys; at 100 TB
-    hash the span strings to int64 first (as dedup_ngram_jaccard does)
-    so the exchanges ship 8-byte keys, and a doc's span list streams —
-    nothing holds a whole document's grams in one buffer except its own
-    window partition, which is span-count bounded."""
+    doc-frequency as a PARTIAL-AGGREGATED groupBy(g) filtered to df>1
+    and left-joined back (the dedup_containment freq-table shape,
+    dedup.py freq/df>1) — NOT a count window over the span key: a
+    boilerplate block shared by a large doc fraction (license header,
+    nav chrome) is a power-law-hot span, and WindowExec would shuffle
+    every row of it into ONE task with no partial aggregation and no
+    AQE skew split. The df>1 filter makes the joined table strictly
+    smaller than the gram stream (unique spans drop out), so AQE can
+    broadcast it when the repeated-span vocabulary is small; then one
+    groupBy(doc). Since grams are distinct per doc and the freq table
+    is unique per g, the left join preserves cardinality — a span is
+    shared iff it survives the df>1 filter. At 100 TB hash the span
+    strings to int64 first (as dedup_ngram_jaccard does) so the
+    exchanges ship 8-byte keys."""
     docs = table(spark, sf_dir, "documents")
     base = docs.select("doc_id", tokens("text").alias("toks"))
     grams = base.select(
         "doc_id", F.explode(shingles_from_tokens("toks", SPAN_N)).alias("g")
     )
-    from pyspark.sql.window import Window
-
-    counted = grams.withColumn(
-        "n_docs", F.count(F.lit(1)).over(Window.partitionBy("g"))
+    shared = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > 1)
+        .select("g", F.lit(1).alias("is_shared"))
     )
+    counted = grams.join(shared, "g", "left")
     return counted.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_spans"),
-        F.count(F.when(F.col("n_docs") > 1, 1)).alias("n_shared"),
+        F.count("is_shared").alias("n_shared"),
         F.round(
-            F.count(F.when(F.col("n_docs") > 1, 1)) / F.count(F.lit(1)).cast("double"),
+            F.count("is_shared") / F.count(F.lit(1)).cast("double"),
             4,
         ).alias("dup_fraction"),
     )
@@ -1307,8 +1325,10 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     "what's missing" item 1).
 
     Shape: span doc-frequency from the SAME distinct-spans-per-doc +
-    count-window machinery as dedup_span_fraction (two keyed shuffles,
-    no self-join), shared spans grouped back to one array per doc
+    partial-aggregated groupBy(g)/df>1/join machinery as
+    dedup_span_fraction (two keyed shuffles, no self-join, no count
+    window over the power-law span key — see that docstring for why),
+    shared spans grouped back to one array per doc
     (third shuffle, keyed by doc_id), then the per-doc SPAN-MASK
     REWRITE is pure in-array expression work: positional spans are
     re-derived from the token array, matched against the doc's shared
@@ -1326,18 +1346,22 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     op from decontaminate, where hashing measured 2.3x faster. Exactly
     reproducible, so the whole transform is hash-gated against the
     oracle — including the rewritten text."""
-    from pyspark.sql.window import Window
-
     docs = table(spark, sf_dir, "documents")
     base = docs.select("doc_id", tokens("text").alias("toks"))
     dg = base.select(
         "doc_id", F.explode(shingles_from_tokens("toks", SPAN_N)).alias("g")
     )
+    shared_g = (
+        dg.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > 1)
+        .select("g")
+    )
+    # dg is distinct per (doc_id, g) and shared_g unique per g, so the
+    # inner join keeps exactly the shared (doc, span) rows — cardinality
+    # preserved, no window over the hot span key
     shared_per_doc = (
-        dg.withColumn("n_docs", F.count(F.lit(1)).over(Window.partitionBy("g")))
-        .filter(F.col("n_docs") > 1)
-        .groupBy("doc_id")
-        .agg(F.collect_set("g").alias("sg"))
+        dg.join(shared_g, "g").groupBy("doc_id").agg(F.collect_set("g").alias("sg"))
     )
     j = base.join(shared_per_doc, "doc_id", "left").select(
         "doc_id",

@@ -411,14 +411,19 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ranking — and the hash — exact everywhere; ties break on term.
 
     Shape: explode -> keyed (doc_id, term) count with map-side partials,
-    document frequency as a window over the tf table partitioned by term
-    (no second aggregate, no join), then the top-k window per doc_id —
-    Spark plans the rank filter as WindowGroupLimit, so only {TFIDF_TOP_K}
-    rows per doc survive the final shuffle's map side. The corpus size N
-    is the single driver-side scalar. Vocabulary-keyed stages have no
-    hot keys worse than the corpus' most common word; at 100 TB the tf
-    table is the thing to persist, since tf, df, and top-k all derive
-    from it in one lineage."""
+    document frequency as a second PARTIAL-AGGREGATED groupBy over the
+    tf table joined back on term — the same df derivation as text_bm25
+    (text.py) and dedup_containment's freq table. NOT a count window
+    over term: WindowExec gets no partial aggregation and no AQE skew
+    handling, so the hottest term — a stopword with df ~ n_docs — would
+    funnel its entire row set into ONE task at 100 TB. The groupBy form
+    combines map-side (each task emits one row per local term), the df
+    table is vocabulary-bounded, and AQE broadcasts it into the join.
+    Then the top-k window per doc_id — Spark plans the rank filter as
+    WindowGroupLimit, so only {TFIDF_TOP_K} rows per doc survive the
+    final shuffle's map side. The corpus size N is the single
+    driver-side scalar. At 100 TB the tf table is the thing to persist,
+    since tf, df, and top-k all derive from it in one lineage."""
     from pyspark.sql.window import Window
 
     docs = table(spark, sf_dir, "documents")
@@ -428,8 +433,8 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    df_w = F.count(F.lit(1)).over(Window.partitionBy("term"))
-    scored = tf.withColumn("df", df_w).withColumn(
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(dft, "term").withColumn(
         "score_fx", F.expr(f"(tf * CAST({TFIDF_SCALE * n_docs} AS BIGINT)) div df")
     )
     rk = F.row_number().over(

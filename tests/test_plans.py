@@ -249,14 +249,69 @@ def test_decontaminate_no_hint_and_pushdown(spark, sf_dir):
     assert "PushedFilters: [IsNotNull(doc_id)]" in plan
 
 
-def test_text_tfidf_topk_is_window_group_limit(spark, sf_dir):
+def _window_partition_keys(df):
+    """Partition-key column names of every Window node in the optimized
+    plan (the window-df scale-killer detector: a count window partitioned
+    on a power-law key gets no partial aggregation and no AQE skew split,
+    so the hottest key's whole row set lands in ONE task)."""
+    import re
+
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    keys = set()
+    for line in logical.splitlines():
+        if "windowspecdefinition(" not in line:
+            continue
+        inner = line.split("windowspecdefinition(", 1)[1]
+        # args are: partition cols, then sort orders (`x#1 ASC|DESC ...`),
+        # then the frame — partition keys are the refs BEFORE the first
+        # sort-order token
+        for part in inner.split("specifiedwindowframe")[0].split(","):
+            if " ASC" in part or " DESC" in part:
+                break
+            m = re.search(r"(\w+)#\d+", part)
+            if m:
+                keys.add(m.group(1))
+    return keys
+
+
+def test_text_tfidf_topk_is_window_group_limit_and_df_is_partial_agg(spark, sf_dir):
     """text_tfidf's per-doc top-k must plan as WindowGroupLimit (rank
-    filter pushed into the window's map side), and document frequency
-    must come from a window over the tf table — no extra join."""
+    filter pushed into the window's map side); document frequency must
+    come from a partial-aggregated groupBy(term) joined back — NOT a
+    count window over term, whose hottest key (a stopword, df ~ n_docs)
+    would serialize into one task at 100 TB."""
     df = q("text_tfidf", spark, sf_dir)
     plan = explain_str(df, "formatted")
     assert "WindowGroupLimit" in plan, plan
-    assert "Join" not in plan, plan
+    assert "term" not in _window_partition_keys(df), plan
+    # the df aggregate must partial-combine map-side
+    assert plan.count("HashAggregate") >= 4, plan  # tf (2 levels) + df (2 levels)
+    assert "partial_count" in plan, plan
+
+
+def test_span_df_queries_have_no_window_over_span_key(spark, sf_dir):
+    """dedup_span_fraction / dedup_substring: span doc-frequency must be
+    the partial-agg groupBy(g) + join form — no count window partitioned
+    on the span key (a boilerplate block shared by half the corpus is a
+    power-law-hot span; WindowExec would shuffle all of it to one task)."""
+    for name in ("dedup_span_fraction", "dedup_substring"):
+        df = q(name, spark, sf_dir)
+        keys = _window_partition_keys(df)
+        assert "g" not in keys, (name, keys)
+        plan = explain_str(df, "formatted")
+        assert "partial_count" in plan, (name, plan)
+
+
+def test_simhash_and_clusters_population_not_window(spark, sf_dir):
+    """dedup_simhash's bucket population and dedup_clusters' member count
+    must come from groupBy+join, not a count window over sig/label (the
+    r12 watch items: a degenerate all-dup corpus / mega-cluster would
+    serialize one task)."""
+    df = q("dedup_simhash", spark, sf_dir)
+    assert "simhash" not in _window_partition_keys(df)
+    assert has_broadcast_join(df)  # <=65536-row population table
+    dc = q("dedup_clusters", spark, sf_dir)
+    assert "label" not in _window_partition_keys(dc)
 
 
 def test_kmeans_assignment_is_narrow(spark, sf_dir):
