@@ -1326,24 +1326,25 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: span doc-frequency from the SAME distinct-spans-per-doc +
     partial-aggregated groupBy(g)/df>1/join machinery as
-    dedup_span_fraction (two keyed shuffles, no self-join, no count
-    window over the power-law span key — see that docstring for why),
-    shared spans grouped back to one array per doc
-    (third shuffle, keyed by doc_id), then the per-doc SPAN-MASK
-    REWRITE is pure in-array expression work: positional spans are
-    re-derived from the token array, matched against the doc's shared
-    set, expanded to covered positions, and the kept tokens re-joined —
-    no extra shuffle, no Python, one narrow projection chain per doc.
-    Per-doc cost is O(n_tokens * n_covered) from the array membership
-    probes — fine at the fixture's doc lengths; at 100 TB replace the
-    membership probe with a sorted-starts sweep if documents grow to
-    book length. Spans deliberately stay STRINGS through the shuffles:
-    the decontaminate-style 60-bit md5 mapping was implemented and
-    MEASURED SLOWER here (sf0.1 1.98 -> 2.61 s, sf1 8.44 -> 10.12 s)
-    because the positional rebuild probe must re-derive the span key
-    per start index — an md5 per position costs more than the ~50-byte
-    string shuffle saves; the mask rewrite is what distinguishes this
-    op from decontaminate, where hashing measured 2.3x faster. Exactly
+    dedup_span_fraction (no self-join, no count window over the
+    power-law span key — see that docstring for why); shared-span
+    START positions derived distributively (positional explode joined
+    against the df>1 table, indices collected per doc — ints, not
+    strings, through the doc-keyed shuffle); then the per-doc
+    SPAN-MASK REWRITE is pure in-array expression work. Rebuild cost
+    is O(n_tokens + n_cov log n_cov) per doc: covered positions are
+    sorted once, run-length-expanded to a flat 0/1 flag array, and
+    each token probes its flag O(1) — the sorted-starts sweep
+    (VERDICT r12 item 3). The pre-r13 rebuild probed two per-doc
+    arrays per token/start (array_contains on the covered set and on
+    a collected shared-span STRING set), O(n_tokens * n_covered) —
+    quadratic on boilerplate-heavy book-length docs;
+    AB_SUBSTRING_LONGDOC.json measures the difference on 40k-token
+    docs. Span derivation is O(n_tokens * SPAN_N) once per doc —
+    linear for fixed span width. Spans stay STRINGS through the df
+    shuffle (the 60-bit md5 mapping was measured slower on the pre-r13
+    shape, sf0.1 1.98 -> 2.61 s; with positions now join-derived the
+    trade-off may have moved — re-measure before hashing). Exactly
     reproducible, so the whole transform is hash-gated against the
     oracle — including the rewritten text."""
     docs = table(spark, sf_dir, "documents")
@@ -1357,30 +1358,42 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") > 1)
         .select("g")
     )
-    # dg is distinct per (doc_id, g) and shared_g unique per g, so the
-    # inner join keeps exactly the shared (doc, span) rows — cardinality
-    # preserved, no window over the hot span key
-    shared_per_doc = (
-        dg.join(shared_g, "g").groupBy("doc_id").agg(F.collect_set("g").alias("sg"))
-    )
-    j = base.join(shared_per_doc, "doc_id", "left").select(
-        "doc_id",
-        "toks",
-        F.coalesce("sg", F.array().cast("array<string>")).alias("sg"),
-    )
-    # sequence(1, 0) is DESCENDING in Spark — guard short docs to []
-    start_idx = F.when(
-        F.size("toks") < SPAN_N, F.array().cast("array<int>")
-    ).otherwise(F.sequence(F.lit(1), F.size("toks") - (SPAN_N - 1)))
-    with_starts = j.select(
-        "doc_id",
-        "toks",
-        F.filter(
-            start_idx,
-            lambda i: F.array_contains(
-                "sg", F.array_join(F.slice("toks", i, SPAN_N), " ")
+    # Shared-span START POSITIONS are derived DISTRIBUTIVELY: explode
+    # every (start index, span) pair once — sequence(1, 0) is DESCENDING
+    # in Spark, so short docs guard to [] — inner-join the df>1 span
+    # table (AQE broadcasts it when the boilerplate vocabulary is
+    # small, keeping the positional stream narrow), and collect the
+    # matching indices per doc. The pre-r13 form collected the doc's
+    # shared spans as a STRING SET and re-derived + array_contains-
+    # probed every start against it — O(n_tokens * n_shared_spans) per
+    # doc, the second quadratic term on boilerplate-heavy book-length
+    # docs. Here every span string is materialized exactly once, the
+    # per-doc starts shuffle as ints, and nothing probes a per-doc
+    # string set at all.
+    start_spans = F.when(
+        F.size("toks") < SPAN_N,
+        F.array().cast("array<struct<i:int,g:string>>"),
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - (SPAN_N - 1)),
+            lambda i: F.struct(
+                i.alias("i"),
+                F.array_join(F.slice("toks", i, SPAN_N), " ").alias("g"),
             ),
-        ).alias("starts"),
+        )
+    )
+    pos = base.select("doc_id", F.explode(start_spans).alias("sp")).select(
+        "doc_id", F.col("sp.i").alias("i"), F.col("sp.g").alias("g")
+    )
+    starts_per_doc = (
+        pos.join(shared_g, "g")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("i")).alias("starts"))
+    )
+    with_starts = base.join(starts_per_doc, "doc_id", "left").select(
+        "doc_id",
+        "toks",
+        F.coalesce("starts", F.array().cast("array<int>")).alias("starts"),
     )
     with_cov = with_starts.select(
         "doc_id",
@@ -1391,12 +1404,41 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("cov"),
     )
-    all_pos = F.when(F.size("toks") == 0, F.array().cast("array<int>")).otherwise(
-        F.sequence(F.lit(1), F.size("toks"))
+    # sorted-starts sweep (VERDICT r12 item 3, the docstring's promised
+    # book-length fix): sort the covered positions once, expand them to
+    # a flat 0/1 coverage-flag array by run-length construction (each
+    # gap emits its zeros exactly once, each covered position one 1 —
+    # zip_with over (cov_sorted, shifted cov_sorted) builds every
+    # element O(1)), then ZIP the flags with the tokens so each token
+    # reads its flag in lockstep — O(1) per token. Per-doc cost drops
+    # from the old array_contains probe's O(n_tokens * n_covered) to
+    # O(n_tokens + n_cov log n_cov) (AB_SUBSTRING_LONGDOC.json holds
+    # the long-doc A/B). The flags MUST be consumed as a zip_with
+    # OPERAND, not probed per-element inside a filter lambda: Catalyst
+    # collapses projections by inlining a named column's defining
+    # expression into its consumers, and a lambda body re-evaluates per
+    # ELEMENT — a get(flags, p) probe would silently rebuild the whole
+    # flag array once per token and re-quadratize the rebuild (measured
+    # 31x SLOWER than the probe it replaced before this restructuring).
+    cs = F.array_sort("cov")
+    runs = F.zip_with(
+        cs,
+        F.concat(F.array(F.lit(0)), cs),
+        lambda b, a: F.concat(
+            F.array_repeat(F.lit(0), b - a - F.lit(1)), F.array(F.lit(1))
+        ),
     )
-    kept = F.transform(
-        F.filter(all_pos, lambda p: ~F.array_contains(F.col("cov"), p)),
-        lambda p: F.element_at(F.col("toks"), p),
+    cflags = F.flatten(F.slice(runs, 1, F.size(cs)))
+    # zip_with pads the shorter flags array with nulls -> uncovered;
+    # token strings are never null (tokens() drops empties), so null
+    # marks "removed" unambiguously
+    kept = F.filter(
+        F.zip_with(
+            "toks",
+            cflags,
+            lambda t, f: F.when(F.coalesce(f, F.lit(0)) == F.lit(0), t),
+        ),
+        lambda x: x.isNotNull(),
     )
     return with_cov.select(
         "doc_id",

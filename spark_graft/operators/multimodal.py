@@ -519,3 +519,296 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         resize_batches, "doc_id long, src_w int, out_w int, thumb_hex string"
     )
+
+
+# ------------------------------------------------- fused media curation chain
+
+_MEDIA_DECODE_SCHEMA = (
+    "doc_id long, n_bytes int, digest string, kind string, decodable boolean, "
+    "b0 long, b1 long, b2 long, b3 long, src_w int, thumb_hex string, "
+    "n_frames_sampled int, frame_fps string"
+)
+
+
+def media_decode_stage(docs: DataFrame) -> DataFrame:
+    """The fused pipeline's SINGLE decode pass: one scan of the payload
+    column, one Arrow-batched mapInPandas computing EVERYTHING any later
+    stage needs — exact digest + modality (JVM-side, riding through the
+    Python stage untouched), the 4x16-bit aHash bands, the box-filter
+    thumbnail, and the sampled-frame fingerprints. Every downstream
+    stage of pipeline_media_corpus is pure relational work over this
+    table; the (expensive) payload bytes are never read, decoded, or
+    shuffled again. Exposed un-checkpointed so the plan test can pin
+    the one-scan/one-Python-stage contract directly."""
+    staged = docs.select(
+        "doc_id",
+        "text",
+        F.octet_length(F.encode("text", "utf-8")).alias("n_bytes"),
+        F.md5(F.encode("text", "utf-8")).alias("digest"),
+        F.when(F.octet_length(F.encode("text", "utf-8")) % 3 == 0, "image")
+        .when(F.octet_length(F.encode("text", "utf-8")) % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("kind"),
+    )
+
+    def decode_all(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, text, n_bytes, digest, kind in zip(
+                pdf["doc_id"], pdf["text"], pdf["n_bytes"], pdf["digest"], pdf["kind"]
+            ):
+                t = text if text is not None else ""
+                pix = ahash_pixels(t)
+                if pix is None:
+                    rows.append(
+                        (int(did), int(n_bytes), digest, kind, False,
+                         None, None, None, None, None, None, 0, "")
+                    )
+                    continue
+                ps = sum(pix)
+                bands = []
+                for i in range(_AHASH_BANDS):
+                    b = 0
+                    for j in range(16):
+                        if _AHASH_BITS * pix[16 * i + j] > ps:
+                            b |= 1 << j
+                    bands.append(b)
+                w, thumb = resize_payload(t)
+                if kind == "video":
+                    nf = int(n_bytes) % 30 + 1
+                    fps = [(int(did) * 31 + i) % 256 for i in range(0, nf, FRAME_STRIDE)]
+                else:
+                    fps = []
+                rows.append(
+                    (int(did), int(n_bytes), digest, kind, True, *bands,
+                     w, "".join(f"{p:02x}" for p in thumb),
+                     len(fps), ",".join(str(x) for x in fps))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_bytes", "digest", "kind", "decodable",
+                    "b0", "b1", "b2", "b3", "src_w", "thumb_hex",
+                    "n_frames_sampled", "frame_fps",
+                ],
+            )
+
+    return staged.mapInPandas(decode_all, _MEDIA_DECODE_SCHEMA)
+
+
+_MEDIA_ORACLE = f"""
+    WITH base AS (
+        SELECT doc_id, text,
+               CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+               md5(text) AS digest,
+               CASE octet_length(encode(text)) % 3
+                    WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+               length(text) AS n
+        FROM documents
+    ),
+    keep AS (
+        SELECT digest, min(doc_id) AS keep_id,
+               CAST(count(*) AS BIGINT) AS n_copies
+        FROM base GROUP BY digest
+    ),
+    surv AS (
+        SELECT b.*, k.n_copies
+        FROM base b JOIN keep k ON b.digest = k.digest AND b.doc_id = k.keep_id
+        WHERE b.n > 0
+    ),
+    px AS (
+        SELECT doc_id,
+               list_transform(range(0, {_AHASH_BITS}),
+                   k -> (unicode(substr(text, (k * n) // {_AHASH_BITS} + 1, 1))
+                         * 131 + k * 31) % 256) AS pix
+        FROM surv
+    ),
+    withsum AS (SELECT doc_id, pix, list_sum(pix) AS ps FROM px),
+    sigs AS (
+        SELECT doc_id,
+               {", ".join(_ahash_band_sql(i) for i in range(_AHASH_BANDS))}
+        FROM withsum
+    ),
+    bands AS (
+        SELECT doc_id, u.bi,
+               CASE u.bi WHEN 0 THEN b0 WHEN 1 THEN b1
+                         WHEN 2 THEN b2 ELSE b3 END AS bv
+        FROM sigs, unnest([0, 1, 2, 3]) AS u(bi)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        FROM bands a JOIN bands b
+          ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+    ),
+    ver AS (
+        SELECT c.da, c.db
+        FROM cand c
+        JOIN sigs sa ON sa.doc_id = c.da
+        JOIN sigs sb ON sb.doc_id = c.db
+        WHERE bit_count(xor(sa.b0, sb.b0)) + bit_count(xor(sa.b1, sb.b1))
+            + bit_count(xor(sa.b2, sb.b2)) + bit_count(xor(sa.b3, sb.b3))
+            <= {AHASH_HAM_T}
+    ),
+    deg AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS nd FROM (
+            SELECT da AS doc_id FROM ver
+            UNION ALL SELECT db FROM ver
+        ) GROUP BY doc_id
+    ),
+    dropped AS (SELECT DISTINCT db AS doc_id FROM ver),
+    kept AS (
+        SELECT s.* FROM surv s
+        LEFT JOIN dropped x ON x.doc_id = s.doc_id
+        WHERE x.doc_id IS NULL
+    ),
+    dims AS (SELECT doc_id, text, n, (n * 7919) % 640 + 16 AS w FROM kept),
+    rpx AS (
+        SELECT doc_id, w,
+               list_transform(range(0, w),
+                   k -> (unicode(substr(text, (k * n) // w + 1, 1))
+                         * 131 + k * 31) % 256) AS pix
+        FROM dims
+    ),
+    th AS (
+        SELECT doc_id, w,
+               list_transform(range(0, {RESIZE_OUT_W}), j ->
+                   list_sum(pix[(j * w) // {RESIZE_OUT_W} + 1
+                                : ((j + 1) * w) // {RESIZE_OUT_W}])
+                   // (((j + 1) * w) // {RESIZE_OUT_W}
+                       - (j * w) // {RESIZE_OUT_W})) AS t
+        FROM rpx
+    ),
+    frames AS (
+        SELECT k.doc_id,
+               CASE WHEN k.kind = 'video'
+                    THEN list_transform(
+                        range(0, k.n_bytes % 30 + 1, {FRAME_STRIDE}),
+                        i -> (k.doc_id * 31 + i) % 256)
+                    ELSE CAST([] AS BIGINT[]) END AS fps
+        FROM kept k
+    )
+    SELECT k.doc_id, k.digest, k.kind, k.n_bytes, k.n_copies,
+           CAST(coalesce(d.nd, 0) AS BIGINT) AS n_near_partners,
+           CAST(t.w AS INTEGER) AS src_w,
+           array_to_string(
+               list_transform(t.t, p -> printf('%02x', CAST(p AS BIGINT))),
+               '') AS thumb_hex,
+           CAST(len(f.fps) AS INTEGER) AS n_frames_sampled,
+           coalesce(array_to_string(f.fps, ','), '') AS frame_fps
+    FROM kept k
+    LEFT JOIN deg d ON d.doc_id = k.doc_id
+    JOIN th t ON t.doc_id = k.doc_id
+    JOIN frames f ON f.doc_id = k.doc_id
+"""
+
+
+@query("pipeline_media_corpus", oracle=_MEDIA_ORACLE)
+def pipeline_media_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FUSED multimodal curation chain (VERDICT r12 missing-item 2
+    — the media twin of pipeline_pretrain_corpus): digest exact-dedup
+    -> perceptual near-dup collapse -> thumbnail the survivors ->
+    frame-sample the video survivors, as ONE declared query whose
+    stages share a SINGLE decode pass. Run separately
+    (multimodal_dedup, multimodal_neardup, multimodal_resize,
+    multimodal_frames — all retained as the per-stage contracts), the
+    four stages scan and decode the expensive binary payloads four
+    times; at 100 TB of media the payload scans ARE the pipeline cost,
+    so the fused form decodes once into a narrow staging table
+    (media_decode_stage: digest + bands + thumbnail + frame
+    fingerprints per doc, ~100 bytes/row) and every gate after that is
+    relational work on metadata — the plan test pins exactly one
+    parquet scan and exactly one Python stage, both BEFORE the staging
+    checkpoint, and zero of either after it.
+
+    Gates, in pipeline order (each survivor row carries its
+    provenance):
+    1. exact collapse — keep-first min(doc_id) per md5 digest
+       (multimodal_dedup's rule); n_copies = collapsed group size.
+    2. decodability — undecodable payloads drop, like a codec failure.
+    3. near-dup collapse over exact survivors — the 4x16-bit aHash
+       band LSH + hamming<={AHASH_HAM_T} verify (multimodal_neardup's
+       machinery: pigeonhole-complete banding, chunked pair expansion,
+       structs-not-payloads through the shuffle), with the greedy
+       min-id survivor rule of dedup_semantic: a doc drops iff some
+       LOWER-id exact-survivor is hamming-close (no transitive
+       closure — same argument as dedup_semantic's docstring);
+       n_near_partners = the doc's verified-pair degree.
+    4. deliverables — the thumbnail (exact integer box filter) and,
+       for videos, every {FRAME_STRIDE}-th frame fingerprint — both
+       computed in the shared decode pass, emitted only for survivors.
+
+    The localCheckpoint is the staging table a real run persists
+    (pipeline_pretrain_corpus's pattern); the decode stage is the one
+    marked swap point for real codecs (ahash_pixels / resize_payload /
+    decode_payload share it). Oracle: the full chain in SQL over the
+    same stub arithmetic — schema, gating, banding, hamming, resize
+    and frame math all hash-gated."""
+    from spark_graft.operators.dedup import exploded_pairs
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    decoded = media_decode_stage(docs).localCheckpoint()
+
+    keep = decoded.groupBy("digest").agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+    surv = (
+        decoded.join(keep, "digest")
+        .filter(F.col("doc_id") == F.col("keep_id"))
+        .filter(F.col("decodable"))
+    )
+
+    member = F.struct("doc_id", "b0", "b1", "b2", "b3")
+    buckets = (
+        surv.select(
+            member.alias("m"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(i).alias("bi"), F.col(f"b{i}").alias("bv"))
+                        for i in range(_AHASH_BANDS)
+                    ]
+                )
+            ).alias("bb"),
+        )
+        .select(F.col("bb.bi").alias("bi"), F.col("bb.bv").alias("bv"), "m")
+        .groupBy("bi", "bv")
+        .agg(F.collect_list("m").alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+
+    def _ham_ok(p):
+        ham = sum(
+            F.bit_count(p["a"][f"b{i}"].bitwiseXOR(p["b"][f"b{i}"]))
+            for i in range(_AHASH_BANDS)
+        )
+        return ham <= AHASH_HAM_T
+
+    pairs = (
+        exploded_pairs(buckets, "ds", pair_filter=_ham_ok)
+        .select(
+            F.least("p.a.doc_id", "p.b.doc_id").alias("da"),
+            F.greatest("p.a.doc_id", "p.b.doc_id").alias("db"),
+        )
+        .distinct()
+    )
+    deg = (
+        pairs.select(F.col("da").alias("doc_id"))
+        .unionByName(pairs.select(F.col("db").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_near_partners"))
+    )
+    dropped = pairs.select(F.col("db").alias("doc_id")).distinct()
+
+    kept = surv.join(dropped, "doc_id", "left_anti")
+    return kept.join(deg, "doc_id", "left").select(
+        "doc_id",
+        "digest",
+        "kind",
+        "n_bytes",
+        "n_copies",
+        F.coalesce("n_near_partners", F.lit(0)).cast("bigint").alias("n_near_partners"),
+        "src_w",
+        "thumb_hex",
+        "n_frames_sampled",
+        "frame_fps",
+    )

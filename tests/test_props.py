@@ -1363,17 +1363,30 @@ def test_multimodal_neardup_planted_pairs(spark, tmp_path_factory):
         st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=20),
         min_size=1,
         max_size=8,
-    )
+    ),
+    long_reps=st.sampled_from([0, 0, 0, 300, 700]),
 )
 @SETTINGS
-def test_dedup_substring_matches_python_reference(spark, docs):
+def test_dedup_substring_matches_python_reference(spark, docs, long_reps):
     """The span-mask rewrite == a plain python implementation of the
     ExactSubstr semantics for ANY corpus: a token is removed iff some
     8-token span covering it occurs in >= 2 documents. The 3-letter
     vocabulary makes shared spans common, exercising partial masks,
-    full removals, and untouched docs in one draw."""
+    full removals, and untouched docs in one draw. When long_reps > 0
+    the draw additionally appends a BOOK-LENGTH document (>= 5k tokens
+    at 700 reps: the first drawn doc tiled with unique separators, so
+    it mixes cross-doc-shared spans with unique prose) — the r13
+    sorted-starts sweep must stay exact AND subquadratic there; the
+    old per-token array probes took minutes on docs this long."""
     from spark_graft.operators.dedup import SPAN_N, dedup_substring
 
+    if long_reps:
+        tile = (docs[0] or ["a", "b"])[:10]
+        book = []
+        for r in range(long_reps):
+            book.extend(tile)
+            book.append(f"u{r}")  # unique separator breaks span runs
+        docs = docs + [book]
     texts = [" ".join(d) for d in docs]
     import tempfile
 
