@@ -63,6 +63,7 @@ _KINDS = {
     "kmeans_centroids": "embeddings",
     "pq_codebooks": "embeddings",
     "quality_weights": "documents",
+    "novelty_seed_index": "documents",
 }
 
 
@@ -179,26 +180,33 @@ def _read(path: str, kind: str, sf_dir: str | None, validate: bool | None):
     # the primary if the sibling vanishes under us (the writer's
     # completing rename deletes .old-* right after installing the new
     # primary — so a miss on one side means the other side now exists;
-    # code-review r12).
-    meta = None
+    # code-review r12). BOTH files are read inside the same attempt
+    # (ADVICE r12): a reader that resolved meta from an .old-* sibling
+    # must not then open data.parquet AFTER the writer's end-of-save
+    # cleanup deleted that sibling — meta and payload come from one
+    # directory in one attempt, and the payload is parsed from memory
+    # so nothing re-touches the path afterwards.
+    meta, payload = None, None
     read_dir = path
     for _ in range(4):
         try:
             with open(os.path.join(read_dir, "meta.json")) as f:
                 meta = json.load(f)
+            with open(os.path.join(read_dir, "data.parquet"), "rb") as f:
+                payload = f.read()
             break
         except FileNotFoundError:
+            meta = payload = None
             olds = _old_siblings(path)
             read_dir = olds[-1] if read_dir == path and olds else path
     if meta is None:
         with open(os.path.join(path, "meta.json")) as f:  # raise cleanly
             meta = json.load(f)
-        read_dir = path
+        with open(os.path.join(path, "data.parquet"), "rb") as f:
+            payload = f.read()
     want_sha = meta.get("payload_sha256")
     if want_sha is not None:  # absent in artifacts saved before r12
-        with open(os.path.join(read_dir, "data.parquet"), "rb") as f:
-            got_sha = hashlib.sha256(f.read()).hexdigest()
-        if got_sha != want_sha:
+        if hashlib.sha256(payload).hexdigest() != want_sha:
             raise ArtifactMismatch(
                 f"{path}: payload sha256 does not match meta.json — "
                 f"torn or corrupted artifact copy"
@@ -232,7 +240,9 @@ def _read(path: str, kind: str, sf_dir: str | None, validate: bool | None):
                 f"({meta.get('trained_on')}); pass validate=False to serve "
                 f"a pre-trained artifact on a different corpus"
             )
-    return pq.read_table(os.path.join(read_dir, "data.parquet")), meta
+    import io
+
+    return pq.read_table(io.BytesIO(payload)), meta
 
 
 # ------------------------------------------------------------- BPE merges
@@ -417,6 +427,53 @@ def train_and_save_quality(spark, sf_dir: str, path: str) -> list[int]:
     w = _qc_train(_qc_features(spark, sf_dir).localCheckpoint())
     save_quality_weights(path, w, sf_dir=sf_dir)
     return w
+
+
+# ------------------------------------------------- novelty-gate seed index
+
+
+def save_novelty_seed_index(path: str, seed_df, *, sf_dir: str | None = None) -> None:
+    """Persist a `streaming.build_novelty_seed_index` DataFrame as a
+    real artifact (VERDICT r12 item 6): until r13 the seed index was
+    the one persisted model WITHOUT artifacts discipline — a bare
+    parquet with no meta.json, no training fingerprint, and no
+    staleness refusal, silently servable against the wrong corpus.
+    The payload is (band, sig, doc_id, sh) rows; the documented size
+    scope is broadcast-able (it loads whole per executor — see
+    `streaming._seed_index`), so the driver-side collect here is
+    within contract. Pass `sf_dir` to record the fingerprint of the
+    documents table the admitted corpus came from; loading with an
+    `sf_dir` then revalidates, and a mismatch raises ArtifactMismatch
+    exactly like BPE merges / centroids / codebooks."""
+    import pyarrow as pa
+
+    pdf = seed_df.toPandas()
+    _write(
+        path,
+        "novelty_seed_index",
+        pa.Table.from_pandas(pdf, preserve_index=False).cast(
+            pa.schema(
+                [
+                    ("band", pa.int32()),
+                    ("sig", pa.string()),
+                    ("doc_id", pa.int64()),
+                    ("sh", pa.string()),
+                ]
+            )
+        ),
+        {"n_rows": len(pdf)},
+        sf_dir,
+    )
+
+
+def load_novelty_seed_index(
+    path: str, *, sf_dir: str | None = None, validate: bool | None = None
+):
+    """Load a seed-index artifact as a pyarrow Table after the full
+    artifact checks (kind, format_version, payload sha256, and — with
+    `sf_dir` — the training-corpus fingerprint)."""
+    t, _ = _read(path, "novelty_seed_index", sf_dir, validate)
+    return t
 
 
 def train_and_save_pq(spark, sf_dir: str, path: str):

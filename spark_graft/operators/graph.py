@@ -187,13 +187,22 @@ EDGE_BUCKETS = 8  # test-scale bucket count; size to the cluster at 100 TB
 
 
 def clear_stale_table(spark: SparkSession, table_name: str) -> None:
-    """Drop `table_name` AND remove an orphaned warehouse location.
+    """Drop `table_name` AND remove an ORPHANED warehouse location.
 
     `mode("overwrite").saveAsTable` can replace a cataloged table but
     dies with LOCATION_ALREADY_EXISTS when an interrupted earlier run
     left the table's directory on disk with no catalog entry (the
     catalog write happens after the data write). Clearing both sides
-    makes a re-run from a dirty checkout deterministic."""
+    makes a re-run from a dirty checkout deterministic.
+
+    The rmtree targets ONLY the orphan case (directory present, no
+    catalog entry): when the table IS cataloged, DROP TABLE already
+    deletes a managed table's data, and an EXTERNAL table's (or a
+    custom LOCATION's) directory may belong to data that merely shares
+    the warehouse-default name — deleting it would destroy something
+    this function does not own, and pre-deleting a healthy managed
+    table's data would leave NO table at all if the replacement write
+    then failed (ADVICE r12)."""
     import os
     import shutil
     from urllib.parse import urlparse
@@ -206,7 +215,12 @@ def clear_stale_table(spark: SparkSession, table_name: str) -> None:
             f"clear_stale_table only supports default-database table "
             f"names, got qualified {table_name!r}"
         )
+    existed = spark.catalog.tableExists(table_name)
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    if existed:
+        # cataloged: the DROP handled (or deliberately preserved, for
+        # EXTERNAL/custom-location tables) the data directory
+        return
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
     parsed = urlparse(warehouse)
     root = parsed.path if parsed.scheme in ("", "file") else None

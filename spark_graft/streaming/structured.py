@@ -374,8 +374,11 @@ def _banded_signatures(docs: DataFrame) -> DataFrame:
 def build_novelty_seed_index(docs: DataFrame) -> DataFrame:
     """(band, sig, doc_id, sh): the accumulated band index of an
     ADMITTED corpus — the batch twin's state made portable, written
-    once (parquet) when a deployment is (re)bootstrapped from a
-    curated corpus. Feed its path to
+    once when a deployment is (re)bootstrapped from a curated corpus.
+    Persist it with `spark_graft.artifacts.save_novelty_seed_index`
+    (r13: the seed now carries the full artifact contract — meta.json,
+    payload sha256, training-corpus fingerprint with ArtifactMismatch
+    staleness refusal, atomic swap) and feed the artifact path to
     `minhash_novelty_stream(seed_index_path=...)` so a restart without
     a checkpoint does NOT re-admit known documents (VERDICT r11 item
     8). Build it from the docs the gate ACTUALLY ADMITTED (admitted
@@ -389,20 +392,32 @@ _SEED_CACHE_MAX = 4  # concurrent live seed indexes per worker process
 
 
 def _seed_index(path: str) -> dict:
-    """Per-executor lazy load of a persisted seed index: one pyarrow
-    read per path per worker process, cached in module state —
-    the same ship-the-dimension-once economics as a broadcast join
-    side. Beyond broadcast-able sizes, preload the state store itself
-    (state-store writer / transformWithState initial state) instead."""
+    """Per-executor lazy load of a persisted seed-index ARTIFACT: one
+    read per (path, version) per worker process, cached in module
+    state — the same ship-the-dimension-once economics as a broadcast
+    join side. The read goes through artifacts.load_novelty_seed_index,
+    so every executor re-verifies kind/format/payload-sha before
+    serving (fingerprint staleness is the driver's job — it is checked
+    once at stream construction, where a SparkSession exists). Beyond
+    broadcast-able sizes, preload the state store itself (state-store
+    writer / transformWithState initial state) instead."""
     import os
 
-    # key by (path, mtime): re-seeding by overwriting the same path
-    # must not serve a stale cached index in long-lived executors
-    key = (path, os.path.getmtime(path))
-    if key not in _SEED_CACHE:
-        import pyarrow.parquet as pq
+    # key by (path, meta mtime): re-seeding by atomically re-saving the
+    # same path must not serve a stale cached index in long-lived
+    # executors (the artifact swap installs a fresh directory, so the
+    # meta.json mtime moves)
+    key = (path, os.path.getmtime(os.path.join(path, "meta.json")))
+    if key in _SEED_CACHE:
+        # LRU touch (ADVICE r12): eviction below drops the first-listed
+        # entry, so a >cap working set must re-order on every hit or
+        # each probe call can re-read a broadcast-sized index per
+        # micro-batch (FIFO thrash)
+        _SEED_CACHE[key] = _SEED_CACHE.pop(key)
+    else:
+        from spark_graft.artifacts import load_novelty_seed_index
 
-        t = pq.read_table(path).to_pydict()
+        t = load_novelty_seed_index(path).to_pydict()
         idx: dict = {}
         rows = sorted(
             zip(t["band"], t["sig"], t["doc_id"], t["sh"]), key=lambda r: r[2]
@@ -417,8 +432,8 @@ def _seed_index(path: str) -> dict:
         # out of the cache, but a deployment re-seeding to a FRESH path
         # per restart must not accumulate one broadcast-sized index per
         # restart in a long-lived worker either (code-review r12):
-        # beyond the cap, drop the oldest-inserted entries (dict
-        # preserves insertion order)
+        # beyond the cap, drop the LEAST-RECENTLY-USED entries (hits
+        # re-insert at the tail, so iteration order is LRU-first)
         for k in [k for k in _SEED_CACHE if k[0] == path]:
             del _SEED_CACHE[k]
         while len(_SEED_CACHE) >= _SEED_CACHE_MAX:
@@ -493,6 +508,16 @@ def minhash_novelty_stream(
     available."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if seed_index_path is not None:
+        # fail at stream CONSTRUCTION, not inside an executor mid-batch:
+        # the full artifact checks (kind, format_version, payload
+        # sha256) run driver-side here; a bad/torn/mis-kinded seed
+        # raises ArtifactMismatch before the query starts. Executors
+        # re-run the same checks on their own lazy load (_seed_index).
+        from spark_graft.artifacts import load_novelty_seed_index
+
+        load_novelty_seed_index(seed_index_path)
 
     banded = _banded_signatures(docs)
 
@@ -785,7 +810,15 @@ def decontaminate_stream(
     UNEVALUATED (a contaminated doc would slip through), so size
     `watermark` above the source's maximum ingest disorder — with the
     default stamped-at-ingest column the timestamp is monotone per
-    batch and nothing can arrive late.
+    batch and nothing can arrive late. Because that failure mode is
+    SILENT for a safety gate (ADVICE r12), a caller-supplied
+    `ingest_col` (a) emits a construction-time warning naming the
+    contract and (b) attaches an `observe("decon_ingest", count,
+    min(ts), max(ts))` to the PRE-watermark stream, so every
+    micro-batch's progress event reports the ingest-time spread
+    actually seen — operators size (and re-size) the watermark from
+    evidence instead of hoping, and a batch whose min lags the
+    watermark is visible in the listener the moment it happens.
 
     At 100 TB: the stream side moves only 8-byte gram keys within each
     batch's narrow pipeline (raw text never shuffles), flagged docs
@@ -795,11 +828,26 @@ def decontaminate_stream(
     from spark_graft.functions import shingles_from_tokens, tokens
     from spark_graft.operators.pipeline import DECON_N, EVAL_MOD
 
-    stamped = (
-        docs
-        if ingest_col in docs.columns
-        else docs.withColumn(ingest_col, F.current_timestamp())
-    )
+    if ingest_col in docs.columns:
+        import warnings
+
+        warnings.warn(
+            f"decontaminate_stream: caller-supplied {ingest_col!r} — rows "
+            f"later than the {watermark!r} watermark are dropped "
+            f"UNEVALUATED (a contaminated doc would pass the gate "
+            f"silently). Size the watermark above the source's maximum "
+            f"ingest disorder; per-batch ingest-time spread is reported "
+            f"via the 'decon_ingest' observation.",
+            stacklevel=2,
+        )
+        stamped = docs.observe(
+            "decon_ingest",
+            F.count(F.lit(1)).alias("rows"),
+            F.min(ingest_col).alias("min_ingest"),
+            F.max(ingest_col).alias("max_ingest"),
+        )
+    else:
+        stamped = docs.withColumn(ingest_col, F.current_timestamp())
     grams = (
         stamped.filter((F.col("doc_id") % EVAL_MOD) != 0)
         .select(

@@ -95,6 +95,46 @@ def test_fingerprint_mismatch_refuses_to_serve(spark, sf_dir, tmp_path):
     shutil.rmtree(other)
 
 
+def test_novelty_seed_index_artifact_contract(spark, sf_dir, tmp_path):
+    """The novelty-gate seed index (VERDICT r12 item 6) carries the
+    full artifact contract: save/load round-trips the band index
+    bit-exactly, a fingerprint-validated load against the training
+    corpus passes, validating against a DIFFERENT corpus raises
+    ArtifactMismatch (the redeploy-against-wrong-corpus hole), and
+    kind confusion with another artifact is refused."""
+    import shutil
+
+    from spark_graft.streaming import build_novelty_seed_index
+
+    from spark_graft.sources import table as load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(50)
+    seed = build_novelty_seed_index(docs)
+    path = str(tmp_path / "seed")
+    artifacts.save_novelty_seed_index(path, seed, sf_dir=sf_dir)
+
+    t = artifacts.load_novelty_seed_index(path, sf_dir=sf_dir)  # validated
+    want = sorted(map(tuple, seed.collect()))
+    got = sorted(zip(t["band"].to_pylist(), t["sig"].to_pylist(),
+                     t["doc_id"].to_pylist(), t["sh"].to_pylist()))
+    assert got == want and len(got) > 0
+
+    other = tmp_path / "otherdocs"
+    other.mkdir()
+    spark.createDataFrame(
+        [(0, "completely different corpus", "en", "s", 27)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).coalesce(1).write.parquet(str(other / "documents.parquet"))
+    with pytest.raises(artifacts.ArtifactMismatch):
+        artifacts.load_novelty_seed_index(path, sf_dir=str(other))
+    # cross-corpus serve stays possible, explicitly
+    assert artifacts.load_novelty_seed_index(path, validate=False).num_rows == len(want)
+    # kind confusion refused
+    with pytest.raises(artifacts.ArtifactMismatch):
+        artifacts.load_bpe_merges(path, validate=False)
+    shutil.rmtree(other)
+
+
 def test_explicit_validate_without_sf_dir_refuses(tmp_path):
     """validate=True with no sf_dir used to silently skip validation
     (ADVICE r11); it must now raise, so a caller who believes the

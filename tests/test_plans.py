@@ -745,3 +745,43 @@ def test_save_bucketed_edges_recovers_from_orphaned_location(spark, sf_dir):
         assert not os.path.exists(os.path.join(location, "part-stale.parquet"))
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_clear_stale_table_never_deletes_external_data(spark, tmp_path):
+    """clear_stale_table's rmtree targets ONLY orphaned directories
+    (ADVICE r12): when the name is cataloged as an EXTERNAL table, the
+    DROP must leave the external data untouched, and a same-named
+    directory in the warehouse — which belongs to whatever put it
+    there, not to this table — must survive too."""
+    import os
+
+    from spark_graft.operators.graph import clear_stale_table
+
+    name = "ext_guard_t"
+    ext_loc = str(tmp_path / "external_data")
+    spark.createDataFrame([(1,)], "x bigint").write.parquet(ext_loc)
+    warehouse_dir = os.path.join(
+        spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").replace(
+            "file:", ""
+        ),
+        name,
+    )
+    os.makedirs(warehouse_dir, exist_ok=True)
+    bystander = os.path.join(warehouse_dir, "unrelated.txt")
+    with open(bystander, "w") as f:
+        f.write("not this table's data")
+    try:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        spark.sql(
+            f"CREATE TABLE {name} (x BIGINT) USING parquet LOCATION '{ext_loc}'"
+        )
+        clear_stale_table(spark, name)
+        # external payload intact, catalog entry gone, bystander intact
+        assert os.path.exists(ext_loc) and os.listdir(ext_loc)
+        assert not spark.catalog.tableExists(name)
+        assert os.path.exists(bystander)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        import shutil
+
+        shutil.rmtree(warehouse_dir, ignore_errors=True)

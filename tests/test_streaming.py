@@ -661,13 +661,21 @@ def test_minhash_novelty_stream_seeded_restart_equals_batch_gate(spark, tmp_path
 
     old_ids = sorted(i for i in texts if i % 10 != 9)
     new_ids = sorted(i for i in texts if i % 10 == 9)
-    # the old deployment's admitted corpus -> persisted band index
-    seed_path = str(tmp_path / "seed_index.parquet")
-    build_novelty_seed_index(
-        spark.createDataFrame(
-            [(i, texts[i]) for i in old_ids], "doc_id bigint, text string"
-        )
-    ).toPandas().to_parquet(seed_path, index=False)
+    # the old deployment's admitted corpus -> persisted band index,
+    # saved through the r13 artifact contract (meta + sha + training
+    # fingerprint of the admitted corpus' documents table)
+    from spark_graft.artifacts import save_novelty_seed_index
+
+    seed_path = str(tmp_path / "seed_index_artifact")
+    save_novelty_seed_index(
+        seed_path,
+        build_novelty_seed_index(
+            spark.createDataFrame(
+                [(i, texts[i]) for i in old_ids], "doc_id bigint, text string"
+            )
+        ),
+        sf_dir=str(doc_dir),
+    )
 
     # the restarted deployment sees ONLY the new batch
     src = tmp_path / "stream_src_new_only"
