@@ -486,10 +486,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined back — not a count window: the 16-bit key space bounds the
     partition count, so on an all-near-dup corpus a window would
     serialize the dominant bucket into one task, while the groupBy
-    combines map-side and the <=65536-row population table broadcasts."""
+    combines map-side and the <=65536-row population table broadcasts.
+    The signature table is localCheckpoint-staged first: it feeds both
+    the population aggregate and the probe side, and without the stage
+    the md5-per-token signature scan executes twice (measured 1.25 vs
+    0.90 s at sf0.1) — at 100 TB the staged table is 10 bytes/row vs
+    re-reading the text column, the same persist-the-narrow-asset call
+    multimodal_neardup makes."""
     docs = table(spark, sf_dir, "documents")
 
-    sigs = simhash_table(docs)
+    sigs = simhash_table(docs).localCheckpoint()
     pop = sigs.groupBy("simhash").agg(F.count(F.lit(1)).alias("n_bucket"))
     return sigs.join(F.broadcast(pop), "simhash").select("doc_id", "simhash", "n_bucket")
 
@@ -1256,9 +1262,14 @@ def dedup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchanges ship 8-byte keys."""
     docs = table(spark, sf_dir, "documents")
     base = docs.select("doc_id", tokens("text").alias("toks"))
+    # staged once: the gram stream feeds both the df aggregate and the
+    # probe side of the join, and without the stage the tokenize +
+    # shingle derivation executes twice (measured 1.8 vs 1.25 s at
+    # sf0.1); at 100 TB the staged (doc_id, span) table is the
+    # persisted intermediate a real span-dedup run keeps anyway
     grams = base.select(
         "doc_id", F.explode(shingles_from_tokens("toks", SPAN_N)).alias("g")
-    )
+    ).localCheckpoint()
     shared = (
         grams.groupBy("g")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -1348,6 +1359,10 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproducible, so the whole transform is hash-gated against the
     oracle — including the rewritten text."""
     docs = table(spark, sf_dir, "documents")
+    # deliberately NOT localCheckpoint-staged: tokenize is cheap enough
+    # that re-deriving it for the three consumers measures within noise
+    # at sf0.1 (1.93 vs 1.96 s warm), unlike span_fraction's gram
+    # stream and simhash's signature scan where staging won ~30%
     base = docs.select("doc_id", tokens("text").alias("toks"))
     dg = base.select(
         "doc_id", F.explode(shingles_from_tokens("toks", SPAN_N)).alias("g")

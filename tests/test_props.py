@@ -1465,3 +1465,102 @@ def test_pretrain_pipeline_each_gate_drops_its_doc(spark, tmp_path):
         for r in rs:
             assert r["chunk_id"] == run // PACK_BUDGET and r["tok_offset"] == run % PACK_BUDGET, r
             run += r["n_tokens"]
+
+
+def test_media_pipeline_each_gate_drops_its_doc(spark, tmp_path):
+    """Adversarial end-to-end fixture for pipeline_media_corpus (the
+    media twin of the pretrain per-gate fixture above): one document
+    per gate, engineered so exactly that gate (and no other) removes it
+    — exact digest dup (byte-identical payload), decodability (empty
+    payload, the codec-failure path), aHash near-dup (single-char
+    substitution with hamming in (0, T], so it can ONLY pair via the
+    band LSH, never via an identical hash) — plus a video-modality doc
+    whose frame deliverables and a survivor's thumbnail are checked
+    against the stub arithmetic, and the whole fixture hash-gated
+    against the oracle."""
+    import duckdb
+
+    from spark_graft.operators.multimodal import (
+        AHASH_HAM_T,
+        FRAME_STRIDE,
+        ahash_pixels,
+        resize_payload,
+    )
+    from spark_graft.registry import REGISTRY
+    from tests.compare import assert_frames_match
+
+    def bits(t):
+        p = ahash_pixels(t)
+        s = sum(p)
+        return [1 if 64 * q > s else 0 for q in p]
+
+    base = ("media payload body with many repeated sampled characters " * 12).strip()
+    while len(base.encode()) % 3 == 2:  # keep the near-dup pair non-video
+        base += "q"
+    # a same-length single-char substitution with hamming in (0, T]
+    b0, variant = bits(base), None
+    for pos in range(0, len(base), 23):
+        for ch in "a0 ":
+            if base[pos] == ch:
+                continue
+            cand = base[:pos] + ch + base[pos + 1 :]
+            ham = sum(x != y for x, y in zip(b0, bits(cand)))
+            if 0 < ham <= AHASH_HAM_T:
+                variant = cand
+                break
+        if variant:
+            break
+    assert variant is not None, "no substitution landed in (0, T]"
+
+    texts = {
+        i: " ".join(f"w{i}x{j}v{(i * 37 + j * 11) % 97}" for j in range(3 + i % 5))
+        for i in range(10, 20)
+    }
+    texts[1] = base  # near-dup pair survivor (lowest id wins)
+    texts[2] = variant  # dropped by the aHash gate, NOT by digest
+    texts[3] = texts[11]  # exact copy of doc 11 -> digest gate keeps 3? no: min id
+    texts[4] = ""  # undecodable -> codec gate
+    # force a video: kind = n_bytes % 3 == 2
+    v = "video payload content xyz"
+    while len(v.encode()) % 3 != 2:
+        v += "x"
+    texts[5] = v
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in sorted(texts.items())],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.mode("overwrite").parquet(d + "/documents.parquet")
+
+    spec = REGISTRY["pipeline_media_corpus"]
+    got = spec.fn(spark, d).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
+    )
+    assert_frames_match(got, con.execute(spec.oracle).df(), "planted:media_corpus")
+
+    by_id = got.set_index("doc_id")
+    # exact-dup collapse: 3 < 11, keep-first keeps 3 with n_copies=2
+    assert 3 in by_id.index and 11 not in by_id.index
+    assert by_id.loc[3, "n_copies"] == 2
+    # undecodable payload dropped even though digest-unique
+    assert 4 not in by_id.index
+    # near-dup collapse: min-id survivor keeps 1, drops 2; the pair is
+    # NOT digest-identical (different text), so only the aHash gate
+    # can have removed it
+    assert 1 in by_id.index and 2 not in by_id.index
+    assert by_id.loc[1, "n_near_partners"] == 1
+    # video deliverables follow the stub arithmetic
+    nb = len(texts[5].encode())
+    want_fps = [(5 * 31 + i) % 256 for i in range(0, nb % 30 + 1, FRAME_STRIDE)]
+    assert by_id.loc[5, "kind"] == "video"
+    assert by_id.loc[5, "n_frames_sampled"] == len(want_fps)
+    assert by_id.loc[5, "frame_fps"] == ",".join(str(x) for x in want_fps)
+    # non-video survivors carry no frames
+    assert by_id.loc[1, "n_frames_sampled"] == 0 and by_id.loc[1, "frame_fps"] == ""
+    # a survivor's thumbnail equals the stub resize arithmetic
+    w, thumb = resize_payload(texts[1])
+    assert by_id.loc[1, "src_w"] == w
+    assert by_id.loc[1, "thumb_hex"] == "".join(f"{p:02x}" for p in thumb)
+    # untouched fillers all survive
+    assert all(i in by_id.index for i in range(12, 20))
