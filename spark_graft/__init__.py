@@ -54,12 +54,13 @@ __all__ = ["REGISTRY", "QuerySpec", "query", "load_all_queries"]
 #   broadcast (<=65536 rows by construction);
 # - dedup_clusters: member counts via groupBy(label) + join.
 # - NEW: pipeline_media_corpus (the fused multimodal curation chain,
-#   VERDICT r12 missing-item 2) — never driver-verified.
+#   VERDICT r12 missing-item 2) and profile_skew (the shuffle-key
+#   heavy-hitter/skew-factor diagnostic) — never driver-verified.
 # - dedup_substring additionally replaced the per-token covered-probe
 #   with the sorted-starts sweep (VERDICT r12 item 3).
 _MODIFIED_THIS_ROUND = frozenset(
     """text_tfidf dedup_span_fraction dedup_substring dedup_simhash
-    dedup_clusters pipeline_media_corpus""".split()
+    dedup_clusters pipeline_media_corpus profile_skew""".split()
 )
 
 # Green last in CORRECTNESS_r10.json — 3 rounds stale, the 21 names

@@ -136,3 +136,84 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_price"),
     )
+
+
+# ---------------------------------------------------------------- profiler
+
+SKEW_TOP_K = 5
+SKEW_FX = 1000  # fixed-point scale for the skew ratio
+SHARE_FX = 10000  # fixed-point scale for per-key row share
+
+
+@query(
+    "profile_skew",
+    oracle=f"""
+        WITH c AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+            FROM events GROUP BY user_id
+        ),
+        t AS (
+            SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+                   CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST(max(cnt) AS BIGINT) AS max_cnt
+            FROM c
+        ),
+        top AS (
+            SELECT user_id, cnt FROM c
+            ORDER BY cnt DESC, user_id LIMIT {SKEW_TOP_K}
+        )
+        SELECT CAST(row_number() OVER (ORDER BY top.cnt DESC, top.user_id)
+                    AS INTEGER) AS rank,
+               top.user_id, top.cnt,
+               (top.cnt * {SHARE_FX}) // t.n_rows AS share_fx,
+               t.n_rows, t.n_keys,
+               (t.max_cnt * {SKEW_FX} * t.n_keys) // t.n_rows AS skew_fx
+        FROM top CROSS JOIN t
+    """,
+)
+def profile_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/agg-key SKEW PROFILER — the diagnostic you run BEFORE
+    choosing a mitigation from this module: per candidate shuffle key
+    (events.user_id here), the top-{SKEW_TOP_K} heavy hitters with
+    their fixed-point row share, plus the corpus-level skew factor
+    skew_fx = max_key_count / mean_key_count (x{SKEW_FX}) — 1000 means
+    perfectly uniform; the value tells you which regime you are in:
+    near 1000 -> plain hash shuffle is fine; a few hot keys with high
+    share -> split hot x n_salts + cold x 1 (join_skew_salted's
+    docstring ledger); everything hot -> pre-aggregate or re-key. At
+    100 TB this query IS the capacity-planning step: the skew factor
+    upper-bounds the straggler's task size under hash partitioning,
+    from one partial-aggregated pass over the key column.
+
+    Plan shape: one groupBy(key) count with map-side partials (the key
+    profile — vocabulary-bounded output), a 1-row global aggregate of
+    it, the top-k via TakeOrderedAndProject (O(k) driver-free), and
+    the 1-row stats table broadcast-crossed onto the k rows (the same
+    crossJoin(broadcast(<1-row aggregate>)) pattern as profile_table).
+    All integer `div` arithmetic so both engines floor identically."""
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    top = counts.orderBy(F.desc("cnt"), F.asc("user_id")).limit(SKEW_TOP_K)
+    # rank window runs over exactly SKEW_TOP_K rows (bounded, like
+    # mixture_weights' <=n_languages global window)
+    rk = F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("user_id")))
+    return (
+        top.crossJoin(F.broadcast(totals))
+        .withColumn("rank", rk)
+        .select(
+            "rank",
+            "user_id",
+            "cnt",
+            F.expr(f"(cnt * {SHARE_FX}) div n_rows").alias("share_fx"),
+            "n_rows",
+            "n_keys",
+            F.expr(f"(max_cnt * {SKEW_FX} * n_keys) div n_rows").alias("skew_fx"),
+        )
+    )
