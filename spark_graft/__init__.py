@@ -65,7 +65,7 @@ _MODIFIED_THIS_ROUND = frozenset(
 
 # Green last in CORRECTNESS_r10.json — 3 rounds stale, the 21 names
 # VERDICT r12 item 2 lists; they rotate into round 13's window right
-# after the tier-0 set (6 + 21 = 27, leaving 23 slots for tier 2).
+# after the tier-0 set (7 + 21 = 28, leaving 22 slots for tier 2).
 _VERIFIED_R10_ONLY = frozenset(
     """agg_approx agg_approx_percentile agg_bool_all agg_corr_exact
     agg_distinct agg_percentile agg_sketch_kmv dedup_semantic
@@ -78,8 +78,8 @@ _VERIFIED_R10_ONLY = frozenset(
 # queries sat out r12's window; the 3 of them modified this round —
 # dedup_clusters, dedup_simhash, dedup_span_fraction — are EXCLUDED
 # here and live in _MODIFIED_THIS_ROUND so the sets stay disjoint and
-# the simulated window arithmetic is exact). 23 of these 46 fit round
-# 13's 50-query window in registration order; the remaining 23 — still
+# the simulated window arithmetic is exact). 22 of these 46 fit round
+# 13's 50-query window in registration order; the remaining 24 — still
 # r11-green, nothing-older-than-r11 after this round's rotation of the
 # r10 set — become round 14's top priority.
 _VERIFIED_R11_ONLY = frozenset(

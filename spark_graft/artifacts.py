@@ -160,6 +160,30 @@ def _write(path: str, kind: str, pa_table, params: dict, sf_dir: str | None) -> 
     shutil.rmtree(old, ignore_errors=True)
 
 
+def artifact_fingerprint(path: str) -> str:
+    """The artifact's payload sha256 — its VERSION identifier — read
+    racing-writer-safe (same primary/.old-* retry discipline as _read,
+    meta.json only). Use this instead of an mtime probe when keying a
+    cache on artifact identity: os.path.getmtime(path) has no fallback
+    through the atomic-swap window where `path` is briefly absent, so
+    it can crash a reader the swap contract promises to serve
+    (code-review r13)."""
+    meta = None
+    read_dir = path
+    for _ in range(4):
+        try:
+            with open(os.path.join(read_dir, "meta.json")) as f:
+                meta = json.load(f)
+            break
+        except FileNotFoundError:
+            olds = _old_siblings(path)
+            read_dir = olds[-1] if read_dir == path and olds else path
+    if meta is None:
+        with open(os.path.join(path, "meta.json")) as f:  # raise cleanly
+            meta = json.load(f)
+    return meta.get("payload_sha256") or ""
+
+
 def _read(path: str, kind: str, sf_dir: str | None, validate: bool | None):
     import hashlib
 

@@ -215,7 +215,19 @@ def clear_stale_table(spark: SparkSession, table_name: str) -> None:
             f"clear_stale_table only supports default-database table "
             f"names, got qualified {table_name!r}"
         )
-    existed = spark.catalog.tableExists(table_name)
+    # a PERSISTENT catalog entry is what decides ownership of the data
+    # directory — tableExists alone also matches temp views, and a
+    # same-named temp view must not mask an orphaned warehouse
+    # directory (DROP TABLE would no-op on the view, the early return
+    # would skip the rmtree, and the saveAsTable this function guards
+    # would die with LOCATION_ALREADY_EXISTS — code-review r13)
+    try:
+        existed = spark.catalog.getTable(table_name).tableType in (
+            "MANAGED",
+            "EXTERNAL",
+        )
+    except Exception:
+        existed = False
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
     if existed:
         # cataloged: the DROP handled (or deliberately preserved, for

@@ -540,13 +540,19 @@ def media_decode_stage(docs: DataFrame) -> DataFrame:
     table; the (expensive) payload bytes are never read, decoded, or
     shuffled again. Exposed un-checkpointed so the plan test can pin
     the one-scan/one-Python-stage contract directly."""
+    # NULL payloads normalize to empty bytes up front (code-review r13:
+    # without this, n_bytes arrives as NaN in the Arrow batch — int()
+    # raises and one NULL row kills the job — and NULL%3's when-chain
+    # fall-through mislabeled the row 'video'); an empty payload then
+    # takes the ordinary undecodable-drop path, like a codec failure
+    payload = F.coalesce("text", F.lit(""))
     staged = docs.select(
         "doc_id",
-        "text",
-        F.octet_length(F.encode("text", "utf-8")).alias("n_bytes"),
-        F.md5(F.encode("text", "utf-8")).alias("digest"),
-        F.when(F.octet_length(F.encode("text", "utf-8")) % 3 == 0, "image")
-        .when(F.octet_length(F.encode("text", "utf-8")) % 3 == 1, "audio")
+        payload.alias("text"),
+        F.octet_length(F.encode(payload, "utf-8")).alias("n_bytes"),
+        F.md5(F.encode(payload, "utf-8")).alias("digest"),
+        F.when(F.octet_length(F.encode(payload, "utf-8")) % 3 == 0, "image")
+        .when(F.octet_length(F.encode(payload, "utf-8")) % 3 == 1, "audio")
         .otherwise("video")
         .alias("kind"),
     )
@@ -598,12 +604,15 @@ def media_decode_stage(docs: DataFrame) -> DataFrame:
 
 _MEDIA_ORACLE = f"""
     WITH base AS (
-        SELECT doc_id, text,
-               CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
-               md5(text) AS digest,
-               CASE octet_length(encode(text)) % 3
+        -- NULL payloads normalize to '' exactly like the Spark side,
+        -- so a NULL-text doc is one more undecodable drop, not a
+        -- separate NULL-digest group
+        SELECT doc_id, coalesce(text, '') AS text,
+               CAST(octet_length(encode(coalesce(text, ''))) AS INTEGER) AS n_bytes,
+               md5(coalesce(text, '')) AS digest,
+               CASE octet_length(encode(coalesce(text, ''))) % 3
                     WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-               length(text) AS n
+               length(coalesce(text, '')) AS n
         FROM documents
     ),
     keep AS (

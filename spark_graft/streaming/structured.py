@@ -397,17 +397,25 @@ def _seed_index(path: str) -> dict:
     state — the same ship-the-dimension-once economics as a broadcast
     join side. The read goes through artifacts.load_novelty_seed_index,
     so every executor re-verifies kind/format/payload-sha before
-    serving (fingerprint staleness is the driver's job — it is checked
-    once at stream construction, where a SparkSession exists). Beyond
-    broadcast-able sizes, preload the state store itself (state-store
-    writer / transformWithState initial state) instead."""
-    import os
+    serving. Training-corpus fingerprint staleness is validated ONCE,
+    driver-side, at stream construction — and only when the caller
+    passes `minhash_novelty_stream(seed_sf_dir=...)`; omitting it is
+    the explicit cross-corpus-serve contract, same as every other
+    artifact loader (code-review r13: the previous docstring claimed an
+    unconditional construction-time fingerprint check that no parameter
+    could actually trigger). Beyond broadcast-able sizes, preload the
+    state store itself (state-store writer / transformWithState initial
+    state) instead."""
+    from spark_graft.artifacts import artifact_fingerprint
 
-    # key by (path, meta mtime): re-seeding by atomically re-saving the
-    # same path must not serve a stale cached index in long-lived
-    # executors (the artifact swap installs a fresh directory, so the
-    # meta.json mtime moves)
-    key = (path, os.path.getmtime(os.path.join(path, "meta.json")))
+    # key by (path, payload sha256): re-seeding by atomically re-saving
+    # the same path must not serve a stale cached index in long-lived
+    # executors. The sha probe (unlike an mtime stat) retries through
+    # the atomic-swap window where `path` is briefly absent, so a
+    # probe racing the driver's re-seed falls back to the last
+    # complete artifact instead of crashing the micro-batch task
+    # (code-review r13).
+    key = (path, artifact_fingerprint(path))
     if key in _SEED_CACHE:
         # LRU touch (ADVICE r12): eviction below drops the first-listed
         # entry, so a >cap working set must re-order on every hit or
@@ -443,7 +451,9 @@ def _seed_index(path: str) -> dict:
 
 
 def minhash_novelty_stream(
-    docs: DataFrame, seed_index_path: str | None = None
+    docs: DataFrame,
+    seed_index_path: str | None = None,
+    seed_sf_dir: str | None = None,
 ) -> DataFrame:
     """Streaming near-dup novelty gate — the structured-streaming twin
     of `dedup_incremental_minhash` (operators.pipeline): documents
@@ -489,9 +499,11 @@ def minhash_novelty_stream(
     batch equi-join scale).
 
     STATE BOOTSTRAP (round 12, VERDICT r11 item 8): `seed_index_path`
-    points at a persisted `build_novelty_seed_index` parquet — the
+    points at a persisted `build_novelty_seed_index` ARTIFACT
+    (spark_graft.artifacts.save_novelty_seed_index; r13) — the
     accumulated band index of everything a previous deployment
-    admitted. A bucket whose state does not exist yet initializes its
+    admitted, header-validated at stream construction and
+    fingerprint-validated against `seed_sf_dir` when given. A bucket whose state does not exist yet initializes its
     member list from the seed before probing, so a restart WITHOUT a
     checkpoint still rejects documents the old deployment knew (the
     first emission can name an other_id that never flowed through this
@@ -512,12 +524,16 @@ def minhash_novelty_stream(
     if seed_index_path is not None:
         # fail at stream CONSTRUCTION, not inside an executor mid-batch:
         # the full artifact checks (kind, format_version, payload
-        # sha256) run driver-side here; a bad/torn/mis-kinded seed
-        # raises ArtifactMismatch before the query starts. Executors
-        # re-run the same checks on their own lazy load (_seed_index).
+        # sha256) run driver-side here, PLUS — when the caller passes
+        # seed_sf_dir — the training-corpus fingerprint check, so
+        # pointing a deployment at a seed trained on a different corpus
+        # raises ArtifactMismatch before the query starts (omit
+        # seed_sf_dir for the explicit cross-corpus-serve case, the
+        # same contract as every artifacts loader). Executors re-run
+        # the header checks on their own lazy load (_seed_index).
         from spark_graft.artifacts import load_novelty_seed_index
 
-        load_novelty_seed_index(seed_index_path)
+        load_novelty_seed_index(seed_index_path, sf_dir=seed_sf_dir)
 
     banded = _banded_signatures(docs)
 

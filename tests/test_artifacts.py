@@ -135,6 +135,28 @@ def test_novelty_seed_index_artifact_contract(spark, sf_dir, tmp_path):
     shutil.rmtree(other)
 
 
+def test_artifact_fingerprint_survives_swap_window(tmp_path):
+    """artifact_fingerprint must serve through the atomic-swap window
+    (primary path briefly absent, previous artifact at .old-<pid>) —
+    the race an mtime stat on the primary path cannot survive
+    (code-review r13). It must also track a re-save: the sha is the
+    version, so a new payload yields a new cache key."""
+    import os
+
+    path = str(tmp_path / "bpe")
+    artifacts.save_bpe_merges(path, [("a", "b")])
+    sha1 = artifacts.artifact_fingerprint(path)
+    assert sha1
+    # simulate the mid-swap instant: primary renamed away, only the
+    # .old-* sibling exists
+    os.rename(path, path + ".old-99999")
+    assert artifacts.artifact_fingerprint(path) == sha1
+    os.rename(path + ".old-99999", path)
+    artifacts.save_bpe_merges(path, [("a", "b"), ("ab", "c")])
+    sha2 = artifacts.artifact_fingerprint(path)
+    assert sha2 and sha2 != sha1
+
+
 def test_explicit_validate_without_sf_dir_refuses(tmp_path):
     """validate=True with no sf_dir used to silently skip validation
     (ADVICE r11); it must now raise, so a caller who believes the

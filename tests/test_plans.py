@@ -800,3 +800,33 @@ def test_clear_stale_table_never_deletes_external_data(spark, tmp_path):
         import shutil
 
         shutil.rmtree(warehouse_dir, ignore_errors=True)
+
+
+def test_clear_stale_table_ignores_same_named_temp_view(spark, tmp_path):
+    """A TEMP VIEW sharing the name must not mask an orphaned warehouse
+    directory (code-review r13): tableExists matches temp views, but a
+    view owns no warehouse location — the orphan must still be cleared
+    or the saveAsTable this function guards dies with
+    LOCATION_ALREADY_EXISTS."""
+    import os
+    import shutil
+
+    from spark_graft.operators.graph import clear_stale_table
+
+    name = "tempview_guard_t"
+    warehouse_dir = os.path.join(
+        spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").replace(
+            "file:", ""
+        ),
+        name,
+    )
+    os.makedirs(warehouse_dir, exist_ok=True)
+    with open(os.path.join(warehouse_dir, "part-stale.parquet"), "w") as f:
+        f.write("orphan")
+    try:
+        spark.createDataFrame([(1,)], "x bigint").createOrReplaceTempView(name)
+        clear_stale_table(spark, name)
+        assert not os.path.isdir(warehouse_dir)  # orphan cleared
+    finally:
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(warehouse_dir, ignore_errors=True)

@@ -1525,9 +1525,10 @@ def test_media_pipeline_each_gate_drops_its_doc(spark, tmp_path):
     while len(v.encode()) % 3 != 2:
         v += "x"
     texts[5] = v
+    texts[6] = None  # NULL payload: normalizes to '' -> undecodable drop
     d = str(tmp_path)
     spark.createDataFrame(
-        [(i, t, "en", "s", len(t)) for i, t in sorted(texts.items())],
+        [(i, t, "en", "s", len(t or "")) for i, t in sorted(texts.items())],
         "doc_id bigint, text string, lang string, source string, n_chars bigint",
     ).write.mode("overwrite").parquet(d + "/documents.parquet")
 
@@ -1543,8 +1544,11 @@ def test_media_pipeline_each_gate_drops_its_doc(spark, tmp_path):
     # exact-dup collapse: 3 < 11, keep-first keeps 3 with n_copies=2
     assert 3 in by_id.index and 11 not in by_id.index
     assert by_id.loc[3, "n_copies"] == 2
-    # undecodable payload dropped even though digest-unique
-    assert 4 not in by_id.index
+    # undecodable payloads dropped even though digest-unique — doc 4
+    # (empty) and doc 6 (NULL, normalized to '' rather than crashing
+    # the Arrow batch or mislabeling as video; they also share the
+    # md5('') digest group, so only min-id 4 even reaches the gate)
+    assert 4 not in by_id.index and 6 not in by_id.index
     # near-dup collapse: min-id survivor keeps 1, drops 2; the pair is
     # NOT digest-identical (different text), so only the aHash gate
     # can have removed it

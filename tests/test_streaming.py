@@ -689,9 +689,36 @@ def test_minhash_novelty_stream_seeded_restart_equals_batch_gate(spark, tmp_path
     def run(seed):
         stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
         pairs = run_stream_to_memory(
-            minhash_novelty_stream(stream, seed_index_path=seed), mode="append"
+            minhash_novelty_stream(
+                stream,
+                seed_index_path=seed,
+                # fingerprint-validate against the training corpus on
+                # the seeded run (r13: the check is construction-time
+                # and caller-opted, like every artifacts loader)
+                seed_sf_dir=str(doc_dir) if seed else None,
+            ),
+            mode="append",
         ).collect()
         return pairs, set(new_ids) - {r["new_id"] for r in pairs}
+
+    # a seed trained on a DIFFERENT corpus is refused at stream
+    # construction, before any micro-batch runs
+    import pytest
+
+    from spark_graft.artifacts import ArtifactMismatch
+
+    wrong = tmp_path / "wrongdocs"
+    wrong.mkdir()
+    spark.createDataFrame(
+        [(0, "some other corpus entirely", "en", "s", 26)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).coalesce(1).write.parquet(str(wrong / "documents.parquet"))
+    with pytest.raises(ArtifactMismatch):
+        minhash_novelty_stream(
+            spark.readStream.schema("doc_id long, text string").parquet(str(src)),
+            seed_index_path=seed_path,
+            seed_sf_dir=str(wrong),
+        )
 
     pairs, accepted_seeded = run(seed_path)
     assert accepted_seeded == accepted_batch, (accepted_seeded, accepted_batch)
