@@ -720,6 +720,13 @@ def test_media_pipeline_single_decode_pass(spark, sf_dir):
     assert "Scan parquet" not in plan, plan  # payloads read once, upstream
     assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+    # no shuffle ever carries the payload: every Exchange moves
+    # metadata columns only (`text` never leaves the decode stage —
+    # the decoded staging schema simply has no payload column, and
+    # this pins that it stays that way)
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text#" not in line, line
     # composition not vacuous: survivors exist and some collapsing happened
     assert df.count() > 0
 
