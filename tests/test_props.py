@@ -1568,3 +1568,42 @@ def test_media_pipeline_each_gate_drops_its_doc(spark, tmp_path):
     assert by_id.loc[1, "thumb_hex"] == "".join(f"{p:02x}" for p in thumb)
     # untouched fillers all survive
     assert all(i in by_id.index for i in range(12, 20))
+
+
+def test_profile_skew_detects_planted_hot_key(spark, tmp_path):
+    """profile_skew on an engineered distribution: one user owns half
+    the rows, the rest spread uniformly. The hot key must rank 1 with
+    the exact fixed-point share, the skew factor must equal the exact
+    integer formula, and a perfectly uniform corpus must report
+    skew_fx == 1000 (the 'plain hash shuffle is fine' reading)."""
+    from spark_graft.registry import REGISTRY
+
+    def write_events(rows, d):
+        spark.createDataFrame(
+            [(i, "2024-01-01 00:00:00", u, "view", 1.0, "{}") for i, u in enumerate(rows)],
+            "event_id bigint, ts string, user_id bigint, event_type string, "
+            "value double, props string",
+        ).selectExpr(
+            "event_id", "CAST(ts AS TIMESTAMP) ts", "user_id", "event_type",
+            "value", "props"
+        ).write.mode("overwrite").parquet(str(d / "events.parquet"))
+
+    # planted: user 7 has 500 rows, users 0..99 have 5 each -> 1000 rows
+    hot = tmp_path / "hot"
+    hot.mkdir()
+    rows = [7] * 500 + [u for u in range(100) for _ in range(5)]
+    write_events(rows, hot)
+    got = {r["rank"]: r for r in REGISTRY["profile_skew"].fn(spark, str(hot)).collect()}
+    n_rows, n_keys = 1000, 100  # user 7 is also in 0..99
+    top = got[1]
+    assert top["user_id"] == 7 and top["cnt"] == 505
+    assert top["share_fx"] == (505 * 10000) // n_rows
+    assert top["skew_fx"] == (505 * 1000 * n_keys) // n_rows  # ~50x uniform
+    assert top["n_rows"] == n_rows and top["n_keys"] == n_keys
+
+    # uniform: every key exactly 4 rows -> skew_fx exactly 1000
+    uni = tmp_path / "uni"
+    uni.mkdir()
+    write_events([u for u in range(50) for _ in range(4)], uni)
+    u1 = REGISTRY["profile_skew"].fn(spark, str(uni)).collect()[0]
+    assert u1["skew_fx"] == 1000
