@@ -54,18 +54,22 @@ __all__ = ["REGISTRY", "QuerySpec", "query", "load_all_queries"]
 #   broadcast (<=65536 rows by construction);
 # - dedup_clusters: member counts via groupBy(label) + join.
 # - NEW: pipeline_media_corpus (the fused multimodal curation chain,
-#   VERDICT r12 missing-item 2) and profile_skew (the shuffle-key
-#   heavy-hitter/skew-factor diagnostic) — never driver-verified.
+#   VERDICT r12 missing-item 2), profile_skew (the shuffle-key
+#   heavy-hitter/skew-factor diagnostic), and pipeline_embed_index
+#   (the fused retrieval pipeline: semantic dedup -> trained-cell
+#   assignment -> IVF postings -> served top-k) — never
+#   driver-verified.
 # - dedup_substring additionally replaced the per-token covered-probe
 #   with the sorted-starts sweep (VERDICT r12 item 3).
 _MODIFIED_THIS_ROUND = frozenset(
     """text_tfidf dedup_span_fraction dedup_substring dedup_simhash
-    dedup_clusters pipeline_media_corpus profile_skew""".split()
+    dedup_clusters pipeline_media_corpus profile_skew
+    pipeline_embed_index""".split()
 )
 
 # Green last in CORRECTNESS_r10.json — 3 rounds stale, the 21 names
 # VERDICT r12 item 2 lists; they rotate into round 13's window right
-# after the tier-0 set (7 + 21 = 28, leaving 22 slots for tier 2).
+# after the tier-0 set (8 + 21 = 29, leaving 21 slots for tier 2).
 _VERIFIED_R10_ONLY = frozenset(
     """agg_approx agg_approx_percentile agg_bool_all agg_corr_exact
     agg_distinct agg_percentile agg_sketch_kmv dedup_semantic
@@ -78,8 +82,8 @@ _VERIFIED_R10_ONLY = frozenset(
 # queries sat out r12's window; the 3 of them modified this round —
 # dedup_clusters, dedup_simhash, dedup_span_fraction — are EXCLUDED
 # here and live in _MODIFIED_THIS_ROUND so the sets stay disjoint and
-# the simulated window arithmetic is exact). 22 of these 46 fit round
-# 13's 50-query window in registration order; the remaining 24 — still
+# the simulated window arithmetic is exact). 21 of these 46 fit round
+# 13's 50-query window in registration order; the remaining 25 — still
 # r11-green, nothing-older-than-r11 after this round's rotation of the
 # r10 set — become round 14's top priority.
 _VERIFIED_R11_ONLY = frozenset(

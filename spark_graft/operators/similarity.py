@@ -1019,3 +1019,160 @@ def sim_ann_pq(
         .limit(TOP_K)
         .select("vec_id", "adist_fx", F.round(cos, 4).alias("cos_sim"))
     )
+
+
+# ------------------------------------------------ fused retrieval pipeline
+
+
+def _embed_index_oracle() -> str:
+    from spark_graft.operators.dedup import _emb_oracle
+
+    pair_sql = _emb_oracle().strip()
+    return f"""
+        WITH {KMEANS_CTES},
+        pairs AS (SELECT vec_a, vec_b FROM ({pair_sql}) p),
+        dropped AS (SELECT DISTINCT vec_b AS vec_id FROM pairs),
+        keepers AS (
+            SELECT e.vec_id FROM embeddings e
+            LEFT JOIN dropped d ON d.vec_id = e.vec_id
+            WHERE d.vec_id IS NULL
+        ),
+        members AS (SELECT vec_id, cluster, d2 FROM a2 WHERE rk = 1),
+        imem AS (SELECT m.* FROM members m JOIN keepers k ON k.vec_id = m.vec_id),
+        stats AS (
+            SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_n
+            FROM imem GROUP BY cluster
+        ),
+        reps AS (
+            SELECT cluster, vec_id AS rep_vec_id FROM (
+                SELECT cluster, vec_id,
+                       row_number() OVER (PARTITION BY cluster
+                                          ORDER BY d2, vec_id) AS rk2
+                FROM imem
+            ) WHERE rk2 = 1
+        ),
+        isize AS (SELECT CAST(count(*) AS BIGINT) AS index_size FROM imem),
+        probeq AS (
+            SELECT pos, qv FROM q
+            WHERE vec_id = (SELECT min(vec_id) FROM embeddings WHERE {NONZERO_SQL})
+        ),
+        cdist AS (
+            SELECT c.cluster,
+                   CAST(sum((p.qv - c.qc) * (p.qv - c.qc)) AS BIGINT) AS d2p
+            FROM probeq p JOIN c1 c USING (pos) GROUP BY c.cluster
+        ),
+        pc AS (SELECT cluster FROM cdist
+               ORDER BY d2p, cluster LIMIT {N_PROBE_CLUSTERS}),
+        probe AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS pv
+            FROM embeddings WHERE {NONZERO_SQL} ORDER BY vec_id LIMIT 1
+        )
+        SELECT e.vec_id,
+               round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pv),
+                     4) AS cos_sim,
+               m.cluster, s.cluster_n, r.rep_vec_id, i.index_size
+        FROM embeddings e
+        JOIN imem m ON m.vec_id = e.vec_id
+        JOIN stats s ON s.cluster = m.cluster
+        JOIN reps r ON r.cluster = m.cluster
+        CROSS JOIN isize i
+        CROSS JOIN probe p
+        WHERE m.cluster IN (SELECT cluster FROM pc) AND {NONZERO_SQL}
+        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pv) DESC,
+                 e.vec_id
+        LIMIT {TOP_K}
+    """
+
+
+@query("pipeline_embed_index", oracle=_embed_index_oracle())
+def pipeline_embed_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fused RETRIEVAL pipeline — the embedding-modality north-star
+    beside pipeline_pretrain_corpus (text) and pipeline_media_corpus
+    (media): SemDeDup semantic dedup -> trained-quantizer cell
+    assignment of the survivors -> IVF index statistics (per-cell
+    population + nearest-to-centroid representative) -> a served
+    top-{TOP_K} query over the deduplicated index, as ONE declared
+    query. This is the production retrieval-side shape: dedup the
+    embedding corpus once, lay it out by trained cell, persist the
+    postings, and serve probes that touch only nprobe cells — each
+    result row carries its index provenance (cell, cell population,
+    cell representative, total index size), so the output hash pins
+    every stage at once.
+
+    Stage reuse, not re-implementation: the keep set is dedup_semantic
+    verbatim (greedy lower-id survivor over the trained-cell cosine
+    pair graph), assignments are kmeans_lloyd verbatim (fixed-point
+    Lloyd, deterministic init), probe-cluster selection is
+    sim_ann_ivf_trained's integer argmin over the k x {EMB_DIM}
+    centroid ints on the driver, and the rescore is the
+    bit-deterministic cosine of sim_cosine_topk. The keep set is
+    localCheckpoint-staged (the persisted survivor table of a real
+    run) so the Python pair-discovery stage runs once; everything
+    after it is relational plus the one Arrow assignment map.
+
+    Scale: pair work is dedup_embedding's linear cell blocking; the
+    index stats are one partial-aggregated groupBy(cluster) (k rows,
+    broadcast back); the probe reads only the {N_PROBE_CLUSTERS}
+    probed cells; embeddings never shuffle (stats and rescore both
+    reduce before any exchange). Oracle: SemDeDup pair CTEs + the
+    unrolled kmeans CTEs + probe/rescore CTEs composed into one SQL
+    statement — the whole four-stage pipeline is hash-gated
+    end-to-end."""
+    from spark_graft.operators.clustering import kmeans_lloyd
+    from spark_graft.operators.dedup import dedup_semantic
+
+    keep = (
+        dedup_semantic(spark, sf_dir)
+        .filter(F.col("keep"))
+        .select("vec_id")
+        .localCheckpoint()
+    )
+    # the POSTINGS table (survivor -> cell, with assignment distance) is
+    # the second staged asset: three consumers read it (cell stats,
+    # index size, probe-side membership), and without the stage each
+    # re-executes the Arrow assignment map over the full corpus
+    imem = kmeans_lloyd(spark, sf_dir).join(keep, "vec_id").localCheckpoint()
+    stats = (
+        imem.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_n"),
+            F.min(F.struct("d2", "vec_id")).alias("_rep"),
+        )
+        .select("cluster", "cluster_n", F.col("_rep.vec_id").alias("rep_vec_id"))
+    )
+    isize = imem.agg(F.count(F.lit(1)).alias("index_size"))
+
+    probe = _probe_vector(spark, sf_dir)
+    if probe is None:
+        return spark.createDataFrame(
+            [],
+            "vec_id bigint, cos_sim double, cluster int, cluster_n bigint, "
+            "rep_vec_id bigint, index_size bigint",
+        )
+    cents = lloyd_centroids(spark, sf_dir)
+    qp = quantize_vec(probe)
+    nearest = sorted(
+        (sum((a - b) ** 2 for a, b in zip(qp, cv)), cid)
+        for cid, cv in sorted(cents.items())
+    )[:N_PROBE_CLUSTERS]
+    probe_clusters = [cid for _, cid in nearest]
+
+    e = table(spark, sf_dir, "embeddings").filter(nonzero_vec(F.col("embedding")))
+    cos = cosine(F.col("embedding"), _lit_vec(probe))
+    return (
+        e.join(imem.filter(F.col("cluster").isin(probe_clusters)), "vec_id")
+        .join(F.broadcast(stats), "cluster")
+        .crossJoin(F.broadcast(isize))
+        .select(
+            "vec_id",
+            F.round(cos, 4).alias("cos_sim"),
+            "cluster",
+            "cluster_n",
+            "rep_vec_id",
+            "index_size",
+            cos.alias("_c"),
+        )
+        .orderBy(F.col("_c").desc(), "vec_id")
+        .limit(TOP_K)
+        .drop("_c")
+    )

@@ -698,6 +698,25 @@ def test_profile_skew_plan_shape(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_embed_index_pipeline_plan(spark, sf_dir):
+    """pipeline_embed_index's scale contract: after the two staged
+    assets (the survivor keep set and the postings table — the things a
+    real run persists), the served plan is pure relational work: ZERO
+    Python stages (the Arrow assignment ran once into the postings
+    stage; without that stage its subtree executed once per consumer),
+    no cartesian product, and NO Exchange ever carries the embedding
+    vectors — index stats and rescore both reduce before any shuffle,
+    so only ids/cells/scalars move."""
+    df = q("pipeline_embed_index", spark, sf_dir)
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in physical and "EvalPython" not in physical, physical
+    assert "CartesianProduct" not in physical, physical
+    for line in physical.splitlines():
+        if "Exchange" in line:
+            assert "embedding#" not in line, line
+    assert 0 < df.count() <= 10
+
+
 def test_media_pipeline_single_decode_pass(spark, sf_dir):
     """pipeline_media_corpus's plan contract (VERDICT r12 missing-item
     2): the four media stages share ONE decode pass. The staging stage
