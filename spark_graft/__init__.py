@@ -61,15 +61,21 @@ __all__ = ["REGISTRY", "QuerySpec", "query", "load_all_queries"]
 #   driver-verified.
 # - dedup_substring additionally replaced the per-token covered-probe
 #   with the sorted-starts sweep (VERDICT r12 item 3).
+# - sim_ann_ivf_trained: the r13 code-review extracted its probe-
+#   cluster selection (SQL CTEs + driver argmin) into shared
+#   PROBE_SELECT_CTES/_nearest_trained_clusters so pipeline_embed_index
+#   reuses rather than copies the hash-gated tie-breaks — behavior-
+#   identical, but the executed path changed, so it re-enters the
+#   window.
 _MODIFIED_THIS_ROUND = frozenset(
     """text_tfidf dedup_span_fraction dedup_substring dedup_simhash
     dedup_clusters pipeline_media_corpus profile_skew
-    pipeline_embed_index""".split()
+    pipeline_embed_index sim_ann_ivf_trained""".split()
 )
 
 # Green last in CORRECTNESS_r10.json — 3 rounds stale, the 21 names
 # VERDICT r12 item 2 lists; they rotate into round 13's window right
-# after the tier-0 set (8 + 21 = 29, leaving 21 slots for tier 2).
+# after the tier-0 set (9 + 21 = 30, leaving 20 slots for tier 2).
 _VERIFIED_R10_ONLY = frozenset(
     """agg_approx agg_approx_percentile agg_bool_all agg_corr_exact
     agg_distinct agg_percentile agg_sketch_kmv dedup_semantic
@@ -79,11 +85,12 @@ _VERIFIED_R10_ONLY = frozenset(
 )
 
 # Green last in CORRECTNESS_r11.json — 2 rounds stale (49 r11-green
-# queries sat out r12's window; the 3 of them modified this round —
-# dedup_clusters, dedup_simhash, dedup_span_fraction — are EXCLUDED
-# here and live in _MODIFIED_THIS_ROUND so the sets stay disjoint and
-# the simulated window arithmetic is exact). 21 of these 46 fit round
-# 13's 50-query window in registration order; the remaining 25 — still
+# queries sat out r12's window; the 4 of them modified this round —
+# dedup_clusters, dedup_simhash, dedup_span_fraction,
+# sim_ann_ivf_trained — are EXCLUDED here and live in
+# _MODIFIED_THIS_ROUND so the sets stay disjoint and the simulated
+# window arithmetic is exact). 20 of these 45 fit round 13's 50-query
+# window in registration order; the remaining 25 — still
 # r11-green, nothing-older-than-r11 after this round's rotation of the
 # r10 set — become round 14's top priority.
 _VERIFIED_R11_ONLY = frozenset(
@@ -94,7 +101,7 @@ _VERIFIED_R11_ONLY = frozenset(
     join_broadcast join_multi join_outer min_unique_prefix
     mixture_weights multimodal_neardup pipeline_clean_corpus
     pipeline_pack_sequences sample_stratified set_ops
-    sim_ann_ivf_trained sim_ann_pq source_stats stream_sliding
+    sim_ann_pq source_stats stream_sliding
     text_bm25 text_langid text_quality text_scrub text_stats
     text_tokens topk_per_group ts_anomaly udf_compat
     udf_compat_iterative udf_pandas_tokens unpivot_measures

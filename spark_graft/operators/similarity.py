@@ -340,11 +340,14 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "sim_ann_ivf_trained",
-    oracle=f"""
-        WITH {KMEANS_CTES},
-        probeq AS (
+# Probe-cluster selection over the TRAINED quantizer, shared verbatim
+# by sim_ann_ivf_trained and pipeline_embed_index — the hash-gated
+# tie-breaks (ORDER BY d2p, cluster; integer squared distance over the
+# quantized probe) live HERE once, in both the SQL and python forms,
+# so a future tie-break/rounding fix cannot silently diverge one
+# consumer from the other (code-review r13). sim_ann_pq's probe block
+# is NOT this one: it selects per-subspace (m) codebook cells.
+PROBE_SELECT_CTES = f"""probeq AS (
             SELECT pos, qv FROM q
             WHERE vec_id = (SELECT min(vec_id) FROM embeddings WHERE {NONZERO_SQL})
         ),
@@ -353,7 +356,30 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(sum((p.qv - c.qc) * (p.qv - c.qc)) AS BIGINT) AS d2p
             FROM probeq p JOIN c1 c USING (pos) GROUP BY c.cluster
         ),
-        pc AS (SELECT cluster FROM cdist ORDER BY d2p, cluster LIMIT {N_PROBE_CLUSTERS}),
+        pc AS (SELECT cluster FROM cdist ORDER BY d2p, cluster LIMIT {N_PROBE_CLUSTERS})"""
+
+
+def _nearest_trained_clusters(
+    cents: dict[int, list[int]], probe: list[float]
+) -> list[int]:
+    """HALF_UP-quantized probe (matching F.round / DuckDB round on the
+    non-negative shifted values; python round() is HALF_EVEN) -> the
+    {N_PROBE_CLUSTERS} nearest trained centroids by integer squared
+    distance, ties on cluster id — the driver-side twin of
+    PROBE_SELECT_CTES."""
+    qp = quantize_vec(probe)
+    nearest = sorted(
+        (sum((a - b) ** 2 for a, b in zip(qp, cv)), cid)
+        for cid, cv in sorted(cents.items())
+    )[:N_PROBE_CLUSTERS]
+    return [cid for _, cid in nearest]
+
+
+@query(
+    "sim_ann_ivf_trained",
+    oracle=f"""
+        WITH {KMEANS_CTES},
+        {PROBE_SELECT_CTES},
         members AS (SELECT vec_id, cluster FROM a2 WHERE rk = 1),
         probe AS (
             SELECT CAST(embedding AS DOUBLE[]) AS pv
@@ -405,14 +431,7 @@ def sim_ann_ivf_trained(
     probe = _probe_vector(spark, sf_dir)
     if probe is None:
         return _empty_topk(spark)
-    # HALF_UP quantization, matching F.round / DuckDB round on the
-    # non-negative shifted values (python round() is HALF_EVEN)
-    qp = quantize_vec(probe)
-    nearest = sorted(
-        (sum((a - b) ** 2 for a, b in zip(qp, cv)), cid)
-        for cid, cv in sorted(cents.items())
-    )[:N_PROBE_CLUSTERS]
-    probe_clusters = [cid for _, cid in nearest]
+    probe_clusters = _nearest_trained_clusters(cents, probe)
 
     e = table(spark, sf_dir, "embeddings").filter(nonzero_vec(F.col("embedding")))
     assigned = e.select(
@@ -1052,17 +1071,7 @@ def _embed_index_oracle() -> str:
             ) WHERE rk2 = 1
         ),
         isize AS (SELECT CAST(count(*) AS BIGINT) AS index_size FROM imem),
-        probeq AS (
-            SELECT pos, qv FROM q
-            WHERE vec_id = (SELECT min(vec_id) FROM embeddings WHERE {NONZERO_SQL})
-        ),
-        cdist AS (
-            SELECT c.cluster,
-                   CAST(sum((p.qv - c.qc) * (p.qv - c.qc)) AS BIGINT) AS d2p
-            FROM probeq p JOIN c1 c USING (pos) GROUP BY c.cluster
-        ),
-        pc AS (SELECT cluster FROM cdist
-               ORDER BY d2p, cluster LIMIT {N_PROBE_CLUSTERS}),
+        {PROBE_SELECT_CTES},
         probe AS (
             SELECT CAST(embedding AS DOUBLE[]) AS pv
             FROM embeddings WHERE {NONZERO_SQL} ORDER BY vec_id LIMIT 1
@@ -1121,6 +1130,17 @@ def pipeline_embed_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_graft.operators.clustering import kmeans_lloyd
     from spark_graft.operators.dedup import dedup_semantic
 
+    # the probe-existence check runs FIRST: an empty/all-zero-norm
+    # corpus must not pay the full eager pair-discovery + training
+    # pipeline just to return the typed empty frame (code-review r13)
+    probe = _probe_vector(spark, sf_dir)
+    if probe is None:
+        return spark.createDataFrame(
+            [],
+            "vec_id bigint, cos_sim double, cluster int, cluster_n bigint, "
+            "rep_vec_id bigint, index_size bigint",
+        )
+
     keep = (
         dedup_semantic(spark, sf_dir)
         .filter(F.col("keep"))
@@ -1142,20 +1162,8 @@ def pipeline_embed_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     isize = imem.agg(F.count(F.lit(1)).alias("index_size"))
 
-    probe = _probe_vector(spark, sf_dir)
-    if probe is None:
-        return spark.createDataFrame(
-            [],
-            "vec_id bigint, cos_sim double, cluster int, cluster_n bigint, "
-            "rep_vec_id bigint, index_size bigint",
-        )
     cents = lloyd_centroids(spark, sf_dir)
-    qp = quantize_vec(probe)
-    nearest = sorted(
-        (sum((a - b) ** 2 for a, b in zip(qp, cv)), cid)
-        for cid, cv in sorted(cents.items())
-    )[:N_PROBE_CLUSTERS]
-    probe_clusters = [cid for _, cid in nearest]
+    probe_clusters = _nearest_trained_clusters(cents, probe)
 
     e = table(spark, sf_dir, "embeddings").filter(nonzero_vec(F.col("embedding")))
     cos = cosine(F.col("embedding"), _lit_vec(probe))
