@@ -67,15 +67,18 @@ __all__ = ["REGISTRY", "QuerySpec", "query", "load_all_queries"]
 #   reuses rather than copies the hash-gated tie-breaks — behavior-
 #   identical, but the executed path changed, so it re-enters the
 #   window.
+# - NEW: events_user_features (per-user feature rollup: sessions,
+#   funnel stage, activity span, value — one user-keyed Exchange).
 _MODIFIED_THIS_ROUND = frozenset(
     """text_tfidf dedup_span_fraction dedup_substring dedup_simhash
     dedup_clusters pipeline_media_corpus profile_skew
-    pipeline_embed_index sim_ann_ivf_trained""".split()
+    pipeline_embed_index sim_ann_ivf_trained
+    events_user_features""".split()
 )
 
 # Green last in CORRECTNESS_r10.json — 3 rounds stale, the 21 names
 # VERDICT r12 item 2 lists; they rotate into round 13's window right
-# after the tier-0 set (9 + 21 = 30, leaving 20 slots for tier 2).
+# after the tier-0 set (10 + 21 = 31, leaving 19 slots for tier 2).
 _VERIFIED_R10_ONLY = frozenset(
     """agg_approx agg_approx_percentile agg_bool_all agg_corr_exact
     agg_distinct agg_percentile agg_sketch_kmv dedup_semantic
@@ -89,8 +92,8 @@ _VERIFIED_R10_ONLY = frozenset(
 # dedup_clusters, dedup_simhash, dedup_span_fraction,
 # sim_ann_ivf_trained — are EXCLUDED here and live in
 # _MODIFIED_THIS_ROUND so the sets stay disjoint and the simulated
-# window arithmetic is exact). 20 of these 45 fit round 13's 50-query
-# window in registration order; the remaining 25 — still
+# window arithmetic is exact). 19 of these 45 fit round 13's 50-query
+# window in registration order; the remaining 26 — still
 # r11-green, nothing-older-than-r11 after this round's rotation of the
 # r10 set — become round 14's top priority.
 _VERIFIED_R11_ONLY = frozenset(

@@ -768,3 +768,172 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("secs_to_convert"),
     )
+
+
+# --------------------------------------------------------- user features
+
+
+@query(
+    "events_user_features",
+    oracle=f"""
+        WITH base AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT)
+                       AS active_days,
+                   CAST(date_diff('day', min(ts), max(ts)) AS BIGINT) + 1
+                       AS active_span_days,
+                   CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END)
+                        AS BIGINT) AS n_purchases,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                       AS total_value
+            FROM events GROUP BY user_id
+        ),
+        lagd AS (
+            SELECT user_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w
+                                > INTERVAL {SESSION_GAP_MIN} MINUTE
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions
+            FROM lagd GROUP BY user_id
+        ),
+        s1 AS (
+            SELECT user_id, min(ts) AS t_view FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        s2 AS (
+            SELECT e.user_id, min(e.ts) AS t_click
+            FROM events e JOIN s1 USING (user_id)
+            WHERE e.event_type = 'click' AND e.ts > s1.t_view
+            GROUP BY e.user_id
+        ),
+        s3 AS (
+            SELECT e.user_id, min(e.ts) AS t_purchase
+            FROM events e JOIN s2 USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts > s2.t_click
+            GROUP BY e.user_id
+        )
+        SELECT b.user_id, b.n_events, s.n_sessions, b.active_days,
+               b.active_span_days,
+               CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+                         WHEN s2.user_id IS NOT NULL THEN 2
+                         WHEN s1.user_id IS NOT NULL THEN 1
+                         ELSE 0 END AS INTEGER) AS funnel_stage,
+               b.n_purchases, b.total_value
+        FROM base b
+        JOIN sess s ON s.user_id = b.user_id
+        LEFT JOIN s1 ON s1.user_id = b.user_id
+        LEFT JOIN s2 ON s2.user_id = b.user_id
+        LEFT JOIN s3 ON s3.user_id = b.user_id
+    """,
+)
+def events_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user FEATURE ROLLUP — the feature-engineering table a
+    training pipeline derives from raw event logs (engagement scoring,
+    churn/conversion labels, curriculum weighting): event volume,
+    {SESSION_GAP_MIN}-minute-gap session count, active-day count and
+    calendar span, the ordered view->click->purchase funnel stage
+    reached, purchase count, and exact-decimal total value — one row
+    per user.
+
+    ONE Exchange total (plan-pinned): every derivation keys on
+    user_id, so the lag window (session breaks), the two stacked
+    whole-partition windows that carry the ordered-funnel firsts onto
+    each row (first view, then first click AFTER that view — the
+    ordering means three independent mins would be WRONG, see
+    events_funnel), and the final aggregate all inherit one
+    hashpartitioning(user_id). The oracle computes the same features
+    as separate CTE chains and joins them — two independent shapes,
+    one hash. Per-user window cost is activity-bounded (the same
+    contract as the batch sessionizer); active_days aggregates a
+    calendar-bounded day set, not raw timestamps. At 100 TB this is
+    the query you materialize nightly keyed exactly like its consumers
+    (user-bucketed), so the single shuffle amortizes across every
+    downstream feature join."""
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    wlag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wall = Window.partitionBy("user_id")
+
+    prev = F.lag("ts").over(wlag)
+    # microsecond-exact interval compare, NOT cast("long") second
+    # truncation — the same trap stream_session's comment documents: a
+    # gap inside one second of the threshold silently disagrees with
+    # the oracle's INTERVAL compare (caught by the sf1 sweep, where
+    # sub-second timestamps are dense)
+    is_new = F.when(
+        prev.isNull()
+        | (
+            F.col("ts") - prev
+            > F.expr(f"INTERVAL {SESSION_GAP_MIN} MINUTES")
+        ),
+        1,
+    ).otherwise(0)
+    e1 = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        is_new.alias("is_new"),
+        F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+        .over(wall)
+        .alias("_fv"),
+    )
+    e2 = e1.withColumn(
+        "_fc",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("_fv")),
+                F.col("ts"),
+            )
+        ).over(wall),
+    )
+    agg = e2.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("is_new").cast("bigint").alias("n_sessions"),
+        F.size(
+            F.collect_set(F.datediff("ts", F.lit("2024-01-01").cast("date")))
+        ).cast("bigint").alias("active_days"),
+        (F.datediff(F.max("ts"), F.min("ts")) + 1).cast("bigint").alias(
+            "active_span_days"
+        ),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("_fc")),
+                1,
+            )
+        ).alias("_p"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("_fv")), 1
+            )
+        ).alias("_c"),
+        F.max(F.when(F.col("event_type") == "view", 1)).alias("_v"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchases"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
+            "total_value"
+        ),
+    )
+    stage = (
+        F.when(F.col("_p") == 1, 3)
+        .when(F.col("_c") == 1, 2)
+        .when(F.col("_v") == 1, 1)
+        .otherwise(0)
+        .cast("int")
+    )
+    return agg.select(
+        "user_id",
+        "n_events",
+        "n_sessions",
+        "active_days",
+        "active_span_days",
+        stage.alias("funnel_stage"),
+        "n_purchases",
+        "total_value",
+    )

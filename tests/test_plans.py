@@ -884,3 +884,19 @@ def test_clear_stale_table_ignores_same_named_temp_view(spark, tmp_path):
     finally:
         spark.catalog.dropTempView(name)
         shutil.rmtree(warehouse_dir, ignore_errors=True)
+
+
+def test_user_features_single_exchange(spark, sf_dir):
+    """events_user_features: the lag window, both whole-partition
+    funnel windows, and the final aggregate must all inherit ONE
+    hashpartitioning(user_id) — a second Exchange would mean a stage
+    re-keyed off the user partitioning (the fill_forward contract,
+    over a four-derivation feature rollup)."""
+    df = q("events_user_features", spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    ex = [
+        l for l in plan.splitlines()
+        if "Exchange" in l and "Reused" not in l and "Broadcast" not in l
+    ]
+    assert len(ex) == 1, plan
+    assert "hashpartitioning(user_id#" in ex[0], ex[0]
