@@ -30,92 +30,41 @@ __all__ = ["REGISTRY", "QuerySpec", "query", "load_all_queries"]
 #   tier 0 — never driver-verified, or modified this round (an edit to
 #            a query fn or its oracle invalidates prior verification,
 #            so edited queries must re-enter the window);
-#   tier 1 — hash-green last in CORRECTNESS_r10 (3 rounds stale,
+#   tier 1 — hash-green last in CORRECTNESS_r11 (3 rounds stale,
 #            highest priority among unmodified queries);
-#   tier 2 — hash-green last in CORRECTNESS_r11 (2 rounds stale);
-#   tier 3 — hash-green in CORRECTNESS_r12 on code unchanged since.
+#   tier 2 — hash-green last in CORRECTNESS_r12 (2 rounds stale);
+#   tier 3 — hash-green in CORRECTNESS_r13 on code unchanged since.
 # Refresh these sets from CORRECTNESS_r{N}.json at the start of each
 # round, and add every query touched during the round to
 # _MODIFIED_THIS_ROUND.
 
-# Queries whose implementation changed during ROUND 13 — tier 0, the
-# driver must re-verify them on the new code. All five are the VERDICT
-# r12 window-df conversions (items 1 and 5): document/span/bucket
-# frequency moved from `count().over(Window.partitionBy(<power-law
-# key>))` — which funnels the hottest key's entire row set into ONE
-# task with no partial aggregation and no AQE skew split — to the
-# partial-aggregated groupBy+join form text_bm25/dedup_containment
-# already used (value-identical rows, strictly skew-safe plan;
-# AB_WINDOW_DF_SKEW.json holds the skewed-fixture A/B):
-# - text_tfidf: term df now tf.groupBy(term) joined back;
-# - dedup_span_fraction / dedup_substring: span df now the
-#   df>1-filtered groupBy(g) freq table joined back;
-# - dedup_simhash: bucket population via groupBy(simhash) + explicit
-#   broadcast (<=65536 rows by construction);
-# - dedup_clusters: member counts via groupBy(label) + join.
-# - NEW: pipeline_media_corpus (the fused multimodal curation chain,
-#   VERDICT r12 missing-item 2), profile_skew (the shuffle-key
-#   heavy-hitter/skew-factor diagnostic), and pipeline_embed_index
-#   (the fused retrieval pipeline: semantic dedup -> trained-cell
-#   assignment -> IVF postings -> served top-k) — never
-#   driver-verified.
-# - dedup_substring additionally replaced the per-token covered-probe
-#   with the sorted-starts sweep (VERDICT r12 item 3).
-# - sim_ann_ivf_trained: the r13 code-review extracted its probe-
-#   cluster selection (SQL CTEs + driver argmin) into shared
-#   PROBE_SELECT_CTES/_nearest_trained_clusters so pipeline_embed_index
-#   reuses rather than copies the hash-gated tie-breaks — behavior-
-#   identical, but the executed path changed, so it re-enters the
-#   window.
-# - NEW: events_user_features (per-user feature rollup: sessions,
-#   funnel stage, activity span, value — one user-keyed Exchange).
+# Queries whose implementation changed during ROUND 14 — tier 0, the
+# driver must re-verify them on the new code:
+# - dedup_substring: VERDICT r13 item 7 — short-doc fast path skipping
+#   flag-array construction for docs with no covered starts (the common
+#   case in a deduped corpus); hash-identical rows, cheaper plan.
 _MODIFIED_THIS_ROUND = frozenset(
-    """text_tfidf dedup_span_fraction dedup_substring dedup_simhash
-    dedup_clusters pipeline_media_corpus profile_skew
-    pipeline_embed_index sim_ann_ivf_trained
-    events_user_features""".split()
+    """dedup_substring""".split()
 )
 
-# Green last in CORRECTNESS_r10.json — 3 rounds stale, the 21 names
-# VERDICT r12 item 2 lists; they rotate into round 13's window right
-# after the tier-0 set (10 + 21 = 31, leaving 19 slots for tier 2).
-_VERIFIED_R10_ONLY = frozenset(
-    """agg_approx agg_approx_percentile agg_bool_all agg_corr_exact
-    agg_distinct agg_percentile agg_sketch_kmv dedup_semantic
-    filter_in_null filter_pred fn_json grouping_sets profile_table
-    sample_coreset sample_importance scan_project sim_hardneg
-    sim_knn_graph text_lines win_dist word_count""".split()
-)
-
-# Green last in CORRECTNESS_r11.json — 2 rounds stale (49 r11-green
-# queries sat out r12's window; the 4 of them modified this round —
-# dedup_clusters, dedup_simhash, dedup_span_fraction,
-# sim_ann_ivf_trained — are EXCLUDED here and live in
-# _MODIFIED_THIS_ROUND so the sets stay disjoint and the simulated
-# window arithmetic is exact). 19 of these 45 fit round 13's 50-query
-# window in registration order; the remaining 26 — still
-# r11-green, nothing-older-than-r11 after this round's rotation of the
-# r10 set — become round 14's top priority.
+# Green last in CORRECTNESS_r11.json — 3 rounds stale, the 26 names
+# VERDICT r13 item 2 lists; they rotate into round 14's window right
+# after the tier-0 set. After this round's driver run nothing should be
+# older than r12.
 _VERIFIED_R11_ONLY = frozenset(
-    """agg_pivot agg_q1 agg_sketch_hll decontaminate dedup_exact
-    dedup_incremental dedup_incremental_minhash dedup_minhash
-    events_paths events_pattern events_retention fn_map global_sort
+    """agg_pivot agg_q1 agg_sketch_hll decontaminate dedup_incremental
+    dedup_incremental_minhash dedup_minhash fn_map global_sort
     graph_pagerank graph_triangles grouping_cube grouping_rollup
     join_broadcast join_multi join_outer min_unique_prefix
-    mixture_weights multimodal_neardup pipeline_clean_corpus
-    pipeline_pack_sequences sample_stratified set_ops
-    sim_ann_pq source_stats stream_sliding
-    text_bm25 text_langid text_quality text_scrub text_stats
-    text_tokens topk_per_group ts_anomaly udf_compat
-    udf_compat_iterative udf_pandas_tokens unpivot_measures
-    vocab_bpe_apply vocab_bpe_train win_gaps_islands""".split()
+    mixture_weights pipeline_clean_corpus pipeline_pack_sequences
+    sample_stratified set_ops sim_ann_pq source_stats topk_per_group
+    unpivot_measures""".split()
 )
 
-# Green (rows+schema+hash) in CORRECTNESS_r12.json — freshest; these
-# sit out round 13's window provided their code does not change.
-# (text_tfidf and dedup_substring, r12-green, are EXCLUDED because the
-# round-13 window-df conversion moved them to _MODIFIED_THIS_ROUND.)
-_VERIFIED_R12 = frozenset(
+# Green last in CORRECTNESS_r12.json — 2 rounds stale; the first
+# 50 - |tier0| - 26 of these (registration order) fill the rest of
+# round 14's window, the remainder roll to round 15.
+_VERIFIED_R12_ONLY = frozenset(
     """agg_histogram agg_sketch_cms agg_skew_salted dedup_containment
     dedup_embedding dedup_ngram_jaccard events_attribution events_funnel
     fill_forward fn_array fn_datetime fn_math_decimal fn_string
@@ -130,16 +79,36 @@ _VERIFIED_R12 = frozenset(
     win_rank win_running""".split()
 )
 
+# Green (rows+schema+hash) in CORRECTNESS_r13.json — freshest; these
+# sit out round 14's window provided their code does not change.
+# (dedup_substring, r13-green, is EXCLUDED because the round-14 fast
+# path moved it to _MODIFIED_THIS_ROUND — the sets stay disjoint so
+# the simulated window arithmetic is exact.)
+_VERIFIED_R13 = frozenset(
+    """agg_approx agg_approx_percentile agg_bool_all agg_corr_exact
+    agg_distinct agg_percentile agg_sketch_kmv dedup_clusters
+    dedup_exact dedup_semantic dedup_simhash dedup_span_fraction
+    events_paths events_pattern events_retention events_user_features
+    filter_in_null filter_pred fn_json grouping_sets multimodal_neardup
+    pipeline_embed_index pipeline_media_corpus profile_skew
+    profile_table sample_coreset sample_importance scan_project
+    sim_ann_ivf_trained sim_hardneg sim_knn_graph stream_sliding
+    text_bm25 text_langid text_lines text_quality text_scrub text_stats
+    text_tfidf text_tokens ts_anomaly udf_compat udf_compat_iterative
+    udf_pandas_tokens vocab_bpe_apply vocab_bpe_train win_dist
+    win_gaps_islands word_count""".split()
+)
+
 
 def _staleness_tier(name: str) -> int:
     """0 = needs verification now … 3 = freshest verification."""
     if name in _MODIFIED_THIS_ROUND:
         return 0
-    if name in _VERIFIED_R10_ONLY:
-        return 1
     if name in _VERIFIED_R11_ONLY:
+        return 1
+    if name in _VERIFIED_R12_ONLY:
         return 2
-    if name in _VERIFIED_R12:
+    if name in _VERIFIED_R13:
         return 3
     return 0  # never driver-verified
 
