@@ -62,8 +62,11 @@ def main() -> None:
                 assert_frames_match(sp, con.execute(osql[name]).df(), name)
                 verdict = "pass"
             else:
-                assert len(sp) >= 0
-                verdict = "rows-only"
+                # rows-only queries must still PRODUCE rows — an empty
+                # frame would read greener here than on the real driver
+                # gate (ADVICE r13)
+                assert len(sp) > 0, f"{name}: rows-only query returned 0 rows"
+                verdict = f"rows-only ({len(sp)} rows, NO ORACLE)"
             n_pass += 1
         except Exception as ex:  # noqa: BLE001 — report, keep going
             verdict = f"FAIL: {type(ex).__name__}: {str(ex)[:200]}"

@@ -162,26 +162,41 @@ def _write(path: str, kind: str, pa_table, params: dict, sf_dir: str | None) -> 
 
 def artifact_fingerprint(path: str) -> str:
     """The artifact's payload sha256 — its VERSION identifier — read
-    racing-writer-safe (same primary/.old-* retry discipline as _read,
-    meta.json only). Use this instead of an mtime probe when keying a
-    cache on artifact identity: os.path.getmtime(path) has no fallback
-    through the atomic-swap window where `path` is briefly absent, so
-    it can crash a reader the swap contract promises to serve
-    (code-review r13)."""
-    meta = None
+    racing-writer-safe (same primary/.old-* retry discipline as _read).
+    Use this instead of an mtime probe when keying a cache on artifact
+    identity: os.path.getmtime(path) has no fallback through the
+    atomic-swap window where `path` is briefly absent, so it can crash
+    a reader the swap contract promises to serve (code-review r13).
+    Artifacts saved before r12 lack payload_sha256 in meta.json; the
+    fingerprint is then computed by hashing data.parquet directly —
+    inside the same retry attempt as the meta read, so the pair always
+    comes from one complete directory — instead of returning "" and
+    letting every version of such an artifact collide on one cache key
+    (ADVICE r13)."""
+    import hashlib
+
+    meta, payload = None, None
     read_dir = path
     for _ in range(4):
         try:
             with open(os.path.join(read_dir, "meta.json")) as f:
                 meta = json.load(f)
+            if meta.get("payload_sha256") is None:
+                with open(os.path.join(read_dir, "data.parquet"), "rb") as f:
+                    payload = f.read()
             break
         except FileNotFoundError:
+            meta = payload = None
             olds = _old_siblings(path)
             read_dir = olds[-1] if read_dir == path and olds else path
     if meta is None:
         with open(os.path.join(path, "meta.json")) as f:  # raise cleanly
             meta = json.load(f)
-    return meta.get("payload_sha256") or ""
+        if meta.get("payload_sha256") is None:
+            with open(os.path.join(path, "data.parquet"), "rb") as f:
+                payload = f.read()
+    sha = meta.get("payload_sha256")
+    return sha if sha is not None else hashlib.sha256(payload).hexdigest()
 
 
 def _read(path: str, kind: str, sf_dir: str | None, validate: bool | None):
@@ -491,13 +506,23 @@ def save_novelty_seed_index(path: str, seed_df, *, sf_dir: str | None = None) ->
 
 
 def load_novelty_seed_index(
-    path: str, *, sf_dir: str | None = None, validate: bool | None = None
+    path: str,
+    *,
+    sf_dir: str | None = None,
+    validate: bool | None = None,
+    return_meta: bool = False,
 ):
     """Load a seed-index artifact as a pyarrow Table after the full
     artifact checks (kind, format_version, payload sha256, and — with
-    `sf_dir` — the training-corpus fingerprint)."""
-    t, _ = _read(path, "novelty_seed_index", sf_dir, validate)
-    return t
+    `sf_dir` — the training-corpus fingerprint). With
+    `return_meta=True` returns `(table, meta)` so a caller keying a
+    cache on artifact version can derive the key from the
+    payload_sha256 of the payload ACTUALLY READ — a separate
+    `artifact_fingerprint` probe has a TOCTOU with the load: a re-save
+    landing between the two would cache the new payload under the old
+    sha (ADVICE r13)."""
+    t, meta = _read(path, "novelty_seed_index", sf_dir, validate)
+    return (t, meta) if return_meta else t
 
 
 def train_and_save_pq(spark, sf_dir: str, path: str):

@@ -425,7 +425,14 @@ def _seed_index(path: str) -> dict:
     else:
         from spark_graft.artifacts import load_novelty_seed_index
 
-        t = load_novelty_seed_index(path).to_pydict()
+        tbl, meta = load_novelty_seed_index(path, return_meta=True)
+        # re-derive the cache key from the meta of the payload ACTUALLY
+        # READ: a re-save landing between the fingerprint probe above
+        # and this load would otherwise cache the NEW payload under the
+        # OLD sha, and one micro-batch could serve an index whose
+        # version key misrepresents its contents (ADVICE r13)
+        key = (path, meta.get("payload_sha256") or "")
+        t = tbl.to_pydict()
         idx: dict = {}
         rows = sorted(
             zip(t["band"], t["sig"], t["doc_id"], t["sh"]), key=lambda r: r[2]

@@ -250,3 +250,129 @@ def test_pq_wrong_shape_artifact_refuses(spark, sf_dir, tmp_path):
     artifacts.save_pq_codebooks(path, [{0: [1, 2, 3]}])  # 1 subspace, sub_d 3
     with pytest.raises(artifacts.ArtifactMismatch):
         REGISTRY["sim_ann_pq"].fn(spark, sf_dir, codebooks_path=path).collect()
+
+
+def test_reader_racing_end_of_swap_rmtree_serves_complete(tmp_path, monkeypatch):
+    """VERDICT r13 item 1 — the exact interleaving the atomic-swap
+    contract must survive: a reader that resolved its directory to the
+    `.old-*` sibling (mid-swap window) reads meta.json, then the
+    writer COMPLETES — installs the new primary and rmtree's the
+    sibling — before the reader opens data.parquet. The reader must
+    retry the primary and serve the last COMPLETE artifact (the new
+    one), never a torn meta/payload pair and never FileNotFoundError.
+    The interleave is injected by hooking json.load inside artifacts."""
+    import json as _json
+    import os
+    import shutil
+    import types
+
+    a = str(tmp_path / "a")
+    artifacts.save_bpe_merges(a, [("a", "b")])  # v1
+    # stage v2 as a complete directory the "writer" will install
+    v2 = str(tmp_path / "v2")
+    artifacts.save_bpe_merges(v2, [("x", "y"), ("xy", "z")])
+    # freeze the mid-swap instant: primary renamed away, v1 at .old-*
+    os.rename(a, a + ".old-777")
+
+    fired = {"n": 0}
+    real_load = _json.load
+
+    def hooked_load(f, *args, **kw):
+        meta = real_load(f, *args, **kw)
+        if not fired["n"] and ".old-777" in getattr(f, "name", ""):
+            fired["n"] += 1
+            # writer completes between the reader's meta and payload
+            # reads: new primary installed, sibling destroyed
+            os.rename(v2, a)
+            shutil.rmtree(a + ".old-777")
+        return meta
+
+    monkeypatch.setattr(
+        artifacts,
+        "json",
+        types.SimpleNamespace(load=hooked_load, dump=_json.dump,
+                              loads=_json.loads, dumps=_json.dumps),
+    )
+    assert artifacts.load_bpe_merges(a) == [("x", "y"), ("xy", "z")]
+    assert fired["n"] == 1  # the interleave actually happened
+    assert sorted(os.listdir(tmp_path)) == ["a"]
+
+
+def test_fingerprint_pre_r12_artifact_hashes_payload(tmp_path):
+    """artifact_fingerprint must distinguish versions of artifacts
+    saved WITHOUT payload_sha256 in meta.json (pre-r12 format) by
+    hashing data.parquet, instead of returning "" and colliding every
+    version on one cache key (ADVICE r13)."""
+    import json as _json
+    import os
+
+    a = str(tmp_path / "a")
+
+    def strip_sha(path):
+        mp = os.path.join(path, "meta.json")
+        with open(mp) as f:
+            meta = _json.load(f)
+        del meta["payload_sha256"]
+        with open(mp, "w") as f:
+            _json.dump(meta, f)
+
+    artifacts.save_bpe_merges(a, [("a", "b")])
+    strip_sha(a)
+    f1 = artifacts.artifact_fingerprint(a)
+    artifacts.save_bpe_merges(a, [("x", "y")])
+    strip_sha(a)
+    f2 = artifacts.artifact_fingerprint(a)
+    assert f1 and f2 and f1 != f2
+    # and it still survives the swap window in sha-less form
+    os.rename(a, a + ".old-99999")
+    assert artifacts.artifact_fingerprint(a) == f2
+
+
+def test_seed_cache_key_matches_payload_actually_read(tmp_path, monkeypatch):
+    """ADVICE r13 TOCTOU: a re-save landing between _seed_index's
+    fingerprint probe and its load must NOT cache the new payload under
+    the old sha — the cache key is re-derived from the meta of the
+    payload actually read."""
+    from spark_graft.streaming import structured
+
+    path = str(tmp_path / "seed")
+
+    def save(rows):
+        import pyarrow as pa
+
+        artifacts._write(
+            path,
+            "novelty_seed_index",
+            pa.table(
+                {
+                    "band": pa.array([0] * len(rows), pa.int32()),
+                    "sig": pa.array([r[0] for r in rows], pa.string()),
+                    "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+                    "sh": pa.array([r[0] for r in rows], pa.string()),
+                },
+            ),
+            {"n_rows": len(rows)},
+            None,
+        )
+
+    save([("s1", 1)])
+    sha1 = artifacts.artifact_fingerprint(path)
+    save([("s2", 2)])
+    sha2 = artifacts.artifact_fingerprint(path)
+    assert sha1 != sha2
+
+    # interleave: probe sees the OLD sha, the load reads the NEW payload
+    monkeypatch.setattr(structured, "_SEED_CACHE", {})
+    calls = {"n": 0}
+
+    def stale_probe(p):
+        calls["n"] += 1
+        return sha1 if calls["n"] == 1 else sha2
+
+    import spark_graft.artifacts as amod
+
+    monkeypatch.setattr(amod, "artifact_fingerprint", stale_probe)
+    idx = structured._seed_index(path)
+    assert any(ids == [2] for ids, _ in idx.values())  # new payload served
+    # the cache key carries the sha of the payload ACTUALLY READ
+    assert list(structured._SEED_CACHE) == [(path, sha2)]
