@@ -841,7 +841,13 @@ def decontaminate_stream(
     micro-batch's progress event reports the ingest-time spread
     actually seen — operators size (and re-size) the watermark from
     evidence instead of hoping, and a batch whose min lags the
-    watermark is visible in the listener the moment it happens.
+    watermark is visible in the listener the moment it happens. The
+    enforced drop itself is counted by the state operator's
+    numRowsDroppedByWatermark in the same progress event (note Spark's
+    late-row filter lags the watermark update by one micro-batch, so
+    the first straggler batch after a watermark advance is still
+    evaluated; both behaviors are pinned in
+    tests/test_streaming.py::test_decontaminate_stream_late_row_drop_is_visible).
 
     At 100 TB: the stream side moves only 8-byte gram keys within each
     batch's narrow pipeline (raw text never shuffles), flagged docs

@@ -886,6 +886,46 @@ def test_clear_stale_table_ignores_same_named_temp_view(spark, tmp_path):
         shutil.rmtree(warehouse_dir, ignore_errors=True)
 
 
+def test_clear_stale_table_recovers_failed_saveastable(spark):
+    """Failed-saveAsTable recovery (VERDICT r13 item 3): a crash
+    mid-saveAsTable leaves the data directory on disk with NO catalog
+    entry — exactly the LOCATION_ALREADY_EXISTS state clear_stale_table
+    exists to clear. The guarded write path (save_bucketed_edges) must
+    succeed from that dirty state and produce a healthy bucketed
+    table."""
+    import os
+    import shutil
+
+    from spark_graft.operators.graph import save_bucketed_edges
+
+    name = "failed_save_recovery_t"
+    warehouse_dir = os.path.join(
+        spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").replace(
+            "file:", ""
+        ),
+        name,
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    shutil.rmtree(warehouse_dir, ignore_errors=True)
+    os.makedirs(warehouse_dir)
+    with open(os.path.join(warehouse_dir, "part-00000-dead.parquet"), "w") as f:
+        f.write("half-written by a crashed save")
+    try:
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3)], "doc_a bigint, doc_b bigint"
+        )
+        save_bucketed_edges(spark, pairs, name)
+        assert spark.catalog.tableExists(name)
+        assert spark.table(name).count() == 6  # symmetrized edges
+        # the dead partial file did not survive into the new table
+        assert not os.path.exists(
+            os.path.join(warehouse_dir, "part-00000-dead.parquet")
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(warehouse_dir, ignore_errors=True)
+
+
 def test_user_features_single_exchange(spark, sf_dir):
     """events_user_features: the lag window, both whole-partition
     funnel windows, and the final aggregate must all inherit ONE

@@ -7,6 +7,7 @@ memory sink, watermarks) produce identical results on the same data.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -1003,6 +1004,107 @@ def test_decontaminate_stream_equals_batch(spark, sf_dir, tmp_path):
     batch = REGISTRY["decontaminate"].fn(spark, sf_dir)
     assert_frames_match(final.toPandas(), batch.toPandas(), "decon stream==batch")
     assert batch.count() > 0  # the equivalence is not vacuous
+
+
+def test_decontaminate_stream_late_row_drop_is_visible(spark, sf_dir, tmp_path):
+    """VERDICT r13 item 4: with a caller-supplied ingest column, a row
+    arriving past the watermark is dropped UNEVALUATED — for a safety
+    gate that failure mode must be LOUD, not silent. Construction emits
+    a warning naming the contract, the pre-watermark 'decon_ingest'
+    observation reports each batch's ingest-time spread (so the late
+    batch's min visibly lags the prior batch's max), and the state
+    operator's numRowsDroppedByWatermark counts the drop itself."""
+    import json
+    import os
+    import time
+    import warnings
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_graft.sources import table
+    from spark_graft.streaming import decontaminate_stream, eval_gram_table
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(40)
+        .toPandas()
+    )
+    src = tmp_path / "decon_late_src"
+    src.mkdir()
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("text", pa.string()),
+            ("ingest_ts", pa.timestamp("us")),
+        ]
+    )
+    T0 = 1_700_000_000_000_000  # us epoch
+    HOUR = 3600 * 10**6
+    now = time.time()
+    # batch 0: fresh rows at T0+2h (advances the watermark there);
+    # batch 1: rows stamped T0 — two hours LATE against a 1-minute
+    # watermark, so they must be dropped pre-aggregation
+    import pandas as pd
+
+    # three files -> three micro-batches: Spark's late-row filter lags
+    # the watermark update by ONE batch (measured — same lag
+    # test_watermark_drops_late_data documents), so the watermark that
+    # batch 0 advances is enforced against batch 2's rows
+    fresh = docs.iloc[: len(docs) - 10].copy()
+    fresh["ingest_ts"] = pd.Timestamp(T0 + 2 * HOUR, unit="us")
+    fresh2 = docs.iloc[len(docs) - 10 : len(docs) - 5].copy()
+    fresh2["ingest_ts"] = pd.Timestamp(T0 + 2 * HOUR, unit="us")
+    late = docs.iloc[len(docs) - 5 :].copy()
+    late["ingest_ts"] = pd.Timestamp(T0, unit="us")
+    for i, chunk in enumerate((fresh, fresh2, late)):
+        pq.write_table(
+            pa.Table.from_pandas(chunk, preserve_index=False).cast(schema),
+            str(src / f"c{i}.parquet"),
+        )
+        os.utime(src / f"c{i}.parquet", (now + i * 10, now + i * 10))
+
+    static_grams = eval_gram_table(spark, sf_dir).localCheckpoint()
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ingest_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    # (a) the construction-time warning names the silent-drop contract
+    with pytest.warns(UserWarning, match="dropped\\s+UNEVALUATED"):
+        out = decontaminate_stream(
+            stream, static_grams, watermark="1 minute", window="1 minute"
+        )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("decon_late_sink")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progress = [
+        json.loads(p.json) if hasattr(p, "json") else p for p in q.recentProgress
+    ]
+    # (b) the observation reports the pre-watermark ingest spread: the
+    # late batch is VISIBLE with its true (stale) ingest time
+    obs = [
+        p["observedMetrics"]["decon_ingest"]
+        for p in progress
+        if p.get("observedMetrics", {}).get("decon_ingest")
+    ]
+    assert obs, progress
+    mins = [o["min_ingest"] for o in obs if o["rows"] > 0]
+    assert any(m.startswith("2023-11-14 22:13:20") for m in mins), mins
+    # (c) the drop itself is counted by the state operator
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in progress
+        for op in p.get("stateOperators", [])
+    )
+    assert dropped >= 1, progress
 
 
 def test_decontaminate_stream_state_evicts_past_watermark(spark, sf_dir, tmp_path):
