@@ -1455,6 +1455,18 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         lambda x: x.isNotNull(),
     )
+    # Short-doc fast path (VERDICT r13 item 7): in a corpus that has
+    # already been whole-doc deduped, MOST docs share no span at all —
+    # their cov set is empty and the rebuild is the identity. CaseWhen
+    # branches evaluate lazily per row, so gating the sweep on
+    # size(cov) == 0 skips sort + run-length flag construction + zip
+    # entirely for untouched docs while leaving the covered-doc branch
+    # (and therefore every output byte) bit-identical: an empty cov
+    # yields empty cflags, zip_with pads with nulls, and every token is
+    # kept — exactly array_join(toks).
+    clean = F.when(F.size("cov") == 0, F.array_join("toks", " ")).otherwise(
+        F.array_join(kept, " ")
+    )
     return with_cov.select(
         "doc_id",
         F.size("toks").alias("n_tokens"),
@@ -1462,7 +1474,7 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.size("toks") == 0, F.lit(0.0))
         .otherwise(F.round(F.size("cov") / F.size("toks").cast("double"), 4))
         .alias("removed_frac"),
-        F.array_join(kept, " ").alias("clean_text"),
+        clean.alias("clean_text"),
     )
 
 
