@@ -521,9 +521,10 @@ def minhash_novelty_stream(
     — the seed ships as a DISTRIBUTED grouped DataFrame straight into
     the state stores; probed in this environment and currently
     unusable (its state server needs google.protobuf, broken in this
-    container: STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE), so the
-    per-executor cache is the implemented path and the migration is a
-    mechanical swap of the probe function when the dependency is
+    container: STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE; re-probed
+    round 14 — google.protobuf still absent on pyspark 4.1.2, unchanged),
+    so the per-executor cache is the implemented path and the migration
+    is a mechanical swap of the probe function when the dependency is
     available."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
