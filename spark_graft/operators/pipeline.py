@@ -165,6 +165,148 @@ def sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -------------------------------------------------------- sample_temperature
+
+# Temperature resampling (the mC4/XLM-R multilingual recipe): a domain's
+# sampling probability is proportional to its share raised to alpha < 1,
+# which UPSAMPLES rare domains and downsamples dominant ones while
+# keeping total corpus size. alpha is fixed at 0.5 so the power is
+# sqrt() — IEEE-754 correctly rounded in both the JVM and libm, the one
+# fractional power the cross-engine hash gate can bind (general pow/log
+# are transcendental and engine-dependent; see text_bm25's log-free
+# idf for the same reasoning).
+TEMP_SQRT_SCALE = 1024  # fixed-point scale for floor(sqrt(n_docs) * S)
+_TEMP_DOMAIN = 4294967296.0  # 2^32, md5_bucket_raw's value domain
+
+
+@query(
+    "sample_temperature",
+    oracle=f"""
+        WITH lc AS (
+            SELECT lang, count(*) AS n_l,
+                   CAST(floor(sqrt(count(*)) * {TEMP_SQRT_SCALE}) AS BIGINT) AS s_l
+            FROM documents GROUP BY lang
+        ),
+        tot AS (SELECT CAST(sum(n_l) AS BIGINT) AS n_total,
+                       CAST(sum(s_l) AS BIGINT) AS s_total FROM lc),
+        rates AS (
+            SELECT lang,
+                   (t.n_total * s_l) // (t.s_total * n_l) AS base_copies,
+                   CAST(floor(
+                       (CAST((t.n_total * s_l) % (t.s_total * n_l) AS DOUBLE)
+                        / CAST(t.s_total * n_l AS DOUBLE)) * {_TEMP_DOMAIN}
+                   ) AS BIGINT) AS frac_fx
+            FROM lc CROSS JOIN tot t
+        )
+        SELECT d.doc_id, d.lang,
+               r.base_copies
+               + CASE WHEN CAST(('0x' || substr(md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+                           AS BIGINT) < r.frac_fx THEN 1 ELSE 0 END AS n_copies
+        FROM documents d JOIN rates r USING (lang)
+        WHERE r.base_copies
+              + CASE WHEN CAST(('0x' || substr(md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) < r.frac_fx THEN 1 ELSE 0 END > 0
+    """,
+)
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-rebalanced corpus materialization (alpha = 0.5): each
+    document gets a deterministic copy count so the resampled corpus's
+    language mixture follows p_l^alpha (renormalized) at unchanged total
+    size — rare languages get n_copies >= 1 (upsampled), dominant ones
+    are thinned (n_copies in {0, 1}). `mixture_weights` is the
+    accounting view of this knob; this operator EXECUTES it.
+
+    Contract arithmetic (all integer, both engines): s_l =
+    floor(sqrt(n_l) * {TEMP_SQRT_SCALE}) stands in for sqrt(n_l); the
+    expected copy rate r_l = n_total * s_l / (s_total * n_l) is carried
+    as an exact rational (base = floor, remainder-fraction mapped to a
+    [0, 2^32) md5 threshold like sample_importance). int64 headroom:
+    n_total * s_l <= n_total * {TEMP_SQRT_SCALE} * sqrt(n_total) —
+    safe through ~10^12 documents; the one DOUBLE step (remainder /
+    denominator) is a single division of int64-exact operands, then
+    floor — deterministic IEEE in both engines.
+
+    Plan shape: one groupBy(lang) collapses the corpus to a handful of
+    rows; rates are derived with a broadcast 1-row totals crossJoin; the
+    per-doc pass is a broadcast join + narrow expressions — zero wide
+    shuffles of documents at any scale, and re-running or appending data
+    never flips an existing doc's assignment (md5, not RNG)."""
+    docs = table(spark, sf_dir, "documents")
+    lc = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_l"),
+        F.floor(F.sqrt(F.count(F.lit(1))) * TEMP_SQRT_SCALE).cast("bigint").alias("s_l"),
+    )
+    tot = lc.agg(
+        F.sum("n_l").alias("n_total"), F.sum("s_l").alias("s_total")
+    )
+    num = F.col("n_total") * F.col("s_l")
+    den = F.col("s_total") * F.col("n_l")
+    rates = lc.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.expr("(n_total * s_l) div (s_total * n_l)").alias("base_copies"),
+        F.floor(
+            ((num % den).cast("double") / den.cast("double")) * F.lit(_TEMP_DOMAIN)
+        )
+        .cast("bigint")
+        .alias("frac_fx"),
+    )
+    n_copies = F.col("base_copies") + F.when(
+        _md5_bucket_raw("temp:", F.col("doc_id")) < F.col("frac_fx"), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .select("doc_id", "lang", n_copies.alias("n_copies"))
+        .filter(F.col("n_copies") > 0)
+    )
+
+
+# ---------------------------------------------------------- sample_reservoir
+
+RESERVOIR_K = 20  # fixed sample size per stratum
+
+
+@query(
+    "sample_reservoir",
+    oracle=f"""
+        SELECT doc_id, source, rk
+        FROM (
+            SELECT doc_id, source,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY CAST(('0x' || substr(md5('res:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                                     AS BIGINT), doc_id
+                   ) AS rk
+            FROM documents
+        ) WHERE rk <= {RESERVOIR_K}
+    """,
+)
+def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size uniform sample per stratum — the bounded-OUTPUT
+    counterpart to sample_stratified's fixed-RATE thinning: exactly
+    min({RESERVOIR_K}, stratum size) rows per source regardless of how
+    large the stratum grows, which is what capacity-bounded consumers
+    (eval-set carving, human-review queues, per-source debug samples)
+    actually need. The classic reservoir algorithm is sequential; the
+    distributed, rerun-stable form is rank-by-hash: md5 rank is an
+    exchangeable uniform order, so the K lowest hashes per stratum are
+    a uniform K-sample, and appending data only ever displaces current
+    members (never flips the order of existing ones).
+
+    Plan shape: Spark rewrites the rank-filter into WindowGroupLimit —
+    a map-side per-partition top-K under each stratum key BEFORE the
+    exchange, so the shuffle carries at most K rows per stratum per
+    input partition, not the stratum's full population. A hot source at
+    100 TB therefore costs O(partitions x K), not O(stratum)."""
+    w = Window.partitionBy("source").orderBy(
+        _md5_bucket_raw("res:", F.col("doc_id")), F.col("doc_id")
+    )
+    return (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "source", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= RESERVOIR_K)
+    )
+
+
 NEW_BATCH_MOD = 10  # doc_id % 10 == 9 plays the "newly arrived" batch
 
 

@@ -373,6 +373,96 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- agg_weighted_quantile
+
+# weighted-quantile targets in percent (integer so the threshold
+# comparison 100*cum >= q*total stays in exact int64 arithmetic)
+WQ_TARGETS = (50, 90)
+
+
+@query(
+    "agg_weighted_quantile",
+    oracle=f"""
+        WITH hist AS (
+            SELECT l_returnflag, l_extendedprice,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+            FROM lineitem GROUP BY l_returnflag, l_extendedprice
+        ),
+        cum AS (
+            SELECT l_returnflag, l_extendedprice, w,
+                   CAST(sum(w) OVER (
+                       PARTITION BY l_returnflag ORDER BY l_extendedprice
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS cum_w,
+                   CAST(sum(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS total_w
+            FROM hist
+        )
+        SELECT l_returnflag,
+               {", ".join(
+                   f"min(CASE WHEN 100 * cum_w >= {q} * total_w "
+                   f"THEN l_extendedprice END) AS wq{q}" for q in WQ_TARGETS
+               )},
+               max(total_w) AS total_weight
+        FROM cum GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED quantiles — the price below which q% of shipped VOLUME
+    (sum of l_quantity) falls, per return flag. agg_percentile weights
+    every row equally; this is the measure-weighted form analytics
+    actually wants for "median price by volume", and a training-data
+    pipeline wants for "median doc length by token count". No Spark
+    built-in computes it (percentile() has no weight argument at all
+    until 3.5, and buffers groups in memory either way — see
+    agg_percentile's OOM note).
+
+    Same scale-safe histogram-then-window shape as agg_percentile
+    (the r12 window-df lesson applied from the start): groupBy
+    (flag, price) first collapses 100 TB of rows into per-distinct-value
+    integer weights with map-side partials, and only that collapsed
+    histogram flows into the cumulative window — a spillable streaming
+    frame over distinct values, never raw rows. The quantile pick is the
+    lower weighted quantile (smallest value whose cumulative weight
+    reaches q% of total): with integer weights the comparison
+    100*cum >= q*total is exact int64 in both engines, no float
+    boundary to disagree on. l_quantity is integral in TPC-H; the
+    BIGINT cast makes the contract explicit."""
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.col("l_quantity").cast("bigint").alias("q"),
+    )
+    hist = li.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.sum("q").alias("w")
+    )
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("l_returnflag")
+    cum = hist.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("w").over(wcum).alias("cum_w"),
+        F.sum("w").over(wall).alias("total_w"),
+    )
+    return cum.groupBy("l_returnflag").agg(
+        *[
+            F.min(
+                F.when(
+                    100 * F.col("cum_w") >= q * F.col("total_w"),
+                    F.col("l_extendedprice"),
+                )
+            ).alias(f"wq{q}")
+            for q in WQ_TARGETS
+        ],
+        F.max("total_w").alias("total_weight"),
+    )
+
+
 @query(
     "agg_pivot",
     oracle="""

@@ -15,7 +15,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spark_graft.functions import cosine, dot
+from spark_graft.functions import cosine, dot, tokens
 from spark_graft.operators.clustering import (
     KMEANS_CTES,
     Q_SCALE,
@@ -767,6 +767,169 @@ def sample_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rrk") == 1)
         .join(sizes, "cell")
         .select("cell", F.col("vec_id").alias("rep_id"), "d2", "n_members")
+    )
+
+
+# ------------------------------------------------------------- rank_fusion
+
+RRF_K = 60  # the standard reciprocal-rank-fusion dampening constant
+RRF_SCALE = 1000000  # fixed-point scale for 1/(k + rank)
+RRF_LEG_TOP = 50  # rows fused from each leg's ranking
+RRF_TOP = 20  # fused rows returned
+# corpus-derived lexical query: terms df-ranked 10..12 (mid-frequency —
+# below the stopword plateau, above the hapax tail; same derivation as
+# text_bm25 so the whole contract is oracle-checkable)
+RRF_QRANK_LO, RRF_QRANK_HI = 10, 12
+RRF_IDF_SCALE = 1000000
+
+
+def _rank_fusion_oracle() -> str:
+    from spark_graft.operators.text import _TOK
+
+    return f"""
+        WITH toks AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+        nd AS (SELECT count(*) AS n_docs FROM documents),
+        tf AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM (SELECT doc_id, unnest(ts) AS term FROM toks)
+            GROUP BY doc_id, term
+        ),
+        dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        qterms AS (
+            SELECT term, df FROM dft
+            ORDER BY df DESC, term
+            LIMIT {RRF_QRANK_HI - RRF_QRANK_LO + 1} OFFSET {RRF_QRANK_LO - 1}
+        ),
+        lex AS (
+            SELECT t.doc_id,
+                   CAST(sum(t.tf * ((n.n_docs * {RRF_IDF_SCALE}) // q.df))
+                        AS BIGINT) AS lex_fx
+            FROM tf t JOIN qterms q USING (term) CROSS JOIN nd n
+            GROUP BY t.doc_id
+        ),
+        lex_top AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY lex_fx DESC, doc_id) AS lex_rank
+            FROM lex ORDER BY lex_fx DESC, doc_id LIMIT {RRF_LEG_TOP}
+        ),
+        probe AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS pv
+            FROM embeddings WHERE {NONZERO_SQL} ORDER BY vec_id LIMIT 1
+        ),
+        dense_top AS (
+            SELECT vec_id AS doc_id,
+                   row_number() OVER (
+                       ORDER BY list_cosine_similarity(
+                           CAST(embedding AS DOUBLE[]), p.pv) DESC, vec_id
+                   ) AS dense_rank
+            FROM embeddings CROSS JOIN probe p
+            WHERE {NONZERO_SQL}
+            ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), p.pv)
+                     DESC, vec_id
+            LIMIT {RRF_LEG_TOP}
+        )
+        SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+               l.lex_rank, d.dense_rank,
+               coalesce({RRF_SCALE} // ({RRF_K} + l.lex_rank), 0)
+               + coalesce({RRF_SCALE} // ({RRF_K} + d.dense_rank), 0) AS rrf_fx
+        FROM lex_top l FULL OUTER JOIN dense_top d ON l.doc_id = d.doc_id
+        ORDER BY rrf_fx DESC, doc_id LIMIT {RRF_TOP}
+    """
+
+
+@query("rank_fusion", oracle=_rank_fusion_oracle())
+def rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of a lexical and a dense retrieval leg —
+    the standard hybrid-search combiner (Cormack et al.: score =
+    sum over legs of 1/(k + rank), k = {RRF_K}), and the operator a
+    retrieval-augmented data pipeline runs to merge BM25-style and
+    embedding-based candidate lists without score calibration. Ranks,
+    not scores, cross the legs, so the fusion is immune to the legs'
+    incomparable score scales.
+
+    Legs (both corpus-derived, so the whole contract is
+    oracle-checkable): lexical = log-free tf-idf (tf * (n_docs *
+    SCALE div df), text_tfidf's fixed-point contract) against the
+    df-ranked-{RRF_QRANK_LO}..{RRF_QRANK_HI} query terms; dense =
+    cosine against the deterministic probe vector (minimum-vec_id
+    nonzero embedding, the similarity-family contract), joined on the
+    fixture's shared doc_id == vec_id id space. rrf_fx is integer:
+    {RRF_SCALE} div ({RRF_K} + rank), summed over the legs where the
+    doc appears; a doc missing from a leg contributes 0 from it.
+
+    Plan shape: each leg collapses to a {RRF_LEG_TOP}-row
+    TakeOrderedAndProject (per-partition heaps — no global sort of
+    scores at any corpus size); rank assignment is a window over those
+    {RRF_LEG_TOP} rows only (a deliberately tiny SinglePartition, same
+    justification as mixture_weights' bounded-cardinality window); the
+    fusion itself is a full outer join of two {RRF_LEG_TOP}-row frames.
+    The corpus-scale work — tf/df aggregation, cosine scoring — is all
+    map-side-partial aggregates and narrow expressions; the query-term
+    selection is one O(1)-rows driver collect, the same contract as
+    text_bm25's."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", tokens("text").alias("ts"))
+    n_docs = docs.count()
+    out_schema = "doc_id bigint, lex_rank bigint, dense_rank bigint, rrf_fx bigint"
+    if n_docs == 0:
+        return spark.createDataFrame([], out_schema)
+
+    tf = (
+        base.select("doc_id", F.explode("ts").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    qrows = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(RRF_QRANK_HI)
+        .collect()[RRF_QRANK_LO - 1 :]
+    )
+    rank_w = Window.orderBy(F.desc("_score"), F.asc("doc_id"))
+    if qrows:
+        idf = {r["term"]: (n_docs * RRF_IDF_SCALE) // r["df"] for r in qrows}
+        idf_col = F.coalesce(
+            *[F.when(F.col("term") == t, F.lit(v)) for t, v in idf.items()]
+        )
+        lex_top = (
+            tf.filter(F.col("term").isin(list(idf)))
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("tf") * idf_col).alias("_score"))
+            .orderBy(F.desc("_score"), "doc_id")
+            .limit(RRF_LEG_TOP)
+            .select("doc_id", F.row_number().over(rank_w).cast("bigint").alias("lex_rank"))
+        )
+    else:
+        lex_top = spark.createDataFrame([], "doc_id bigint, lex_rank bigint")
+
+    probe_vec = _probe_vector(spark, sf_dir)
+    if probe_vec is not None:
+        e = table(spark, sf_dir, "embeddings").filter(nonzero_vec(F.col("embedding")))
+        dense_top = (
+            e.select(
+                F.col("vec_id").alias("doc_id"),
+                cosine(F.col("embedding"), _lit_vec(probe_vec)).alias("_score"),
+            )
+            .orderBy(F.desc("_score"), "doc_id")
+            .limit(RRF_LEG_TOP)
+            .select(
+                "doc_id", F.row_number().over(rank_w).cast("bigint").alias("dense_rank")
+            )
+        )
+    else:
+        dense_top = spark.createDataFrame([], "doc_id bigint, dense_rank bigint")
+
+    fused = lex_top.join(dense_top, "doc_id", "full_outer")
+    rrf = F.coalesce(
+        F.expr(f"{RRF_SCALE} div ({RRF_K} + lex_rank)"), F.lit(0)
+    ) + F.coalesce(F.expr(f"{RRF_SCALE} div ({RRF_K} + dense_rank)"), F.lit(0))
+    return (
+        fused.select("doc_id", "lex_rank", "dense_rank", rrf.alias("rrf_fx"))
+        .orderBy(F.desc("rrf_fx"), "doc_id")
+        .limit(RRF_TOP)
     )
 
 

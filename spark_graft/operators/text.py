@@ -373,6 +373,73 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -------------------------------------------------------- text_diversity
+
+DIVERSITY_SCALE = 1000000  # fixed-point scale for the Simpson index
+
+
+@query(
+    "text_diversity",
+    oracle=f"""
+        WITH tf AS (
+            SELECT doc_id, count(*) AS c
+            FROM (SELECT doc_id, unnest({_TOK}) AS term FROM documents)
+            GROUP BY doc_id, term
+        ),
+        per_doc AS (
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n,
+                   CAST(sum(c * c) AS BIGINT) AS ssq
+            FROM tf GROUP BY doc_id
+        )
+        SELECT doc_id,
+               n AS n_tokens,
+               (ssq * {DIVERSITY_SCALE}) // (n * n) AS simpson_fx,
+               round(CAST(n * n AS DOUBLE) / CAST(ssq AS DOUBLE), 4)
+                   AS eff_tokens
+        FROM per_doc
+    """,
+)
+def text_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-2 Rényi diversity per document: the Simpson index
+    sum(p_i^2) (probability two sampled tokens collide) and its inverse,
+    the EFFECTIVE vocabulary size. This is the log-free entropy — Shannon
+    entropy needs log2, a transcendental the cross-engine hash gate
+    cannot bind (JVM StrictMath vs libm differ in the last ulp), while
+    Rényi-2 is a ratio of integer sums: simpson_fx = (sum(c^2) * SCALE)
+    div n^2 exactly, eff_tokens = n^2 / sum(c^2) as one deterministic
+    int64->double division. Low eff_tokens relative to n_tokens flags
+    degenerate/boilerplate pages the same way a perplexity filter would,
+    without a model. Complements text_repetition's mode statistics
+    (top_token_frac is the L-inf view; Simpson is the L2 view, sensitive
+    to the WHOLE distribution, not just the top token).
+
+    int64 headroom: sum(c^2) <= n^2, so the scaled numerator is <=
+    n^2 * 10^6 — safe for documents up to ~3M tokens, a per-document
+    bound that does not grow with corpus size. Plan shape: same
+    (doc_id, token) keyed aggregation as text_repetition (linear,
+    map-side partials, key cardinality bounded by doc length), then a
+    per-doc collapse; token-less docs drop out of the explode on both
+    engines."""
+    docs = table(spark, sf_dir, "documents")
+    per_tok = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = per_tok.groupBy("doc_id").agg(
+        F.sum("c").alias("n"), F.sum(F.col("c") * F.col("c")).alias("ssq")
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        F.expr(f"(ssq * {DIVERSITY_SCALE}) div (n * n)").alias("simpson_fx"),
+        F.round(
+            (F.col("n") * F.col("n")).cast("double") / F.col("ssq").cast("double"), 4
+        ).alias("eff_tokens"),
+    )
+
+
 TFIDF_TOP_K = 3
 TFIDF_SCALE = 1000000  # fixed-point idf scale
 

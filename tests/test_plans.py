@@ -940,3 +940,60 @@ def test_user_features_single_exchange(spark, sf_dir):
     ]
     assert len(ex) == 1, plan
     assert "hashpartitioning(user_id#" in ex[0], ex[0]
+
+
+def test_sample_reservoir_rank_is_group_limited_map_side(spark, sf_dir):
+    """sample_reservoir's scale contract: the rank filter must plan as
+    WindowGroupLimit with a PARTIAL pass BEFORE the exchange, so each
+    input partition ships at most K rows per stratum instead of the
+    stratum's full population."""
+    df = q("sample_reservoir", spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    limits = [l for l in plan.splitlines() if "WindowGroupLimit" in l]
+    assert any("Partial" in l for l in limits), plan
+    assert any("Final" in l for l in limits), plan
+    # the partial limit must sit below (after, in toString order) the
+    # exchange: partition-local top-K first, shuffle the survivors
+    lines = plan.splitlines()
+    ex_idx = [i for i, l in enumerate(lines) if "Exchange hashpartitioning(source" in l]
+    partial_idx = [i for i, l in enumerate(lines) if "WindowGroupLimit" in l and "Partial" in l]
+    assert ex_idx and partial_idx and partial_idx[0] > ex_idx[0], plan
+
+
+def test_sample_temperature_no_wide_shuffle_of_documents(spark, sf_dir):
+    """sample_temperature's per-doc pass must be a BroadcastHashJoin on
+    lang (rates side broadcast); the only hash exchanges carry the
+    lang-only aggregate (a handful of rows), never documents."""
+    df = q("sample_temperature", spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            # lang-only aggregation exchanges are fine; a doc_id-carrying
+            # exchange would mean the corpus itself is being shuffled
+            assert "doc_id" not in line, line
+
+
+def test_agg_weighted_quantile_windows_over_histogram_not_rows(spark, sf_dir):
+    """agg_weighted_quantile applies the r12 window-df lesson from the
+    start: the cumulative window's input must be the collapsed
+    (flag, price) histogram (HashAggregate with partial_sum below the
+    window), never raw lineitem rows."""
+    df = q("agg_weighted_quantile", spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    win_idx = [i for i, l in enumerate(lines) if l.strip().startswith(("+- Window", ":- Window")) or " Window [" in l]
+    agg_idx = [i for i, l in enumerate(lines) if "HashAggregate" in l and "partial_sum" in l]
+    assert win_idx, plan
+    assert agg_idx, plan
+    # at least one partial aggregate sits below the first window
+    assert any(a > win_idx[0] for a in agg_idx), plan
+
+
+def test_rank_fusion_legs_are_topk_not_full_sort(spark, sf_dir):
+    """rank_fusion's legs must each collapse via TakeOrderedAndProject
+    (per-partition heaps) — a full global Sort of scores on either leg
+    is the classic scale-killer this operator is shaped to avoid."""
+    df = q("rank_fusion", spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("TakeOrderedAndProject") >= 2, plan

@@ -1607,3 +1607,195 @@ def test_profile_skew_detects_planted_hot_key(spark, tmp_path):
     write_events([u for u in range(50) for _ in range(4)], uni)
     u1 = REGISTRY["profile_skew"].fn(spark, str(uni)).collect()[0]
     assert u1["skew_fx"] == 1000
+
+
+def _write_docs(spark, rows, d):
+    """rows: list of (doc_id, text, lang, source)."""
+    spark.createDataFrame(
+        [(i, t, lang, src, len(t)) for i, t, lang, src in rows],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+
+def _md5_raw_py(prefix: str, key) -> int:
+    import hashlib
+
+    return int(hashlib.md5(f"{prefix}{key}".encode()).hexdigest()[:8], 16)
+
+
+def test_sample_temperature_matches_exact_formula(spark, tmp_path):
+    """sample_temperature on a planted 2-language mixture: every doc's
+    copy count must equal the pure-Python evaluation of the declared
+    integer contract, and the alpha=0.5 rebalance must give the rare
+    language a strictly higher per-doc rate than the dominant one."""
+    import math
+
+    from spark_graft.operators.pipeline import TEMP_SQRT_SCALE
+    from spark_graft.registry import REGISTRY
+
+    d = tmp_path / "mix"
+    d.mkdir()
+    counts = {"big": 160, "small": 10}
+    rows, i = [], 0
+    for lang, n in counts.items():
+        for _ in range(n):
+            rows.append((i, f"doc {i}", lang, "s"))
+            i += 1
+    _write_docs(spark, rows, d)
+
+    s = {l: math.floor(math.sqrt(n) * TEMP_SQRT_SCALE) for l, n in counts.items()}
+    n_total, s_total = sum(counts.values()), sum(s.values())
+    expected = {}
+    for doc_id, _, lang, _ in rows:
+        num, den = n_total * s[lang], s_total * counts[lang]
+        frac_fx = math.floor((num % den) / den * 4294967296.0)
+        n_copies = num // den + (1 if _md5_raw_py("temp:", doc_id) < frac_fx else 0)
+        if n_copies > 0:
+            expected[doc_id] = (lang, n_copies)
+
+    got = {
+        r["doc_id"]: (r["lang"], r["n_copies"])
+        for r in REGISTRY["sample_temperature"].fn(spark, str(d)).collect()
+    }
+    assert got == expected
+    # rebalance direction: rare lang rate (expected copies per doc) must
+    # exceed the dominant lang's
+    rate = {
+        l: (n_total * s[l]) / (s_total * counts[l]) for l in counts
+    }
+    assert rate["small"] > 1 > rate["big"]
+    # resampled total stays within one doc per language of the corpus size
+    total = sum(c for _, c in expected.values())
+    assert abs(total - n_total) <= len(counts) + sum(
+        1 for _ in counts
+    )  # base+bernoulli error is < 1 expected copy per lang; allow slack
+
+
+def test_sample_reservoir_fixed_size_and_append_stability(spark, tmp_path):
+    """sample_reservoir: exactly min(K, stratum size) rows per source,
+    membership == the K lowest md5 ranks (python-verified), and growing
+    a stratum can only DISPLACE members — any sampled doc from the old
+    universe must already have been in the old sample."""
+    from spark_graft.operators.pipeline import RESERVOIR_K
+    from spark_graft.registry import REGISTRY
+
+    d1 = tmp_path / "v1"
+    d1.mkdir()
+    small = [(i, f"t {i}", "en", "small") for i in range(5)]
+    big = [(100 + i, f"t {100 + i}", "en", "big") for i in range(100)]
+    _write_docs(spark, small + big, d1)
+    out = REGISTRY["sample_reservoir"].fn(spark, str(d1)).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], set()).add(r["doc_id"])
+    assert len(by_src["small"]) == 5
+    assert len(by_src["big"]) == RESERVOIR_K
+    expect_big = set(
+        sorted((i for i, *_ in big), key=lambda i: (_md5_raw_py("res:", i), i))[
+            :RESERVOIR_K
+        ]
+    )
+    assert by_src["big"] == expect_big
+
+    d2 = tmp_path / "v2"
+    d2.mkdir()
+    grown = big + [(300 + i, f"t {300 + i}", "en", "big") for i in range(50)]
+    _write_docs(spark, small + grown, d2)
+    out2 = REGISTRY["sample_reservoir"].fn(spark, str(d2)).collect()
+    big2 = {r["doc_id"] for r in out2 if r["source"] == "big"}
+    assert len(big2) == RESERVOIR_K
+    # append-only displacement: survivors from the old universe were
+    # already sampled before the append
+    assert big2 & {i for i, *_ in big} <= expect_big
+
+
+def test_text_diversity_exact_small_docs(spark, tmp_path):
+    """text_diversity on hand-computed docs: uniform repetition gives
+    simpson_fx = SCALE and eff_tokens = 1; all-distinct gives
+    eff_tokens = n; token-less docs are absent."""
+    from spark_graft.registry import REGISTRY
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    _write_docs(
+        spark,
+        [
+            (0, "a a a a", "en", "s"),
+            (1, "a b c d", "en", "s"),
+            (2, "a a b", "en", "s"),
+            (3, "...", "en", "s"),  # no tokens
+        ],
+        d,
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["simpson_fx"], r["eff_tokens"])
+        for r in REGISTRY["text_diversity"].fn(spark, str(d)).collect()
+    }
+    assert got[0] == (4, 1000000, 1.0)
+    assert got[1] == (4, 4 * 1000000 // 16, 4.0)
+    assert got[2] == (3, 5 * 1000000 // 9, round(9 / 5, 4))
+    assert 3 not in got
+
+
+def test_agg_weighted_quantile_weight_dominance(spark, tmp_path):
+    """agg_weighted_quantile on a planted histogram: a 9:1 weight mass
+    at the low price pulls BOTH wq50 and wq90 to it (where the
+    unweighted quantiles would not), and uniform weights reduce to the
+    plain lower quantile."""
+    from spark_graft.registry import REGISTRY
+
+    d = tmp_path / "li"
+    d.mkdir()
+    rows = []
+    # flag A: prices 1..10, weight 1 each -> wq50=5, wq90=9
+    rows += [("A", float(p), 1.0) for p in range(1, 11)]
+    # flag B: price 1 carries weight 9, price 100 weight 1 -> both
+    # quantiles sit at 1
+    rows += [("B", 1.0, 9.0), ("B", 100.0, 1.0)]
+    spark.createDataFrame(
+        [(1, 1, 1, i, q, p, 0.0, 0.0, f, "O", "1996-01-01") for i, (f, p, q) in enumerate(rows)],
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+        "l_returnflag string, l_linestatus string, l_shipdate string",
+    ).selectExpr(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+        "CAST(l_shipdate AS DATE) l_shipdate",
+    ).write.mode("overwrite").parquet(str(d / "lineitem.parquet"))
+    got = {
+        r["l_returnflag"]: (r["wq50"], r["wq90"], r["total_weight"])
+        for r in REGISTRY["agg_weighted_quantile"].fn(spark, str(d)).collect()
+    }
+    assert got["A"] == (5.0, 9.0, 10)
+    assert got["B"] == (1.0, 1.0, 10)
+
+
+def test_rank_fusion_doc_top_in_both_legs_wins(spark, tmp_path):
+    """rank_fusion on a planted corpus where doc 0 is rank 1 on BOTH
+    legs (stuffed with the mid-frequency query terms; embedding equal to
+    the probe): it must be the fused top-1, and the rank columns must
+    report 1/1."""
+    from spark_graft.registry import REGISTRY
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    # 30 background docs set the df ranking: terms bg0..bg8 appear in
+    # all 30 (df ranks 1..9), qa/qb/qc in 20 (ranks 10..12), rare terms
+    # below. doc 0 stuffs qa/qb/qc.
+    bg = " ".join(f"bg{j}" for j in range(9))
+    rows = [(0, "qa qb qc " * 5 + bg, "en", "s")]
+    for i in range(1, 31):
+        text = bg + (" qa qb qc" if i <= 19 else " rare" + str(i))
+        rows.append((i, text, "en", "s"))
+    _write_docs(spark, rows, d)
+    vecs = [(0, [1.0] + [0.0] * 7, 0)]
+    rng_free = [(i, [0.1 * (i % 5), 1.0] + [0.0] * 6, 0) for i in range(1, 31)]
+    spark.createDataFrame(
+        [(v, [float(x) for x in e], l) for v, e, l in vecs + rng_free],
+        "vec_id bigint, embedding array<float>, label int",
+    ).write.mode("overwrite").parquet(str(d / "embeddings.parquet"))
+
+    out = REGISTRY["rank_fusion"].fn(spark, str(d)).collect()
+    top = out[0]
+    assert top["doc_id"] == 0
+    assert top["lex_rank"] == 1 and top["dense_rank"] == 1
