@@ -997,3 +997,32 @@ def test_rank_fusion_legs_are_topk_not_full_sort(spark, sf_dir):
     df = q("rank_fusion", spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("TakeOrderedAndProject") >= 2, plan
+
+
+def test_pipeline_curriculum_windows_over_length_histogram(spark, sf_dir):
+    """pipeline_curriculum: the cumulative window's input must be the
+    distinct-length histogram (partial-agg HashAggregate below the
+    window), and the stage map must come back as a broadcast join —
+    raw documents never enter a window or a wide shuffle keyed on
+    anything but n_tokens."""
+    from spark_graft.operators import curriculum  # registers on import
+
+    df = q("pipeline_curriculum", spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    lines = plan.splitlines()
+    win_idx = [i for i, l in enumerate(lines) if " Window [" in l or l.strip().startswith(("+- Window", ":- Window"))]
+    agg_idx = [i for i, l in enumerate(lines) if "HashAggregate" in l and "partial_count" in l]
+    assert win_idx and agg_idx and any(a > win_idx[0] for a in agg_idx), plan
+
+
+def test_pipeline_preference_pairs_rank_is_group_limited(spark, sf_dir):
+    """pipeline_preference_pairs: both rank legs must plan as map-side
+    WindowGroupLimit (the sample_reservoir contract) so a hot source
+    ships at most K rows per partition into each leg's exchange."""
+    from spark_graft.operators import curriculum  # registers on import
+
+    df = q("pipeline_preference_pairs", spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    partials = [l for l in plan.splitlines() if "WindowGroupLimit" in l and "Partial" in l]
+    assert len(partials) >= 2, plan

@@ -1799,3 +1799,65 @@ def test_rank_fusion_doc_top_in_both_legs_wins(spark, tmp_path):
     top = out[0]
     assert top["doc_id"] == 0
     assert top["lex_rank"] == 1 and top["dense_rank"] == 1
+
+
+def test_pipeline_curriculum_exact_quartiles(spark, tmp_path):
+    """pipeline_curriculum on planted lengths 1..8 (one doc each): the
+    integer ceil-quartile contract puts lengths 1-2 in stage 1, 3-4 in
+    2, 5-6 in 3, 7-8 in 4; a corpus with ONE distinct length is all
+    stage 4 (its single value IS the top of the distribution)."""
+    from spark_graft.registry import REGISTRY
+
+    d = tmp_path / "lens"
+    d.mkdir()
+    _write_docs(
+        spark,
+        [(i, " ".join(f"w{j}" for j in range(i)), "en", "s") for i in range(1, 9)],
+        d,
+    )
+    got = {
+        r["doc_id"]: r["stage"]
+        for r in REGISTRY["pipeline_curriculum"].fn(spark, str(d)).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 3, 6: 3, 7: 4, 8: 4}
+
+    u = tmp_path / "uniform"
+    u.mkdir()
+    _write_docs(spark, [(i, "a b c", "en", "s") for i in range(4)], u)
+    stages = {
+        r["stage"] for r in REGISTRY["pipeline_curriculum"].fn(spark, str(u)).collect()
+    }
+    assert stages == {4}
+
+
+def test_pipeline_preference_pairs_strict_gap_no_self_pairs(spark, tmp_path):
+    """pipeline_preference_pairs on a planted source: the most-diverse
+    doc pairs with the most-repetitive, a single-doc source emits
+    NOTHING (the strict-gap filter kills the self-pair), and every
+    emitted gap is positive."""
+    from spark_graft.registry import REGISTRY
+
+    d = tmp_path / "pref"
+    d.mkdir()
+    _write_docs(
+        spark,
+        [
+            (0, "a b c d e", "en", "s1"),  # simpson 200000 (most diverse)
+            (1, "a a b b", "en", "s1"),    # simpson 500000
+            (2, "a a a a", "en", "s1"),    # simpson 1000000 (most repetitive)
+            (3, "x y z", "en", "lone"),    # single-doc source
+        ],
+        d,
+    )
+    rows = REGISTRY["pipeline_preference_pairs"].fn(spark, str(d)).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    assert "lone" not in by_src
+    s1 = sorted(by_src["s1"], key=lambda r: r["pair_rank"])
+    assert (s1[0]["chosen_id"], s1[0]["rejected_id"]) == (0, 2)
+    assert s1[0]["gap_fx"] == 800000
+    assert all(r["gap_fx"] > 0 for r in rows)
+    # the middle doc (rank 2 on both legs) would self-pair at gap 0 —
+    # the strict filter must have dropped it
+    assert all(r["chosen_id"] != r["rejected_id"] for r in rows)
