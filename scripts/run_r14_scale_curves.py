@@ -60,7 +60,7 @@ def main() -> None:
         doc = json.load(f)
     doc["r14_queries_sf3"] = {
         "what": (
-            "Scale curves for the five round-14 queries at sf1 and a "
+            "Scale curves for the seven round-14 queries at sf1 and a "
             "generated sf3 (3x sf1's rows per table), same code and "
             "methodology as sf3_spotcheck "
             "(scripts/run_r14_scale_curves.py). Linear-or-better per "

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from spark_graft.functions import tokens
-from spark_graft.operators.text import _TOK
+from spark_graft.operators.text import _TOK, DIVERSITY_SCALE
 from spark_graft.registry import query
 from spark_graft.sources import table
 
@@ -90,10 +90,12 @@ def pipeline_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PREF_PAIRS_PER_SOURCE = 5
 # chosen/rejected signal: the Simpson index (text_diversity's integer
-# contract) — most-diverse docs are "chosen", most-repetitive "rejected"
+# contract — DIVERSITY_SCALE imported so the two queries can never
+# silently diverge) — most-diverse docs are "chosen", most-repetitive
+# "rejected"
 _SIMPSON_SQL = f"""
         SELECT doc_id, source,
-               (CAST(sum(c * c) AS BIGINT) * 1000000)
+               (CAST(sum(c * c) AS BIGINT) * {DIVERSITY_SCALE})
                // (CAST(sum(c) AS BIGINT) * CAST(sum(c) AS BIGINT)) AS simpson_fx
         FROM (
             SELECT doc_id, source, count(*) AS c
@@ -153,7 +155,9 @@ def pipeline_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
     )
     scored = per_tok.groupBy("doc_id", "source").agg(
-        F.expr("(sum(c * c) * 1000000) div (sum(c) * sum(c))").alias("simpson_fx")
+        F.expr(f"(sum(c * c) * {DIVERSITY_SCALE}) div (sum(c) * sum(c))").alias(
+            "simpson_fx"
+        )
     )
     w_best = Window.partitionBy("source").orderBy("simpson_fx", "doc_id")
     w_worst = Window.partitionBy("source").orderBy(

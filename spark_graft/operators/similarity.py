@@ -871,10 +871,11 @@ def rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     base = docs.select("doc_id", tokens("text").alias("ts"))
+    # no empty-corpus early return: the dense leg reads embeddings
+    # independently of documents (exactly like the oracle's dense_top
+    # CTE), so an empty documents table must still emit dense-only
+    # fused rows — the empty-qrows branch below handles the lex side
     n_docs = docs.count()
-    out_schema = "doc_id bigint, lex_rank bigint, dense_rank bigint, rrf_fx bigint"
-    if n_docs == 0:
-        return spark.createDataFrame([], out_schema)
 
     tf = (
         base.select("doc_id", F.explode("ts").alias("term"))

@@ -996,7 +996,10 @@ def test_rank_fusion_legs_are_topk_not_full_sort(spark, sf_dir):
     is the classic scale-killer this operator is shaped to avoid."""
     df = q("rank_fusion", spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("TakeOrderedAndProject") >= 2, plan
+    # 3 = lexical leg + dense leg + the final fused top-20; >= 2 would
+    # let one leg silently regress to a global Sort (the final
+    # orderBy().limit() is itself a TakeOrderedAndProject)
+    assert plan.count("TakeOrderedAndProject") >= 3, plan
 
 
 def test_pipeline_curriculum_windows_over_length_histogram(spark, sf_dir):

@@ -1664,11 +1664,11 @@ def test_sample_temperature_matches_exact_formula(spark, tmp_path):
         l: (n_total * s[l]) / (s_total * counts[l]) for l in counts
     }
     assert rate["small"] > 1 > rate["big"]
-    # resampled total stays within one doc per language of the corpus size
+    # resampled total ~= corpus size: floor+Bernoulli rounding costs at
+    # most ~1 expected copy per language, and md5 sampling noise on this
+    # fixed fixture stays within another — 2 docs of slack per language
     total = sum(c for _, c in expected.values())
-    assert abs(total - n_total) <= len(counts) + sum(
-        1 for _ in counts
-    )  # base+bernoulli error is < 1 expected copy per lang; allow slack
+    assert abs(total - n_total) <= 2 * len(counts)
 
 
 def test_sample_reservoir_fixed_size_and_append_stability(spark, tmp_path):
@@ -1861,3 +1861,38 @@ def test_pipeline_preference_pairs_strict_gap_no_self_pairs(spark, tmp_path):
     # the middle doc (rank 2 on both legs) would self-pair at gap 0 —
     # the strict filter must have dropped it
     assert all(r["chosen_id"] != r["rejected_id"] for r in rows)
+
+
+def test_rank_fusion_empty_documents_keeps_dense_leg(spark, tmp_path):
+    """rank_fusion with an EMPTY documents table and nonzero embeddings:
+    the dense leg reads embeddings independently of documents (exactly
+    like the oracle's dense_top CTE), so the fused result must be the
+    dense-only ranking — a doc-count early-return here once diverged
+    from the oracle (code-review r14)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_graft.registry import REGISTRY
+
+    d = tmp_path / "emptydocs"
+    d.mkdir()
+    schema = pa.schema(
+        [("doc_id", pa.int64()), ("text", pa.string()), ("lang", pa.string()),
+         ("source", pa.string()), ("n_chars", pa.int64())]
+    )
+    (d / "documents.parquet").mkdir()
+    pq.write_table(
+        pa.table({f.name: pa.array([], f.type) for f in schema}, schema=schema),
+        str(d / "documents.parquet" / "part-0.parquet"),
+    )
+    spark.createDataFrame(
+        [(i, [float(i % 3 + 1)] * 8, 0) for i in range(5)],
+        "vec_id bigint, embedding array<float>, label int",
+    ).write.mode("overwrite").parquet(os.path.join(str(d), "embeddings.parquet"))
+    rows = REGISTRY["rank_fusion"].fn(spark, str(d)).collect()
+    assert len(rows) == 5
+    assert all(r["lex_rank"] is None for r in rows)
+    assert {r["dense_rank"] for r in rows} == {1, 2, 3, 4, 5}
+    assert all(r["rrf_fx"] == 1000000 // (60 + r["dense_rank"]) for r in rows)
