@@ -64,6 +64,7 @@ _KINDS = {
     "pq_codebooks": "embeddings",
     "quality_weights": "documents",
     "novelty_seed_index": "documents",
+    "mixture_reference": "documents",
 }
 
 
@@ -466,6 +467,56 @@ def train_and_save_quality(spark, sf_dir: str, path: str) -> list[int]:
     w = _qc_train(_qc_features(spark, sf_dir).localCheckpoint())
     save_quality_weights(path, w, sf_dir=sf_dir)
     return w
+
+
+# --------------------------------------------------- mixture reference
+
+MIXTURE_SCALE = 1_000_000  # fixed-point scale for token shares
+
+
+def save_mixture_reference(
+    path: str, shares: dict[str, int], *, sf_dir: str | None = None
+) -> None:
+    """Persist a reference token mixture: language -> fixed-point token
+    share (micro-units; the values of a healthy corpus snapshot, the
+    yardstick `streaming.mixture_drift_stream` monitors ingest
+    against). Shares are int micro-units so the drift comparison is
+    exact int64 arithmetic, like every artifact-served contract."""
+    import pyarrow as pa
+
+    langs = sorted(shares)
+    _write(
+        path,
+        "mixture_reference",
+        pa.table(
+            {"lang": langs, "share_fx": [int(shares[l]) for l in langs]},
+            schema=pa.schema([("lang", pa.string()), ("share_fx", pa.int64())]),
+        ),
+        {"n_langs": len(langs), "scale": MIXTURE_SCALE},
+        sf_dir,
+    )
+
+
+def load_mixture_reference(
+    path: str, *, sf_dir: str | None = None, validate: bool | None = None
+) -> dict[str, int]:
+    t, meta = _read(path, "mixture_reference", sf_dir, validate)
+    d = t.to_pydict()
+    shares = {l: int(s) for l, s in zip(d["lang"], d["share_fx"])}
+    # refuse malformed references up front (the quality-weights shape
+    # contract): negative shares or a total above the scale can only be
+    # a corrupted or wrong-kind payload
+    if any(v < 0 for v in shares.values()) or sum(shares.values()) > MIXTURE_SCALE:
+        raise ArtifactMismatch(
+            f"{path}: mixture shares must be nonnegative micro-units "
+            f"summing to <= {MIXTURE_SCALE}, got {shares}"
+        )
+    n = meta.get("params", {}).get("n_langs")
+    if n is not None and n != len(shares):
+        raise ArtifactMismatch(
+            f"{path}: meta n_langs={n} but payload has {len(shares)} languages"
+        )
+    return shares
 
 
 # ------------------------------------------------- novelty-gate seed index

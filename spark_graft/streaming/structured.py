@@ -948,3 +948,127 @@ def bpe_encode_stream(docs: DataFrame, merges_path: str) -> DataFrame:
     from spark_graft.operators.vocab import bpe_apply_merges
 
     return bpe_apply_merges(docs, artifacts.load_bpe_merges(merges_path))
+
+
+# ---------------------------------------------------- mixture drift monitor
+
+# The monitor's FIXED language alphabet: a production mixture monitor
+# watches a declared domain set (anything else lands in "other"), which
+# is what makes a SINGLE streaming aggregation with one row of state
+# possible — chained aggregations (per-lang counts, then a global total)
+# are unsupported in structured streaming, but per-lang conditional sums
+# over a fixed alphabet fit one groupBy().agg() whose state is one row
+# regardless of corpus size.
+MIXTURE_LANGS = ("de", "en", "es", "fr", "zh")
+MIXTURE_DRIFT_T_FX = 50_000  # 5 share points (micro-units)
+
+
+def _mixture_counts_row(docs: DataFrame) -> DataFrame:
+    """One-row token-count aggregate over the fixed alphabet: t_<lang>
+    columns + t_other + t_total. Shared by the stream and its batch
+    twin so the arithmetic can never diverge."""
+    from spark_graft.functions import tokens
+
+    bucket = F.when(
+        F.col("lang").isin(list(MIXTURE_LANGS)), F.col("lang")
+    ).otherwise(F.lit("other"))
+    toks = docs.select(bucket.alias("lang"), tokens("text").alias("ts")).select(
+        "lang", F.size("ts").cast("bigint").alias("n_tokens")
+    )
+    aggs = [
+        F.sum(F.when(F.col("lang") == l, F.col("n_tokens")).otherwise(F.lit(0)))
+        .alias(f"t_{l}")
+        for l in (*MIXTURE_LANGS, "other")
+    ]
+    return toks.groupBy().agg(*aggs, F.sum("n_tokens").alias("t_total"))
+
+
+def _mixture_drift_from_counts(counts: DataFrame, ref: dict[str, int]) -> DataFrame:
+    """Unpivot the one-row counts to (lang, n_tokens, share_fx,
+    ref_share_fx, drift_fx, drifted) rows. share_fx = tokens * SCALE
+    div total — exact int64; drift vs the artifact's micro-unit shares
+    is an integer compare against MIXTURE_DRIFT_T_FX."""
+    from spark_graft.artifacts import MIXTURE_SCALE
+
+    all_langs = (*MIXTURE_LANGS, "other")
+    stack_args = ", ".join(f"'{l}', t_{l}" for l in all_langs)
+    long = counts.select(
+        F.expr(f"stack({len(all_langs)}, {stack_args}) AS (lang, n_tokens)"),
+        "t_total",
+    )
+    share = F.when(F.col("t_total") > 0, F.expr(f"(n_tokens * {MIXTURE_SCALE}) div t_total")).otherwise(F.lit(0))
+    ref_share = F.coalesce(
+        *[F.when(F.col("lang") == l, F.lit(int(v))) for l, v in sorted(ref.items())],
+        F.lit(0),
+    )
+    return long.select(
+        "lang",
+        "n_tokens",
+        share.cast("bigint").alias("share_fx"),
+        ref_share.cast("bigint").alias("ref_share_fx"),
+    ).select(
+        "*",
+        F.abs(F.col("share_fx") - F.col("ref_share_fx")).alias("drift_fx"),
+        (
+            F.abs(F.col("share_fx") - F.col("ref_share_fx"))
+            > F.lit(MIXTURE_DRIFT_T_FX)
+        ).alias("drifted"),
+    )
+
+
+def mixture_drift_stream(docs: DataFrame, reference_path: str) -> DataFrame:
+    """Streaming MIXTURE-DRIFT monitor — the ops gate a training-data
+    ingest pipeline runs continuously: per fixed-alphabet language
+    (MIXTURE_LANGS + "other"), the running token share of everything
+    ingested so far vs a persisted reference mixture
+    (`artifacts.save_mixture_reference`, micro-unit integer shares),
+    with a drifted flag when the absolute gap exceeds
+    MIXTURE_DRIFT_T_FX. A crawler that suddenly over-delivers one
+    language (a common upstream failure) flips its row's flag within a
+    micro-batch of the shift showing up in the running share.
+
+    Run in COMPLETE output mode: the plan is one streaming aggregation
+    whose state is a SINGLE row of per-language int64 sums (bounded
+    forever, no watermark needed — the monitor is cumulative by
+    design), and every trigger re-emits the 6-row mixture table. The
+    reference is loaded ONCE on the driver and baked into the plan as
+    literals — the same ship-the-model-not-the-data economics as
+    quality_score_stream/bpe_encode_stream. Equivalence vs the batch
+    twin (`mixture_drift_batch`) is exact and tested: identical integer
+    expressions over identical rows."""
+    from spark_graft.artifacts import load_mixture_reference
+
+    return _mixture_drift_from_counts(
+        _mixture_counts_row(docs), load_mixture_reference(reference_path)
+    )
+
+
+def mixture_drift_batch(
+    spark: SparkSession, sf_dir: str, reference_path: str
+) -> DataFrame:
+    """Batch twin of mixture_drift_stream (same shared helpers, same
+    integer arithmetic) over the documents table at rest."""
+    from spark_graft.artifacts import load_mixture_reference
+    from spark_graft.sources import table
+
+    docs = table(spark, sf_dir, "documents").select("lang", "text")
+    return _mixture_drift_from_counts(
+        _mixture_counts_row(docs), load_mixture_reference(reference_path)
+    )
+
+
+def build_mixture_reference(spark: SparkSession, sf_dir: str) -> dict[str, int]:
+    """Train half of the monitor's contract: measure the corpus's
+    per-language micro-unit token shares (exact integer division, the
+    same share_fx arithmetic the monitor computes) for
+    `artifacts.save_mixture_reference`."""
+    from spark_graft.artifacts import MIXTURE_SCALE
+    from spark_graft.sources import table
+
+    docs = table(spark, sf_dir, "documents").select("lang", "text")
+    row = _mixture_counts_row(docs).collect()[0]
+    total = row["t_total"] or 0
+    return {
+        l: (int(row[f"t_{l}"]) * MIXTURE_SCALE) // total if total else 0
+        for l in (*MIXTURE_LANGS, "other")
+    }

@@ -1489,3 +1489,105 @@ def test_cep_reorder_drops_null_event_times(spark, tmp_path):
     # the null event neither counts nor breaks the contiguous vcp run
     assert best["n_events_seen"] == 3
     assert best["n_matches"] == 1 and best["n_events_matched"] == 3
+
+
+def test_mixture_drift_stream_equals_batch_and_flags_drift(spark, sf_dir, tmp_path):
+    """Mixture-drift monitor: (1) the complete-mode stream output over
+    the full corpus equals the batch twin exactly (same shared integer
+    helpers); (2) against a reference built FROM the corpus itself,
+    nothing drifts; (3) against an engineered reference that starves
+    one language, exactly that language's gap exceeds the threshold and
+    flips its flag (plus whichever languages absorb the share); (4) the
+    streaming plan carries ONE aggregation with single-row state and no
+    watermark."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_graft import artifacts
+    from spark_graft.sources import table
+    from spark_graft.streaming import (
+        build_mixture_reference,
+        mixture_drift_batch,
+        mixture_drift_stream,
+        run_stream_to_memory,
+    )
+    from spark_graft.streaming.structured import MIXTURE_DRIFT_T_FX
+
+    ref = build_mixture_reference(spark, sf_dir)
+    rpath = str(tmp_path / "mixref")
+    artifacts.save_mixture_reference(rpath, ref, sf_dir=sf_dir)
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text", "lang")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    src = tmp_path / "mix_src"
+    src.mkdir()
+    schema = pa.schema(
+        [("doc_id", pa.int64()), ("text", pa.string()), ("lang", pa.string())]
+    )
+    cuts = [0, len(docs) // 3, 2 * len(docs) // 3, len(docs)]
+    now = time.time()
+    for i in range(3):
+        pq.write_table(
+            pa.Table.from_pandas(
+                docs.iloc[cuts[i]:cuts[i + 1]], preserve_index=False
+            ).cast(schema),
+            str(src / f"c{i}.parquet"),
+        )
+        os.utime(src / f"c{i}.parquet", (now + i * 10, now + i * 10))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, lang string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    mon = mixture_drift_stream(stream, rpath)
+    logical = mon._jdf.queryExecution().logical().toString()
+    assert "EventTimeWatermark" not in logical  # cumulative, no watermark
+    out = run_stream_to_memory(mon, mode="complete")
+    batch = mixture_drift_batch(spark, sf_dir, rpath)
+    assert_frames_match(
+        out.toPandas(), batch.toPandas(), "mixture stream==batch twin"
+    )
+    got = {r["lang"]: r for r in out.collect()}
+    # self-reference: the shares ARE the reference (same integer math),
+    # so nothing drifts
+    assert all(not r["drifted"] for r in got.values()), got
+    assert all(r["drift_fx"] == 0 for r in got.values()), got
+
+    # engineered reference: starve 'en' far below its actual share
+    bad = dict(ref)
+    bad["en"] = max(0, ref["en"] - (MIXTURE_DRIFT_T_FX + 100_000))
+    bpath = str(tmp_path / "mixref_bad")
+    artifacts.save_mixture_reference(bpath, bad, sf_dir=sf_dir)
+    flagged = {
+        r["lang"]: r["drifted"]
+        for r in mixture_drift_batch(spark, sf_dir, bpath).collect()
+    }
+    assert flagged["en"] is True
+    # languages whose reference is untouched keep their exact-zero gap
+    assert all(not flagged[l] for l in flagged if l != "en"), flagged
+
+
+def test_mixture_reference_artifact_rejects_malformed(spark, tmp_path):
+    """load_mixture_reference refuses negative shares and
+    above-scale totals up front (the quality-weights shape contract)."""
+    import pytest
+
+    from spark_graft import artifacts
+
+    p1 = str(tmp_path / "neg")
+    artifacts.save_mixture_reference(p1, {"en": -5, "de": 10})
+    with pytest.raises(artifacts.ArtifactMismatch):
+        artifacts.load_mixture_reference(p1)
+
+    p2 = str(tmp_path / "oversum")
+    artifacts.save_mixture_reference(p2, {"en": 900_000, "de": 200_000})
+    with pytest.raises(artifacts.ArtifactMismatch):
+        artifacts.load_mixture_reference(p2)
