@@ -1591,3 +1591,93 @@ def test_mixture_reference_artifact_rejects_malformed(spark, tmp_path):
     artifacts.save_mixture_reference(p2, {"en": 900_000, "de": 200_000})
     with pytest.raises(artifacts.ArtifactMismatch):
         artifacts.load_mixture_reference(p2)
+
+
+def test_mixture_drift_monitor_checkpoint_restart(spark, tmp_path):
+    """The monitor across a PROCESS restart: run a checkpointed
+    mixture_drift_stream over two doc micro-batches, terminate, drop
+    more docs, restart a brand-new query from the same checkpoint. The
+    restarted emission must count the pre-restart tokens it never
+    itself read (en = 3 carried + 4 new = 7) — a lost checkpoint would
+    report en = 4 and a spurious drift flag. Mid-stream the monitor
+    DOES flag drift (the partial corpus is en-light vs the reference),
+    and the flag clears once the full mixture arrives: the
+    running-share semantics under restart, end to end."""
+    import os
+    import time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_graft import artifacts
+    from spark_graft.streaming import mixture_drift_stream
+
+    src, out = tmp_path / "src", tmp_path / "out"
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+
+    schema = pa.schema(
+        [("doc_id", pa.int64()), ("text", pa.string()), ("lang", pa.string())]
+    )
+
+    def drop(name, rows, ts):
+        pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False).cast(schema),
+            str(src / name),
+        )
+        os.utime(src / name, (ts, ts))
+
+    # final corpus: en 7 tokens, fr 2 -> shares 777777 / 222222
+    ref = {"en": 777777, "fr": 222222, "de": 0, "es": 0, "zh": 0, "other": 0}
+    rpath = str(tmp_path / "ref")
+    artifacts.save_mixture_reference(rpath, ref)
+
+    now = time.time()
+    drop("b0.parquet", [(0, "a b c", "en")], now)
+    drop("b1.parquet", [(1, "x y", "fr")], now + 10)
+
+    def make_query():
+        stream = (
+            spark.readStream.schema("doc_id long, text string, lang string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        mon = mixture_drift_stream(stream, rpath)
+
+        def write_batch(batch_df, batch_id):
+            batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(str(out))
+
+        return (
+            mon.writeStream.foreachBatch(write_batch)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q1 = make_query()
+    q1.awaitTermination()
+    run1 = spark.read.parquet(str(out)).collect()
+    last1 = max(r["batch_id"] for r in run1)
+    en1 = next(r for r in run1 if r["batch_id"] == last1 and r["lang"] == "en")
+    # partial corpus: en 3/5 = 600000 vs ref 777777 -> drifted
+    assert en1["n_tokens"] == 3 and en1["share_fx"] == 600000
+    assert en1["drifted"] is True
+
+    drop("b2.parquet", [(2, "p q r s", "en")], time.time() + 60)
+
+    q2 = make_query()
+    q2.awaitTermination()
+    rows = spark.read.parquet(str(out)).collect()
+    last = max(r["batch_id"] for r in rows)
+    assert last > last1  # offsets resumed, numbering continues
+    final = {r["lang"]: r for r in rows if r["batch_id"] == last}
+    # state restored: 3 carried + 4 new, not 4
+    assert final["en"]["n_tokens"] == 7 and final["en"]["share_fx"] == 777777
+    assert final["fr"]["n_tokens"] == 2 and final["fr"]["share_fx"] == 222222
+    # full mixture matches the reference exactly -> all flags clear
+    assert all(not r["drifted"] for r in final.values()), final
