@@ -1,8 +1,9 @@
 #!/usr/bin/env python
-"""Record the sf1 -> sf3 scale curves for the seven round-14 queries
+"""Record the sf1 -> sf3 scale curves for the nine round-14 queries
 (sample_temperature, sample_reservoir, agg_weighted_quantile,
 text_diversity, rank_fusion, pipeline_curriculum,
-pipeline_preference_pairs), same methodology as run_sf3_spotcheck.py
+pipeline_preference_pairs, events_transitions, ts_ewma), same
+methodology as run_sf3_spotcheck.py
 (bench.py subset runs, median of 3 warm runs via the noop sink, ratio
 vs sf1 seconds measured in the same run). Writes the result to
 BENCH_SF1.json under `r14_queries_sf3`.
@@ -25,6 +26,7 @@ DETAIL = os.path.join(REPO, "BENCH_DETAIL_SUBSET.json")
 QUERIES = """
 sample_temperature sample_reservoir agg_weighted_quantile
 text_diversity rank_fusion pipeline_curriculum pipeline_preference_pairs
+events_transitions ts_ewma
 """.split()
 
 
@@ -58,9 +60,17 @@ def main() -> None:
     path = os.path.join(REPO, "BENCH_SF1.json")
     with open(path) as f:
         doc = json.load(f)
+    # preserve any characterization sub-keys added by hand (e.g. the
+    # preference_pairs stage decomposition) — merge, don't replace
+    extras = {
+        k: v
+        for k, v in doc.get("r14_queries_sf3", {}).items()
+        if k not in ("what", "sf1", "sf3", "ratio_sf3_over_sf1")
+    }
     doc["r14_queries_sf3"] = {
+        **extras,
         "what": (
-            "Scale curves for the seven round-14 queries at sf1 and a "
+            "Scale curves for the nine round-14 queries at sf1 and a "
             "generated sf3 (3x sf1's rows per table), same code and "
             "methodology as sf3_spotcheck "
             "(scripts/run_r14_scale_curves.py). Linear-or-better per "

@@ -43,10 +43,11 @@ __all__ = ["REGISTRY", "QuerySpec", "query", "load_all_queries"]
 # - dedup_substring: VERDICT r13 item 7 — short-doc fast path skipping
 #   flag-array construction for docs with no covered starts (the common
 #   case in a deduped corpus); hash-identical rows, cheaper plan.
-# (The seven queries NEW in round 14 — sample_temperature,
+# (The nine queries NEW in round 14 — sample_temperature,
 # sample_reservoir, agg_weighted_quantile, text_diversity, rank_fusion,
-# pipeline_curriculum, pipeline_preference_pairs — are tier 0
-# automatically via the never-driver-verified fallback.)
+# pipeline_curriculum, pipeline_preference_pairs, events_transitions,
+# ts_ewma — are tier 0 automatically via the never-driver-verified
+# fallback.)
 _MODIFIED_THIS_ROUND = frozenset(
     """dedup_substring""".split()
 )

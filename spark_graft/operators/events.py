@@ -937,3 +937,148 @@ def events_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_purchases",
         "total_value",
     )
+
+
+# --------------------------------------------------------- events_transitions
+
+TRANSITION_SCALE = 1_000_000  # fixed-point scale for transition probabilities
+
+
+@query(
+    "events_transitions",
+    oracle=f"""
+        WITH seq AS (
+            SELECT event_type AS cur_type,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS next_type
+            FROM events
+        ),
+        pairs AS (
+            SELECT cur_type, next_type, count(*) AS n_transitions
+            FROM seq WHERE next_type IS NOT NULL
+            GROUP BY cur_type, next_type
+        )
+        SELECT cur_type, next_type, n_transitions,
+               (n_transitions * {TRANSITION_SCALE})
+               // CAST(sum(n_transitions) OVER (PARTITION BY cur_type) AS BIGINT)
+                   AS prob_fx
+        FROM pairs
+    """,
+)
+def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral Markov chain: the full event-type transition
+    matrix P(next | current) over every user's event-time-ordered
+    sequence — the model behind propensity scoring, synthetic-session
+    generation, and funnel-leak diagnosis. lm_next_token is the corpus
+    TEXT bigram head (top-3 per token over one global sequence); this is
+    the ENTITY-sequence form: transitions never cross user boundaries
+    (lead() is partitioned), and the whole matrix is emitted, not a
+    top-k. Probabilities are fixed-point: n * SCALE div row-total —
+    exact int64 in both engines.
+
+    Scale shape: the lead() window rides the per-user (ts, event_id)
+    sort — user keys are the well-distributed shuffle this family
+    already uses (fill_forward's contract) — then the pair aggregation
+    collapses 100 TB of events to at most |alphabet|^2 rows with
+    map-side partials, and the row-total window runs over THAT
+    bounded-cardinality table (the mixture_weights justification:
+    input bounded by the domain alphabet, not the data)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("cur_type"),
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("cur_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    row_total = F.sum("n_transitions").over(Window.partitionBy("cur_type"))
+    return pairs.select(
+        "cur_type",
+        "next_type",
+        "n_transitions",
+        F.expr(f"n_transitions * {TRANSITION_SCALE}").cast("bigint")
+        .alias("_num"),
+        row_total.alias("_tot"),
+    ).select(
+        "cur_type",
+        "next_type",
+        "n_transitions",
+        F.expr("_num div _tot").alias("prob_fx"),
+    )
+
+
+# ------------------------------------------------------------------- ts_ewma
+
+EWMA_DEPTH = 8  # lag terms; alpha = 1/2 so weights are exact powers of two
+
+
+def _ewma_terms_sql() -> tuple[str, str]:
+    """(numerator, denominator) SQL fragments: an 8-term lag chain with
+    weights 2^-k. The addition order is the EXPRESSION TREE (k = 0..7),
+    identical in both engines, and each term is value / 2^k — scaling
+    by a power of two, which is EXACT in IEEE-754 — so the whole EWMA
+    is bit-deterministic without any transcendental."""
+    num = " + ".join(
+        f"coalesce(lag(value, {k}) OVER w / {1 << k}, 0.0)"
+        for k in range(EWMA_DEPTH)
+    )
+    den = " + ".join(
+        f"(CASE WHEN lag(value, {k}) OVER w IS NOT NULL "
+        f"THEN 1.0 / {1 << k} ELSE 0.0 END)"
+        for k in range(EWMA_DEPTH)
+    )
+    return num, den
+
+
+_EWMA_NUM, _EWMA_DEN = _ewma_terms_sql()
+
+
+@query(
+    "ts_ewma",
+    oracle=f"""
+        SELECT event_id, user_id, ts, value,
+               round(({_EWMA_NUM}) / ({_EWMA_DEN}), 6) AS ewma
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of each user's event
+    values (alpha = 1/2, depth {EWMA_DEPTH}) — the standard smoothing
+    primitive behind rate limiting, trend features, and anomaly
+    baselines, annotated per event like fill_forward. win_running is
+    the uniform-weight cumulative sum; this is the recency-weighted
+    form.
+
+    Bit-determinism contract: alpha = 1/2 makes every weight an exact
+    power of two, each term is value / 2^k (exact IEEE scaling), and
+    the sum's ADDITION ORDER is the expression tree itself (k = 0..7) —
+    identical in both engines, unlike a SQL SUM over join rows whose
+    order is engine-chosen. Sequence starts renormalize over the
+    available terms (missing lags contribute 0 to both numerator and
+    denominator), so the first event's EWMA is its own value.
+
+    Scale shape: ONE window on the family's per-user (ts, event_id)
+    sort; all {EWMA_DEPTH} lag() calls share the single window spec, so
+    Spark plans one Window operator with one Exchange — O(depth) state
+    per user timeline, a pure streaming pass."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num = None
+    den = None
+    for k in range(EWMA_DEPTH):
+        v = F.lag("value", k).over(w) if k else F.col("value")
+        term = F.coalesce(v / F.lit(float(1 << k)), F.lit(0.0))
+        avail = F.when(v.isNotNull(), F.lit(1.0 / (1 << k))).otherwise(F.lit(0.0))
+        num = term if num is None else num + term
+        den = avail if den is None else den + avail
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.round(num / den, 6).alias("ewma"),
+    )

@@ -1029,3 +1029,35 @@ def test_pipeline_preference_pairs_rank_is_group_limited(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     partials = [l for l in plan.splitlines() if "WindowGroupLimit" in l and "Partial" in l]
     assert len(partials) >= 2, plan
+
+
+def test_events_transitions_windows_over_bounded_pairs(spark, sf_dir):
+    """events_transitions: the row-total window must run over the
+    collapsed (cur, next) pair table (partial-agg HashAggregate below
+    it), never raw events — pair cardinality is the event-type
+    alphabet squared."""
+    df = q("events_transitions", spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    win_idx = [i for i, l in enumerate(lines) if " Window [" in l or l.strip().startswith(("+- Window", ":- Window"))]
+    agg_idx = [i for i, l in enumerate(lines) if "HashAggregate" in l and "partial_count" in l]
+    # two windows: the per-user lead() (below the agg) and the
+    # row-total (above it) — the partial agg must sit BETWEEN them
+    assert len(win_idx) >= 2 and agg_idx, plan
+    assert any(win_idx[0] < a < win_idx[-1] + 50 for a in agg_idx), plan
+    assert win_idx[0] < agg_idx[0], plan
+
+
+def test_ts_ewma_single_window_single_exchange(spark, sf_dir):
+    """ts_ewma: all 8 lag() terms share one window spec, so the plan
+    must carry exactly ONE Window operator and ONE user-keyed
+    Exchange — a per-lag window would multiply the sort cost 8x."""
+    df = q("ts_ewma", spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    wins = [l for l in plan.splitlines() if " Window [" in l or l.strip().startswith("+- Window")]
+    assert len(wins) == 1, plan
+    ex = [
+        l for l in plan.splitlines()
+        if "Exchange" in l and "Reused" not in l and "Broadcast" not in l
+    ]
+    assert len(ex) == 1 and "hashpartitioning(user_id#" in ex[0], plan

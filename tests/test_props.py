@@ -1896,3 +1896,74 @@ def test_rank_fusion_empty_documents_keeps_dense_leg(spark, tmp_path):
     assert all(r["lex_rank"] is None for r in rows)
     assert {r["dense_rank"] for r in rows} == {1, 2, 3, 4, 5}
     assert all(r["rrf_fx"] == 1000000 // (60 + r["dense_rank"]) for r in rows)
+
+
+def _write_events(spark, rows, d):
+    """rows: list of (event_id, ts_str, user_id, event_type, value)."""
+    spark.createDataFrame(
+        [(i, ts, u, et, v, "{}") for i, ts, u, et, v in rows],
+        "event_id bigint, ts string, user_id bigint, event_type string, "
+        "value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) ts", "user_id", "event_type",
+        "value", "props"
+    ).write.mode("overwrite").parquet(str(d / "events.parquet"))
+
+
+def test_events_transitions_exact_matrix_no_cross_user(spark, tmp_path):
+    """events_transitions on a planted two-user timeline: exact counts
+    and fixed-point probabilities, and NO transition across the user
+    boundary (user 1 ends with purchase, user 2 starts with view — a
+    global sequence would fabricate purchase->view)."""
+    from spark_graft.registry import REGISTRY
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    rows = [
+        (0, "2024-01-01 10:00:00", 1, "view", 1.0),
+        (1, "2024-01-01 10:01:00", 1, "view", 1.0),
+        (2, "2024-01-01 10:02:00", 1, "purchase", 5.0),
+        (3, "2024-01-01 09:00:00", 2, "view", 1.0),
+        (4, "2024-01-01 09:01:00", 2, "click", 1.0),
+        (5, "2024-01-01 09:02:00", 2, "view", 1.0),
+    ]
+    _write_events(spark, rows, d)
+    got = {
+        (r["cur_type"], r["next_type"]): (r["n_transitions"], r["prob_fx"])
+        for r in REGISTRY["events_transitions"].fn(spark, str(d)).collect()
+    }
+    # user1: view->view, view->purchase; user2: view->click, click->view
+    assert got == {
+        ("view", "view"): (1, 1000000 // 3),
+        ("view", "purchase"): (1, 1000000 // 3),
+        ("view", "click"): (1, 1000000 // 3),
+        ("click", "view"): (1, 1000000),
+    }
+    assert ("purchase", "view") not in got  # the cross-user fabrication
+
+
+def test_ts_ewma_exact_values_and_start_renormalization(spark, tmp_path):
+    """ts_ewma on a planted series: hand-computed exact values — the
+    first event's EWMA is its own value (renormalized), and a constant
+    series smooths to the constant."""
+    from spark_graft.registry import REGISTRY
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    rows = [
+        (0, "2024-01-01 10:00:00", 1, "view", 4.0),
+        (1, "2024-01-01 10:01:00", 1, "view", 8.0),
+        (2, "2024-01-01 10:02:00", 1, "view", 2.0),
+    ] + [(10 + i, f"2024-01-01 11:0{i}:00", 2, "view", 7.0) for i in range(4)]
+    _write_events(spark, rows, d)
+    got = {
+        r["event_id"]: r["ewma"]
+        for r in REGISTRY["ts_ewma"].fn(spark, str(d)).collect()
+    }
+    assert got[0] == 4.0  # first event: its own value
+    # event 1: (8 + 4/2) / (1 + 1/2) = 10 / 1.5
+    assert got[1] == round(10 / 1.5, 6)
+    # event 2: (2 + 8/2 + 4/4) / (1 + 1/2 + 1/4) = 7 / 1.75 = 4.0
+    assert got[2] == 4.0
+    # constant series stays the constant at every depth
+    assert all(got[10 + i] == 7.0 for i in range(4))
