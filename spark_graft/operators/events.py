@@ -1047,7 +1047,7 @@ _EWMA_NUM, _EWMA_DEN = _ewma_terms_sql()
 )
 def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially-weighted moving average of each user's event
-    values (alpha = 1/2, depth {EWMA_DEPTH}) — the standard smoothing
+    values (alpha = 1/2, depth 8 = EWMA_DEPTH) — the standard smoothing
     primitive behind rate limiting, trend features, and anomaly
     baselines, annotated per event like fill_forward. win_running is
     the uniform-weight cumulative sum; this is the recency-weighted
@@ -1062,7 +1062,7 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     denominator), so the first event's EWMA is its own value.
 
     Scale shape: ONE window on the family's per-user (ts, event_id)
-    sort; all {EWMA_DEPTH} lag() calls share the single window spec, so
+    sort; all EWMA_DEPTH lag() calls share the single window spec, so
     Spark plans one Window operator with one Exchange — O(depth) state
     per user timeline, a pure streaming pass."""
     ev = table(spark, sf_dir, "events")

@@ -996,7 +996,19 @@ def _mixture_drift_from_counts(counts: DataFrame, ref: dict[str, int]) -> DataFr
         F.expr(f"stack({len(all_langs)}, {stack_args}) AS (lang, n_tokens)"),
         "t_total",
     )
-    share = F.when(F.col("t_total") > 0, F.expr(f"(n_tokens * {MIXTURE_SCALE}) div t_total")).otherwise(F.lit(0))
+    # the scaled numerator routes through decimal(38,0): the monitor is
+    # CUMULATIVE forever, and n_tokens * 10^6 wraps int64 once a
+    # language's running count passes ~9.2e12 tokens (~40-50 TB of a
+    # dominant language) — exactly the scale this gate is declared for
+    # (code-review r14). floor-div of nonneg decimals == int64 div, so
+    # the contract (and the batch twin, which shares this helper) is
+    # unchanged below the wrap point.
+    share = F.when(
+        F.col("t_total") > 0,
+        F.expr(
+            f"CAST(n_tokens AS DECIMAL(38,0)) * {MIXTURE_SCALE} div t_total"
+        ),
+    ).otherwise(F.lit(0))
     ref_share = F.coalesce(
         *[F.when(F.col("lang") == l, F.lit(int(v))) for l, v in sorted(ref.items())],
         F.lit(0),

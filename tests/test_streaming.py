@@ -1681,3 +1681,33 @@ def test_mixture_drift_monitor_checkpoint_restart(spark, tmp_path):
     assert final["fr"]["n_tokens"] == 2 and final["fr"]["share_fx"] == 222222
     # full mixture matches the reference exactly -> all flags clear
     assert all(not r["drifted"] for r in final.values()), final
+
+
+def test_mixture_share_exact_beyond_int64_wrap_point(spark):
+    """The share computation routes through decimal(38,0): a language
+    whose CUMULATIVE token count exceeds ~9.2e12 (where a plain int64
+    n_tokens * 10^6 wraps negative) must still report the exact
+    nonnegative micro-unit share — the monitor is cumulative forever,
+    so this magnitude is its declared operating range."""
+    from pyspark.sql import functions as F  # noqa: F401  (parity with module use)
+
+    from spark_graft.streaming.structured import (
+        MIXTURE_LANGS,
+        _mixture_drift_from_counts,
+    )
+
+    row = {f"t_{l}": 0 for l in (*MIXTURE_LANGS, "other")}
+    row["t_en"] = 20_000_000_000_000  # 2e13 > the 9.2e12 wrap point
+    row["t_fr"] = 10_000_000_000_000
+    row["t_total"] = 30_000_000_000_000
+    cols = ", ".join(f"CAST({v} AS BIGINT) AS {k}" for k, v in row.items())
+    counts = spark.sql(f"SELECT {cols}")
+    ref = {l: 0 for l in (*MIXTURE_LANGS, "other")}
+    ref["en"], ref["fr"] = 666666, 333333
+    out = {
+        r["lang"]: (r["share_fx"], r["drifted"])
+        for r in _mixture_drift_from_counts(counts, ref).collect()
+    }
+    assert out["en"] == (666666, False)
+    assert out["fr"] == (333333, False)
+    assert all(s >= 0 for s, _ in out.values())
