@@ -995,18 +995,23 @@ def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_transitions"))
     )
     row_total = F.sum("n_transitions").over(Window.partitionBy("cur_type"))
+    # scaled numerator in decimal(38,0): one hot transition pair can
+    # accumulate > 9.2e12 rows at 100 TB of events, where a plain int64
+    # n * 10^6 wraps negative (the mixture-monitor lesson, code-review
+    # r14); floor-div of nonneg decimals == int64 div in-range
     return pairs.select(
         "cur_type",
         "next_type",
         "n_transitions",
-        F.expr(f"n_transitions * {TRANSITION_SCALE}").cast("bigint")
-        .alias("_num"),
         row_total.alias("_tot"),
     ).select(
         "cur_type",
         "next_type",
         "n_transitions",
-        F.expr("_num div _tot").alias("prob_fx"),
+        F.expr(
+            f"CAST(CAST(n_transitions AS DECIMAL(38,0)) * {TRANSITION_SCALE} "
+            "div _tot AS BIGINT)"
+        ).alias("prob_fx"),
     )
 
 

@@ -220,11 +220,14 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor(sqrt(n_l) * {TEMP_SQRT_SCALE}) stands in for sqrt(n_l); the
     expected copy rate r_l = n_total * s_l / (s_total * n_l) is carried
     as an exact rational (base = floor, remainder-fraction mapped to a
-    [0, 2^32) md5 threshold like sample_importance). int64 headroom:
-    n_total * s_l <= n_total * {TEMP_SQRT_SCALE} * sqrt(n_total) —
-    safe through ~10^12 documents; the one DOUBLE step (remainder /
-    denominator) is a single division of int64-exact operands, then
-    floor — deterministic IEEE in both engines.
+    [0, 2^32) md5 threshold like sample_importance). The rational's
+    numerator n_total * s_l <= {TEMP_SQRT_SCALE} * n_total^1.5 would
+    wrap int64 at ~4e10 documents — inside 100 TB territory — so both
+    sides route through decimal(38,0) (floor-div of nonneg decimals ==
+    int64 div in-range); the one DOUBLE step (remainder / denominator)
+    is a single division, then floor — deterministic IEEE in both
+    engines, with the remainder exactly representable (< den, and the
+    int->double conversion rounds identically in both engines).
 
     Plan shape: one groupBy(lang) collapses the corpus to a handful of
     rows; rates are derived with a broadcast 1-row totals crossJoin; the
@@ -239,11 +242,15 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = lc.agg(
         F.sum("n_l").alias("n_total"), F.sum("s_l").alias("s_total")
     )
-    num = F.col("n_total") * F.col("s_l")
-    den = F.col("s_total") * F.col("n_l")
+    # decimal(38,0) rational: see the docstring's headroom note
+    num = F.expr("CAST(n_total AS DECIMAL(38,0)) * s_l")
+    den = F.expr("CAST(s_total AS DECIMAL(38,0)) * n_l")
     rates = lc.crossJoin(F.broadcast(tot)).select(
         "lang",
-        F.expr("(n_total * s_l) div (s_total * n_l)").alias("base_copies"),
+        F.expr(
+            "CAST(CAST(n_total AS DECIMAL(38,0)) * s_l "
+            "div (CAST(s_total AS DECIMAL(38,0)) * n_l) AS BIGINT)"
+        ).alias("base_copies"),
         F.floor(
             ((num % den).cast("double") / den.cast("double")) * F.lit(_TEMP_DOMAIN)
         )
