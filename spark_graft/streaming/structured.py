@@ -1084,3 +1084,67 @@ def build_mixture_reference(spark: SparkSession, sf_dir: str) -> dict[str, int]:
         l: (int(row[f"t_{l}"]) * MIXTURE_SCALE) // total if total else 0
         for l in (*MIXTURE_LANGS, "other")
     }
+
+
+# --------------------------------------------------------- streaming EWMA
+
+
+def ewma_stream(events: DataFrame) -> DataFrame:
+    """Streaming per-user EWMA — the stateful twin of batch `ts_ewma`
+    (operators.events): every arriving event is annotated with the
+    exponentially-weighted moving average of its user's last EWMA_DEPTH
+    values (alpha = 1/2), the real-time smoothing feed behind rate
+    limiting and anomaly baselines. State per user is a ring buffer of
+    at most EWMA_DEPTH - 1 doubles — O(depth), bounded forever, no
+    watermark needed.
+
+    Bit-equivalence contract with the batch twin: the Python fold
+    mirrors the batch lag-chain's EXPRESSION TREE (terms in k order,
+    left-fold addition, each term value / 2^k — exact IEEE scaling),
+    missing terms contribute exactly 0.0 to both sums, and the final
+    round(6) happens SPARK-SIDE on the raw double, so stream == batch
+    bit-for-bit on in-order replay. Ordered-arrival precondition per
+    user (the CEP family's contract without its reorder buffer): rows
+    are sorted within each micro-batch, and cross-batch order is the
+    source's responsibility."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from spark_graft.operators.events import EWMA_DEPTH
+
+    def update(key, pdfs, state: GroupState):
+        hist = list(state.get[0]) if state.exists else []  # oldest first
+        rows: list[tuple] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for eid, ts, v in zip(pdf["event_id"], pdf["ts"], pdf["value"]):
+                v = float(v)
+                window = ([v] + hist[::-1])[:EWMA_DEPTH]  # newest first
+                num, den = 0.0, 0.0
+                for k, x in enumerate(window):
+                    num = num + x / float(1 << k)
+                    den = den + 1.0 / float(1 << k)
+                rows.append((int(eid), int(key[0]), ts, v, num / den))
+                hist.append(v)
+                if len(hist) > EWMA_DEPTH - 1:
+                    hist = hist[-(EWMA_DEPTH - 1):]
+        state.update((hist,))
+        yield pd.DataFrame(
+            rows, columns=["event_id", "user_id", "ts", "value", "ewma_raw"]
+        )
+
+    out = (
+        events.select("event_id", "user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            "event_id bigint, user_id bigint, ts timestamp, value double, "
+            "ewma_raw double",
+            "hist array<double>",
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "value", F.round("ewma_raw", 6).alias("ewma")
+    )

@@ -1711,3 +1711,59 @@ def test_mixture_share_exact_beyond_int64_wrap_point(spark):
     assert out["en"] == (666666, False)
     assert out["fr"] == (333333, False)
     assert all(s >= 0 for s, _ in out.values())
+
+
+def test_ewma_stream_equals_batch_on_ordered_replay(spark, sf_dir, tmp_path):
+    """Streaming per-user EWMA == batch ts_ewma bit-for-bit on in-order
+    replay: events sorted by (ts, event_id) split into 3 micro-batches
+    (per-user cross-batch order preserved by the global sort), drained
+    through the stateful stream, rows compared exactly — the Python
+    fold mirrors the batch lag-chain's expression tree, and round(6)
+    happens Spark-side in both plans."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_graft.registry import REGISTRY
+    from spark_graft.sources import table
+    from spark_graft.streaming import ewma_stream, run_stream_to_memory
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "ts", "value")
+        .orderBy("ts", "event_id")
+        .toPandas()
+    )
+    src = tmp_path / "ewma_src"
+    src.mkdir()
+    schema = pa.schema(
+        [("event_id", pa.int64()), ("user_id", pa.int64()),
+         ("ts", pa.timestamp("us")), ("value", pa.float64())]
+    )
+    cuts = [0, len(ev) // 3, 2 * len(ev) // 3, len(ev)]
+    now = time.time()
+    for i in range(3):
+        pq.write_table(
+            pa.Table.from_pandas(
+                ev.iloc[cuts[i]:cuts[i + 1]], preserve_index=False
+            ).cast(schema),
+            str(src / f"c{i}.parquet"),
+        )
+        os.utime(src / f"c{i}.parquet", (now + i * 10, now + i * 10))
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = run_stream_to_memory(ewma_stream(stream), mode="append")
+    batch = (
+        REGISTRY["ts_ewma"].fn(spark, sf_dir)
+        .select("event_id", "user_id", "ts", "value", "ewma")
+    )
+    assert_frames_match(out.toPandas(), batch.toPandas(), "ewma stream==batch")
+    assert out.count() == len(ev)
