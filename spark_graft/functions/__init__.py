@@ -198,3 +198,17 @@ def md5_bucket(prefix: str, key_col: Column) -> Column:
     return md5_bucket_raw(prefix, key_col) % 100
 
 
+
+
+def decimal_scaled_div_fx(num: str, mul, den: str):
+    """Int64-wrap-safe scaled integer division:
+    CAST(CAST(num AS DECIMAL(38,0)) * mul div (den) AS BIGINT).
+
+    Any `count * SCALE` with a corpus-scale count wraps int64 at
+    2^63 / SCALE (~9.2e12 rows for SCALE = 10^6) — inside 100 TB
+    territory — so every fixed-point share/probability/rate contract
+    routes the product through decimal(38,0) (r14). Floor-div of
+    nonnegative decimals equals int64 div in-range, so oracles written
+    with plain `//` are unchanged. `num` and `den` are SQL fragments;
+    `mul` an integer scale or a column name."""
+    return F.expr(f"CAST(CAST({num} AS DECIMAL(38,0)) * {mul} div ({den}) AS BIGINT)")

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from spark_graft.functions import decimal_scaled_div_fx
 from spark_graft.registry import query
 from spark_graft.sources import table
 
@@ -1008,9 +1009,8 @@ def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cur_type",
         "next_type",
         "n_transitions",
-        F.expr(
-            f"CAST(CAST(n_transitions AS DECIMAL(38,0)) * {TRANSITION_SCALE} "
-            "div _tot AS BIGINT)"
+        decimal_scaled_div_fx(
+            "n_transitions", TRANSITION_SCALE, "_tot"
         ).alias("prob_fx"),
     )
 

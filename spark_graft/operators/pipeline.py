@@ -16,7 +16,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from spark_graft.functions import md5_bucket, md5_bucket_raw, shingles_from_tokens, tokens
+from spark_graft.functions import (
+    decimal_scaled_div_fx,
+    md5_bucket,
+    md5_bucket_raw,
+    shingles_from_tokens,
+    tokens,
+)
 from spark_graft.operators.dedup import (
     JACCARD_THRESHOLD,
     MINHASH_PAIRS_CTES,
@@ -226,8 +232,11 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides route through decimal(38,0) (floor-div of nonneg decimals ==
     int64 div in-range); the one DOUBLE step (remainder / denominator)
     is a single division, then floor — deterministic IEEE in both
-    engines, with the remainder exactly representable (< den, and the
-    int->double conversion rounds identically in both engines).
+    engines. (In the extreme regime den itself can exceed 2^53, so the
+    int->double conversions of remainder and denominator may ROUND —
+    equality holds because both engines apply the same IEEE
+    round-to-nearest conversion, not because the values are exact;
+    do not reorder the frac arithmetic.)
 
     Plan shape: one groupBy(lang) collapses the corpus to a handful of
     rows; rates are derived with a broadcast 1-row totals crossJoin; the
@@ -242,15 +251,15 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = lc.agg(
         F.sum("n_l").alias("n_total"), F.sum("s_l").alias("s_total")
     )
-    # decimal(38,0) rational: see the docstring's headroom note
+    # decimal(38,0) rational: see the docstring's headroom note. The
+    # num/den fragments are defined ONCE and shared between base_copies
+    # (via the wrap-safe helper) and the remainder fraction below.
+    _DEN_SQL = "CAST(s_total AS DECIMAL(38,0)) * n_l"
     num = F.expr("CAST(n_total AS DECIMAL(38,0)) * s_l")
-    den = F.expr("CAST(s_total AS DECIMAL(38,0)) * n_l")
+    den = F.expr(_DEN_SQL)
     rates = lc.crossJoin(F.broadcast(tot)).select(
         "lang",
-        F.expr(
-            "CAST(CAST(n_total AS DECIMAL(38,0)) * s_l "
-            "div (CAST(s_total AS DECIMAL(38,0)) * n_l) AS BIGINT)"
-        ).alias("base_copies"),
+        decimal_scaled_div_fx("n_total", "s_l", _DEN_SQL).alias("base_copies"),
         F.floor(
             ((num % den).cast("double") / den.cast("double")) * F.lit(_TEMP_DOMAIN)
         )

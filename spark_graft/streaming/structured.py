@@ -1003,11 +1003,11 @@ def _mixture_drift_from_counts(counts: DataFrame, ref: dict[str, int]) -> DataFr
     # (code-review r14). floor-div of nonneg decimals == int64 div, so
     # the contract (and the batch twin, which shares this helper) is
     # unchanged below the wrap point.
+    from spark_graft.functions import decimal_scaled_div_fx
+
     share = F.when(
         F.col("t_total") > 0,
-        F.expr(
-            f"CAST(n_tokens AS DECIMAL(38,0)) * {MIXTURE_SCALE} div t_total"
-        ),
+        decimal_scaled_div_fx("n_tokens", MIXTURE_SCALE, "t_total"),
     ).otherwise(F.lit(0))
     ref_share = F.coalesce(
         *[F.when(F.col("lang") == l, F.lit(int(v))) for l, v in sorted(ref.items())],
@@ -1101,7 +1101,9 @@ def ewma_stream(events: DataFrame) -> DataFrame:
     Bit-equivalence contract with the batch twin: the Python fold
     mirrors the batch lag-chain's EXPRESSION TREE (terms in k order,
     left-fold addition, each term value / 2^k — exact IEEE scaling),
-    missing terms contribute exactly 0.0 to both sums, and the final
+    missing OR NULL terms contribute exactly 0.0 to both sums (NaN
+    values are treated as NULL — Arrow's float64 erases the
+    distinction), and the final
     round(6) happens SPARK-SIDE on the raw double, so stream == batch
     bit-for-bit on in-order replay. Ordered-arrival precondition per
     user (the CEP family's contract without its reorder buffer): rows
@@ -1113,21 +1115,35 @@ def ewma_stream(events: DataFrame) -> DataFrame:
     from spark_graft.operators.events import EWMA_DEPTH
 
     def update(key, pdfs, state: GroupState):
+        # a group's rows can arrive as SEVERAL Arrow chunks in
+        # nondeterministic order (one chunk per maxRecordsPerBatch) —
+        # concat first, ONE sort, exactly like the CEP matcher's
+        # reorder handling; sorting each chunk independently would
+        # interleave event-time ranges (code-review r14)
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["ts", "event_id"]
+        )
         hist = list(state.get[0]) if state.exists else []  # oldest first
         rows: list[tuple] = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for eid, ts, v in zip(pdf["event_id"], pdf["ts"], pdf["value"]):
-                v = float(v)
-                window = ([v] + hist[::-1])[:EWMA_DEPTH]  # newest first
-                num, den = 0.0, 0.0
-                for k, x in enumerate(window):
+        for eid, ts, v in zip(pdf["event_id"], pdf["ts"], pdf["value"]):
+            # null values: pandas float64 erases the NULL/NaN
+            # distinction, so both are treated as the batch twin's NULL
+            # lag — the slot still SHIFTS the window (hist keeps a
+            # placeholder) but contributes 0 to numerator AND
+            # denominator, renormalizing exactly like the batch
+            # coalesce/CASE terms (code-review r14)
+            v = None if pd.isna(v) else float(v)
+            window = ([v] + hist[::-1])[:EWMA_DEPTH]  # newest first
+            num, den = 0.0, 0.0
+            for k, x in enumerate(window):
+                if x is not None:
                     num = num + x / float(1 << k)
                     den = den + 1.0 / float(1 << k)
-                rows.append((int(eid), int(key[0]), ts, v, num / den))
-                hist.append(v)
-                if len(hist) > EWMA_DEPTH - 1:
-                    hist = hist[-(EWMA_DEPTH - 1):]
+            ewma = num / den if den else float("nan")
+            rows.append((int(eid), int(key[0]), ts, v, ewma))
+            hist.append(v)
+            if len(hist) > EWMA_DEPTH - 1:
+                hist = hist[-(EWMA_DEPTH - 1):]
         state.update((hist,))
         yield pd.DataFrame(
             rows, columns=["event_id", "user_id", "ts", "value", "ewma_raw"]

@@ -1767,3 +1767,64 @@ def test_ewma_stream_equals_batch_on_ordered_replay(spark, sf_dir, tmp_path):
     )
     assert_frames_match(out.toPandas(), batch.toPandas(), "ewma stream==batch")
     assert out.count() == len(ev)
+
+
+def test_ewma_stream_null_values_renormalize_like_batch(spark, tmp_path):
+    """A NULL event value must shift the window but contribute 0 to both
+    sums in the stream, exactly like the batch twin's coalesce/CASE
+    terms: stream == batch on a planted timeline containing NULLs, and
+    the post-NULL averages are finite and renormalized (not NaN)."""
+    import math
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_graft.registry import REGISTRY
+    from spark_graft.streaming import ewma_stream, run_stream_to_memory
+
+    d = tmp_path / "nulls"
+    d.mkdir()
+    rows = [
+        (0, "2024-01-01 10:00:00", 1, 4.0),
+        (1, "2024-01-01 10:01:00", 1, None),
+        (2, "2024-01-01 10:02:00", 1, 8.0),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [pd_ts for pd_ts in __import__("pandas").to_datetime([r[1] for r in rows])],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array(["view"] * 3, pa.string()),
+            "value": pa.array([r[3] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * 3, pa.string()),
+        }
+    )
+    os.makedirs(d / "events.parquet")
+    pq.write_table(tbl, str(d / "events.parquet" / "part-0.parquet"))
+
+    batch = {
+        r["event_id"]: r["ewma"]
+        for r in REGISTRY["ts_ewma"].fn(spark, str(d)).collect()
+    }
+    # hand-check: e1 sees (NULL, 4/2) over weights (0, 1/2) -> 4.0;
+    # e2 sees (8, NULL, 4/4) over (1, 0, 1/4) -> 9/1.25 = 7.2
+    assert batch[0] == 4.0 and batch[1] == 4.0 and batch[2] == 7.2
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(str(d / "events.parquet"))
+    )
+    out = {
+        r["event_id"]: r["ewma"]
+        for r in run_stream_to_memory(ewma_stream(stream), mode="append").collect()
+    }
+    assert out == batch
+    assert all(not math.isnan(v) for v in out.values())

@@ -866,18 +866,29 @@ def test_fixed_point_scaled_division_survives_int64_wrap_regime(spark):
     must stay exact where a plain int64 product would wrap negative:
     counts of 2e13 (> 2^63 / 10^6) and the 1024*n^1.5 temperature
     numerator at 1e11 docs."""
-    r = spark.sql(
-        "SELECT CAST(CAST(20000000000000 AS DECIMAL(38,0)) * 1000000 "
-        "div 30000000000000 AS BIGINT) AS prob_fx"
-    ).collect()[0]
+    from spark_graft.functions import decimal_scaled_div_fx
+
+    # drive the SAME helper the operators call (events_transitions,
+    # sample_temperature, the mixture monitor), not a hand-copied SQL
+    # string — a revert to plain int64 in the helper fails here
+    r = (
+        spark.range(1)
+        .select(decimal_scaled_div_fx("20000000000000", 1000000, "30000000000000").alias("prob_fx"))
+        .collect()[0]
+    )
     assert r["prob_fx"] == 666666  # exact 2/3 in micro-units
 
     # temperature rational at 1e11 docs, one lang: num = n * s, s ~
     # floor(sqrt(n)*1024) = 323817047.6.. -> 323817047; den = s * n
     # (single-language corpus) -> base_copies exactly 1
     n, s = 100_000_000_000, 323_817_047
-    r = spark.sql(
-        f"SELECT CAST(CAST({n} AS DECIMAL(38,0)) * {s} "
-        f"div (CAST({s} AS DECIMAL(38,0)) * {n}) AS BIGINT) AS base"
-    ).collect()[0]
+    r = (
+        spark.range(1)
+        .select(
+            decimal_scaled_div_fx(
+                str(n), s, f"CAST({s} AS DECIMAL(38,0)) * {n}"
+            ).alias("base")
+        )
+        .collect()[0]
+    )
     assert r["base"] == 1
