@@ -30,66 +30,47 @@ __all__ = ["REGISTRY", "QuerySpec", "query", "load_all_queries"]
 #   tier 0 — never driver-verified, or modified this round (an edit to
 #            a query fn or its oracle invalidates prior verification,
 #            so edited queries must re-enter the window);
-#   tier 1 — hash-green last in CORRECTNESS_r11 (3 rounds stale,
+#   tier 1 — hash-green last in CORRECTNESS_r12 (3 rounds stale,
 #            highest priority among unmodified queries);
-#   tier 2 — hash-green last in CORRECTNESS_r12 (2 rounds stale);
-#   tier 3 — hash-green in CORRECTNESS_r13 on code unchanged since.
+#   tier 2 — hash-green last in CORRECTNESS_r13 (2 rounds stale);
+#   tier 3 — hash-green in CORRECTNESS_r14 on code unchanged since.
 # Refresh these sets from CORRECTNESS_r{N}.json at the start of each
 # round, and add every query touched during the round to
 # _MODIFIED_THIS_ROUND.
 
-# Queries whose implementation changed during ROUND 14 — tier 0, the
+# Queries whose implementation changed during ROUND 15 — tier 0, the
 # driver must re-verify them on the new code:
-# - dedup_substring: VERDICT r13 item 7 — short-doc fast path skipping
-#   flag-array construction for docs with no covered starts (the common
-#   case in a deduped corpus); hash-identical rows, cheaper plan.
-# (The nine queries NEW in round 14 — sample_temperature,
-# sample_reservoir, agg_weighted_quantile, text_diversity, rank_fusion,
-# pipeline_curriculum, pipeline_preference_pairs, events_transitions,
-# ts_ewma — are tier 0 automatically via the never-driver-verified
-# fallback.)
+# - ts_ewma: ADVICE r14 item 1 — NaN-to-NULL normalization on ingest so
+#   batch and ewma_stream share one NULL/NaN convention.
+# - agg_weighted_quantile: ADVICE r14 item 2 — explicit floor() before
+#   the bigint weight cast on both engines.
+# - sample_temperature: ADVICE r14 item 3 — clamp frac_fx at 2^32-1 so
+#   the >2^53 denominator saturation regime is explicit.
+# (Queries NEW in round 15 — dedup_url etc. — are tier 0 automatically
+# via the never-driver-verified fallback.)
 _MODIFIED_THIS_ROUND = frozenset(
-    """dedup_substring""".split()
+    """ts_ewma agg_weighted_quantile sample_temperature""".split()
 )
 
-# Green last in CORRECTNESS_r11.json — 3 rounds stale, the 26 names
-# VERDICT r13 item 2 lists; they rotate into round 14's window right
+# Green last in CORRECTNESS_r12.json — 3 rounds stale, the 34 names
+# VERDICT r14 item 1 lists; they rotate into round 15's window right
 # after the tier-0 set. After this round's driver run nothing should be
-# older than r12.
-_VERIFIED_R11_ONLY = frozenset(
-    """agg_pivot agg_q1 agg_sketch_hll decontaminate dedup_incremental
-    dedup_incremental_minhash dedup_minhash fn_map global_sort
-    graph_pagerank graph_triangles grouping_cube grouping_rollup
-    join_broadcast join_multi join_outer min_unique_prefix
-    mixture_weights pipeline_clean_corpus pipeline_pack_sequences
-    sample_stratified set_ops sim_ann_pq source_stats topk_per_group
-    unpivot_measures""".split()
-)
-
-# Green last in CORRECTNESS_r12.json — 2 rounds stale; the first
-# 50 - |tier0| - 26 of these (registration order) fill the rest of
-# round 14's window, the remainder roll to round 15.
+# older than r13.
 _VERIFIED_R12_ONLY = frozenset(
-    """agg_histogram agg_sketch_cms agg_skew_salted dedup_containment
-    dedup_embedding dedup_ngram_jaccard events_attribution events_funnel
-    fill_forward fn_array fn_datetime fn_math_decimal fn_string
-    fn_struct join_asof join_bloom join_inner join_q2_shape
-    join_semi_anti join_skew_salted join_theta_range kmeans_lloyd
-    lm_next_token multimodal_decode multimodal_dedup multimodal_frames
-    multimodal_meta multimodal_resize pipeline_pretrain_corpus
+    """agg_histogram agg_sketch_cms dedup_containment dedup_embedding
+    dedup_ngram_jaccard events_attribution events_funnel fill_forward
+    fn_array fn_datetime fn_math_decimal fn_string fn_struct join_asof
+    join_bloom join_inner join_q2_shape join_semi_anti join_theta_range
+    kmeans_lloyd multimodal_resize pipeline_pretrain_corpus
     quality_classifier recursive_reachability sim_ann_ivf sim_ann_lsh
-    sim_cosine_topk stream_session stream_tumbling text_chunks
-    text_fingerprint text_lm_score text_repetition text_split
-    ts_resample vocab_fertility vocab_pair_counts win_lag win_range
-    win_rank win_running""".split()
+    sim_cosine_topk stream_session stream_tumbling ts_resample win_lag
+    win_range win_rank win_running""".split()
 )
 
-# Green (rows+schema+hash) in CORRECTNESS_r13.json — freshest; these
-# sit out round 14's window provided their code does not change.
-# (dedup_substring, r13-green, is EXCLUDED because the round-14 fast
-# path moved it to _MODIFIED_THIS_ROUND — the sets stay disjoint so
-# the simulated window arithmetic is exact.)
-_VERIFIED_R13 = frozenset(
+# Green last in CORRECTNESS_r13.json — 2 rounds stale; the first
+# 50 - |tier0| - 34 of these (registration order) fill the rest of
+# round 15's window, the remainder roll to round 16.
+_VERIFIED_R13_ONLY = frozenset(
     """agg_approx agg_approx_percentile agg_bool_all agg_corr_exact
     agg_distinct agg_percentile agg_sketch_kmv dedup_clusters
     dedup_exact dedup_semantic dedup_simhash dedup_span_fraction
@@ -104,16 +85,38 @@ _VERIFIED_R13 = frozenset(
     win_gaps_islands word_count""".split()
 )
 
+# Green (rows+schema+hash) in CORRECTNESS_r14.json — freshest; these
+# sit out round 15's window provided their code does not change.
+# (ts_ewma, agg_weighted_quantile, sample_temperature — r14-green —
+# are EXCLUDED because round-15 ADVICE fixes moved them to
+# _MODIFIED_THIS_ROUND; the sets stay disjoint so the simulated window
+# arithmetic is exact.)
+_VERIFIED_R14 = frozenset(
+    """agg_pivot agg_q1 agg_sketch_hll agg_skew_salted decontaminate
+    dedup_incremental dedup_incremental_minhash dedup_minhash
+    dedup_substring events_transitions fn_map global_sort graph_pagerank
+    graph_triangles grouping_cube grouping_rollup join_broadcast
+    join_multi join_outer join_skew_salted lm_next_token
+    min_unique_prefix mixture_weights multimodal_decode multimodal_dedup
+    multimodal_frames multimodal_meta pipeline_clean_corpus
+    pipeline_curriculum pipeline_pack_sequences
+    pipeline_preference_pairs rank_fusion sample_reservoir
+    sample_stratified set_ops sim_ann_pq source_stats text_chunks
+    text_diversity text_fingerprint text_lm_score text_repetition
+    text_split topk_per_group unpivot_measures vocab_fertility
+    vocab_pair_counts""".split()
+)
+
 
 def _staleness_tier(name: str) -> int:
     """0 = needs verification now … 3 = freshest verification."""
     if name in _MODIFIED_THIS_ROUND:
         return 0
-    if name in _VERIFIED_R11_ONLY:
-        return 1
     if name in _VERIFIED_R12_ONLY:
+        return 1
+    if name in _VERIFIED_R13_ONLY:
         return 2
-    if name in _VERIFIED_R13:
+    if name in _VERIFIED_R14:
         return 3
     return 0  # never driver-verified
 

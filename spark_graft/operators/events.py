@@ -1044,9 +1044,14 @@ _EWMA_NUM, _EWMA_DEN = _ewma_terms_sql()
 @query(
     "ts_ewma",
     oracle=f"""
+        WITH ev AS (
+            SELECT event_id, user_id, ts,
+                   CASE WHEN isnan(value) THEN NULL ELSE value END AS value
+            FROM events
+        )
         SELECT event_id, user_id, ts, value,
                round(({_EWMA_NUM}) / ({_EWMA_DEN}), 6) AS ewma
-        FROM events
+        FROM ev
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
 )
@@ -1066,11 +1071,22 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     available terms (missing lags contribute 0 to both numerator and
     denominator), so the first event's EWMA is its own value.
 
+    NULL/NaN convention (shared with ewma_stream, per ADVICE r14): a
+    genuine NaN value is normalized to NULL at ingest on BOTH engines
+    (pandas float64 erases the NULL/NaN distinction inside the
+    stream's state fold, so NULL is the one representation the twins
+    can agree on); the passthrough `value` column re-emits that NULL.
+    NULL/NaN slots still shift the window but contribute 0 to both
+    sums. An all-NULL window yields ewma = 0.0/0.0 = NaN in both
+    engines.
+
     Scale shape: ONE window on the family's per-user (ts, event_id)
     sort; all EWMA_DEPTH lag() calls share the single window spec, so
     Spark plans one Window operator with one Exchange — O(depth) state
     per user timeline, a pure streaming pass."""
-    ev = table(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events").withColumn(
+        "value", F.nanvl(F.col("value"), F.lit(None).cast("double"))
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     num = None
     den = None

@@ -198,10 +198,10 @@ _TEMP_DOMAIN = 4294967296.0  # 2^32, md5_bucket_raw's value domain
         rates AS (
             SELECT lang,
                    (t.n_total * s_l) // (t.s_total * n_l) AS base_copies,
-                   CAST(floor(
+                   least(CAST(floor(
                        (CAST((t.n_total * s_l) % (t.s_total * n_l) AS DOUBLE)
                         / CAST(t.s_total * n_l AS DOUBLE)) * {_TEMP_DOMAIN}
-                   ) AS BIGINT) AS frac_fx
+                   ) AS BIGINT), {_TEMP_DOMAIN - 1}) AS frac_fx
             FROM lc CROSS JOIN tot t
         )
         SELECT d.doc_id, d.lang,
@@ -236,7 +236,13 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     int->double conversions of remainder and denominator may ROUND —
     equality holds because both engines apply the same IEEE
     round-to-nearest conversion, not because the values are exact;
-    do not reorder the frac arithmetic.)
+    do not reorder the frac arithmetic. When that rounding lands
+    remainder/den on exactly 1.0, frac_fx would hit 2^32 and EVERY doc
+    of the language would take the +1 copy — md5 buckets are always
+    < 2^32 — overshooting the declared rational by up to one copy per
+    doc; both engines clamp frac_fx to 2^32 - 1 so the saturation
+    regime caps at the all-but-one-bucket rate instead, per ADVICE
+    r14.)
 
     Plan shape: one groupBy(lang) collapses the corpus to a handful of
     rows; rates are derived with a broadcast 1-row totals crossJoin; the
@@ -260,11 +266,13 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     rates = lc.crossJoin(F.broadcast(tot)).select(
         "lang",
         decimal_scaled_div_fx("n_total", "s_l", _DEN_SQL).alias("base_copies"),
-        F.floor(
-            ((num % den).cast("double") / den.cast("double")) * F.lit(_TEMP_DOMAIN)
-        )
-        .cast("bigint")
-        .alias("frac_fx"),
+        F.least(
+            F.floor(
+                ((num % den).cast("double") / den.cast("double"))
+                * F.lit(_TEMP_DOMAIN)
+            ).cast("bigint"),
+            F.lit(_TEMP_DOMAIN - 1),
+        ).alias("frac_fx"),
     )
     n_copies = F.col("base_copies") + F.when(
         _md5_bucket_raw("temp:", F.col("doc_id")) < F.col("frac_fx"), F.lit(1)

@@ -385,7 +385,7 @@ WQ_TARGETS = (50, 90)
     oracle=f"""
         WITH hist AS (
             SELECT l_returnflag, l_extendedprice,
-                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+                   CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS w
             FROM lineitem GROUP BY l_returnflag, l_extendedprice
         ),
         cum AS (
@@ -425,14 +425,19 @@ def agg_weighted_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     lower weighted quantile (smallest value whose cumulative weight
     reaches q% of total): with integer weights the comparison
     100*cum >= q*total is exact int64 in both engines, no float
-    boundary to disagree on. l_quantity is integral in TPC-H; the
-    BIGINT cast makes the contract explicit."""
+    boundary to disagree on. Weights are floor(l_quantity) BY CONTRACT
+    (explicit on both engines, per ADVICE r14): a bare bigint cast
+    truncates toward zero in Spark but rounds half-away in DuckDB, so
+    a fixture with fractional quantities would silently flip the hash
+    gate; floor() first makes the two casts provably identical
+    (l_quantity is integral in TPC-H, so the data answer is
+    unchanged)."""
     from pyspark.sql import Window
 
     li = table(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         "l_extendedprice",
-        F.col("l_quantity").cast("bigint").alias("q"),
+        F.floor("l_quantity").cast("bigint").alias("q"),
     )
     hist = li.groupBy("l_returnflag", "l_extendedprice").agg(
         F.sum("q").alias("w")

@@ -1101,11 +1101,15 @@ def ewma_stream(events: DataFrame) -> DataFrame:
     Bit-equivalence contract with the batch twin: the Python fold
     mirrors the batch lag-chain's EXPRESSION TREE (terms in k order,
     left-fold addition, each term value / 2^k — exact IEEE scaling),
-    missing OR NULL terms contribute exactly 0.0 to both sums (NaN
-    values are treated as NULL — Arrow's float64 erases the
-    distinction), and the final
-    round(6) happens SPARK-SIDE on the raw double, so stream == batch
-    bit-for-bit on in-order replay. Ordered-arrival precondition per
+    missing OR NULL terms contribute exactly 0.0 to both sums, and the
+    final round(6) happens SPARK-SIDE on the raw double, so stream ==
+    batch bit-for-bit on in-order replay. Shared NULL/NaN convention
+    (ADVICE r14): both twins normalize genuine NaN values to NULL at
+    ingest — pandas float64 erases the NULL/NaN distinction inside the
+    state fold, so the passthrough `value` column is nanvl-masked back
+    to NULL on output, matching batch ts_ewma's ingest normalization;
+    the computed `ewma` is NOT masked (an all-NULL window is NaN in
+    both twins). Ordered-arrival precondition per
     user (the CEP family's contract without its reorder buffer): rows
     are sorted within each micro-batch, and cross-batch order is the
     source's responsibility."""
@@ -1162,5 +1166,12 @@ def ewma_stream(events: DataFrame) -> DataFrame:
         )
     )
     return out.select(
-        "event_id", "user_id", "ts", "value", F.round("ewma_raw", 6).alias("ewma")
+        "event_id",
+        "user_id",
+        "ts",
+        # Arrow re-emits the fold's None placeholders as float64 NaN;
+        # mask back to NULL so the passthrough matches batch ts_ewma's
+        # NaN-to-NULL ingest convention bit-for-bit
+        F.nanvl(F.col("value"), F.lit(None).cast("double")).alias("value"),
+        F.round("ewma_raw", 6).alias("ewma"),
     )

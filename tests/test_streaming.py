@@ -1828,3 +1828,69 @@ def test_ewma_stream_null_values_renormalize_like_batch(spark, tmp_path):
     }
     assert out == batch
     assert all(not math.isnan(v) for v in out.values())
+
+
+def test_ewma_stream_nan_values_share_null_convention(spark, tmp_path):
+    """ADVICE r14: a genuine NaN double input must behave exactly like
+    NULL in BOTH twins — normalized to NULL at ingest, window slot
+    shifts, contributes 0 to both sums, and the passthrough `value`
+    column re-emits NULL (not NaN) from batch AND stream. This is the
+    one convention pandas float64 state can honor, so it is the
+    contract."""
+    import math
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_graft.registry import REGISTRY
+    from spark_graft.streaming import ewma_stream, run_stream_to_memory
+
+    d = tmp_path / "nans"
+    d.mkdir()
+    rows = [
+        (0, "2024-01-01 10:00:00", 1, 4.0),
+        (1, "2024-01-01 10:01:00", 1, float("nan")),  # genuine NaN, not NULL
+        (2, "2024-01-01 10:02:00", 1, 8.0),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                list(pd.to_datetime([r[1] for r in rows])), pa.timestamp("us")
+            ),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array(["view"] * 3, pa.string()),
+            "value": pa.array([r[3] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * 3, pa.string()),
+        }
+    )
+    # parquet stores the NaN as a present (non-null) float64 NaN
+    assert tbl.column("value").null_count == 0
+    os.makedirs(d / "events.parquet")
+    pq.write_table(tbl, str(d / "events.parquet" / "part-0.parquet"))
+
+    batch_rows = {
+        r["event_id"]: (r["value"], r["ewma"])
+        for r in REGISTRY["ts_ewma"].fn(spark, str(d)).collect()
+    }
+    # identical to the planted-NULL timeline: e1 -> 4.0, e2 -> 7.2
+    assert batch_rows[0] == (4.0, 4.0)
+    assert batch_rows[1] == (None, 4.0)  # NaN normalized to NULL at ingest
+    assert batch_rows[2] == (8.0, 7.2)
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(str(d / "events.parquet"))
+    )
+    out_rows = {
+        r["event_id"]: (r["value"], r["ewma"])
+        for r in run_stream_to_memory(ewma_stream(stream), mode="append").collect()
+    }
+    assert out_rows == batch_rows
+    assert all(not math.isnan(v) for _, v in out_rows.values())
