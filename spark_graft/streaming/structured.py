@@ -1089,7 +1089,9 @@ def build_mixture_reference(spark: SparkSession, sf_dir: str) -> dict[str, int]:
 # --------------------------------------------------------- streaming EWMA
 
 
-def ewma_stream(events: DataFrame) -> DataFrame:
+def ewma_stream(
+    events: DataFrame, reorder_delay: str | None = None
+) -> DataFrame:
     """Streaming per-user EWMA — the stateful twin of batch `ts_ewma`
     (operators.events): every arriving event is annotated with the
     exponentially-weighted moving average of its user's last EWMA_DEPTH
@@ -1110,13 +1112,46 @@ def ewma_stream(events: DataFrame) -> DataFrame:
     to NULL on output, matching batch ts_ewma's ingest normalization;
     the computed `ewma` is NOT masked (an all-NULL window is NaN in
     both twins). Ordered-arrival precondition per
-    user (the CEP family's contract without its reorder buffer): rows
-    are sorted within each micro-batch, and cross-batch order is the
-    source's responsibility."""
+    user (the CEP family's contract without its reorder buffer): with
+    the default ``reorder_delay=None`` rows are sorted within each
+    micro-batch, and cross-batch order is the source's responsibility.
+
+    ``reorder_delay`` (e.g. "48 hours") lifts that precondition
+    (VERDICT r14 item 2) with the SAME event-time re-order buffer
+    cep_pattern_stream fronts an unordered stream with: the source is
+    watermarked on ts, each user's arriving events are held in state,
+    and only events whose event time the watermark has PASSED are
+    released — in (ts, event_id) order — to the EWMA fold. Rows later
+    than the delay are dropped by Spark's watermark filter before the
+    operator (the documented bounded-late-data contract). Per-user
+    state is the in-flight window (events within the delay of the
+    watermark frontier) plus the O(depth) ring buffer; an event-time
+    timeout re-invokes idle groups when the watermark passes their
+    oldest buffered event, so the tail flushes without new data for
+    that user. NULL event times are dropped in this mode (event-time
+    order is undefined for them), and event times are compared to the
+    watermark as UTC epoch micros computed JVM-side (unix_micros), so
+    the buffer is correct under ANY session timezone; the output `ts`
+    is rebuilt JVM-side with timestamp_micros for the same reason."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     from spark_graft.operators.events import EWMA_DEPTH
+
+    def _step(hist: list, v):
+        """One EWMA fold step — mirrors the batch lag-chain's expression
+        tree exactly (k-order terms, left-fold addition, value / 2^k).
+        Returns (ewma, advanced hist). Shared verbatim by the ordered
+        and reorder paths so the two cannot drift."""
+        window = ([v] + hist[::-1])[:EWMA_DEPTH]  # newest first
+        num, den = 0.0, 0.0
+        for k, x in enumerate(window):
+            if x is not None:
+                num = num + x / float(1 << k)
+                den = den + 1.0 / float(1 << k)
+        ewma = num / den if den else float("nan")
+        hist = (hist + [v])[-(EWMA_DEPTH - 1):]
+        return ewma, hist
 
     def update(key, pdfs, state: GroupState):
         # a group's rows can arrive as SEVERAL Arrow chunks in
@@ -1137,22 +1172,97 @@ def ewma_stream(events: DataFrame) -> DataFrame:
             # denominator, renormalizing exactly like the batch
             # coalesce/CASE terms (code-review r14)
             v = None if pd.isna(v) else float(v)
-            window = ([v] + hist[::-1])[:EWMA_DEPTH]  # newest first
-            num, den = 0.0, 0.0
-            for k, x in enumerate(window):
-                if x is not None:
-                    num = num + x / float(1 << k)
-                    den = den + 1.0 / float(1 << k)
-            ewma = num / den if den else float("nan")
+            ewma, hist = _step(hist, v)
             rows.append((int(eid), int(key[0]), ts, v, ewma))
-            hist.append(v)
-            if len(hist) > EWMA_DEPTH - 1:
-                hist = hist[-(EWMA_DEPTH - 1):]
         state.update((hist,))
         yield pd.DataFrame(
             rows, columns=["event_id", "user_id", "ts", "value", "ewma_raw"]
         )
 
+    def update_reorder(key, pdfs, state: GroupState):
+        if state.exists:
+            hist, bts, beid, bval = state.get
+            hist, bts, beid, bval = (
+                list(hist), list(bts), list(beid), list(bval)
+            )
+        else:
+            hist, bts, beid, bval = [], [], [], []
+        chunks = [c for c in pdfs if len(c)]
+        if chunks:  # timeout invocations arrive with no data
+            batch = pd.concat(chunks, ignore_index=True)
+            # ts_us was computed JVM-side by unix_micros (UTC epoch),
+            # matching getCurrentWatermarkMs' epoch — see
+            # cep_pattern_stream's update_reorder for why pandas
+            # timestamps cannot be compared to the watermark directly
+            bts.extend(int(v) for v in batch["ts_us"])
+            beid.extend(int(v) for v in batch["event_id"])
+            bval.extend(
+                None if pd.isna(v) else float(v) for v in batch["value"]
+            )
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        order = sorted(range(len(bts)), key=lambda i: (bts[i], beid[i]))
+        # release strictly BELOW the watermark: a row AT the watermark
+        # may still arrive (Spark only guarantees no row OLDER than it)
+        rel = [i for i in order if bts[i] < wm_us]
+        keep = [i for i in order if bts[i] >= wm_us]
+        rows: list[tuple] = []
+        for i in rel:
+            ewma, hist = _step(hist, bval[i])
+            rows.append((beid[i], int(key[0]), bts[i], bval[i], ewma))
+        bts, beid = [bts[i] for i in keep], [beid[i] for i in keep]
+        bval = [bval[i] for i in keep]
+        state.update((hist, bts, beid, bval))
+        if bts:
+            # wake this group when the watermark passes its oldest
+            # buffered event (timestamp must exceed the current
+            # watermark by contract; only the == edge needs the max)
+            state.setTimeoutTimestamp(
+                max(min(bts) // 1000, state.getCurrentWatermarkMs() + 1)
+            )
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=["event_id", "user_id", "ts_us", "value", "ewma_raw"],
+            )
+
+    # Arrow re-emits the fold's None placeholders as float64 NaN; mask
+    # back to NULL so the passthrough matches batch ts_ewma's
+    # NaN-to-NULL ingest convention bit-for-bit
+    value_out = F.nanvl(F.col("value"), F.lit(None).cast("double")).alias(
+        "value"
+    )
+    if reorder_delay is not None:
+        out = (
+            events.filter(F.col("ts").isNotNull())
+            .withWatermark("ts", reorder_delay)
+            # ts itself stays in the projection: the event-time timeout
+            # requires the watermarked column to reach the stateful
+            # operator (the fold reads only the JVM-computed ts_us)
+            .select(
+                "event_id",
+                "user_id",
+                "ts",
+                F.unix_micros("ts").alias("ts_us"),
+                "value",
+            )
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                update_reorder,
+                "event_id bigint, user_id bigint, ts_us bigint, "
+                "value double, ewma_raw double",
+                "hist array<double>, bts array<bigint>, beid array<bigint>, "
+                "bval array<double>",
+                "append",
+                GroupStateTimeout.EventTimeTimeout,
+            )
+        )
+        return out.select(
+            "event_id",
+            "user_id",
+            F.timestamp_micros("ts_us").alias("ts"),
+            value_out,
+            F.round("ewma_raw", 6).alias("ewma"),
+        )
     out = (
         events.select("event_id", "user_id", "ts", "value")
         .groupBy("user_id")
@@ -1169,9 +1279,6 @@ def ewma_stream(events: DataFrame) -> DataFrame:
         "event_id",
         "user_id",
         "ts",
-        # Arrow re-emits the fold's None placeholders as float64 NaN;
-        # mask back to NULL so the passthrough matches batch ts_ewma's
-        # NaN-to-NULL ingest convention bit-for-bit
-        F.nanvl(F.col("value"), F.lit(None).cast("double")).alias("value"),
+        value_out,
         F.round("ewma_raw", 6).alias("ewma"),
     )

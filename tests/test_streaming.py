@@ -1310,6 +1310,96 @@ def test_cep_reorder_buffer_survives_checkpoint_restart(spark, tmp_path):
     assert best["first_match_len"] == 3 and best["max_click_run"] == 1
 
 
+def test_ewma_reorder_buffer_survives_checkpoint_restart(spark, tmp_path):
+    """ewma_stream's reorder state — the ring buffer PLUS the buffered
+    (ts, event_id, value) arrays the watermark has not yet released —
+    must round-trip the state store across a process restart: run 1
+    ingests two of a user's values but terminates before the watermark
+    passes them (nothing emitted); run 2 is a brand-new query object on
+    the same checkpoint that reads ONLY a third value plus two
+    far-future flush events. The flush must release all THREE events
+    with EWMAs folded in true event-time order — the first two can only
+    have come from the restored buffer, and the third's window depends
+    on them through the restored fold."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_graft.streaming import ewma_stream
+
+    src, out = tmp_path / "ewma_ckpt_src", tmp_path / "ewma_ckpt_out"
+    src.mkdir()
+    ckpt = str(tmp_path / "ewma_ckpt")
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+            ("value", pa.float64()),
+        ]
+    )
+    T0 = 1_700_000_000_000_000  # us epoch, arbitrary fixed instant
+    MIN = 60 * 10**6
+
+    def add_file(name, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": [r[0] for r in rows],
+                    "ts": [r[1] for r in rows],
+                    "user_id": [r[2] for r in rows],
+                    "value": [r[3] for r in rows],
+                },
+                schema=schema,
+            ),
+            str(src / name),
+        )
+
+    def make_query():
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        emitted = ewma_stream(stream, reorder_delay="30 minutes")
+
+        def write_batch(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(str(out))
+
+        return (
+            emitted.writeStream.foreachBatch(write_batch)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    # run 1: two values arrive OUT of event-time order; the watermark
+    # never passes them, so nothing is emitted
+    add_file("f0.parquet", [(1, T0 + MIN, 1, 8.0), (0, T0, 1, 4.0)])
+    q1 = make_query()
+    q1.awaitTermination()
+    run1 = spark.read.parquet(str(out)).filter(F.col("user_id") == 1)
+    assert run1.count() == 0  # buffered, nothing released yet
+
+    # run 2: new query object, same checkpoint; only the third value +
+    # flush events are new input
+    add_file("f1.parquet", [(2, T0 + 2 * MIN, 1, 6.0)])
+    add_file("f2.parquet", [(10**9, T0 + 120 * MIN, -1, 0.0)])
+    add_file("f3.parquet", [(10**9 + 1, T0 + 180 * MIN, -1, 0.0)])
+    q2 = make_query()
+    q2.awaitTermination()
+    got = {
+        r["event_id"]: r["ewma"]
+        for r in spark.read.parquet(str(out))
+        .filter(F.col("user_id") == 1)
+        .collect()
+    }
+    # folded in (ts, event_id) order: 4.0; (8 + 4/2)/1.5; (6 + 8/2 + 4/4)/1.75
+    assert got == {0: 4.0, 1: round(10.0 / 1.5, 6), 2: round(11.0 / 1.75, 6)}
+
+
 def test_bpe_encode_stream_equals_batch_serve(spark, sf_dir, tmp_path):
     """Streaming tokenize-on-ingest == the batch artifact-served encode:
     train once (artifacts.train_and_save_bpe), replay the documents as 3
@@ -1828,6 +1918,106 @@ def test_ewma_stream_null_values_renormalize_like_batch(spark, tmp_path):
     }
     assert out == batch
     assert all(not math.isnan(v) for v in out.values())
+
+
+def test_ewma_stream_reorder_equals_batch_on_shuffled_arrival(
+    spark, sf_dir, tmp_path
+):
+    """VERDICT r14 item 2: ewma_stream's reorder_delay lifts the
+    ordered-arrival precondition with cep_pattern_stream's event-time
+    re-order buffer. Events are replayed in a deliberately SHUFFLED
+    arrival order — each displaced by a deterministic jitter up to
+    +-24h around its event time — through a 48-hour reorder_delay; the
+    buffer must hold events until the watermark passes them and feed
+    the EWMA fold in true (ts, event_id) order, so every emitted
+    annotation equals the batch ts_ewma row exactly. Two trailing
+    far-future flush files (dummy user) push the watermark past every
+    real event, so the event-time TIMEOUT path — not new per-user
+    data — is what releases the last buffered events."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_graft.registry import REGISTRY
+    from spark_graft.sources import table
+    from spark_graft.streaming import ewma_stream, run_stream_to_memory
+
+    D_US = 48 * 3600 * 10**6  # reorder window, microseconds
+    ev = (
+        table(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "value")
+        .toPandas()
+    )
+    ts_us = ev["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+    jitter = (ev["event_id"].to_numpy() * 2654435761) % D_US - D_US // 2
+    ev = ev.assign(_pkey=ts_us + jitter).sort_values(["_pkey", "event_id"])
+    inverted = sum(
+        list(g["event_id"]) != list(g.sort_values(["ts", "event_id"])["event_id"])
+        for _, g in ev.groupby("user_id")
+    )
+    assert inverted > 5, f"jitter displaced order for only {inverted} users"
+
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+            ("value", pa.float64()),
+        ]
+    )
+    src = tmp_path / "ewma_shuf_src"
+    src.mkdir()
+    now = time.time()
+    n_chunks = 5
+    cuts = [len(ev) * i // n_chunks for i in range(n_chunks + 1)]
+    for i in range(n_chunks):
+        chunk = ev.iloc[cuts[i]:cuts[i + 1]].drop(columns="_pkey")
+        t = pa.Table.from_pandas(chunk, preserve_index=False).cast(schema)
+        pq.write_table(t, str(src / f"c{i}.parquet"))
+        os.utime(src / f"c{i}.parquet", (now + i * 10, now + i * 10))
+    max_us = int(ts_us.max())
+    for j, off in enumerate((D_US + 24 * 3600 * 10**6, D_US + 48 * 3600 * 10**6)):
+        t = pa.table(
+            {
+                "event_id": [10**9 + j],
+                "ts": [max_us + off],
+                "user_id": [-1],
+                "value": [0.0],
+            },
+            schema=schema,
+        )
+        pq.write_table(t, str(src / f"flush{j}.parquet"))
+        os.utime(
+            src / f"flush{j}.parquet",
+            (now + (n_chunks + j) * 10, now + (n_chunks + j) * 10),
+        )
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+    try:
+        emitted = run_stream_to_memory(
+            ewma_stream(stream, reorder_delay="48 hours"), mode="append"
+        )
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+    out = emitted.filter(F.col("user_id") >= 0)
+    # every real event was eventually released from the buffer exactly once
+    assert out.count() == len(ev)
+    batch = (
+        REGISTRY["ts_ewma"].fn(spark, sf_dir)
+        .select("event_id", "user_id", "ts", "value", "ewma")
+    )
+    assert_frames_match(
+        out.toPandas(), batch.toPandas(), "ewma reorder stream==batch"
+    )
 
 
 def test_ewma_stream_nan_values_share_null_convention(spark, tmp_path):
