@@ -1804,3 +1804,142 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", F.col("_c").alias("containment"))
     )
     return cross_pairs.unionByName(dup_pairs)
+
+
+# ----------------------------------------------------------------- dedup_url
+
+URL_RATE_SCALE = 1_000_000  # fixed-point scale for per-host duplication rates
+
+# Deterministic raw-URL synthesis shared by both engines (the documents
+# table carries no URL column, so the operator plants one with exactly
+# the noise a crawler emits): scheme case + http/https mixing, host
+# case, a path that collides within a source, and a rotating tail of
+# tracking params / fragments / trailing slashes. Everything derives
+# from (doc_id, source) — no RNG, no transcendental, re-runnable and
+# append-stable. The path key is md5-derived (12 buckets), NOT a
+# doc_id modulus: the testdata assigns source by doc_id % n_sources,
+# so any modular path would collide only at lcm(modulus, n_sources) —
+# never inside the corpus — and the keep-first semantics would go
+# untested; the md5 bucket collides within every host at any sf.
+_URL_PATH_SQL = (
+    "CAST(CAST(conv(substring(md5(concat('url:', CAST(doc_id AS STRING))), "
+    "1, 8), 16, 10) AS BIGINT) % 12 AS STRING)"
+)
+_URL_RAW_SQL = (
+    "(CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END) || '://' || "
+    "(CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END) || "
+    f"'.Example.COM/page/' || {_URL_PATH_SQL} || "
+    "(CASE CAST(doc_id % 5 AS INT) "
+    " WHEN 0 THEN '?utm_source=feed' "
+    " WHEN 1 THEN '?utm_campaign=c' || CAST(doc_id % 4 AS STRING) || '&utm_medium=m' "
+    " WHEN 2 THEN '#sec' || CAST(doc_id % 7 AS STRING) "
+    " WHEN 3 THEN '/' ELSE '' END)"
+)
+
+
+def normalize_url(u: Column) -> Column:
+    """CCNet-style cheap URL normalizer — the first-pass gate every
+    crawl pipeline runs before any content hashing: lowercase, fold
+    http -> https, strip the fragment, strip an all-tracking query
+    string (utm_* params only — a real id=... query survives), strip
+    one trailing slash. Narrow string expressions only; every regex is
+    leftmost-anchored or end-anchored so Java (Spark) and RE2 (DuckDB)
+    agree match-for-match."""
+    u = F.lower(u)
+    u = F.regexp_replace(u, r"^http://", "https://")
+    u = F.regexp_replace(u, r"#.*$", "")
+    u = F.regexp_replace(
+        u, r"\?utm_[a-z]+=[a-z0-9]*(&utm_[a-z]+=[a-z0-9]*)*$", ""
+    )
+    return F.regexp_replace(u, r"/$", "")
+
+
+@query(
+    "dedup_url",
+    oracle=f"""
+        WITH raw AS (
+            SELECT doc_id,
+                   (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END) || '://' ||
+                   (CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END) ||
+                   '.Example.COM/page/' ||
+                   CAST(CAST(('0x' || substr(md5('url:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                             AS BIGINT) % 12 AS VARCHAR) ||
+                   (CASE doc_id % 5
+                    WHEN 0 THEN '?utm_source=feed'
+                    WHEN 1 THEN '?utm_campaign=c' || CAST(doc_id % 4 AS VARCHAR) || '&utm_medium=m'
+                    WHEN 2 THEN '#sec' || CAST(doc_id % 7 AS VARCHAR)
+                    WHEN 3 THEN '/' ELSE '' END) AS url
+            FROM documents
+        ),
+        norm AS (
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(lower(url), '^http://', 'https://'),
+                         '#.*$', ''),
+                       '\\?utm_[a-z]+=[a-z0-9]*(&utm_[a-z]+=[a-z0-9]*)*$', ''),
+                     '/$', '') AS u
+            FROM raw
+        ),
+        per_url AS (
+            SELECT regexp_extract(u, '^https://([^/]+)', 1) AS host,
+                   md5(u) AS fp,
+                   min(doc_id) AS keep_doc_id,
+                   count(*) AS n_copies
+            FROM norm GROUP BY 1, 2
+        )
+        SELECT host,
+               CAST(sum(n_copies) AS BIGINT) AS n_docs,
+               count(*) AS n_urls,
+               CAST(sum(n_copies) - count(*) AS BIGINT) AS n_dupes,
+               ((CAST(sum(n_copies) AS BIGINT) - count(*)) * {URL_RATE_SCALE})
+                   // CAST(sum(n_copies) AS BIGINT) AS dup_rate_fx,
+               CAST(sum(keep_doc_id) AS BIGINT) AS kept_doc_id_sum
+        FROM per_url GROUP BY host
+    """,
+)
+def dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/host-level dedup — CCNet's cheap first-pass gate, run BEFORE
+    any content hashing: keep-first per NORMALIZED URL (min doc_id,
+    the dedup_exact contract on a different key) plus the per-host
+    duplication-rate scorecard crawl ops watch. Normalization is the
+    operator under test: case folding, http->https, fragment and
+    utm-tracking-param stripping, trailing-slash removal — the noise
+    that makes byte-identical pages look distinct to a naive exact
+    dedup.
+
+    Scale shape (same as dedup_exact, dedup.py:206): narrow string
+    expressions per row, then ONE shuffle keyed on the 16-byte md5 of
+    the normalized URL — documents' text never moves; the second
+    groupBy collapses per-URL rows to one row per host (bounded by
+    host cardinality, with map-side partials). At 100 TB this is the
+    cheapest dedup pass in the family, which is why pipelines run it
+    first. dup_rate_fx routes through decimal(38,0)
+    (functions.decimal_scaled_div_fx): n_dupes * 10^6 wraps int64 at
+    ~9.2e12 duplicate rows per host — inside crawl-scale territory."""
+    from spark_graft.functions import decimal_scaled_div_fx
+
+    docs = table(spark, sf_dir, "documents")
+    per_url = (
+        docs.select("doc_id", normalize_url(F.expr(_URL_RAW_SQL)).alias("u"))
+        .select(
+            "doc_id",
+            F.regexp_extract("u", r"^https://([^/]+)", 1).alias("host"),
+            F.md5("u").alias("fp"),
+        )
+        .groupBy("host", "fp")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+    return per_url.groupBy("host").agg(
+        F.sum("n_copies").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_urls"),
+        (F.sum("n_copies") - F.count(F.lit(1))).alias("n_dupes"),
+        decimal_scaled_div_fx(
+            "sum(n_copies) - count(1)", URL_RATE_SCALE, "sum(n_copies)"
+        ).alias("dup_rate_fx"),
+        F.sum("keep_doc_id").alias("kept_doc_id_sum"),
+    )

@@ -1061,3 +1061,21 @@ def test_ts_ewma_single_window_single_exchange(spark, sf_dir):
         if "Exchange" in l and "Reused" not in l and "Broadcast" not in l
     ]
     assert len(ex) == 1 and "hashpartitioning(user_id#" in ex[0], plan
+
+
+def test_dedup_url_two_exchanges_text_never_read(spark, sf_dir):
+    """dedup_url is the CHEAP first-pass gate: exactly one shuffle on
+    the (host, 16-byte md5) key plus the bounded per-host collapse —
+    and the parquet scan must NOT read `text` at all (column pruning is
+    the whole point of deduping on URLs before any content hashing)."""
+    df = q("dedup_url", spark, sf_dir)
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = sum(
+        1 for line in physical.splitlines()
+        if "Exchange" in line and "Reused" not in line
+    )
+    assert n_exchanges == 2, physical
+    plan = explain_str(df, "formatted")
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "doc_id" in read_schema and "source" in read_schema
+    assert "text" not in read_schema, read_schema

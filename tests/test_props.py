@@ -1967,3 +1967,88 @@ def test_ts_ewma_exact_values_and_start_renormalization(spark, tmp_path):
     assert got[2] == 4.0
     # constant series stays the constant at every depth
     assert all(got[10 + i] == 7.0 for i in range(4))
+
+
+def test_dedup_url_normalizer_litmus_cases(spark):
+    """normalize_url on literal URLs: every crawler-noise variant of a
+    page collapses to one canonical form, while a REAL (non-tracking)
+    query parameter survives — stripping it would merge distinct
+    pages."""
+    from spark_graft.operators.dedup import normalize_url
+
+    canon = "https://host.example.com/page/3"
+    cases = {
+        "HTTP://Host.Example.COM/page/3?utm_source=feed": canon,
+        "https://host.example.com/page/3#sec2": canon,
+        "https://host.example.com/page/3/": canon,
+        "https://host.example.com/page/3?utm_campaign=c1&utm_medium=m": canon,
+        "http://host.example.com/page/3": canon,
+        "https://host.example.com/page/3?id=7": canon + "?id=7",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "u string")
+    got = {
+        r["u"]: r["n"]
+        for r in df.select("u", normalize_url(F.col("u")).alias("n")).collect()
+    }
+    assert got == cases
+
+
+def test_dedup_url_scorecard_matches_pure_python(spark, tmp_path):
+    """dedup_url on a planted corpus == an independent pure-Python
+    replay of the whole contract (synthesis, normalization, keep-first,
+    per-host rates) — including at least one host where collisions are
+    KNOWN to exist so keep-first is actually exercised."""
+    import re
+    from collections import defaultdict
+
+    from spark_graft.operators.dedup import URL_RATE_SCALE
+    from spark_graft.registry import REGISTRY
+
+    d = tmp_path / "urls"
+    d.mkdir()
+    rows = [(i, f"doc {i}", "en", f"s{i % 3}") for i in range(90)]
+    _write_docs(spark, rows, d)
+
+    def synth(doc_id, source):
+        scheme = "https" if doc_id % 2 == 0 else "HTTP"
+        host = source.upper() if doc_id % 3 == 0 else source
+        bucket = _md5_raw_py("url:", doc_id) % 12
+        junk = {
+            0: "?utm_source=feed",
+            1: f"?utm_campaign=c{doc_id % 4}&utm_medium=m",
+            2: f"#sec{doc_id % 7}",
+            3: "/",
+        }.get(doc_id % 5, "")
+        return f"{scheme}://{host}.Example.COM/page/{bucket}{junk}"
+
+    def norm(u):
+        u = u.lower()
+        u = re.sub(r"^http://", "https://", u)
+        u = re.sub(r"#.*$", "", u)
+        u = re.sub(r"\?utm_[a-z]+=[a-z0-9]*(&utm_[a-z]+=[a-z0-9]*)*$", "", u)
+        return re.sub(r"/$", "", u)
+
+    per_url = defaultdict(list)
+    for i, _, _, src in rows:
+        per_url[norm(synth(i, src))].append(i)
+    want = defaultdict(lambda: [0, 0, 0])  # host -> [docs, urls, kept_sum]
+    for u, ids in per_url.items():
+        host = re.match(r"^https://([^/]+)", u).group(1)
+        want[host][0] += len(ids)
+        want[host][1] += 1
+        want[host][2] += min(ids)
+    got = {
+        r["host"]: r
+        for r in REGISTRY["dedup_url"].fn(spark, str(d)).collect()
+    }
+    assert set(got) == set(want)
+    for host, (n_docs, n_urls, kept) in want.items():
+        r = got[host]
+        assert (r["n_docs"], r["n_urls"], r["kept_doc_id_sum"]) == (
+            n_docs, n_urls, kept,
+        ), host
+        assert r["n_dupes"] == n_docs - n_urls
+        assert r["dup_rate_fx"] == (n_docs - n_urls) * URL_RATE_SCALE // n_docs
+    # the planted corpus must actually contain collisions, or keep-first
+    # went untested
+    assert sum(r["n_dupes"] for r in got.values()) > 0
