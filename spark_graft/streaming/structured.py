@@ -1282,3 +1282,82 @@ def ewma_stream(
         value_out,
         F.round("ewma_raw", 6).alias("ewma"),
     )
+
+
+# ---------------------------------------------------- streaming reservoir
+
+
+def reservoir_stream(docs: DataFrame) -> DataFrame:
+    """Streaming per-stratum reservoir — the stateful twin of batch
+    `sample_reservoir` (operators.pipeline): maintain exactly
+    min(K, stratum size) members per source as documents arrive, the
+    ingest-side feed for capacity-bounded consumers (eval-set carving,
+    human-review queues, per-source debug samples). Emits MEMBERSHIP
+    CHANGES per micro-batch: action='add' when a doc enters the
+    reservoir, action='evict' when a later lower-hash arrival displaces
+    it; the current membership is adds minus evicts, and the final
+    membership equals the batch twin's exactly.
+
+    Determinism contract (shared with the batch twin): membership is
+    the K lowest (md5_bucket_raw('res:', doc_id), doc_id) pairs seen so
+    far — an exchangeable uniform order computed JVM-SIDE by the same
+    expression as the batch window's sort key, so stream == batch
+    regardless of arrival order (reservoir-by-rank is ORDER-INVARIANT,
+    unlike the EWMA fold — no reorder buffer needed, no watermark).
+    Displacement is append-only: a doc's hash never changes, so once
+    evicted it can never re-qualify (tested), and re-delivery of a
+    current member is a no-op (the pool dedupes by doc_id — at-least-
+    once sources are absorbed).
+
+    Scale shape: per-source state is two arrays of K int64s — O(K) per
+    stratum, bounded forever. Each micro-batch's shuffle carries only
+    (source, doc_id, h) triples, never text; with K << batch size the
+    emitted change-log is at most 2K rows per stratum per batch."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from spark_graft.functions import md5_bucket_raw
+    from spark_graft.operators.pipeline import RESERVOIR_K
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            ids, hs = list(state.get[0]), list(state.get[1])
+        else:
+            ids, hs = [], []
+        pool = dict(zip(ids, hs))  # doc_id -> h; dedupes re-delivery
+        before = set(pool)
+        for pdf in pdfs:
+            for i, h in zip(pdf["doc_id"], pdf["h"]):
+                pool.setdefault(int(i), int(h))
+        kept = sorted(pool.items(), key=lambda kv: (kv[1], kv[0]))[
+            :RESERVOIR_K
+        ]
+        kept_ids = {i for i, _ in kept}
+        added = [(i, h) for i, h in kept if i not in before]
+        evicted = [(i, pool[i]) for i in sorted(before - kept_ids)]
+        state.update(
+            ([i for i, _ in kept], [h for _, h in kept])
+        )
+        rows = [
+            (key[0], i, h, "add") for i, h in added
+        ] + [(key[0], i, h, "evict") for i, h in evicted]
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=["source", "doc_id", "h", "action"]
+            )
+
+    return (
+        docs.select(
+            "source",
+            "doc_id",
+            md5_bucket_raw("res:", F.col("doc_id")).alias("h"),
+        )
+        .groupBy("source")
+        .applyInPandasWithState(
+            update,
+            "source string, doc_id bigint, h bigint, action string",
+            "ids array<bigint>, hs array<bigint>",
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -2084,3 +2084,143 @@ def test_ewma_stream_nan_values_share_null_convention(spark, tmp_path):
     }
     assert out_rows == batch_rows
     assert all(not math.isnan(v) for _, v in out_rows.values())
+
+
+def _reservoir_rank_py(doc_id: int) -> tuple:
+    import hashlib
+
+    return (
+        int(hashlib.md5(f"res:{doc_id}".encode()).hexdigest()[:8], 16),
+        doc_id,
+    )
+
+
+def test_reservoir_stream_equals_batch_and_is_order_invariant(
+    spark, sf_dir, tmp_path
+):
+    """Streaming per-source reservoir == batch sample_reservoir on the
+    FINAL membership (adds minus evicts), replayed as 3 micro-batches
+    in a deliberately hash-SHUFFLED order — reservoir-by-rank is
+    order-invariant, so no reorder buffer or watermark is needed, and
+    the shuffled replay proves it rather than assuming it."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_graft.registry import REGISTRY
+    from spark_graft.sources import table
+    from spark_graft.streaming import reservoir_stream, run_stream_to_memory
+
+    docs = (
+        table(spark, sf_dir, "documents").select("doc_id", "source").toPandas()
+    )
+    # adversarial replay order: by md5 of a DIFFERENT prefix, so arrival
+    # order correlates with neither doc_id nor the reservoir rank
+    docs = docs.assign(
+        _k=[_md5 for _md5 in ((d * 2654435761) % 997 for d in docs["doc_id"])]
+    ).sort_values(["_k", "doc_id"])
+    src = tmp_path / "res_src"
+    src.mkdir()
+    schema = pa.schema([("doc_id", pa.int64()), ("source", pa.string())])
+    now = time.time()
+    cuts = [len(docs) * i // 3 for i in range(4)]
+    for i in range(3):
+        chunk = docs.iloc[cuts[i]:cuts[i + 1]].drop(columns="_k")
+        pq.write_table(
+            pa.Table.from_pandas(chunk, preserve_index=False).cast(schema),
+            str(src / f"c{i}.parquet"),
+        )
+        os.utime(src / f"c{i}.parquet", (now + i * 10, now + i * 10))
+
+    stream = (
+        spark.readStream.schema("doc_id long, source string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    log = run_stream_to_memory(
+        reservoir_stream(stream), mode="append"
+    ).toPandas()
+    evicted = set(
+        zip(log[log.action == "evict"].source, log[log.action == "evict"].doc_id)
+    )
+    added = set(
+        zip(log[log.action == "add"].source, log[log.action == "add"].doc_id)
+    )
+    members = added - evicted
+    batch = {
+        (r["source"], r["doc_id"])
+        for r in REGISTRY["sample_reservoir"].fn(spark, sf_dir).collect()
+    }
+    assert members == batch
+    # displacement actually happened, or the eviction path went untested
+    assert evicted, "no evictions in replay — pick more/smaller batches"
+    # every eviction is permanent: an evicted doc never re-enters
+    assert not (evicted & members)
+
+
+def test_reservoir_stream_prefix_consistent_and_redelivery_noop(
+    spark, tmp_path
+):
+    """After EVERY micro-batch the reconstructed membership must equal
+    the pure-Python top-K over all docs seen so far (prefix
+    consistency — the append-only-displacement property), each doc's
+    action history is at most add -> evict, and re-delivering an entire
+    earlier batch emits NOTHING (at-least-once absorption)."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_graft.operators.pipeline import RESERVOIR_K
+    from spark_graft.streaming import (
+        reservoir_stream,
+        run_stream_foreach_batch_to_parquet,
+    )
+
+    src = tmp_path / "res2_src"
+    src.mkdir()
+    out, ckpt = str(tmp_path / "res2_out"), str(tmp_path / "res2_ckpt")
+    schema = pa.schema([("doc_id", pa.int64()), ("source", pa.string())])
+    now = time.time()
+    # one stratum, 3 batches of 15 — K=20 fills in batch 2 and every
+    # later batch displaces; batch 3 re-delivers batch 1 verbatim
+    batches = [list(range(0, 15)), list(range(15, 30)), list(range(30, 45)),
+               list(range(0, 15))]
+    for i, ids in enumerate(batches):
+        pq.write_table(
+            pa.table(
+                {"doc_id": ids, "source": ["s0"] * len(ids)}, schema=schema
+            ),
+            str(src / f"c{i}.parquet"),
+        )
+        os.utime(src / f"c{i}.parquet", (now + i * 10, now + i * 10))
+
+    stream = (
+        spark.readStream.schema("doc_id long, source string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    run_stream_foreach_batch_to_parquet(reservoir_stream(stream), out, ckpt)
+    log = spark.read.parquet(out).toPandas()
+
+    seen: list[int] = []
+    members: set[int] = set()
+    history: dict[int, list[str]] = {}
+    for b, ids in enumerate(batches):
+        rows = log[log.batch_id == b].sort_values("doc_id")
+        for r in rows.itertuples():
+            history.setdefault(r.doc_id, []).append(r.action)
+            (members.add if r.action == "add" else members.discard)(r.doc_id)
+        if b == 3:
+            assert len(rows) == 0  # verbatim re-delivery emits nothing
+            continue
+        seen.extend(ids)
+        want = {
+            d for _, d in sorted(_reservoir_rank_py(d) for d in seen)[:RESERVOIR_K]
+        }
+        assert members == want, f"batch {b}"
+    assert any(h == ["add", "evict"] for h in history.values())
+    assert all(h in (["add"], ["add", "evict"]) for h in history.values())
