@@ -522,7 +522,10 @@ def minhash_novelty_stream(
     the state stores; probed in this environment and currently
     unusable (its state server needs google.protobuf, broken in this
     container: STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE; re-probed
-    round 14 — google.protobuf still absent on pyspark 4.1.2, unchanged),
+    round 14 — google.protobuf still absent on pyspark 4.1.2; re-probed
+    round 15 with a live rate-source query — the class imports but the
+    driver worker still crashes at runtime, STREAM_FAILED/XXKST
+    "TransformWithStateInPySpark driver worker exited unexpectedly"),
     so the per-executor cache is the implemented path and the migration
     is a mechanical swap of the probe function when the dependency is
     available."""

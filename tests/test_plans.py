@@ -1079,3 +1079,22 @@ def test_dedup_url_two_exchanges_text_never_read(spark, sf_dir):
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "doc_id" in read_schema and "source" in read_schema
     assert "text" not in read_schema, read_schema
+
+
+def test_ts_resample_join_adds_no_extra_counts_shuffle(spark, sf_dir):
+    """VERDICT r14 item 6: the gap-fill join must ride the existing
+    Exchanges — the physical plan carries exactly the two aggregate
+    shuffles (bucket counts on (user, hour); spans on user_id) and
+    satisfies the final left join from those distributions (via an AQE
+    broadcast of the thin side at small sf, or a grid-side-only
+    re-shuffle at scale). A THIRD hashpartitioning of the counts
+    lineage would mean the join re-shuffles corpus-sized data for a
+    grid 5 orders of magnitude smaller."""
+    df = q("ts_resample", spark, sf_dir)
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    hash_ex = [
+        l for l in physical.splitlines()
+        if "Exchange hashpartitioning" in l and "Reused" not in l
+    ]
+    assert len(hash_ex) == 2, physical
+    assert "CartesianProduct" not in physical
