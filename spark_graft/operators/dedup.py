@@ -1837,6 +1837,34 @@ _URL_RAW_SQL = (
 )
 
 
+# the raw-URL synthesis and normalizer chain as DuckDB SQL — shared by
+# the dedup_url oracle and fn_url's (operators.scalar), the same way
+# MINHASH_PAIRS_CTES is shared by the minhash-family oracles
+URL_RAW_DUCK = """
+                   (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END) || '://' ||
+                   (CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END) ||
+                   '.Example.COM/page/' ||
+                   CAST(CAST(('0x' || substr(md5('url:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                             AS BIGINT) % 12 AS VARCHAR) ||
+                   (CASE doc_id % 5
+                    WHEN 0 THEN '?utm_source=feed'
+                    WHEN 1 THEN '?utm_campaign=c' || CAST(doc_id % 4 AS VARCHAR) || '&utm_medium=m'
+                    WHEN 2 THEN '#sec' || CAST(doc_id % 7 AS VARCHAR)
+                    WHEN 3 THEN '/' ELSE '' END)
+"""
+
+
+def url_norm_duck(expr: str) -> str:
+    """DuckDB twin of `normalize_url` applied to SQL fragment `expr`."""
+    return f"""regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(lower({expr}), '^http://', 'https://'),
+                         '#.*$', ''),
+                       '\\?utm_[a-z]+=[a-z0-9]*(&utm_[a-z]+=[a-z0-9]*)*$', ''),
+                     '/$', '')"""
+
+
 def normalize_url(u: Column) -> Column:
     """CCNet-style cheap URL normalizer — the first-pass gate every
     crawl pipeline runs before any content hashing: lowercase, fold
@@ -1858,28 +1886,11 @@ def normalize_url(u: Column) -> Column:
     "dedup_url",
     oracle=f"""
         WITH raw AS (
-            SELECT doc_id,
-                   (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END) || '://' ||
-                   (CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END) ||
-                   '.Example.COM/page/' ||
-                   CAST(CAST(('0x' || substr(md5('url:' || CAST(doc_id AS VARCHAR)), 1, 8))
-                             AS BIGINT) % 12 AS VARCHAR) ||
-                   (CASE doc_id % 5
-                    WHEN 0 THEN '?utm_source=feed'
-                    WHEN 1 THEN '?utm_campaign=c' || CAST(doc_id % 4 AS VARCHAR) || '&utm_medium=m'
-                    WHEN 2 THEN '#sec' || CAST(doc_id % 7 AS VARCHAR)
-                    WHEN 3 THEN '/' ELSE '' END) AS url
+            SELECT doc_id, {URL_RAW_DUCK} AS url
             FROM documents
         ),
         norm AS (
-            SELECT doc_id,
-                   regexp_replace(
-                     regexp_replace(
-                       regexp_replace(
-                         regexp_replace(lower(url), '^http://', 'https://'),
-                         '#.*$', ''),
-                       '\\?utm_[a-z]+=[a-z0-9]*(&utm_[a-z]+=[a-z0-9]*)*$', ''),
-                     '/$', '') AS u
+            SELECT doc_id, {url_norm_duck('url')} AS u
             FROM raw
         ),
         per_url AS (

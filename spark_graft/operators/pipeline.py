@@ -1278,3 +1278,101 @@ def _qc_train(feat: DataFrame) -> list[int]:
             break
         w = [w[j] + QC_LR * tdiv(int(row[f"g{j}"]), n) for j in range(4)]
     return w
+
+
+# ------------------------------------------------ pipeline_train_eval_split
+
+
+@query(
+    "pipeline_train_eval_split",
+    oracle=MINHASH_PAIRS_CTES + f""",
+        pairs AS ({MINHASH_PAIRS_SELECT}),
+        assign AS (
+            SELECT doc_id, n_chars,
+                   CASE WHEN bucket < {SPLIT_PCT_TRAIN} THEN 'train'
+                        WHEN bucket < {SPLIT_PCT_TRAIN + SPLIT_PCT_VAL} THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+                SELECT doc_id, n_chars,
+                       CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                            AS BIGINT) % 100 AS bucket
+                FROM documents
+            )
+        ),
+        cross_pairs AS (
+            SELECT a.split AS split_a, b.split AS split_b
+            FROM pairs p
+            JOIN assign a ON a.doc_id = p.doc_a
+            JOIN assign b ON b.doc_id = p.doc_b
+            WHERE a.split <> b.split
+        ),
+        leaks AS (
+            SELECT split, count(*) AS n FROM (
+                SELECT split_a AS split FROM cross_pairs
+                UNION ALL SELECT split_b FROM cross_pairs
+            ) GROUP BY split
+        )
+        SELECT s.split, s.n_docs, s.sum_chars,
+               coalesce(l.n, 0) AS n_cross_leak_pairs
+        FROM (
+            SELECT split, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM assign GROUP BY split
+        ) s
+        LEFT JOIN leaks l USING (split)
+    """,
+)
+def pipeline_train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test carve WITH the leakage audit every
+    eval split needs: per-split document and char totals, plus the
+    count of near-duplicate pairs (the dedup_minhash pair set, Jaccard
+    >= 0.8) that CROSS a split boundary — the pairs that silently
+    inflate eval scores when a test doc's near-twin trains the model.
+    The split is the corpus-wide md5('split:'||doc_id) convention
+    (shared with pipeline_clean_corpus and text_split), so assignments
+    never move under appends or re-runs; a doc's leak exposure is a
+    property of the corpus, not of job scheduling.
+
+    Scale shape: split assignment is a narrow expression; the audit
+    rides dedup_minhash's banded-LSH pipeline unchanged (pair work
+    bounded by band buckets, never all-pairs — dedup.py:351), then
+    joins the thin pair list to a 16-byte (doc_id, split) projection
+    and collapses to 3 rows. The expensive stage is the SAME signature
+    computation a curation run has already paid for; in production the
+    pair set is read from the persisted dedup output instead."""
+    from spark_graft.operators.dedup import dedup_minhash
+
+    docs = table(spark, sf_dir, "documents")
+    split = (
+        F.when(_md5_bucket("split:", F.col("doc_id")) < SPLIT_PCT_TRAIN, "train")
+        .when(
+            _md5_bucket("split:", F.col("doc_id")) < SPLIT_PCT_TRAIN + SPLIT_PCT_VAL,
+            "val",
+        )
+        .otherwise("test")
+    )
+    assign = docs.select("doc_id", "n_chars", split.alias("split"))
+    thin = assign.select("doc_id", "split")
+    cross = (
+        dedup_minhash(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .join(thin.withColumnsRenamed({"doc_id": "doc_a", "split": "split_a"}), "doc_a")
+        .join(thin.withColumnsRenamed({"doc_id": "doc_b", "split": "split_b"}), "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+    )
+    leaks = (
+        cross.select(F.col("split_a").alias("split"))
+        .unionAll(cross.select(F.col("split_b").alias("split")))
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = assign.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+    return totals.join(leaks, "split", "left").select(
+        "split",
+        "n_docs",
+        "sum_chars",
+        F.coalesce("n", F.lit(0)).alias("n_cross_leak_pairs"),
+    )

@@ -269,3 +269,47 @@ def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ym.y").alias("y"),
         F.col("ym.m").alias("m"),
     )
+
+
+def _fn_url_oracle() -> str:
+    from spark_graft.operators.dedup import URL_RAW_DUCK, url_norm_duck
+
+    return f"""
+        WITH raw AS (SELECT doc_id, {URL_RAW_DUCK} AS url FROM documents)
+        SELECT doc_id,
+               regexp_extract(url, '^([^:]+)://', 1) AS protocol,
+               regexp_extract(url, '^[^:]+://([^/?#]+)', 1) AS host,
+               regexp_extract(url, '^[^:]+://[^/?#]+([^?#]*)', 1) AS path,
+               nullif(regexp_extract(url, '\\?([^#]*)', 1), '') AS query,
+               nullif(regexp_extract(url, '[?&]utm_source=([^&#]*)', 1), '')
+                   AS utm_source,
+               {url_norm_duck('url')} AS canon
+        FROM raw
+    """
+
+
+@query("fn_url", oracle=_fn_url_oracle())
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing family: parse_url(PROTOCOL/HOST/PATH/QUERY) plus
+    keyed query-parameter extraction and the canonical form from
+    `normalize_url` (operators.dedup) — the scalar surface behind the
+    dedup_url gate, over the same deterministic raw-URL synthesis.
+    parse_url is JVM-side and codegen'd; DuckDB has no URL parser, so
+    the oracle rebuilds each component with anchored regexes (absent
+    query/param normalized to NULL on both engines via nullif/
+    parse_url's own NULL)."""
+    from spark_graft.operators.dedup import _URL_RAW_SQL, normalize_url
+
+    docs = table(spark, sf_dir, "documents")
+    url = F.expr(_URL_RAW_SQL)
+    return docs.select(
+        "doc_id",
+        F.parse_url(url, F.lit("PROTOCOL")).alias("protocol"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("utm_source")).alias(
+            "utm_source"
+        ),
+        normalize_url(url).alias("canon"),
+    )

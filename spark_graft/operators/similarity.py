@@ -1348,3 +1348,100 @@ def pipeline_embed_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(TOP_K)
         .drop("_c")
     )
+
+
+# --------------------------------------------------------------- sim_maxsim
+
+M_SUB, SUB_DIM = 4, 16  # 64-dim embeddings read as 4 x 16-dim "token" vectors
+
+
+def _maxsim_oracle() -> str:
+    """DuckDB twin of sim_maxsim: per-(query-sub, doc-sub) cosines with
+    the same zero-subvector guards, greatest() per query subvector,
+    term-ordered sum — mirroring the Spark expression tree exactly
+    (zero query subvectors add a literal 0.0 on BOTH engines so the
+    float addition sequence is identical)."""
+    terms = []
+    for i in range(M_SUB):
+        a, b = i * SUB_DIM + 1, (i + 1) * SUB_DIM
+        cands = []
+        for j in range(M_SUB):
+            c, d = j * SUB_DIM + 1, (j + 1) * SUB_DIM
+            cands.append(
+                f"(CASE WHEN len(list_filter(e.embedding[{c}:{d}], x -> x <> 0)) > 0 "
+                f"THEN list_cosine_similarity(CAST(e.embedding[{c}:{d}] AS DOUBLE[]), "
+                f"p.pv[{a}:{b}]) ELSE -2.0 END)"
+            )
+        terms.append(
+            f"(CASE WHEN len(list_filter(p.pv[{a}:{b}], x -> x <> 0)) > 0 "
+            f"THEN greatest({', '.join(cands)}) ELSE 0.0 END)"
+        )
+    score = " + ".join(terms)
+    return f"""
+        WITH probe AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS pv
+            FROM embeddings WHERE {NONZERO_SQL} ORDER BY vec_id LIMIT 1
+        ),
+        scored AS (
+            SELECT e.vec_id, ({score}) AS score
+            FROM embeddings e CROSS JOIN probe p
+            WHERE {NONZERO_SQL}
+        )
+        SELECT vec_id, round(score, 4) AS maxsim
+        FROM scored ORDER BY score DESC, vec_id LIMIT {TOP_K}
+    """
+
+
+@query("sim_maxsim", oracle=_maxsim_oracle())
+def sim_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction (ColBERT-style MaxSim) retrieval: the document
+    score is the SUM over query token-vectors of the MAX cosine against
+    any document token-vector — the multi-vector scoring that beats
+    single-vector cosine on fine-grained matches, here over the 64-dim
+    embedding read as {M_SUB} x {SUB_DIM}-dim subvectors (the fixture
+    has one vector per doc; a real multi-vector corpus swaps the slice
+    expressions for its token-vector array and nothing else changes).
+
+    Zero-subvector guards on BOTH sides (a nonzero 64-dim vector can
+    still contain an all-zero 16-dim slice, and cosine is undefined
+    there): zero DOC subvectors score -2.0 (below any cosine, never the
+    max unless all are zero — impossible under the NONZERO corpus
+    filter); zero QUERY subvectors contribute a literal 0.0 to the sum
+    in the same term position on both engines, keeping the float
+    addition sequence identical.
+
+    Scale shape: identical to sim_cosine_topk (similarity.py:80) — the
+    query's subvectors ship as literals, scoring is one narrow codegen
+    map ({M_SUB * M_SUB} slice cosines per row), and the top-k is
+    TakeOrderedAndProject per-partition heaps. No shuffle of vectors at
+    any corpus size; MaxSim costs M^2 = {M_SUB * M_SUB} dot products
+    per doc instead of 1, the known late-interaction tradeoff."""
+    probe_vec = _probe_vector(spark, sf_dir)
+    if probe_vec is None:
+        return spark.createDataFrame([], "vec_id bigint, maxsim double")
+    e = table(spark, sf_dir, "embeddings").filter(nonzero_vec(F.col("embedding")))
+    emb = F.col("embedding")
+    score = None
+    for i in range(M_SUB):
+        q = probe_vec[i * SUB_DIM:(i + 1) * SUB_DIM]
+        if any(x != 0.0 for x in q):
+            qlit = _lit_vec(q)
+            cands = []
+            for j in range(M_SUB):
+                dj = F.slice(emb, j * SUB_DIM + 1, SUB_DIM)
+                cands.append(
+                    F.when(
+                        F.exists(dj, lambda x: x != F.lit(0.0)),
+                        cosine(dj, qlit),
+                    ).otherwise(F.lit(-2.0))
+                )
+            term = F.greatest(*cands)
+        else:
+            term = F.lit(0.0)
+        score = term if score is None else score + term
+    return (
+        e.select("vec_id", F.round(score, 4).alias("maxsim"), score.alias("_s"))
+        .orderBy(F.col("_s").desc(), "vec_id")
+        .limit(TOP_K)
+        .drop("_s")
+    )

@@ -734,3 +734,113 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(ppm) * 1.0 / F.count(F.lit(1)), 4).alias("avg_p_ppm"),
         F.min(ppm).cast("bigint").alias("min_p_ppm"),
     )
+
+
+# -------------------------------------------------- pipeline_gopher_rules
+
+# Gopher-style rule thresholds (Rae et al. 2021 §A1.1, rescaled to the
+# synthetic corpus's token range the way Dolma rescales them per source).
+# All bounds are applied as INTEGER comparisons — 2*n <= chars <= 12*n,
+# 5*alpha >= 4*n — so both engines decide every rule with exact int64
+# arithmetic, no float threshold to disagree on.
+GOPHER_MIN_TOKENS = 5
+GOPHER_MAX_TOKENS = 100_000
+GOPHER_MWL_LO = 2  # mean word length lower bound
+GOPHER_MWL_HI = 12  # upper bound
+GOPHER_ALPHA_NUM, GOPHER_ALPHA_DEN = 4, 5  # >= 80% alphabetic tokens
+GOPHER_MIN_STOPWORDS = 2
+
+
+@query(
+    "pipeline_gopher_rules",
+    oracle=f"""
+        WITH feat AS (
+            SELECT doc_id,
+                   len(toks) AS n_tokens,
+                   coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+                       AS tok_chars,
+                   len(list_filter(toks, t -> NOT regexp_matches(t, '[0-9]')))
+                       AS n_alpha,
+                   len(list_filter(toks, t -> t IN
+                       ({", ".join(f"'{w}'" for w in STOPWORDS["en"])})))
+                       AS n_stop
+            FROM (SELECT doc_id, {_TOK} AS toks FROM documents)
+        )
+        SELECT doc_id, n_tokens,
+               (n_tokens BETWEEN {GOPHER_MIN_TOKENS} AND {GOPHER_MAX_TOKENS})
+                   AS r_word_count,
+               (n_tokens > 0 AND {GOPHER_MWL_LO} * n_tokens <= tok_chars
+                             AND tok_chars <= {GOPHER_MWL_HI} * n_tokens)
+                   AS r_mean_word_len,
+               (n_tokens > 0 AND {GOPHER_ALPHA_DEN} * n_alpha
+                                 >= {GOPHER_ALPHA_NUM} * n_tokens)
+                   AS r_alpha_ratio,
+               (n_stop >= {GOPHER_MIN_STOPWORDS}) AS r_stopwords,
+               4 - (CAST((n_tokens BETWEEN {GOPHER_MIN_TOKENS} AND {GOPHER_MAX_TOKENS}) AS INT)
+                    + CAST((n_tokens > 0 AND {GOPHER_MWL_LO} * n_tokens <= tok_chars
+                                         AND tok_chars <= {GOPHER_MWL_HI} * n_tokens) AS INT)
+                    + CAST((n_tokens > 0 AND {GOPHER_ALPHA_DEN} * n_alpha
+                                             >= {GOPHER_ALPHA_NUM} * n_tokens) AS INT)
+                    + CAST((n_stop >= {GOPHER_MIN_STOPWORDS}) AS INT)) AS n_fail,
+               ((n_tokens BETWEEN {GOPHER_MIN_TOKENS} AND {GOPHER_MAX_TOKENS})
+                AND (n_tokens > 0 AND {GOPHER_MWL_LO} * n_tokens <= tok_chars
+                                  AND tok_chars <= {GOPHER_MWL_HI} * n_tokens)
+                AND (n_tokens > 0 AND {GOPHER_ALPHA_DEN} * n_alpha
+                                      >= {GOPHER_ALPHA_NUM} * n_tokens)
+                AND (n_stop >= {GOPHER_MIN_STOPWORDS})) AS keep
+        FROM feat
+    """,
+)
+def pipeline_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NAMED Gopher quality-rule battery with per-rule flags — what
+    a curation run actually ships, as opposed to text_quality's scalar
+    score: each document gets a boolean per rule (token-count bounds,
+    mean-word-length bounds, >= 80% alphabetic tokens, >= 2 English
+    stopwords), a failed-rule count, and the final keep decision, so
+    downstream dashboards can attribute REMOVAL REASONS instead of
+    just measuring survival. (The repetition rule lives in
+    text_repetition; Dolma splits the battery the same way.)
+
+    Every rule is an integer comparison over four staged token
+    aggregates — zero shuffles, pure WholeStageCodegen map stage, the
+    same per-row cost at 100 TB as at sf0.01. Tokens staged once as a
+    projection (interpreted HOF lambdas re-evaluate inlined argument
+    trees per reference — the text_quality lesson)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.col("toks")
+    en = F.array([F.lit(w) for w in STOPWORDS["en"]])
+    feat = docs.select("doc_id", tokens("text").alias("toks")).select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.coalesce(
+            F.aggregate(F.transform(toks, F.length), F.lit(0), lambda a, x: a + x),
+            F.lit(0),
+        ).alias("tok_chars"),
+        F.size(F.filter(toks, lambda t: ~t.rlike("[0-9]"))).alias("n_alpha"),
+        F.size(F.filter(toks, lambda t: F.array_contains(en, t))).alias("n_stop"),
+    )
+    r_wc = F.col("n_tokens").between(GOPHER_MIN_TOKENS, GOPHER_MAX_TOKENS)
+    r_mwl = (
+        (F.col("n_tokens") > 0)
+        & (GOPHER_MWL_LO * F.col("n_tokens") <= F.col("tok_chars"))
+        & (F.col("tok_chars") <= GOPHER_MWL_HI * F.col("n_tokens"))
+    )
+    r_alpha = (F.col("n_tokens") > 0) & (
+        GOPHER_ALPHA_DEN * F.col("n_alpha")
+        >= GOPHER_ALPHA_NUM * F.col("n_tokens")
+    )
+    r_stop = F.col("n_stop") >= GOPHER_MIN_STOPWORDS
+    n_fail = F.lit(4) - (
+        r_wc.cast("int") + r_mwl.cast("int") + r_alpha.cast("int")
+        + r_stop.cast("int")
+    )
+    return feat.select(
+        "doc_id",
+        "n_tokens",
+        r_wc.alias("r_word_count"),
+        r_mwl.alias("r_mean_word_len"),
+        r_alpha.alias("r_alpha_ratio"),
+        r_stop.alias("r_stopwords"),
+        n_fail.alias("n_fail"),
+        (r_wc & r_mwl & r_alpha & r_stop).alias("keep"),
+    )

@@ -1098,3 +1098,39 @@ def test_ts_resample_join_adds_no_extra_counts_shuffle(spark, sf_dir):
     ]
     assert len(hash_ex) == 2, physical
     assert "CartesianProduct" not in physical
+
+
+def test_fn_url_and_gopher_rules_are_map_only(spark, sf_dir):
+    """fn_url and pipeline_gopher_rules are pure narrow expression
+    batteries: ZERO Exchanges (scoring 100 TB is a map-only stage), and
+    pipeline_gopher_rules' scan reads only (doc_id, text) — the rules
+    never touch the other columns."""
+    for name in ("fn_url", "pipeline_gopher_rules"):
+        df = q(name, spark, sf_dir)
+        physical = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in physical, name
+    plan = explain_str(q("pipeline_gopher_rules", spark, sf_dir), "formatted")
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "doc_id" in read_schema and "text" in read_schema
+    assert "n_chars" not in read_schema and "source" not in read_schema
+
+
+def test_sim_maxsim_topk_heap_no_vector_shuffle(spark, sf_dir):
+    """sim_maxsim keeps sim_cosine_topk's shape: the top-k is a
+    TakeOrderedAndProject (per-partition heaps, single merge) and the
+    plan contains no Exchange — the 16 slice-cosines are narrow
+    codegen expressions, vectors never shuffle."""
+    df = q("sim_maxsim", spark, sf_dir)
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in physical, physical
+    assert "Exchange" not in physical, physical
+
+
+def test_train_eval_split_audit_rides_banded_pairs(spark, sf_dir):
+    """pipeline_train_eval_split's leakage audit must stay inside the
+    banded-LSH pair pipeline — no cartesian/nested-loop anywhere, and
+    the split-assignment joins are equi-joins on doc ids."""
+    df = q("pipeline_train_eval_split", spark, sf_dir)
+    plan = explain_str(df, "formatted")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -2052,3 +2052,109 @@ def test_dedup_url_scorecard_matches_pure_python(spark, tmp_path):
     # the planted corpus must actually contain collisions, or keep-first
     # went untested
     assert sum(r["n_dupes"] for r in got.values()) > 0
+
+
+def test_gopher_rules_each_rule_fails_independently(spark, tmp_path):
+    """pipeline_gopher_rules on planted docs: one doc per failure mode,
+    each tripping exactly the rules it was built to trip (the corpus
+    data only ever exercises the stopword rule, so the other three need
+    planted negatives), plus a clean doc passing all four."""
+    from spark_graft.registry import REGISTRY
+
+    d = tmp_path / "gopher"
+    d.mkdir()
+    rows = [
+        (0, "the cat and the dog walk to the park in the morning", "en", "s"),
+        (1, "hi there", "en", "s"),  # too short + no stopwords
+        (2, "pneumonoultramicroscopic silicovolcanoconiosis "
+            "supercalifragilistic expialidocious "
+            "antidisestablishmentarianism", "en", "s"),  # mwl > 12
+        (3, "a1 b2 c3 d4 e5 f6 g7 h8 i9 j0", "en", "s"),  # digits: alpha fail
+    ]
+    _write_docs(spark, rows, d)
+    got = {
+        r["doc_id"]: r
+        for r in REGISTRY["pipeline_gopher_rules"].fn(spark, str(d)).collect()
+    }
+    flags = lambda r: (
+        r["r_word_count"], r["r_mean_word_len"], r["r_alpha_ratio"],
+        r["r_stopwords"],
+    )
+    assert flags(got[0]) == (True, True, True, True)
+    assert got[0]["keep"] and got[0]["n_fail"] == 0
+    assert flags(got[1]) == (False, True, True, False)
+    assert flags(got[2]) == (True, False, True, False)
+    assert flags(got[3]) == (True, True, False, False)
+    for i in (1, 2, 3):
+        assert not got[i]["keep"]
+        assert got[i]["n_fail"] == 4 - sum(flags(got[i]))
+
+
+def test_train_eval_split_counts_planted_cross_leak(spark, tmp_path):
+    """pipeline_train_eval_split on a planted corpus: two IDENTICAL docs
+    whose md5 split buckets land in train and test must register one
+    cross-leak pair on each of those splits; a same-split duplicate
+    pair and unique docs must not. Split assignment itself must equal
+    the pure-Python bucket computation."""
+    from spark_graft.operators.text import SPLIT_PCT_TRAIN, SPLIT_PCT_VAL
+    from spark_graft.registry import REGISTRY
+
+    def split_of(i):
+        b = _md5_raw_py("split:", i) % 100
+        return ("train" if b < SPLIT_PCT_TRAIN
+                else "val" if b < SPLIT_PCT_TRAIN + SPLIT_PCT_VAL else "test")
+
+    ids = {"train": [], "val": [], "test": []}
+    for i in range(400):
+        ids[split_of(i)].append(i)
+    a, a2 = ids["train"][0], ids["train"][1]
+    b, c = ids["test"][0], ids["val"][0]
+    dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    same = "one two three four five six seven eight nine ten"
+    d = tmp_path / "split"
+    d.mkdir()
+    rows = [
+        (a, dup, "en", "s"),          # train twin of the test doc
+        (b, dup, "en", "s"),          # test twin -> 1 cross pair
+        (a2, same, "en", "s"),        # same-split duplicate pair:
+        (ids["train"][2], same, "en", "s"),  # NOT a leak
+        (c, "lonely unique val document with many distinct words here",
+         "en", "s"),
+    ]
+    _write_docs(spark, rows, d)
+    got = {
+        r["split"]: r
+        for r in REGISTRY["pipeline_train_eval_split"].fn(spark, str(d)).collect()
+    }
+    assert got["train"]["n_docs"] == 3 and got["test"]["n_docs"] == 1
+    assert got["val"]["n_docs"] == 1
+    assert got["train"]["n_cross_leak_pairs"] == 1
+    assert got["test"]["n_cross_leak_pairs"] == 1
+    assert got["val"]["n_cross_leak_pairs"] == 0
+    assert got["train"]["sum_chars"] == len(dup) + 2 * len(same)
+
+
+def test_sim_maxsim_late_interaction_hand_check(spark, tmp_path):
+    """sim_maxsim on planted vectors: a doc whose ONLY matching content
+    lives in a different subvector slot than the query's must still
+    score 1.0 (the max over doc subvectors — the late-interaction
+    property single-vector cosine lacks), zero subvectors are guarded
+    on both sides (the probe itself has three all-zero slices), and an
+    anti-parallel slice scores -1."""
+    from spark_graft.operators.similarity import SUB_DIM, M_SUB, sim_maxsim
+
+    d = tmp_path / "maxsim"
+    d.mkdir()
+    dim = SUB_DIM * M_SUB
+    e0 = [0.0] * dim
+    e0[0] = 1.0  # probe: nonzero only in slice 0
+    v1 = [0.0] * dim
+    v1[SUB_DIM] = 1.0  # matching direction, but in slice 1
+    v2 = [0.0] * dim
+    v2[0] = -1.0  # anti-parallel in slice 0
+    spark.createDataFrame(
+        [(0, e0, 0), (1, v1, 0), (2, v2, 0)],
+        "vec_id bigint, embedding array<float>, label int",
+    ).write.mode("overwrite").parquet(str(d / "embeddings.parquet"))
+    got = {r["vec_id"]: r["maxsim"] for r in sim_maxsim(spark, str(d)).collect()}
+    assert got == {0: 1.0, 1: 1.0, 2: -1.0}
