@@ -1103,3 +1103,149 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.round(num / den, 6).alias("ewma"),
     )
+
+
+# ---------------------------------------------------------------- events_rfm
+
+RFM_BINS = 5  # quintile scores 1..5 per dimension
+
+
+def _rfm_quint_sql(metric: str) -> str:
+    """DuckDB CTE pair: distinct-value histogram of `metric` over pu +
+    exact integer ceil-quantile score (the pipeline_curriculum
+    contract)."""
+    return f"""
+        h_{metric} AS (SELECT {metric} AS v, count(*) AS c FROM pu GROUP BY 1),
+        s_{metric} AS (
+            SELECT v,
+                   ({RFM_BINS} * CAST(sum(c) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                    + CAST(sum(c) OVER () AS BIGINT) - 1)
+                   // CAST(sum(c) OVER () AS BIGINT) AS stage
+            FROM h_{metric}
+        )"""
+
+
+@query(
+    "events_rfm",
+    oracle=f"""
+        WITH anchor AS (SELECT CAST(max(ts) AS DATE) AS a FROM events),
+        pu AS (
+            SELECT user_id,
+                   datediff('day', CAST(max(ts) AS DATE), (SELECT a FROM anchor))
+                       AS r_days,
+                   count(*) AS freq,
+                   CAST(floor(coalesce(sum(CASE WHEN event_type = 'purchase'
+                            THEN CAST(value AS DECIMAL(18,6)) END), 0) * 100)
+                        AS BIGINT) AS mon_cents
+            FROM events GROUP BY user_id
+        ),
+        {_rfm_quint_sql("r_days")},
+        {_rfm_quint_sql("freq")},
+        {_rfm_quint_sql("mon_cents")}
+        SELECT pu.user_id, pu.r_days, pu.freq, pu.mon_cents,
+               ({RFM_BINS} + 1) - sr.stage AS r_score,
+               sf.stage AS f_score,
+               sm.stage AS m_score,
+               (({RFM_BINS} + 1) - sr.stage) * 100 + sf.stage * 10 + sm.stage
+                   AS rfm_segment
+        FROM pu
+        JOIN s_r_days sr ON sr.v = pu.r_days
+        JOIN s_freq sf ON sf.v = pu.freq
+        JOIN s_mon_cents sm ON sm.v = pu.mon_cents
+    """,
+)
+def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic behavioral-analytics operator:
+    each user scored 1..5 on Recency (days since last event, against
+    the corpus max as the deterministic anchor), Frequency (event
+    count), and Monetary (purchase cents), with the three-digit
+    rfm_segment (555 = best). Scores are exact integer ceil-quantiles
+    ((B*cum + n - 1) div n over the metric's distinct-value histogram
+    — pipeline_curriculum's contract, applied three times); recency is
+    polarity-flipped (6 - stage) so 5 always means "best".
+
+    Scale shape: ONE corpus-scale groupBy(user_id) with map-side
+    partials; each score map is a histogram-then-window over DISTINCT
+    metric values (r_days bounded by corpus age in days, freq by the
+    max per-user count, mon_cents by max per-user spend — all
+    range-bounded business quantities, the agg_weighted_quantile
+    justification) joined back as a broadcast dimension. Monetary is
+    summed as DECIMAL(18,6) then floor()'d to cents on BOTH engines
+    (the r15 agg_weighted_quantile lesson: Spark's decimal->bigint
+    cast truncates, DuckDB's rounds — floor first makes them
+    identical)."""
+    ev = table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max(F.col("ts").cast("date")).alias("a"))
+    pu = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(F.col("ts").cast("date")).alias("_last"),
+            F.count(F.lit(1)).alias("freq"),
+            F.floor(
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("event_type") == "purchase",
+                            F.col("value").cast("decimal(18,6)"),
+                        )
+                    ),
+                    F.lit(0),
+                )
+                * 100
+            )
+            .cast("bigint")
+            .alias("mon_cents"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            F.datediff("a", "_last").alias("r_days"),
+            "freq",
+            "mon_cents",
+        )
+        # pu is referenced FOUR times (output + three histograms);
+        # without materialization each reference re-scans events and
+        # re-runs the user aggregate — 4x the corpus-dominant cost at
+        # 100 TB. localCheckpoint cuts lineage so events are read once
+        # and the histograms read the n_users-row table (the
+        # dedup_containment groups-table precedent), plan-pinned to one
+        # user_id Exchange.
+        .localCheckpoint()
+    )
+
+    wcum = lambda c: Window.orderBy(c).rowsBetween(  # noqa: E731
+        Window.unboundedPreceding, Window.currentRow
+    )
+
+    def quint(col: str) -> DataFrame:
+        hist = pu.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        return hist.select(
+            col,
+            F.sum("c").over(wcum(col)).alias("cum"),
+            F.sum("c").over(Window.partitionBy()).alias("tot"),
+        ).select(
+            col,
+            F.expr(f"({RFM_BINS} * cum + tot - 1) div tot").alias(
+                f"{col}_stage"
+            ),
+        )
+
+    out = (
+        pu.join(F.broadcast(quint("r_days")), "r_days")
+        .join(F.broadcast(quint("freq")), "freq")
+        .join(F.broadcast(quint("mon_cents")), "mon_cents")
+    )
+    r_score = F.lit(RFM_BINS + 1) - F.col("r_days_stage")
+    return out.select(
+        "user_id",
+        "r_days",
+        "freq",
+        "mon_cents",
+        r_score.alias("r_score"),
+        F.col("freq_stage").alias("f_score"),
+        F.col("mon_cents_stage").alias("m_score"),
+        (r_score * 100 + F.col("freq_stage") * 10 + F.col("mon_cents_stage")).alias(
+            "rfm_segment"
+        ),
+    )

@@ -844,3 +844,62 @@ def pipeline_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_fail.alias("n_fail"),
         (r_wc & r_mwl & r_alpha & r_stop).alias("keep"),
     )
+
+
+# --------------------------------------------------- text_hash_features
+
+FEATURE_DIM = 16  # hashed feature-vector dimensionality
+
+
+@query(
+    "text_hash_features",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(CAST(('0x' || substr(md5('fh:' || term), 1, 8)) AS BIGINT)
+                    % {FEATURE_DIM} AS INT) AS dim,
+               CAST(sum(CASE WHEN CAST(('0x' || substr(md5('fh:' || term), 9, 1))
+                                  AS BIGINT) % 2 = 0 THEN c ELSE -c END)
+                    AS BIGINT) AS weight
+        FROM (
+            SELECT doc_id, term, count(*) AS c
+            FROM (SELECT doc_id, unnest({_TOK}) AS term FROM documents)
+            GROUP BY doc_id, term
+        )
+        GROUP BY 1, 2
+        HAVING sum(CASE WHEN CAST(('0x' || substr(md5('fh:' || term), 9, 1))
+                             AS BIGINT) % 2 = 0 THEN c ELSE -c END) <> 0
+    """,
+)
+def text_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (Weinberger et al. 2009): each document's
+    token counts folded into a FIXED {FEATURE_DIM}-dim signed feature
+    vector — dim = md5(term) mod D, sign = md5's 9th hex digit parity —
+    emitted in sparse long form (doc_id, dim, weight), zero rows
+    dropped. This is THE unbounded-vocabulary featurizer: no vocabulary
+    table to build, ship, or version, so feature extraction over 100 TB
+    is vocabulary-free and append-stable (a new term never reshapes
+    existing features, unlike a fitted CountVectorizer). The signed
+    fold keeps collisions unbiased (E[collision contribution] = 0),
+    which is what makes the trick usable for linear models —
+    quality_classifier's feature set is the hand-picked alternative.
+
+    Scale shape: one (doc_id, term) aggregate then one (doc_id, dim)
+    aggregate, both with map-side partials; everything after
+    tokenization shuffles (8-byte id, int, int) triples. Output is at
+    most {FEATURE_DIM} rows per doc regardless of vocabulary."""
+    docs = table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    ).groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    dg = F.md5(F.concat(F.lit("fh:"), F.col("term")))
+    dim = (
+        F.conv(F.substring(dg, 1, 8), 16, 10).cast("bigint") % FEATURE_DIM
+    ).cast("int")
+    sign_pos = F.conv(F.substring(dg, 9, 1), 16, 10).cast("bigint") % 2 == 0
+    signed = F.when(sign_pos, F.col("c")).otherwise(-F.col("c"))
+    return (
+        terms.select("doc_id", dim.alias("dim"), signed.alias("w"))
+        .groupBy("doc_id", "dim")
+        .agg(F.sum("w").alias("weight"))
+        .filter(F.col("weight") != 0)
+    )

@@ -1364,3 +1364,102 @@ def reservoir_stream(docs: DataFrame) -> DataFrame:
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ------------------------------------------------- streaming heavy hitters
+
+TOPK_CAPACITY = 32  # space-saving counters per stratum
+TOPK_EMIT = 10  # summary rows emitted per stratum per batch
+
+
+def topk_stream(docs: DataFrame) -> DataFrame:
+    """Streaming per-source heavy hitters via SPACE-SAVING (Metwally et
+    al. 2005) — the bounded-state answer to "what are the top terms in
+    each source, live?": per source, at most {TOPK_CAPACITY} (term,
+    count, err) counters, emitting the current top-{TOPK_EMIT} with
+    error bounds after every micro-batch. cms_cells_stream answers
+    point frequency queries; this maintains the TOP-K SET itself, the
+    ingest-ops view ("what suddenly floods source X").
+
+    Space-saving guarantees (tested): est >= true count >= est - err
+    for every tracked term; any term with true count > n_seen /
+    {TOPK_CAPACITY} is tracked; and while a stratum has seen <=
+    {TOPK_CAPACITY} distinct terms the summary is EXACT (err = 0).
+    Within each micro-batch, counts are pre-folded per term and terms
+    are applied in (-batch_count, term) order, so the summary is
+    deterministic for a given replay batching (the sequence-dependence
+    all space-saving variants have lives BETWEEN batches, where the
+    file source's order is already fixed).
+
+    Scale shape: state is O({TOPK_CAPACITY}) per source forever; each
+    batch shuffles bare (source, term) pairs — pre-tokenization is a
+    narrow map — and emission is {TOPK_EMIT} rows per source per
+    trigger."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from spark_graft.functions import tokens
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            terms, counts, errs, n_seen = state.get
+            summ = {
+                t: [int(c), int(e)]
+                for t, c, e in zip(terms, counts, errs)
+            }
+            n_seen = int(n_seen)
+        else:
+            summ, n_seen = {}, 0
+        chunks = [c for c in pdfs if len(c)]
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True)
+            bc = batch.groupby("term").size()
+            n_seen += int(bc.sum())
+            # deterministic application order: heaviest first, ties by term
+            for term, c in sorted(bc.items(), key=lambda kv: (-kv[1], kv[0])):
+                c = int(c)
+                if term in summ:
+                    summ[term][0] += c
+                elif len(summ) < TOPK_CAPACITY:
+                    summ[term] = [c, 0]
+                else:
+                    # evict the minimum-count counter (ties by term so
+                    # the choice is deterministic)
+                    victim = min(summ.items(), key=lambda kv: (kv[1][0], kv[0]))
+                    ve = victim[1][0]
+                    del summ[victim[0]]
+                    summ[term] = [ve + c, ve]
+        items = sorted(summ.items(), key=lambda kv: (-kv[1][0], kv[0]))
+        state.update(
+            (
+                [t for t, _ in items],
+                [v[0] for _, v in items],
+                [v[1] for _, v in items],
+                n_seen,
+            )
+        )
+        top = items[:TOPK_EMIT]
+        yield pd.DataFrame(
+            {
+                "source": [key[0]] * len(top),
+                "rank": list(range(1, len(top) + 1)),
+                "term": [t for t, _ in top],
+                "est": [v[0] for _, v in top],
+                "err": [v[1] for _, v in top],
+                "n_seen": [n_seen] * len(top),
+            }
+        )
+
+    return (
+        docs.select("source", F.explode(tokens("text")).alias("term"))
+        .groupBy("source")
+        .applyInPandasWithState(
+            update,
+            "source string, rank int, term string, est bigint, err bigint, "
+            "n_seen bigint",
+            "terms array<string>, counts array<bigint>, errs array<bigint>, "
+            "n_seen bigint",
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1134,3 +1134,41 @@ def test_train_eval_split_audit_rides_banded_pairs(spark, sf_dir):
     plan = explain_str(df, "formatted")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_events_rfm_windows_only_over_histograms(spark, sf_dir):
+    """events_rfm's three quantile windows must read COLLAPSED
+    distinct-value histograms, never raw user rows: no Window
+    partitioned by user_id, the score maps join back broadcast, and
+    the corpus-scale work is exactly one user aggregate (plus the
+    1-row anchor)."""
+    import inspect
+
+    from spark_graft.operators import events
+
+    df = q("events_rfm", spark, sf_dir)
+    assert "user_id" not in _window_partition_keys(df)
+    plan = explain_str(df, "formatted")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # pu is localCheckpointed (events scanned once, user agg run once);
+    # the downstream plan therefore reads the materialized user table
+    # with NO user_id re-aggregation Exchange of its own
+    assert ".localCheckpoint()" in inspect.getsource(events.events_rfm)
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    user_ex = [
+        l for l in physical.splitlines()
+        if "Exchange hashpartitioning(user_id" in l and "Reused" not in l
+    ]
+    assert len(user_ex) == 0, physical
+
+
+def test_text_hash_features_two_partial_aggs_no_window(spark, sf_dir):
+    """text_hash_features is two partial-combining aggregates — (doc,
+    term) then (doc, dim) — with zero windows and zero joins; the
+    vocabulary never materializes anywhere."""
+    df = q("text_hash_features", spark, sf_dir)
+    plan = explain_str(df, "formatted")
+    assert "Window" not in plan and "Join" not in plan, plan
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+    assert _window_partition_keys(df) == set()

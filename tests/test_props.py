@@ -2158,3 +2158,118 @@ def test_sim_maxsim_late_interaction_hand_check(spark, tmp_path):
     ).write.mode("overwrite").parquet(str(d / "embeddings.parquet"))
     got = {r["vec_id"]: r["maxsim"] for r in sim_maxsim(spark, str(d)).collect()}
     assert got == {0: 1.0, 1: 1.0, 2: -1.0}
+
+
+def test_events_rfm_matches_pure_python_quantiles(spark, tmp_path):
+    """events_rfm on a planted timeline == a pure-Python replay of the
+    whole contract (day recency vs the corpus-max anchor, purchase
+    cents, exact integer ceil-quantiles, recency polarity flip) — with
+    metric values spread so every dimension has a non-degenerate
+    quintile assignment, and the most-recent / highest-value users
+    provably score 5."""
+    from spark_graft.operators.events import RFM_BINS
+    from spark_graft.registry import REGISTRY
+
+    d = tmp_path / "rfm"
+    d.mkdir()
+    # 10 users: user u's last event is u days before the anchor, u+1
+    # events total, and one purchase of (10 - u) dollars
+    rows, eid = [], 0
+    for u in range(10):
+        for k in range(u + 1):
+            rows.append(
+                (eid, f"2024-03-{20 - u:02d} 10:{k:02d}:00", u, "view", None)
+            )
+            eid += 1
+        rows.append(
+            (eid, f"2024-03-{20 - u:02d} 11:00:00", u, "purchase",
+             float(10 - u)),
+        )
+        eid += 1
+    from datetime import datetime
+
+    spark.createDataFrame(
+        [
+            (e, datetime.strptime(t, "%Y-%m-%d %H:%M:%S"), u, ty, v)
+            for e, t, u, ty, v in rows
+        ],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double",
+    ).write.mode("overwrite").parquet(str(d / "events.parquet"))
+
+    per_user = {
+        u: (u, u + 2, (10 - u) * 100) for u in range(10)
+    }  # r_days, freq(u+1 views + 1 purchase), mon_cents
+
+    def quint(vals):
+        hist = sorted(set(vals))
+        n = len(vals)
+        cum, stage = 0, {}
+        from collections import Counter
+
+        c = Counter(vals)
+        for v in hist:
+            cum += c[v]
+            stage[v] = (RFM_BINS * cum + n - 1) // n
+        return stage
+
+    sr = quint([m[0] for m in per_user.values()])
+    sf_ = quint([m[1] for m in per_user.values()])
+    sm = quint([m[2] for m in per_user.values()])
+    got = {
+        r["user_id"]: r for r in REGISTRY["events_rfm"].fn(spark, str(d)).collect()
+    }
+    for u, (rd, fq, mc) in per_user.items():
+        r = got[u]
+        assert (r["r_days"], r["freq"], r["mon_cents"]) == (rd, fq, mc), u
+        want_r = RFM_BINS + 1 - sr[rd]
+        assert r["r_score"] == want_r
+        assert r["f_score"] == sf_[fq] and r["m_score"] == sm[mc]
+        assert r["rfm_segment"] == want_r * 100 + sf_[fq] * 10 + sm[mc]
+    # polarity: user 0 (most recent, fewest events, biggest spend)
+    assert got[0]["r_score"] == 5 and got[0]["m_score"] == 5
+    assert got[9]["r_score"] == 1 and got[9]["f_score"] == 5
+
+
+def test_text_hash_features_signed_fold_hand_check(spark, tmp_path):
+    """text_hash_features on a planted doc == the signed hashing trick
+    replayed in pure Python (dim = md5 % D, sign = 9th-hex-digit
+    parity), including a collision-cancellation doc where two terms of
+    opposite sign land in the same dim and the zero row is dropped."""
+    from spark_graft.operators.text import FEATURE_DIM
+    from spark_graft.registry import REGISTRY
+
+    d = tmp_path / "fh"
+    d.mkdir()
+    # find two terms with same dim, opposite signs, for the cancel doc
+    import hashlib
+    import itertools
+
+    def dim_sign(t):
+        h = hashlib.md5(f"fh:{t}".encode()).hexdigest()
+        return int(h[:8], 16) % FEATURE_DIM, 1 if int(h[8], 16) % 2 == 0 else -1
+
+    words = [f"w{i}" for i in range(200)]
+    cancel = next(
+        (a, b) for a, b in itertools.combinations(words, 2)
+        if dim_sign(a)[0] == dim_sign(b)[0] and dim_sign(a)[1] == -dim_sign(b)[1]
+    )
+    rows = [
+        (0, "alpha alpha beta", "en", "s"),
+        (1, f"{cancel[0]} {cancel[1]}", "en", "s"),  # exact cancellation
+    ]
+    _write_docs(spark, rows, d)
+    got = {
+        (r["doc_id"], r["dim"]): r["weight"]
+        for r in REGISTRY["text_hash_features"].fn(spark, str(d)).collect()
+    }
+    from collections import defaultdict
+
+    want = defaultdict(int)
+    for tok in "alpha alpha beta".split():
+        dm, sg = dim_sign(tok)
+        want[(0, dm)] += sg
+    want = {k: v for k, v in want.items() if v != 0}
+    assert {k: v for k, v in got.items() if k[0] == 0} == want
+    # the cancellation doc emits NOTHING for the collided dim
+    assert not [k for k in got if k[0] == 1]

@@ -2224,3 +2224,130 @@ def test_reservoir_stream_prefix_consistent_and_redelivery_noop(
         assert members == want, f"batch {b}"
     assert any(h == ["add", "evict"] for h in history.values())
     assert all(h in (["add"], ["add", "evict"]) for h in history.values())
+
+
+def test_topk_stream_space_saving_guarantees(spark, sf_dir, tmp_path):
+    """topk_stream over the real documents replayed as 3 micro-batches:
+    the final per-source summaries must honor every space-saving
+    guarantee against exact pandas ground truth — est >= true >=
+    est - err for each tracked term, any term with true count >
+    n_seen/CAPACITY is tracked, n_seen equals the true token total, and
+    the emitted rows are rank-ordered."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_graft.sources import table
+    from spark_graft.streaming import topk_stream, run_stream_to_memory
+    from spark_graft.streaming.structured import TOPK_CAPACITY, TOPK_EMIT
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "text").toPandas()
+    src = tmp_path / "topk_src"
+    src.mkdir()
+    schema = pa.schema(
+        [("doc_id", pa.int64()), ("source", pa.string()), ("text", pa.string())]
+    )
+    now = time.time()
+    cuts = [len(docs) * i // 3 for i in range(4)]
+    for i in range(3):
+        pq.write_table(
+            pa.Table.from_pandas(
+                docs.iloc[cuts[i]:cuts[i + 1]], preserve_index=False
+            ).cast(schema),
+            str(src / f"c{i}.parquet"),
+        )
+        os.utime(src / f"c{i}.parquet", (now + i * 10, now + i * 10))
+    stream = (
+        spark.readStream.schema("doc_id long, source string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = run_stream_to_memory(topk_stream(stream), mode="update").toPandas()
+
+    import re
+    from collections import Counter, defaultdict
+
+    true = defaultdict(Counter)
+    for r in docs.itertuples():
+        true[r.source].update(
+            t for t in re.split(r"[^a-z0-9]+", r.text.lower()) if t
+        )
+    for source, final in out.sort_values("n_seen").groupby("source"):
+        final = final[final.n_seen == final.n_seen.max()]
+        assert len(final) == TOPK_EMIT
+        assert list(final.sort_values("rank")["rank"]) == list(range(1, TOPK_EMIT + 1))
+        tc = true[source]
+        assert final.n_seen.iloc[0] == sum(tc.values())
+        tracked = set(final.term)
+        for r in final.itertuples():
+            assert r.est >= tc[r.term] >= r.est - r.err, (source, r.term)
+        # ests are rank-sorted
+        ests = list(final.sort_values("rank")["est"])
+        assert ests == sorted(ests, reverse=True)
+        # every guaranteed-heavy term (true > n/m) appears in the top
+        # TOPK_EMIT only if its est ranks there; the SUMMARY guarantee
+        # is over the full capacity — check via the threshold terms
+        # being tracked among emitted when emitted covers them
+        thresh = sum(tc.values()) / TOPK_CAPACITY
+        heavy = {t for t, c in tc.items() if c > thresh}
+        # every heavy term must out-est every non-tracked term, so the
+        # emitted top-K (which is est-ordered) can only miss a heavy
+        # term if K < |heavy|; with K=10 and capacity 32 assert direct
+        # membership when |heavy| <= K
+        if len(heavy) <= TOPK_EMIT:
+            assert heavy <= tracked, (source, heavy - tracked)
+
+
+def test_topk_stream_exact_under_capacity_and_deterministic(spark, tmp_path):
+    """While a stratum has seen <= CAPACITY distinct terms the summary
+    is EXACT: est == true count and err == 0 across a 2-batch replay;
+    re-running the same replay yields the identical frame."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_graft.streaming import topk_stream, run_stream_to_memory
+
+    src = tmp_path / "topk2_src"
+    src.mkdir()
+    schema = pa.schema(
+        [("doc_id", pa.int64()), ("source", pa.string()), ("text", pa.string())]
+    )
+    batches = [
+        [(0, "s", "apple apple pear plum"), (1, "s", "apple fig")],
+        [(2, "s", "pear apple kiwi kiwi kiwi")],
+    ]
+    now = time.time()
+    for i, rows in enumerate(batches):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": [r[0] for r in rows],
+                    "source": [r[1] for r in rows],
+                    "text": [r[2] for r in rows],
+                },
+                schema=schema,
+            ),
+            str(src / f"c{i}.parquet"),
+        )
+        os.utime(src / f"c{i}.parquet", (now + i * 10, now + i * 10))
+
+    def run():
+        stream = (
+            spark.readStream.schema("doc_id long, source string, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        pdf = run_stream_to_memory(topk_stream(stream), mode="update").toPandas()
+        final = pdf[pdf.n_seen == pdf.n_seen.max()].sort_values("rank")
+        return list(zip(final["rank"], final.term, final.est, final.err))
+
+    got = run()
+    want = [(1, "apple", 4, 0), (2, "kiwi", 3, 0), (3, "pear", 2, 0),
+            (4, "fig", 1, 0), (5, "plum", 1, 0)]
+    assert got == want
+    assert run() == got  # deterministic replay
