@@ -1136,6 +1136,7 @@ def _rfm_quint_sql(metric: str) -> str:
                        AS r_days,
                    count(*) AS freq,
                    CAST(floor(coalesce(sum(CASE WHEN event_type = 'purchase'
+                                 AND NOT isnan(value)
                             THEN CAST(value AS DECIMAL(18,6)) END), 0) * 100)
                         AS BIGINT) AS mon_cents
             FROM events GROUP BY user_id
@@ -1174,7 +1175,10 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     summed as DECIMAL(18,6) then floor()'d to cents on BOTH engines
     (the r15 agg_weighted_quantile lesson: Spark's decimal->bigint
     cast truncates, DuckDB's rounds — floor first makes them
-    identical)."""
+    identical). NaN purchase values follow the family's NaN==NULL
+    convention: Spark's double->decimal cast already yields NULL for
+    NaN, while DuckDB's RAISES — the oracle filters isnan(value)
+    explicitly so both engines skip the row (code-review r15)."""
     ev = table(spark, sf_dir, "events")
     anchor = ev.agg(F.max(F.col("ts").cast("date")).alias("a"))
     pu = (

@@ -201,7 +201,7 @@ _TEMP_DOMAIN = 4294967296.0  # 2^32, md5_bucket_raw's value domain
                    least(CAST(floor(
                        (CAST((t.n_total * s_l) % (t.s_total * n_l) AS DOUBLE)
                         / CAST(t.s_total * n_l AS DOUBLE)) * {_TEMP_DOMAIN}
-                   ) AS BIGINT), {_TEMP_DOMAIN - 1}) AS frac_fx
+                   ) AS BIGINT), {int(_TEMP_DOMAIN) - 1}) AS frac_fx
             FROM lc CROSS JOIN tot t
         )
         SELECT d.doc_id, d.lang,
@@ -271,7 +271,9 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ((num % den).cast("double") / den.cast("double"))
                 * F.lit(_TEMP_DOMAIN)
             ).cast("bigint"),
-            F.lit(_TEMP_DOMAIN - 1),
+            # INTEGER literal: least(bigint, double) would retype the
+            # declared-bigint frac_fx to double on both engines
+            F.lit(int(_TEMP_DOMAIN) - 1),
         ).alias("frac_fx"),
     )
     n_copies = F.col("base_copies") + F.when(

@@ -25,6 +25,31 @@ from spark_graft.sources.tables import table
 WATERMARK = "1 hour"
 
 
+def _reorder_split(bts: list, beid: list, wm_us: int) -> tuple[list, list]:
+    """The event-time re-order buffer's release decision, shared by
+    every reorder-buffered stream (cep_pattern_stream, ewma_stream):
+    index lists into the buffered (ts_us, event_id) arrays — RELEASE
+    strictly below the watermark in (ts, event_id) order, KEEP the
+    rest. Strictly below, because Spark only guarantees no FUTURE row
+    older than the watermark: a row AT it may still arrive and must
+    find the frontier not yet advanced past it."""
+    order = sorted(range(len(bts)), key=lambda i: (bts[i], beid[i]))
+    rel = [i for i in order if bts[i] < wm_us]
+    keep = [i for i in order if bts[i] >= wm_us]
+    return rel, keep
+
+
+def _reorder_set_timeout(state, bts: list) -> None:
+    """Wake the group when the watermark passes its oldest buffered
+    event (the timestamp must exceed the current watermark by API
+    contract; everything < wm was just released, so only the == edge
+    needs the max). Shared by every reorder-buffered stream."""
+    if bts:
+        state.setTimeoutTimestamp(
+            max(min(bts) // 1000, state.getCurrentWatermarkMs() + 1)
+        )
+
+
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as an unbounded file stream. The file source needs
     a directory (basePath) + glob, and the declared schema must be the
@@ -703,12 +728,7 @@ def cep_pattern_stream(
             beid.extend(int(v) for v in batch["event_id"])
             bsym += "".join(batch["sym"])
         wm_us = state.getCurrentWatermarkMs() * 1000
-        order = sorted(range(len(bts)), key=lambda i: (bts[i], beid[i]))
-        # release strictly BELOW the watermark: Spark only guarantees no
-        # future row older than the watermark, so a row AT it may still
-        # arrive and must find the frontier not yet advanced past it
-        rel = [i for i in order if bts[i] < wm_us]
-        keep = [i for i in order if bts[i] >= wm_us]
+        rel, keep = _reorder_split(bts, beid, wm_us)
         if rel:
             new = "".join(bsym[i] for i in rel)
             seen += len(new)
@@ -716,14 +736,7 @@ def cep_pattern_stream(
         bts, beid = [bts[i] for i in keep], [beid[i] for i in keep]
         bsym = "".join(bsym[i] for i in keep)
         state.update((tail, nm, nem, fml, mcr, seen, bts, beid, bsym))
-        if bts:
-            # wake this group when the watermark passes its oldest
-            # buffered event (must be > current watermark by contract;
-            # everything < wm was just released, so only the == edge
-            # needs the max)
-            state.setTimeoutTimestamp(
-                max(min(bts) // 1000, state.getCurrentWatermarkMs() + 1)
-            )
+        _reorder_set_timeout(state, bts)
         yield _emit(key, nm, nem, fml, mcr, seen)
 
     sym = (
@@ -1203,11 +1216,7 @@ def ewma_stream(
                 None if pd.isna(v) else float(v) for v in batch["value"]
             )
         wm_us = state.getCurrentWatermarkMs() * 1000
-        order = sorted(range(len(bts)), key=lambda i: (bts[i], beid[i]))
-        # release strictly BELOW the watermark: a row AT the watermark
-        # may still arrive (Spark only guarantees no row OLDER than it)
-        rel = [i for i in order if bts[i] < wm_us]
-        keep = [i for i in order if bts[i] >= wm_us]
+        rel, keep = _reorder_split(bts, beid, wm_us)
         rows: list[tuple] = []
         for i in rel:
             ewma, hist = _step(hist, bval[i])
@@ -1215,13 +1224,7 @@ def ewma_stream(
         bts, beid = [bts[i] for i in keep], [beid[i] for i in keep]
         bval = [bval[i] for i in keep]
         state.update((hist, bts, beid, bval))
-        if bts:
-            # wake this group when the watermark passes its oldest
-            # buffered event (timestamp must exceed the current
-            # watermark by contract; only the == edge needs the max)
-            state.setTimeoutTimestamp(
-                max(min(bts) // 1000, state.getCurrentWatermarkMs() + 1)
-            )
+        _reorder_set_timeout(state, bts)
         if rows:
             yield pd.DataFrame(
                 rows,

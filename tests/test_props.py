@@ -2006,12 +2006,16 @@ def test_dedup_url_scorecard_matches_pure_python(spark, tmp_path):
 
     d = tmp_path / "urls"
     d.mkdir()
-    rows = [(i, f"doc {i}", "en", f"s{i % 3}") for i in range(90)]
+    # 'common_crawl-2' exercises the host sanitizer: '_' must be
+    # stripped on both engines (and by parse_url's URI rules in fn_url)
+    sources = ["s0", "s1", "common_crawl-2"]
+    rows = [(i, f"doc {i}", "en", sources[i % 3]) for i in range(90)]
     _write_docs(spark, rows, d)
 
     def synth(doc_id, source):
         scheme = "https" if doc_id % 2 == 0 else "HTTP"
         host = source.upper() if doc_id % 3 == 0 else source
+        host = re.sub(r"[^a-zA-Z0-9-]", "", host)
         bucket = _md5_raw_py("url:", doc_id) % 12
         junk = {
             0: "?utm_source=feed",
@@ -2273,3 +2277,27 @@ def test_text_hash_features_signed_fold_hand_check(spark, tmp_path):
     assert {k: v for k, v in got.items() if k[0] == 0} == want
     # the cancellation doc emits NOTHING for the collided dim
     assert not [k for k in got if k[0] == 1]
+
+
+def test_fn_url_parse_url_survives_hostile_source_names(spark, tmp_path):
+    """fn_url's Spark side is java.net.URI-backed parse_url, which
+    returns NULL for hosts containing URI-invalid characters — the
+    synthesis must therefore sanitize source names ('common_crawl',
+    'web.archive/dump') into RFC host labels so HOST/QUERY never go
+    NULL where the regex oracle would still extract them."""
+    from spark_graft.registry import REGISTRY
+
+    d = tmp_path / "hostile"
+    d.mkdir()
+    rows = [
+        (0, "doc a", "en", "common_crawl"),
+        (1, "doc b", "en", "web.archive/dump"),
+        (2, "doc c", "en", "ok-source9"),
+    ]
+    _write_docs(spark, rows, d)
+    got = {r["doc_id"]: r for r in REGISTRY["fn_url"].fn(spark, str(d)).collect()}
+    assert got[0]["host"] is not None and "_" not in got[0]["host"]
+    assert got[1]["host"] is not None and "/" not in got[1]["host"]
+    for r in got.values():
+        assert r["protocol"] is not None and r["path"] is not None
+        assert r["canon"].startswith("https://")
