@@ -903,3 +903,56 @@ def text_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("w").alias("weight"))
         .filter(F.col("weight") != 0)
     )
+
+
+# --------------------------------------------------------------- topk_terms
+
+TOPK_TERMS_K = 10  # = streaming.structured.TOPK_EMIT, the stream twin
+
+
+@query(
+    "topk_terms",
+    oracle=f"""
+        SELECT source, rank, term, n FROM (
+            SELECT source, term, n,
+                   row_number() OVER (
+                       PARTITION BY source ORDER BY n DESC, term
+                   ) AS rank
+            FROM (
+                SELECT source, term, count(*) AS n
+                FROM (SELECT source, unnest({_TOK}) AS term FROM documents)
+                GROUP BY source, term
+            )
+        ) WHERE rank <= {TOPK_TERMS_K}
+    """,
+)
+def topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source top-{TOPK_TERMS_K} terms — the batch twin (and
+    exact ground truth) of the streaming space-saving `topk_stream`:
+    same emission shape (source, rank, term, count), deterministic
+    ties by term. word_count is the corpus-wide count table; this is
+    the per-stratum TOP-K SET a source dashboard shows.
+
+    Scale shape: one (source, term) aggregate with map-side partials,
+    then the rank filter plans as WindowGroupLimit — a map-side
+    per-partition top-K under each source BEFORE the exchange, so a
+    hot source costs O(partitions x K) in the window stage, never its
+    full vocabulary (the sample_reservoir contract on a different
+    key). The window reads the COLLAPSED (source, term) table, not
+    raw token rows."""
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("source", F.explode(tokens("text")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("n"), "term")
+    return (
+        counts.select(
+            "source", F.row_number().over(w).alias("rank"), "term", "n"
+        )
+        .filter(F.col("rank") <= TOPK_TERMS_K)
+        .select("source", "rank", "term", "n")
+    )

@@ -1172,3 +1172,15 @@ def test_text_hash_features_two_partial_aggs_no_window(spark, sf_dir):
     assert "Window" not in plan and "Join" not in plan, plan
     assert "partial_count" in plan or "partial_sum" in plan, plan
     assert _window_partition_keys(df) == set()
+
+
+def test_topk_terms_window_group_limit_over_collapsed_counts(spark, sf_dir):
+    """topk_terms' rank filter must plan as WindowGroupLimit (map-side
+    per-partition top-K before the exchange) over the collapsed
+    (source, term) count table — `term` must never be a window
+    partition key (the r12 power-law-key lesson)."""
+    df = q("topk_terms", spark, sf_dir)
+    plan = explain_str(df, "formatted")
+    assert "WindowGroupLimit" in plan, plan
+    assert "term" not in _window_partition_keys(df)
+    assert "partial_count" in plan, plan

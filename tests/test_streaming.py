@@ -2351,3 +2351,28 @@ def test_topk_stream_exact_under_capacity_and_deterministic(spark, tmp_path):
             (4, "fig", 1, 0), (5, "plum", 1, 0)]
     assert got == want
     assert run() == got  # deterministic replay
+    # under capacity the stream equals its oracled batch twin exactly
+    from spark_graft.registry import REGISTRY
+
+    batch_dir = tmp_path / "topk_batch"
+    batch_dir.mkdir()
+    os.makedirs(batch_dir / "documents.parquet")
+    all_rows = [r for b in batches for r in b]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [r[0] for r in all_rows],
+                "text": [r[2] for r in all_rows],
+                "lang": ["en"] * len(all_rows),
+                "source": [r[1] for r in all_rows],
+                "n_chars": [len(r[2]) for r in all_rows],
+            }
+        ),
+        str(batch_dir / "documents.parquet" / "part-0.parquet"),
+    )
+    twin = [
+        (r["rank"], r["term"], r["n"])
+        for r in REGISTRY["topk_terms"].fn(spark, str(batch_dir))
+        .orderBy("rank").collect()
+    ]
+    assert twin == [(rk, t, c) for rk, t, c, _ in got]
