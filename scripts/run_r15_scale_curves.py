@@ -1,14 +1,19 @@
 #!/usr/bin/env python
-"""Record the sf1 -> sf3 scale curves for the seven round-15 queries
-(dedup_url, fn_url, pipeline_gopher_rules, pipeline_train_eval_split,
-sim_maxsim, events_rfm, text_hash_features), same
-methodology as run_sf3_spotcheck.py
-(bench.py subset runs, median of 3 warm runs via the noop sink, ratio
-vs sf1 seconds measured in the same run). Writes the result to
-BENCH_SF1.json under `r15_queries_sf3`.
+"""Record sf1 -> sf3 scale curves for a query set (default: the eight
+round-15 queries), same methodology as run_sf3_spotcheck.py: bench.py
+subset runs (median of 3 warm runs via the noop sink), ratio vs sf1
+seconds measured in the same session. Merges the result into
+BENCH_SF1.json under --key, preserving any hand-added characterization
+sub-keys.
+
+Parameterized (--key / --queries) so future rounds pass their own list
+instead of copying this file again — the r14 copy predates this
+(second-pass code review, r15).
 
     python scripts/run_r15_scale_curves.py [--sf1-dir /tmp/testdata/sf1]
                                            [--sf3-dir /tmp/testdata/sf3]
+                                           [--key r15_queries_sf3]
+                                           [--queries name ...]
 """
 
 from __future__ import annotations
@@ -22,16 +27,16 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DETAIL = os.path.join(REPO, "BENCH_DETAIL_SUBSET.json")
 
-QUERIES = """
+R15_QUERIES = """
 dedup_url fn_url pipeline_gopher_rules pipeline_train_eval_split
-sim_maxsim events_rfm text_hash_features
+sim_maxsim events_rfm text_hash_features topk_terms
 """.split()
 
 
-def run_bench(sf_dir: str) -> dict[str, float]:
+def run_bench(sf_dir: str, queries: list[str]) -> dict[str, float]:
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
     subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py"), *QUERIES],
+        [sys.executable, os.path.join(REPO, "bench.py"), *queries],
         env=env, cwd=REPO, check=True, stdout=subprocess.DEVNULL,
     )
     with open(DETAIL) as f:
@@ -42,6 +47,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf1-dir", default="/tmp/testdata/sf1")
     ap.add_argument("--sf3-dir", default="/tmp/testdata/sf3")
+    ap.add_argument("--key", default="r15_queries_sf3")
+    ap.add_argument("--queries", nargs="*", default=R15_QUERIES)
     args = ap.parse_args()
 
     for sf, out_dir in (("1", args.sf1_dir), ("3", args.sf3_dir)):
@@ -52,23 +59,23 @@ def main() -> None:
                 check=True,
             )
 
-    q1 = run_bench(args.sf1_dir)
-    q3 = run_bench(args.sf3_dir)
+    q1 = run_bench(args.sf1_dir, args.queries)
+    q3 = run_bench(args.sf3_dir, args.queries)
 
     path = os.path.join(REPO, "BENCH_SF1.json")
     with open(path) as f:
         doc = json.load(f)
-    # preserve any characterization sub-keys added by hand (e.g. the
-    # preference_pairs stage decomposition) — merge, don't replace
+    # preserve any characterization sub-keys added by hand — merge,
+    # don't replace
     extras = {
         k: v
-        for k, v in doc.get("r15_queries_sf3", {}).items()
+        for k, v in doc.get(args.key, {}).items()
         if k not in ("what", "sf1", "sf3", "ratio_sf3_over_sf1")
     }
-    doc["r15_queries_sf3"] = {
+    doc[args.key] = {
         **extras,
         "what": (
-            "Scale curves for the seven round-15 queries at sf1 and a "
+            f"Scale curves for {len(args.queries)} queries at sf1 and a "
             "generated sf3 (3x sf1's rows per table), same code and "
             "methodology as sf3_spotcheck "
             "(scripts/run_r15_scale_curves.py). Linear-or-better per "
@@ -81,7 +88,7 @@ def main() -> None:
     }
     with open(path, "w") as f:
         json.dump(doc, f, indent=1, sort_keys=True)
-    print("wrote BENCH_SF1.json r15_queries_sf3:",
+    print(f"wrote BENCH_SF1.json {args.key}:",
           {k: round(q3[k] / q1[k], 2) for k in q3})
 
 

@@ -1825,16 +1825,20 @@ _URL_PATH_SQL = (
     "CAST(CAST(conv(substring(md5(concat('url:', CAST(doc_id AS STRING))), "
     "1, 8), 16, 10) AS BIGINT) % 12 AS STRING)"
 )
-# the host label is sanitized to RFC-hostname characters ([A-Za-z0-9-])
-# on BOTH engines: a source name like 'common_crawl' would otherwise
-# make java.net.URI-backed parse_url (fn_url) return NULL for HOST
-# while the oracle's plain regex still extracts it (code-review r15).
-# DuckDB's regexp_replace needs the 'g' flag for replace-ALL; Spark's
-# replaces all by default.
+# the host label is 's' + the source sanitized to ALPHANUMERICS on
+# BOTH engines: a source name like 'common_crawl' would otherwise make
+# java.net.URI-backed parse_url (fn_url) return NULL for HOST while
+# the oracle's plain regex still extracts it (code-review r15). The
+# constant alpha prefix + alnum-only body makes the label a valid RFC
+# domainlabel for EVERY input — including sources that sanitize to
+# empty ('__') or would keep a leading/trailing hyphen ('-archive'),
+# which URI.getHost() also rejects (second-pass review). DuckDB's
+# regexp_replace needs the 'g' flag for replace-ALL; Spark's replaces
+# all by default.
 _URL_RAW_SQL = (
-    "(CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END) || '://' || "
+    "(CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END) || '://s' || "
     "regexp_replace((CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END), "
-    "'[^a-zA-Z0-9-]', '') || "
+    "'[^a-zA-Z0-9]', '') || "
     f"'.Example.COM/page/' || {_URL_PATH_SQL} || "
     "(CASE CAST(doc_id % 5 AS INT) "
     " WHEN 0 THEN '?utm_source=feed' "
@@ -1848,9 +1852,9 @@ _URL_RAW_SQL = (
 # the dedup_url oracle and fn_url's (operators.scalar), the same way
 # MINHASH_PAIRS_CTES is shared by the minhash-family oracles
 URL_RAW_DUCK = """
-                   (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END) || '://' ||
+                   (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END) || '://s' ||
                    regexp_replace((CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END),
-                                  '[^a-zA-Z0-9-]', '', 'g') ||
+                                  '[^a-zA-Z0-9]', '', 'g') ||
                    '.Example.COM/page/' ||
                    CAST(CAST(('0x' || substr(md5('url:' || CAST(doc_id AS VARCHAR)), 1, 8))
                              AS BIGINT) % 12 AS VARCHAR) ||

@@ -1136,7 +1136,7 @@ def _rfm_quint_sql(metric: str) -> str:
                        AS r_days,
                    count(*) AS freq,
                    CAST(floor(coalesce(sum(CASE WHEN event_type = 'purchase'
-                                 AND NOT isnan(value)
+                                 AND isfinite(value) AND abs(value) < 1e12
                             THEN CAST(value AS DECIMAL(18,6)) END), 0) * 100)
                         AS BIGINT) AS mon_cents
             FROM events GROUP BY user_id
@@ -1175,10 +1175,12 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     summed as DECIMAL(18,6) then floor()'d to cents on BOTH engines
     (the r15 agg_weighted_quantile lesson: Spark's decimal->bigint
     cast truncates, DuckDB's rounds — floor first makes them
-    identical). NaN purchase values follow the family's NaN==NULL
-    convention: Spark's double->decimal cast already yields NULL for
-    NaN, while DuckDB's RAISES — the oracle filters isnan(value)
-    explicitly so both engines skip the row (code-review r15)."""
+    identical). Non-castable purchase values — NaN, +/-inf, and
+    |value| >= 1e12 (DECIMAL(18,6)'s range) — are SKIPPED by an
+    explicit guard on both engines: DuckDB's decimal cast raises on
+    all of them while Spark's behavior depends on ANSI mode, so
+    neither engine's implicit handling can be the contract
+    (code-review r15, both passes)."""
     ev = table(spark, sf_dir, "events")
     anchor = ev.agg(F.max(F.col("ts").cast("date")).alias("a"))
     pu = (
@@ -1190,7 +1192,15 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce(
                     F.sum(
                         F.when(
-                            F.col("event_type") == "purchase",
+                            (F.col("event_type") == "purchase")
+                            # explicit finite/in-range gate on BOTH
+                            # engines: NaN/inf/1e12+ make DuckDB's
+                            # decimal cast RAISE while Spark's yields
+                            # NULL (non-ANSI) or raises (ANSI) — the
+                            # guard skips the row identically
+                            # everywhere. Spark orders NaN above every
+                            # double, so abs(NaN) < 1e12 is false too.
+                            & (F.abs("value") < F.lit(1e12)),
                             F.col("value").cast("decimal(18,6)"),
                         )
                     ),

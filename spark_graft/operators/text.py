@@ -949,10 +949,6 @@ def topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     w = Window.partitionBy("source").orderBy(F.desc("n"), "term")
-    return (
-        counts.select(
-            "source", F.row_number().over(w).alias("rank"), "term", "n"
-        )
-        .filter(F.col("rank") <= TOPK_TERMS_K)
-        .select("source", "rank", "term", "n")
-    )
+    return counts.select(
+        "source", F.row_number().over(w).alias("rank"), "term", "n"
+    ).filter(F.col("rank") <= TOPK_TERMS_K)

@@ -2015,7 +2015,7 @@ def test_dedup_url_scorecard_matches_pure_python(spark, tmp_path):
     def synth(doc_id, source):
         scheme = "https" if doc_id % 2 == 0 else "HTTP"
         host = source.upper() if doc_id % 3 == 0 else source
-        host = re.sub(r"[^a-zA-Z0-9-]", "", host)
+        host = "s" + re.sub(r"[^a-zA-Z0-9]", "", host)
         bucket = _md5_raw_py("url:", doc_id) % 12
         junk = {
             0: "?utm_source=feed",
@@ -2023,6 +2023,8 @@ def test_dedup_url_scorecard_matches_pure_python(spark, tmp_path):
             2: f"#sec{doc_id % 7}",
             3: "/",
         }.get(doc_id % 5, "")
+        # 's' prefix + alnum body mirror _URL_RAW_SQL's
+        # always-valid-domainlabel construction
         return f"{scheme}://{host}.Example.COM/page/{bucket}{junk}"
 
     def norm(u):
@@ -2293,11 +2295,16 @@ def test_fn_url_parse_url_survives_hostile_source_names(spark, tmp_path):
         (0, "doc a", "en", "common_crawl"),
         (1, "doc b", "en", "web.archive/dump"),
         (2, "doc c", "en", "ok-source9"),
+        (3, "doc d", "en", "-archive"),  # leading hyphen: invalid label raw
+        (4, "doc e", "en", "__"),  # sanitizes to empty without the prefix
     ]
     _write_docs(spark, rows, d)
     got = {r["doc_id"]: r for r in REGISTRY["fn_url"].fn(spark, str(d)).collect()}
     assert got[0]["host"] is not None and "_" not in got[0]["host"]
     assert got[1]["host"] is not None and "/" not in got[1]["host"]
+    assert got[3]["host"] is not None and not got[3]["host"].startswith("-")
+    assert got[4]["host"] is not None  # 's.example.com', never '.example.com'
     for r in got.values():
+        assert r["host"] is not None
         assert r["protocol"] is not None and r["path"] is not None
         assert r["canon"].startswith("https://")
