@@ -1419,8 +1419,22 @@ def sim_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe_vec = _probe_vector(spark, sf_dir)
     if probe_vec is None:
         return spark.createDataFrame([], "vec_id bigint, maxsim double")
-    e = table(spark, sf_dir, "embeddings").filter(nonzero_vec(F.col("embedding")))
-    emb = F.col("embedding")
+    # the M_SUB doc slices are staged ONCE as projection columns (the
+    # family's HOF staging convention); measured A/B vs inline slices
+    # in BENCH_SF1.json `maxsim_slice_staging_ab_r15` — Catalyst CSE
+    # already dedupes most of the re-evaluation, staging keeps the
+    # remaining 3-10% and the convention
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .filter(nonzero_vec(F.col("embedding")))
+        .select(
+            "vec_id",
+            *[
+                F.slice("embedding", j * SUB_DIM + 1, SUB_DIM).alias(f"_d{j}")
+                for j in range(M_SUB)
+            ],
+        )
+    )
     score = None
     for i in range(M_SUB):
         q = probe_vec[i * SUB_DIM:(i + 1) * SUB_DIM]
@@ -1428,7 +1442,7 @@ def sim_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
             qlit = _lit_vec(q)
             cands = []
             for j in range(M_SUB):
-                dj = F.slice(emb, j * SUB_DIM + 1, SUB_DIM)
+                dj = F.col(f"_d{j}")
                 cands.append(
                     F.when(
                         F.exists(dj, lambda x: x != F.lit(0.0)),
