@@ -46,12 +46,12 @@ __all__ = ["REGISTRY", "QuerySpec", "query", "load_all_queries"]
 #   the bigint weight cast on both engines.
 # - sample_temperature: ADVICE r14 item 3 — clamp frac_fx at 2^32-1 so
 #   the >2^53 denominator saturation regime is explicit.
-# (The eight queries NEW in round 15 — dedup_url, fn_url,
+# (The nine queries NEW in round 15 — dedup_url, fn_url,
 # pipeline_gopher_rules, pipeline_train_eval_split, sim_maxsim,
-# events_rfm, text_hash_features, topk_terms — are tier 0
-# automatically via the never-driver-verified fallback: 11 tier-0 +
-# 34 tier-1 + 5 tier-2 fills = the 50-slot window, keeping every
-# r12-stale query inside it.)
+# events_rfm, text_hash_features, topk_terms, pipeline_dedup_report —
+# are tier 0 automatically via the never-driver-verified fallback:
+# 12 tier-0 + 34 tier-1 + 4 tier-2 fills = the 50-slot window,
+# keeping every r12-stale query inside it.)
 _MODIFIED_THIS_ROUND = frozenset(
     """ts_ewma agg_weighted_quantile sample_temperature""".split()
 )

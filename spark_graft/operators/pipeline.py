@@ -827,7 +827,12 @@ def source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pretrain_oracle() -> str:
+def _pretrain_ctes() -> str:
+    """The pretraining chain's stage CTEs (base -> kept -> s1 exact
+    dedup -> s2 near-dup gate -> s3 decontaminated + shard-assigned) as
+    one WITH prefix — shared by the pipeline_pretrain_corpus oracle and
+    the pipeline_dedup_report oracle so the two can never diverge on
+    stage semantics."""
     from spark_graft.operators.dedup import (
         _SHINGLES,
         N_BANDS,
@@ -916,7 +921,11 @@ def _pretrain_oracle() -> str:
                         AS BIGINT) % {PACK_SHARDS} AS shard
             FROM s2
             WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
-        ),
+        )"""
+
+
+def _pretrain_oracle() -> str:
+    return f"""{_pretrain_ctes()},
         packed AS (
             SELECT doc_id, shard, n_tokens,
                    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
@@ -931,40 +940,13 @@ def _pretrain_oracle() -> str:
     """
 
 
-@query("pipeline_pretrain_corpus", oracle=_pretrain_oracle())
-def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The FULL pretraining-corpus pipeline as ONE declared query
-    (VERDICT r11 item 7): quality floor -> English langid -> exact
-    dedup keep-first -> MinHash near-dup gate -> benchmark
-    decontamination -> sequence packing. `pipeline_clean_corpus` proved
-    the narrow stages fuse; this extends the chain through the WIDE
-    stages (LSH banding, gram join) to the training-ready (doc_id,
-    shard, chunk_id, tok_offset) layout — the plan a production
-    curation run actually submits, where the win is SHARED work: tokens
-    are staged once and every stage (counts, fingerprint, stopword
-    votes, shingles, grams) is an expression over that one projection,
-    so adding a stage never adds a scan-and-retokenize pass.
-
-    Stage semantics (each individually oracle-checked by its standalone
-    query): quality/langid/exact-dedup are pipeline_clean_corpus's
-    exact expressions (plus dropping the doc_id % {EVAL_MOD} eval
-    decile up front — the eval set never enters the training corpus);
-    the near-dup gate drops the HIGHER doc_id of every verified
-    minhash pair (dedup_minhash's bands + exact-Jaccard verify over
-    the survivors, keep-first like the exact stage; non-transitive by
-    design — same contract as dedup_semantic's greedy keep/drop); the
-    decontamination gate drops any survivor sharing a {DECON_N}-gram
-    with the eval decile's gram table (decontaminate's 60-bit hashed
-    grams); packing is pipeline_pack_sequences' per-shard running sum.
-
-    Scale: the only wide ops are the ones the standalone queries
-    already characterized — the fp window, the minhash doc aggregate,
-    the band buckets (chunked pair expansion), the doc_id-keyed verify
-    and anti-joins, the gram join, and the per-shard pack window. No
-    stage re-shuffles another's output on the same key twice; the
-    anti-join chain stays on doc_id. Plan-pinned in tests/test_plans.py
-    (no cartesian, no SinglePartition window, gates compose as
-    left-anti joins)."""
+def _pretrain_stage_frames(spark: SparkSession, sf_dir: str) -> dict:
+    """The pretraining chain's stage DataFrames (the Spark twin of
+    `_pretrain_ctes`): base -> kept -> s1 (exact dedup, checkpointed)
+    -> s2 (near-dup gate, checkpointed) -> s3 (decontaminated +
+    shard-assigned). Shared by pipeline_pretrain_corpus and
+    pipeline_dedup_report; each stage's semantics are those of its
+    standalone oracle-checked query (see pipeline_pretrain_corpus)."""
     from spark_graft.operators.dedup import (
         JACCARD_THRESHOLD as _JT,
         exploded_pairs,
@@ -1057,6 +1039,45 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         (_md5_bucket_raw("pack:", F.col("doc_id")) % PACK_SHARDS).alias("shard"),
     )
+    return {"base": base, "kept": kept, "s1": s1, "s2": s2, "s3": s3}
+
+
+@query("pipeline_pretrain_corpus", oracle=_pretrain_oracle())
+def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL pretraining-corpus pipeline as ONE declared query
+    (VERDICT r11 item 7): quality floor -> English langid -> exact
+    dedup keep-first -> MinHash near-dup gate -> benchmark
+    decontamination -> sequence packing. `pipeline_clean_corpus` proved
+    the narrow stages fuse; this extends the chain through the WIDE
+    stages (LSH banding, gram join) to the training-ready (doc_id,
+    shard, chunk_id, tok_offset) layout — the plan a production
+    curation run actually submits, where the win is SHARED work: tokens
+    are staged once and every stage (counts, fingerprint, stopword
+    votes, shingles, grams) is an expression over that one projection,
+    so adding a stage never adds a scan-and-retokenize pass.
+
+    Stage semantics (each individually oracle-checked by its standalone
+    query): quality/langid/exact-dedup are pipeline_clean_corpus's
+    exact expressions (plus dropping the doc_id % {EVAL_MOD} eval
+    decile up front — the eval set never enters the training corpus);
+    the near-dup gate drops the HIGHER doc_id of every verified
+    minhash pair (dedup_minhash's bands + exact-Jaccard verify over
+    the survivors, keep-first like the exact stage; non-transitive by
+    design — same contract as dedup_semantic's greedy keep/drop); the
+    decontamination gate drops any survivor sharing a {DECON_N}-gram
+    with the eval decile's gram table (decontaminate's 60-bit hashed
+    grams); packing is pipeline_pack_sequences' per-shard running sum.
+
+    Scale: the only wide ops are the ones the standalone queries
+    already characterized — the fp window, the minhash doc aggregate,
+    the band buckets (chunked pair expansion), the doc_id-keyed verify
+    and anti-joins, the gram join, and the per-shard pack window. No
+    stage re-shuffles another's output on the same key twice; the
+    anti-join chain stays on doc_id. Plan-pinned in tests/test_plans.py
+    (no cartesian, no SinglePartition window, gates compose as
+    left-anti joins). The stage chain itself lives in
+    `_pretrain_stage_frames` (r15), shared with pipeline_dedup_report."""
+    s3 = _pretrain_stage_frames(spark, sf_dir)["s3"]
     w = (
         Window.partitionBy("shard")
         .orderBy("doc_id")
@@ -1377,4 +1398,86 @@ def pipeline_train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "sum_chars",
         F.coalesce("n", F.lit(0)).alias("n_cross_leak_pairs"),
+    )
+
+
+# --------------------------------------------------- pipeline_dedup_report
+
+REPORT_SCALE = 1_000_000  # fixed-point scale for per-stage removal rates
+
+_REPORT_STAGES = [
+    ("input", "base"),
+    ("quality_langid_eval", "kept"),
+    ("exact_dedup", "s1"),
+    ("near_dedup", "s2"),
+    ("decontaminate", "s3"),
+]
+
+
+def _dedup_report_oracle() -> str:
+    unions = "\n            UNION ALL ".join(
+        f"SELECT {i} AS stage_idx, '{label}' AS stage, count(*) AS n FROM {cte}"
+        for i, (label, cte) in enumerate(_REPORT_STAGES)
+    )
+    return f"""{_pretrain_ctes()},
+        stage_counts AS (
+            {unions}
+        ),
+        lagged AS (
+            SELECT stage_idx, stage, CAST(n AS BIGINT) AS n_docs,
+                   lag(CAST(n AS BIGINT)) OVER (ORDER BY stage_idx) AS prev_n
+            FROM stage_counts
+        )
+        SELECT stage_idx, stage, n_docs,
+               CAST(coalesce(prev_n - n_docs, 0) AS BIGINT) AS n_removed,
+               CAST(coalesce(((prev_n - n_docs) * {REPORT_SCALE}) // prev_n, 0)
+                    AS BIGINT) AS removed_fx
+        FROM lagged
+    """
+
+
+@query("pipeline_dedup_report", oracle=_dedup_report_oracle())
+def pipeline_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation-run FUNNEL REPORT — what every pipeline ops review
+    starts from: one row per stage of the pretraining chain (input ->
+    quality/langid/eval-holdout -> exact dedup -> near-dup gate ->
+    decontamination) with surviving docs, docs removed BY that stage,
+    and the fixed-point removal rate relative to the previous stage.
+    An upstream crawler change shows up here as a stage's removal rate
+    jumping before any model metric moves.
+
+    Stage semantics are EXACTLY pipeline_pretrain_corpus' — both
+    queries build on `_pretrain_stage_frames` / `_pretrain_ctes`, so
+    the report can never drift from the pipeline it describes. Cost:
+    the chain's two localCheckpoints are shared across the five
+    1-row count aggregates, so the report adds five cheap count jobs
+    to work the curation run already does; removal rates route through
+    decimal(38,0) (removed * 10^6 wraps int64 at ~9.2e12 docs). The
+    5-row lag window is the bounded-cardinality SinglePartition
+    exception (mixture_weights' justification)."""
+    frames = _pretrain_stage_frames(spark, sf_dir)
+    counts = None
+    for i, (label, key) in enumerate(_REPORT_STAGES):
+        c = frames[key].agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(i).alias("stage_idx"), F.lit(label).alias("stage"), "n"
+        )
+        counts = c if counts is None else counts.unionAll(c)
+    w = Window.orderBy("stage_idx")
+    lagged = counts.select(
+        "stage_idx",
+        "stage",
+        F.col("n").alias("n_docs"),
+        F.lag("n").over(w).alias("prev_n"),
+    )
+    return lagged.select(
+        "stage_idx",
+        "stage",
+        "n_docs",
+        F.coalesce(F.col("prev_n") - F.col("n_docs"), F.lit(0)).alias(
+            "n_removed"
+        ),
+        F.coalesce(
+            decimal_scaled_div_fx("prev_n - n_docs", REPORT_SCALE, "prev_n"),
+            F.lit(0),
+        ).alias("removed_fx"),
     )

@@ -1184,3 +1184,22 @@ def test_topk_terms_window_group_limit_over_collapsed_counts(spark, sf_dir):
     assert "WindowGroupLimit" in plan, plan
     assert "term" not in _window_partition_keys(df)
     assert "partial_count" in plan, plan
+
+
+def test_dedup_report_shares_pretrain_stage_frames(spark, sf_dir):
+    """pipeline_dedup_report must build on the SAME stage chain as
+    pipeline_pretrain_corpus (the shared _pretrain_stage_frames /
+    _pretrain_ctes pair) — source-pinned so the report can never drift
+    from the pipeline it describes — and its plan must stay free of
+    cartesian shapes."""
+    import inspect
+
+    from spark_graft.operators import pipeline
+
+    for fn in (pipeline.pipeline_dedup_report, pipeline.pipeline_pretrain_corpus):
+        assert "_pretrain_stage_frames(spark, sf_dir)" in inspect.getsource(fn)
+    assert "_pretrain_ctes()" in inspect.getsource(pipeline._dedup_report_oracle)
+    assert "_pretrain_ctes()" in inspect.getsource(pipeline._pretrain_oracle)
+    plan = explain_str(q("pipeline_dedup_report", spark, sf_dir), "formatted")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

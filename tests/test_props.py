@@ -2308,3 +2308,62 @@ def test_fn_url_parse_url_survives_hostile_source_names(spark, tmp_path):
         assert r["host"] is not None
         assert r["protocol"] is not None and r["path"] is not None
         assert r["canon"].startswith("https://")
+
+
+def test_dedup_report_funnel_on_planted_stage_failures(spark, tmp_path):
+    """pipeline_dedup_report on a corpus planted with one removal per
+    stage: a short doc (quality), an exact duplicate, a one-token-off
+    near duplicate, and a doc sharing a 4-gram with the eval decile
+    (decontamination) — each stage's n_removed and removal rate must
+    match the hand count, and n_docs must telescope (prev - removed ==
+    cur)."""
+    from spark_graft.operators.pipeline import REPORT_SCALE
+    from spark_graft.registry import REGISTRY
+
+    d = tmp_path / "funnel"
+    d.mkdir()
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "other animals watch in the warm afternoon sun")
+    # only the FINAL token differs: that perturbs exactly one 3-gram
+    # shingle, so jaccard = (S-1)/(S+1) = 16/18 ≈ 0.889 >= 0.8 (a
+    # mid-text change breaks 3 shingles and falls below the threshold)
+    near = base.replace("sun", "moon")
+    eval_text = ("benchmark secret holdout sequence alpha beta gamma delta "
+                 "with the usual answer in the end")
+    # a 4-gram of the eval doc embedded in an otherwise-unique train doc
+    contaminated = ("completely different text about trains in the yard but "
+                    "quoting secret holdout sequence alpha for flavor and "
+                    "padding words to pass the quality gate")
+    rows = [
+        # non-eval ids avoid doc_id % 10 == 0 (the eval decile)
+        (21, base, "en", "s"),            # keeper (also exact-dup rep)
+        (31, base, "en", "s"),            # exact duplicate -> dropped at s1
+        (11, near, "en", "s"),            # near duplicate -> dropped at s2
+        (12, "too short the end", "en", "s"),  # < 8 tokens -> quality drop
+        (0, eval_text, "en", "s"),        # eval decile (doc_id % 10 == 0)
+        (13, contaminated, "en", "s"),    # shares a 4-gram -> decontam drop
+        (14, "the archive holds many of the fine and old maps in a "
+             "long hall", "en", "s"),     # clean keeper
+    ]
+    _write_docs(spark, rows, d)
+    got = {
+        r["stage"]: r
+        for r in REGISTRY["pipeline_dedup_report"].fn(spark, str(d)).collect()
+    }
+    assert got["input"]["n_docs"] == 7 and got["input"]["n_removed"] == 0
+    # eval doc + short doc leave at the first gate
+    assert got["quality_langid_eval"]["n_docs"] == 5
+    assert got["quality_langid_eval"]["n_removed"] == 2
+    assert got["exact_dedup"]["n_docs"] == 4
+    assert got["exact_dedup"]["n_removed"] == 1
+    assert got["near_dedup"]["n_docs"] == 3
+    assert got["near_dedup"]["n_removed"] == 1
+    assert got["decontaminate"]["n_docs"] == 2
+    assert got["decontaminate"]["n_removed"] == 1
+    # rates: removed * SCALE div prev, telescoping counts
+    order = ["input", "quality_langid_eval", "exact_dedup", "near_dedup",
+             "decontaminate"]
+    for prev, cur in zip(order, order[1:]):
+        p, c = got[prev], got[cur]
+        assert p["n_docs"] - c["n_removed"] == c["n_docs"]
+        assert c["removed_fx"] == c["n_removed"] * REPORT_SCALE // p["n_docs"]
