@@ -46,26 +46,34 @@ __all__ = ["REGISTRY", "QuerySpec", "query", "load_all_queries"]
 #   the bigint weight cast on both engines.
 # - sample_temperature: ADVICE r14 item 3 — clamp frac_fx at 2^32-1 so
 #   the >2^53 denominator saturation regime is explicit.
+# - pipeline_pretrain_corpus: its stage chain was refactored into the
+#   shared _pretrain_stage_frames/_pretrain_ctes pair (behavior
+#   identical, sf1-resweeped), but edited-this-round queries re-enter
+#   the window by rule regardless.
 # (The nine queries NEW in round 15 — dedup_url, fn_url,
 # pipeline_gopher_rules, pipeline_train_eval_split, sim_maxsim,
 # events_rfm, text_hash_features, topk_terms, pipeline_dedup_report —
 # are tier 0 automatically via the never-driver-verified fallback:
-# 12 tier-0 + 34 tier-1 + 4 tier-2 fills = the 50-slot window,
-# keeping every r12-stale query inside it.)
+# 13 tier-0 (4 modified + 9 new) + 33 tier-1 + 4 tier-2 fills = the
+# 50-slot window, keeping every r12-stale query inside it.)
 _MODIFIED_THIS_ROUND = frozenset(
-    """ts_ewma agg_weighted_quantile sample_temperature""".split()
+    """ts_ewma agg_weighted_quantile sample_temperature
+    pipeline_pretrain_corpus""".split()
 )
 
 # Green last in CORRECTNESS_r12.json — 3 rounds stale, the 34 names
-# VERDICT r14 item 1 lists; they rotate into round 15's window right
-# after the tier-0 set. After this round's driver run nothing should be
-# older than r13.
+# VERDICT r14 item 1 lists MINUS pipeline_pretrain_corpus (moved to
+# _MODIFIED_THIS_ROUND by the r15 refactor — the sets stay disjoint so
+# the simulated window arithmetic is exact; all 34 are still inside
+# the window, 33 here + 1 in tier 0); they rotate into round 15's
+# window right after the tier-0 set. After this round's driver run
+# nothing should be older than r13.
 _VERIFIED_R12_ONLY = frozenset(
     """agg_histogram agg_sketch_cms dedup_containment dedup_embedding
     dedup_ngram_jaccard events_attribution events_funnel fill_forward
     fn_array fn_datetime fn_math_decimal fn_string fn_struct join_asof
     join_bloom join_inner join_q2_shape join_semi_anti join_theta_range
-    kmeans_lloyd multimodal_resize pipeline_pretrain_corpus
+    kmeans_lloyd multimodal_resize
     quality_classifier recursive_reachability sim_ann_ivf sim_ann_lsh
     sim_cosine_topk stream_session stream_tumbling ts_resample win_lag
     win_range win_rank win_running""".split()

@@ -1449,9 +1449,10 @@ def pipeline_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Stage semantics are EXACTLY pipeline_pretrain_corpus' — both
     queries build on `_pretrain_stage_frames` / `_pretrain_ctes`, so
     the report can never drift from the pipeline it describes. Cost:
-    the chain's two localCheckpoints are shared across the five
-    1-row count aggregates, so the report adds five cheap count jobs
-    to work the curation run already does; removal rates route through
+    the s1/s2/s3 counts ride the chain's two localCheckpoints; the
+    base and kept counts run UPSTREAM of both checkpoints, so they are
+    two additional narrow scan+filter passes (count aggregates — no
+    shuffle, nothing materialized); removal rates route through
     decimal(38,0) (removed * 10^6 wraps int64 at ~9.2e12 docs). The
     5-row lag window is the bounded-cardinality SinglePartition
     exception (mixture_weights' justification)."""

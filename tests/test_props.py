@@ -2335,10 +2335,13 @@ def test_dedup_report_funnel_on_planted_stage_failures(spark, tmp_path):
                     "quoting secret holdout sequence alpha for flavor and "
                     "padding words to pass the quality gate")
     rows = [
-        # non-eval ids avoid doc_id % 10 == 0 (the eval decile)
-        (21, base, "en", "s"),            # keeper (also exact-dup rep)
+        # non-eval ids avoid doc_id % 10 == 0 (the eval decile).
+        # Near-pair direction: exploded_pairs emits i<j and the gate
+        # drops doc_b — the HIGHER id — so 21 (the exact-dup rep that
+        # survives s1) is the one removed at s2, and 11 survives.
+        (21, base, "en", "s"),            # exact-dup rep; dropped at s2
         (31, base, "en", "s"),            # exact duplicate -> dropped at s1
-        (11, near, "en", "s"),            # near duplicate -> dropped at s2
+        (11, near, "en", "s"),            # near twin -> SURVIVES (lower id)
         (12, "too short the end", "en", "s"),  # < 8 tokens -> quality drop
         (0, eval_text, "en", "s"),        # eval decile (doc_id % 10 == 0)
         (13, contaminated, "en", "s"),    # shares a 4-gram -> decontam drop
