@@ -30,80 +30,49 @@ __all__ = ["REGISTRY", "QuerySpec", "query", "load_all_queries"]
 #   tier 0 — never driver-verified, or modified this round (an edit to
 #            a query fn or its oracle invalidates prior verification,
 #            so edited queries must re-enter the window);
-#   tier 1 — hash-green last in CORRECTNESS_r12 (3 rounds stale,
+#   tier 1 — hash-green last in CORRECTNESS_r13 (3 rounds stale,
 #            highest priority among unmodified queries);
-#   tier 2 — hash-green last in CORRECTNESS_r13 (2 rounds stale);
-#   tier 3 — hash-green in CORRECTNESS_r14 on code unchanged since.
+#   tier 2 — hash-green last in CORRECTNESS_r14 (2 rounds stale);
+#   tier 3 — hash-green in CORRECTNESS_r15 on code unchanged since.
 # Refresh these sets from CORRECTNESS_r{N}.json at the start of each
 # round, and add every query touched during the round to
 # _MODIFIED_THIS_ROUND.
 
-# Queries whose implementation changed during ROUND 15 — tier 0, the
+# Queries whose implementation changed during ROUND 16 — tier 0, the
 # driver must re-verify them on the new code:
-# - ts_ewma: ADVICE r14 item 1 — NaN-to-NULL normalization on ingest so
-#   batch and ewma_stream share one NULL/NaN convention.
-# - agg_weighted_quantile: ADVICE r14 item 2 — explicit floor() before
-#   the bigint weight cast on both engines.
-# - sample_temperature: ADVICE r14 item 3 — clamp frac_fx at 2^32-1 so
-#   the >2^53 denominator saturation regime is explicit.
-# - pipeline_pretrain_corpus: its stage chain was refactored into the
-#   shared _pretrain_stage_frames/_pretrain_ctes pair (behavior
-#   identical, sf1-resweeped), but edited-this-round queries re-enter
-#   the window by rule regardless.
-# (The nine queries NEW in round 15 — dedup_url, fn_url,
-# pipeline_gopher_rules, pipeline_train_eval_split, sim_maxsim,
-# events_rfm, text_hash_features, topk_terms, pipeline_dedup_report —
-# are tier 0 automatically via the never-driver-verified fallback:
-# 13 tier-0 (4 modified + 9 new) + 33 tier-1 + 4 tier-2 fills = the
-# 50-slot window, keeping every r12-stale query inside it.)
-_MODIFIED_THIS_ROUND = frozenset(
-    """ts_ewma agg_weighted_quantile sample_temperature
-    pipeline_pretrain_corpus""".split()
-)
+# - events_rfm: ADVICE r15 item 1 — the Spark-side purchase guard now
+#   states ~isnan(value) explicitly, mirroring the oracle's isfinite()
+#   instead of leaning on NaN-ordering semantics. Behavior identical;
+#   edited-this-round queries re-enter the window by rule.
+# (The two queries NEW in round 16 — dedup_paragraph,
+# decontaminate_semantic — are tier 0 automatically via the
+# never-driver-verified fallback: 3 tier-0 (1 modified + 2 new) +
+# 45 tier-1 + 2 tier-2 fills = the 50-slot window, so every r13-stale
+# query rotates in this round — VERDICT r15 item 1.)
+_MODIFIED_THIS_ROUND = frozenset(["events_rfm"])
 
-# Green last in CORRECTNESS_r12.json — 3 rounds stale, the 34 names
-# VERDICT r14 item 1 lists MINUS pipeline_pretrain_corpus (moved to
-# _MODIFIED_THIS_ROUND by the r15 refactor — the sets stay disjoint so
-# the simulated window arithmetic is exact; all 34 are still inside
-# the window, 33 here + 1 in tier 0); they rotate into round 15's
+# Green last in CORRECTNESS_r13.json — 3 rounds stale, the full
+# 45-name set VERDICT r15 item 1 lists; they rotate into round 16's
 # window right after the tier-0 set. After this round's driver run
-# nothing should be older than r13.
-_VERIFIED_R12_ONLY = frozenset(
-    """agg_histogram agg_sketch_cms dedup_containment dedup_embedding
-    dedup_ngram_jaccard events_attribution events_funnel fill_forward
-    fn_array fn_datetime fn_math_decimal fn_string fn_struct join_asof
-    join_bloom join_inner join_q2_shape join_semi_anti join_theta_range
-    kmeans_lloyd multimodal_resize
-    quality_classifier recursive_reachability sim_ann_ivf sim_ann_lsh
-    sim_cosine_topk stream_session stream_tumbling ts_resample win_lag
-    win_range win_rank win_running""".split()
-)
-
-# Green last in CORRECTNESS_r13.json — 2 rounds stale; the first
-# 50 - |tier0| - 34 of these (registration order) fill the rest of
-# round 15's window, the remainder roll to round 16.
+# nothing should be older than r14.
 _VERIFIED_R13_ONLY = frozenset(
     """agg_approx agg_approx_percentile agg_bool_all agg_corr_exact
-    agg_distinct agg_percentile agg_sketch_kmv dedup_clusters
-    dedup_exact dedup_semantic dedup_simhash dedup_span_fraction
-    events_paths events_pattern events_retention events_user_features
-    filter_in_null filter_pred fn_json grouping_sets multimodal_neardup
-    pipeline_embed_index pipeline_media_corpus profile_skew
-    profile_table sample_coreset sample_importance scan_project
-    sim_ann_ivf_trained sim_hardneg sim_knn_graph stream_sliding
-    text_bm25 text_langid text_lines text_quality text_scrub text_stats
-    text_tfidf text_tokens ts_anomaly udf_compat udf_compat_iterative
+    agg_distinct agg_percentile agg_sketch_kmv dedup_clusters dedup_exact
+    dedup_semantic dedup_simhash dedup_span_fraction events_paths
+    events_pattern events_retention events_user_features filter_in_null
+    filter_pred fn_json grouping_sets multimodal_neardup
+    pipeline_embed_index pipeline_media_corpus profile_skew profile_table
+    sample_coreset sample_importance scan_project sim_ann_ivf_trained
+    sim_hardneg sim_knn_graph stream_sliding text_bm25 text_lines
+    text_scrub text_tfidf ts_anomaly udf_compat udf_compat_iterative
     udf_pandas_tokens vocab_bpe_apply vocab_bpe_train win_dist
     win_gaps_islands word_count""".split()
 )
 
-# Green (rows+schema+hash) in CORRECTNESS_r14.json — freshest; these
-# sit out round 15's window provided their code does not change.
-# (ts_ewma, agg_weighted_quantile, sample_temperature — r14-green —
-# are EXCLUDED because round-15 ADVICE fixes moved them to
-# _MODIFIED_THIS_ROUND; the sets stay disjoint so the simulated window
-# arithmetic is exact.)
-_VERIFIED_R14 = frozenset(
+# Green last in CORRECTNESS_r14.json — 2 rounds stale; the first
+# 50 - |tier0| - 45 of these (registration order) fill the rest of
+# round 16's window, the remainder roll to round 17.
+_VERIFIED_R14_ONLY = frozenset(
     """agg_pivot agg_q1 agg_sketch_hll agg_skew_salted decontaminate
     dedup_incremental dedup_incremental_minhash dedup_minhash
     dedup_substring events_transitions fn_map global_sort graph_pagerank
@@ -119,16 +88,36 @@ _VERIFIED_R14 = frozenset(
     vocab_pair_counts""".split()
 )
 
+# Green (rows+schema+hash) in CORRECTNESS_r15.json — freshest; these
+# sit out round 16's window provided their code does not change.
+# (events_rfm — r15-green — is EXCLUDED because the round-16 ADVICE
+# fix moved it to _MODIFIED_THIS_ROUND; the sets stay disjoint so the
+# simulated window arithmetic is exact.)
+_VERIFIED_R15 = frozenset(
+    """agg_histogram agg_sketch_cms agg_weighted_quantile
+    dedup_containment dedup_embedding dedup_ngram_jaccard dedup_url
+    events_attribution events_funnel fill_forward fn_array fn_datetime
+    fn_math_decimal fn_string fn_struct fn_url join_asof join_bloom
+    join_inner join_q2_shape join_semi_anti join_theta_range kmeans_lloyd
+    multimodal_resize pipeline_dedup_report pipeline_gopher_rules
+    pipeline_pretrain_corpus pipeline_train_eval_split quality_classifier
+    recursive_reachability sample_temperature sim_ann_ivf sim_ann_lsh
+    sim_cosine_topk sim_maxsim stream_session stream_tumbling
+    text_hash_features text_langid text_quality text_stats text_tokens
+    topk_terms ts_ewma ts_resample win_lag win_range win_rank
+    win_running""".split()
+)
+
 
 def _staleness_tier(name: str) -> int:
     """0 = needs verification now … 3 = freshest verification."""
     if name in _MODIFIED_THIS_ROUND:
         return 0
-    if name in _VERIFIED_R12_ONLY:
-        return 1
     if name in _VERIFIED_R13_ONLY:
+        return 1
+    if name in _VERIFIED_R14_ONLY:
         return 2
-    if name in _VERIFIED_R14:
+    if name in _VERIFIED_R15:
         return 3
     return 0  # never driver-verified
 

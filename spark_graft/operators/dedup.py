@@ -1966,3 +1966,142 @@ def dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dup_rate_fx"),
         F.sum("keep_doc_id").alias("kept_doc_id_sum"),
     )
+
+
+# Paragraph windowing for dedup_paragraph: the corpus fixture carries no
+# newline paragraph marks, so "paragraph" is defined as consecutive
+# PARA_W-token windows of the normalized token stream — the alignment a
+# real newline-delimited corpus gets for free from its line breaks. The
+# keep-first + reassembly contract below is agnostic to how the
+# boundaries are drawn: swap the window expression for split(text,
+# '\n\n') on a corpus that has real paragraphs and nothing else changes.
+PARA_W = 8
+PARA_RATE_SCALE = 1_000_000  # fixed-point scale for per-doc removal rates
+
+
+@query(
+    "dedup_paragraph",
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+        paras AS (
+            SELECT doc_id, i AS pos,
+                   array_to_string(ts[(i-1)*{PARA_W}+1 : i*{PARA_W}], ' ') AS para
+            FROM toks,
+                 unnest(generate_series(1, (len(ts) + {PARA_W - 1}) // {PARA_W}))
+                     AS u(i)
+        ),
+        ranked AS (
+            SELECT doc_id, pos, para,
+                   row_number() OVER (PARTITION BY md5(para)
+                                      ORDER BY doc_id, pos) AS rn
+            FROM paras
+        ),
+        agg AS (
+            SELECT doc_id,
+                   count(*) AS n_paras,
+                   count(CASE WHEN rn > 1 THEN 1 END) AS n_removed,
+                   coalesce(string_agg(CASE WHEN rn = 1 THEN para END,
+                                       ' ' ORDER BY pos), '') AS kept_text
+            FROM ranked GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               coalesce(a.n_paras, 0) AS n_paras,
+               coalesce(a.n_removed, 0) AS n_removed,
+               CASE WHEN a.n_paras IS NULL OR a.n_paras = 0 THEN 0
+                    ELSE (a.n_removed * {PARA_RATE_SCALE}) // a.n_paras
+               END AS removed_fx,
+               coalesce(a.kept_text, '') AS kept_text
+        FROM toks t LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level dedup — the granularity CCNet actually ships
+    (Wenzek et al. 2020), between `dedup_exact` (whole doc, dedup.py:206)
+    and `dedup_substring` (arbitrary repeated span, dedup.py:1290):
+    keep the FIRST occurrence of every normalized paragraph ACROSS the
+    corpus (lexicographic (doc_id, pos) — within-doc repeats drop too)
+    and reassemble each document from its surviving paragraphs, with
+    removal counts. Boilerplate paragraphs (nav chrome, license blocks,
+    cookie banners) repeat across millions of pages; dropping the
+    repeats while keeping each page's unique prose is CCNet's main
+    volume reducer. Paragraphs here are {PARA_W}-token windows (see
+    PARA_W note above).
+
+    Scale shape: the keep-first decision is the dedup_url contract
+    (dedup.py:1897) on paragraph hashes — the decision stream carries
+    ONLY (doc_id, pos, 16-byte md5), one Exchange keyed on fp for the
+    min-(doc_id, pos) aggregate and its join back (the exchange is
+    reused, not repeated); paragraph TEXT never rides an fp shuffle.
+    Dropped positions collapse to a per-doc int list (bounded by the
+    doc's own paragraph count, non-empty only for docs that lost
+    something), and the rebuild joins that small table back on doc_id —
+    the ONE shuffle that moves text, avoidable entirely when AQE
+    broadcasts the drop list. Reassembly is in-array expression work:
+    array_except over the position sequence (hash-set, O(paras +
+    drops) per doc — the dedup_substring sorted-sweep lesson, no
+    per-paragraph membership scan), then an ordered element_at gather.
+    removed_fx is per-doc bounded (n_removed <= paragraphs of one doc),
+    so plain int64 `div` has headroom without the decimal(38,0) route.
+    """
+    docs = table(spark, sf_dir, "documents")
+    n_p = F.ceil(F.size("toks") / F.lit(PARA_W)).cast("int")
+    base = docs.select("doc_id", tokens("text").alias("toks")).select(
+        "doc_id",
+        # sequence(1, 0) is DESCENDING in Spark, not empty — zero-token
+        # docs must yield [] explicitly (the shingles_from_tokens guard)
+        F.when(F.size("toks") == 0, F.array().cast("array<string>"))
+        .otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n_p, F.lit(1))),
+                lambda i: F.array_join(
+                    F.slice(F.col("toks"), (i - 1) * PARA_W + 1, PARA_W), " "
+                ),
+            )
+        )
+        .alias("paras"),
+    )
+    slim = base.select(
+        "doc_id", F.posexplode("paras").alias("pos", "para")
+    ).select(
+        "doc_id", (F.col("pos") + 1).alias("pos"), F.md5("para").alias("fp")
+    )
+    keeper = slim.groupBy("fp").agg(F.min(F.struct("doc_id", "pos")).alias("k"))
+    drops = (
+        slim.join(keeper, "fp")
+        .filter(
+            (F.col("doc_id") != F.col("k.doc_id"))
+            | (F.col("pos") != F.col("k.pos"))
+        )
+        .groupBy("doc_id")
+        # order irrelevant: consumed only by array_except (set semantics)
+        .agg(F.collect_list("pos").alias("dps"))
+    )
+    joined = base.join(drops, "doc_id", "left").select(
+        "doc_id",
+        "paras",
+        F.coalesce("dps", F.array().cast("array<int>")).alias("dps"),
+    )
+    kept_pos = F.array_except(
+        F.sequence(F.lit(1), F.greatest(F.size("paras"), F.lit(1))),
+        F.col("dps"),
+    )
+    kept_text = F.when(F.size("paras") == 0, F.lit("")).otherwise(
+        F.array_join(
+            F.transform(kept_pos, lambda p: F.element_at(F.col("paras"), p)),
+            " ",
+        )
+    )
+    return joined.select(
+        "doc_id",
+        F.size("paras").cast("bigint").alias("n_paras"),
+        F.size("dps").cast("bigint").alias("n_removed"),
+        F.when(F.size("paras") == 0, F.lit(0).cast("bigint"))
+        .otherwise(
+            F.expr(
+                f"cast(size(dps) as bigint) * {PARA_RATE_SCALE}"
+                " div cast(size(paras) as bigint)"
+            )
+        )
+        .alias("removed_fx"),
+        kept_text.alias("kept_text"),
+    )

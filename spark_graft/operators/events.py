@@ -1198,8 +1198,12 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
                             # decimal cast RAISE while Spark's yields
                             # NULL (non-ANSI) or raises (ANSI) — the
                             # guard skips the row identically
-                            # everywhere. Spark orders NaN above every
-                            # double, so abs(NaN) < 1e12 is false too.
+                            # everywhere. ~isnan is stated explicitly
+                            # (ADVICE r15) so the finite-value contract
+                            # mirrors the oracle's isfinite() instead
+                            # of leaning on Spark's NaN-orders-above-
+                            # everything comparison semantics.
+                            & ~F.isnan("value")
                             & (F.abs("value") < F.lit(1e12)),
                             F.col("value").cast("decimal(18,6)"),
                         )

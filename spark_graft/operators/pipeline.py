@@ -537,6 +537,173 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Embedding-space decontamination threshold: a train vector whose
+# cosine vs ANY same-cell eval vector meets it is flagged as a
+# paraphrase-level leak. Deliberately LOOSER than dedup.COSINE_THRESHOLD
+# (0.4): decontamination is a recall-first gate — a false flag costs one
+# training doc, a miss leaks an eval item into training.
+SEM_DECON_THRESHOLD = 0.3
+
+
+def _sem_decon_oracle() -> str:
+    # imported lazily at module load, like dedup._emb_oracle: clustering
+    # owns the shared kmeans CTE builder, dedup owns the k sizing
+    from spark_graft.operators.clustering import kmeans_ctes
+    from spark_graft.operators.dedup import _EMB_K_SQL
+
+    return f"""
+        WITH {kmeans_ctes(_EMB_K_SQL)},
+        asn AS (SELECT vec_id, cluster AS cell FROM a2 WHERE rk = 1),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        pairs AS (
+            SELECT st.vec_id, st.cell, se.vec_id AS eval_id,
+                   round(list_cosine_similarity(a.v, b.v), 4) AS cs
+            FROM asn st JOIN asn se ON st.cell = se.cell
+            JOIN e a ON a.vec_id = st.vec_id
+            JOIN e b ON b.vec_id = se.vec_id
+            WHERE st.vec_id % {EVAL_MOD} <> 0 AND se.vec_id % {EVAL_MOD} = 0
+              AND list_cosine_similarity(a.v, b.v) >= {SEM_DECON_THRESHOLD}
+        ),
+        agg AS (
+            SELECT vec_id, cell, count(*) AS n_eval_hits, max(cs) AS max_cos
+            FROM pairs GROUP BY 1, 2
+        )
+        SELECT a.vec_id, a.cell, a.n_eval_hits, a.max_cos,
+               min(p.eval_id) AS near_eval_id
+        FROM agg a JOIN pairs p ON p.vec_id = a.vec_id AND p.cs = a.max_cos
+        GROUP BY 1, 2, 3, 4
+    """
+
+
+@query("decontaminate_semantic", oracle=_sem_decon_oracle())
+def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination — the leak `decontaminate`'s
+    {DECON_N}-gram join (above) cannot see: an eval item PARAPHRASED
+    into a training doc shares no exact n-gram but sits next to it in
+    embedding space. Flag every train vector (vec_id % {EVAL_MOD} != 0,
+    decontaminate's eval-decile convention on the embeddings table)
+    whose cosine vs ANY eval vector in the SAME trained quantizer cell
+    reaches SEM_DECON_THRESHOLD, with the hit count, the max cosine,
+    and the nearest eval item (ties: min eval vec_id on the ROUNDED
+    cosine, so both engines argmax over identical values).
+
+    Scale shape: pure composition — dedup_embedding's trained-cell
+    blocking (dedup.emb_cell_chunks: kmeans k = max(8, ceil(n/256)),
+    md5 chunk-pair grid capping any task at EMB_BLOCK_CAP rows per
+    side), with the eval decile assigned to the same cells by the same
+    quantizer, so train x eval pairs are evaluated ONLY within cells —
+    O(n * EMB_TARGET_CELL) pair work, linear in the corpus, never the
+    O(n_train * n_eval) cross join. Each (cell, pi, pj) task computes
+    the bipartite train-vs-eval block (diagonal tasks within one chunk,
+    off-diagonal both directions) in one numpy matmul per
+    EMB_PAIR_SLICE-bounded slice; per-task PARTIAL (n_hits, best)
+    results then merge in a partial-aggregated groupBy(vec_id) whose
+    input is already hit-sparse. Cosines fold left-to-right via cumsum
+    and round half-up exactly like dedup_embedding._emit, so the DuckDB
+    hash-match is bit-for-bit. In production the eval side is a real
+    benchmark-suite embedding table: assign it with the SAME trained
+    centroids and the shape is unchanged."""
+    import numpy as np
+    import pandas as pd
+
+    from spark_graft.operators.dedup import EMB_PAIR_SLICE, emb_cell_chunks
+
+    _EMPTY = pd.DataFrame(
+        {
+            "vec_id": pd.Series(dtype="int64"),
+            "cell": pd.Series(dtype="int64"),
+            "n_hits": pd.Series(dtype="int64"),
+            "best_cos": pd.Series(dtype="float64"),
+            "near_eval": pd.Series(dtype="int64"),
+        }
+    )
+
+    def _round4(vals):
+        # Spark F.round semantics (BigDecimal HALF_UP on the shortest
+        # decimal repr) — matches DuckDB round(x, 4); see
+        # dedup_embedding._emit for why np.round (half-to-even) can't
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q = Decimal("0.0001")
+        return np.array(
+            [float(Decimal(repr(v)).quantize(q, ROUND_HALF_UP)) for v in vals]
+        )
+
+    def block_hits(pdf: pd.DataFrame) -> pd.DataFrame:
+        cell = int(pdf["cell"].iloc[0])
+        pi, pj = int(pdf["pi"].iloc[0]), int(pdf["pj"].iloc[0])
+        if pi == pj:
+            part = pdf[pdf["q"] == pi]
+            sides = [(part, part)]
+        else:
+            a, b = pdf[pdf["q"] == pi], pdf[pdf["q"] == pj]
+            sides = [(a, b), (b, a)]
+        outs = []
+        for tr_side, ev_side in sides:
+            tr = tr_side[tr_side["vec_id"] % EVAL_MOD != 0]
+            ev = ev_side[ev_side["vec_id"] % EVAL_MOD == 0]
+            if len(tr) == 0 or len(ev) == 0:
+                continue
+            mt = np.stack(tr["embedding"].to_list()).astype(np.float64)
+            me = np.stack(ev["embedding"].to_list()).astype(np.float64)
+            # cumsum along the vector axis = DuckDB's left-to-right fold
+            nt = np.sqrt(np.cumsum(mt * mt, axis=1)[:, -1])
+            ne = np.sqrt(np.cumsum(me * me, axis=1)[:, -1])
+            tid = tr["vec_id"].to_numpy()
+            eid = ev["vec_id"].to_numpy()
+            step = max(1, EMB_PAIR_SLICE // len(ev))
+            for s in range(0, len(tr), step):
+                sl = slice(s, s + step)
+                dots = np.cumsum(mt[sl][:, None, :] * me[None, :, :], axis=2)[
+                    :, :, -1
+                ]
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    cos = np.clip(
+                        dots / (nt[sl][:, None] * ne[None, :]), -1.0, 1.0
+                    )
+                hit = cos >= SEM_DECON_THRESHOLD  # NaN (zero-norm) -> False
+                for r in np.nonzero(hit.any(axis=1))[0]:
+                    cs = _round4(cos[r][hit[r]])
+                    ehit = eid[hit[r]]
+                    best = cs.max()
+                    outs.append(
+                        (
+                            int(tid[s + r]),
+                            cell,
+                            int(hit[r].sum()),
+                            float(best),
+                            int(ehit[cs == best].min()),
+                        )
+                    )
+        if not outs:
+            return _EMPTY
+        return pd.DataFrame(
+            outs, columns=["vec_id", "cell", "n_hits", "best_cos", "near_eval"]
+        )
+
+    staged = emb_cell_chunks(spark, sf_dir)
+    parts = staged.groupBy("cell", "pi", "pj").applyInPandas(
+        block_hits,
+        "vec_id bigint, cell bigint, n_hits bigint, best_cos double, "
+        "near_eval bigint",
+    )
+    merged = parts.groupBy("vec_id", "cell").agg(
+        F.sum("n_hits").alias("n_eval_hits"),
+        # lexicographic struct max: highest rounded cosine, then the
+        # LOWEST eval id among ties (negated so max picks it)
+        F.max(
+            F.struct(F.col("best_cos"), (-F.col("near_eval")).alias("ne"))
+        ).alias("b"),
+    )
+    return merged.select(
+        "vec_id",
+        "cell",
+        "n_eval_hits",
+        F.col("b.best_cos").alias("max_cos"),
+        (-F.col("b.ne")).alias("near_eval_id"),
+    )
+
+
 MIN_TOKENS = 8
 
 

@@ -1397,7 +1397,21 @@ def topk_stream(docs: DataFrame) -> DataFrame:
     Scale shape: state is O({TOPK_CAPACITY}) per source forever; each
     batch shuffles bare (source, term) pairs — pre-tokenization is a
     narrow map — and emission is {TOPK_EMIT} rows per source per
-    trigger."""
+    trigger.
+
+    Hot-source bound: Structured Streaming cannot pre-aggregate before
+    ``applyInPandasWithState``, so ONE row per token OCCURRENCE reaches
+    the state task per source per trigger (the in-task fold is
+    vectorized pandas, but the shuffle volume is the raw token count).
+    Per-trigger volume per source is therefore bounded by
+    tokens-per-doc x docs-per-trigger for that source — size
+    ``maxFilesPerTrigger`` / ``maxBytesPerTrigger`` accordingly. If a
+    single source ever floods a trigger, shard the state key to
+    (source, crc32(term) % S): each shard keeps its own space-saving
+    summary and a downstream batch merge (sum est/err per term across
+    shards, re-rank) preserves the est >= true >= est - err guarantee
+    because every occurrence of a given term lands in exactly one
+    shard."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 

@@ -2292,12 +2292,15 @@ def test_topk_stream_space_saving_guarantees(spark, sf_dir, tmp_path):
         # being tracked among emitted when emitted covers them
         thresh = sum(tc.values()) / TOPK_CAPACITY
         heavy = {t for t, c in tc.items() if c > thresh}
-        # every heavy term must out-est every non-tracked term, so the
-        # emitted top-K (which is est-ordered) can only miss a heavy
-        # term if K < |heavy|; with K=10 and capacity 32 assert direct
-        # membership when |heavy| <= K
-        if len(heavy) <= TOPK_EMIT:
-            assert heavy <= tracked, (source, heavy - tracked)
+        # space-saving guarantees heavy terms are among the CAPACITY
+        # TRACKED counters, not necessarily the est-ordered TOPK_EMIT
+        # slice: an err-inflated light counter can legitimately
+        # outrank a heavy term (ADVICE r15). The emit slice can only
+        # miss a heavy term h if every emitted counter's est >=
+        # est(h) >= true(h) > thresh — assert that implied dominance
+        # instead of direct membership.
+        if len(heavy) <= TOPK_EMIT and not heavy <= tracked:
+            assert final.est.min() > thresh, (source, heavy - tracked)
 
 
 def test_topk_stream_exact_under_capacity_and_deterministic(spark, tmp_path):
