@@ -44,12 +44,16 @@ __all__ = ["REGISTRY", "QuerySpec", "query", "load_all_queries"]
 #   states ~isnan(value) explicitly, mirroring the oracle's isfinite()
 #   instead of leaning on NaN-ordering semantics. Behavior identical;
 #   edited-this-round queries re-enter the window by rule.
+# - pipeline_gopher_rules: its rule battery was extracted into the
+#   shared gopher_rule_frame so the new gopher_rules_stream twin plans
+#   the identical expressions (the quality_score_stream composition
+#   pattern). Behavior identical; re-enters the window by rule.
 # (The two queries NEW in round 16 — dedup_paragraph,
 # decontaminate_semantic — are tier 0 automatically via the
-# never-driver-verified fallback: 3 tier-0 (1 modified + 2 new) +
-# 45 tier-1 + 2 tier-2 fills = the 50-slot window, so every r13-stale
+# never-driver-verified fallback: 4 tier-0 (2 modified + 2 new) +
+# 45 tier-1 + 1 tier-2 fill = the 50-slot window, so every r13-stale
 # query rotates in this round — VERDICT r15 item 1.)
-_MODIFIED_THIS_ROUND = frozenset(["events_rfm"])
+_MODIFIED_THIS_ROUND = frozenset(["events_rfm", "pipeline_gopher_rules"])
 
 # Green last in CORRECTNESS_r13.json — 3 rounds stale, the full
 # 45-name set VERDICT r15 item 1 lists; they rotate into round 16's
@@ -90,16 +94,16 @@ _VERIFIED_R14_ONLY = frozenset(
 
 # Green (rows+schema+hash) in CORRECTNESS_r15.json — freshest; these
 # sit out round 16's window provided their code does not change.
-# (events_rfm — r15-green — is EXCLUDED because the round-16 ADVICE
-# fix moved it to _MODIFIED_THIS_ROUND; the sets stay disjoint so the
-# simulated window arithmetic is exact.)
+# (events_rfm and pipeline_gopher_rules — r15-green — are EXCLUDED
+# because round-16 edits moved them to _MODIFIED_THIS_ROUND; the sets
+# stay disjoint so the simulated window arithmetic is exact.)
 _VERIFIED_R15 = frozenset(
     """agg_histogram agg_sketch_cms agg_weighted_quantile
     dedup_containment dedup_embedding dedup_ngram_jaccard dedup_url
     events_attribution events_funnel fill_forward fn_array fn_datetime
     fn_math_decimal fn_string fn_struct fn_url join_asof join_bloom
     join_inner join_q2_shape join_semi_anti join_theta_range kmeans_lloyd
-    multimodal_resize pipeline_dedup_report pipeline_gopher_rules
+    multimodal_resize pipeline_dedup_report
     pipeline_pretrain_corpus pipeline_train_eval_split quality_classifier
     recursive_reachability sample_temperature sim_ann_ivf sim_ann_lsh
     sim_cosine_topk sim_maxsim stream_session stream_tumbling

@@ -805,8 +805,18 @@ def pipeline_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates — zero shuffles, pure WholeStageCodegen map stage, the
     same per-row cost at 100 TB as at sf0.01. Tokens staged once as a
     projection (interpreted HOF lambdas re-evaluate inlined argument
-    trees per reference — the text_quality lesson)."""
-    docs = table(spark, sf_dir, "documents")
+    trees per reference — the text_quality lesson). The battery itself
+    lives in `gopher_rule_frame` (r16), shared verbatim with the
+    score-on-ingest twin `streaming.gopher_rules_stream` — the
+    quality_score_stream batch/stream composition pattern."""
+    return gopher_rule_frame(table(spark, sf_dir, "documents"))
+
+
+def gopher_rule_frame(docs: DataFrame) -> DataFrame:
+    """The Gopher rule battery over any (doc_id, text, ...) frame —
+    batch table or ingest stream: pure narrow codegen expressions,
+    no shuffle, no state, so it binds to a streaming source unchanged
+    (append mode). See pipeline_gopher_rules for the rule semantics."""
     toks = F.col("toks")
     en = F.array([F.lit(w) for w in STOPWORDS["en"]])
     feat = docs.select("doc_id", tokens("text").alias("toks")).select(

@@ -947,6 +947,29 @@ def quality_score_stream(docs: DataFrame, weights_path: str) -> DataFrame:
     )
 
 
+def gopher_rules_stream(docs: DataFrame) -> DataFrame:
+    """Streaming Gopher quality gate — SCORE-ON-INGEST, the streaming
+    twin of `pipeline_gopher_rules` (operators/text.py): each arriving
+    document gets the full named rule battery (token-count bounds,
+    mean-word-length bounds, >= 80% alphabetic tokens, >= 2 English
+    stopwords), the failed-rule count, and the keep decision, from the
+    SAME `gopher_rule_frame` expression battery the batch query plans —
+    so sinks can route by `keep` (accepted corpus vs quarantine with
+    per-rule removal reasons) the moment a document lands, instead of
+    waiting for a nightly batch scoring pass.
+
+    STATELESS like quality_score_stream: the rules are pure narrow
+    codegen integer comparisons — no state store, no watermark, no
+    shuffle (append mode, exactly-once per document under checkpointed
+    sources/sinks) — so throughput is pure map parallelism at any
+    scale, and equivalence vs the batch battery is BIT-exact by
+    construction (one shared expression builder, tested over a
+    micro-batch replay)."""
+    from spark_graft.operators.text import gopher_rule_frame
+
+    return gopher_rule_frame(docs)
+
+
 def bpe_encode_stream(docs: DataFrame, merges_path: str) -> DataFrame:
     """Streaming BPE corpus encoding from a persisted
     `spark_graft.artifacts` merge list — TOKENIZE-ON-INGEST, the

@@ -95,6 +95,9 @@ def test_sql_only_queries_have_no_python_udfs(spark, sf_dir):
         # docstring — the codebook matmul exceeds codegen limits as a
         # Catalyst tree, same rationale as kmeans_lloyd)
         "sim_ann_pq",
+        # r16: same trained-cell staging + applyInPandas bipartite
+        # train-vs-eval pair math as dedup_embedding
+        "decontaminate_semantic",
     }
     for name, spec in REGISTRY.items():
         if name in allowed_python:
@@ -154,7 +157,8 @@ def test_dedup_queries_never_cross_product(spark, sf_dir):
     O(n^2) cross product snuck in."""
     for name in ("dedup_exact", "dedup_minhash", "dedup_ngram_jaccard",
                  "dedup_simhash", "dedup_embedding", "dedup_semantic",
-                 "sim_knn_graph", "sim_hardneg"):
+                 "sim_knn_graph", "sim_hardneg", "dedup_paragraph",
+                 "decontaminate_semantic"):
         plan = explain_str(REGISTRY[name].fn(spark, sf_dir), "formatted")
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
@@ -1203,3 +1207,48 @@ def test_dedup_report_shares_pretrain_stage_frames(spark, sf_dir):
     plan = explain_str(q("pipeline_dedup_report", spark, sf_dir), "formatted")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_paragraph_text_never_shuffles_on_fp(spark, sf_dir):
+    """dedup_paragraph's keep-first decision stream must shuffle ONLY
+    (doc_id, pos, 16-byte md5): exactly two non-reused hashpartitioning
+    Exchanges — the min-(doc_id,pos) aggregate on fp and the per-doc
+    drop-list collapse on doc_id — paragraph text rides at most the
+    final doc_id join (broadcast at this sf). And the scan reads only
+    (doc_id, text): the paragraph machinery must not drag the other
+    document columns through three consumers."""
+    df = q("dedup_paragraph", spark, sf_dir)
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    hash_ex = [
+        l for l in physical.splitlines()
+        if "Exchange hashpartitioning" in l and "Reused" not in l
+    ]
+    assert len(hash_ex) == 2, physical
+    assert any("fp#" in l for l in hash_ex), hash_ex
+    assert any("doc_id#" in l for l in hash_ex), hash_ex
+    plan = explain_str(df, "formatted")
+    for rs in (l for l in plan.splitlines() if "ReadSchema" in l):
+        assert "doc_id" in rs and "text" in rs
+        assert "lang" not in rs and "source" not in rs and "n_chars" not in rs
+
+
+def test_decontaminate_semantic_blocked_bipartite(spark, sf_dir):
+    """decontaminate_semantic must stay inside dedup_embedding's
+    trained-cell blocking: train x eval pairs live in the
+    applyInPandas (cell, pi, pj) tasks (FlatMapGroupsInPandas in the
+    plan), never a physical train-vs-eval join — no cartesian, no
+    nested loop, and the embeddings scan reads only (vec_id,
+    embedding). The per-vector merge of task partials must carry
+    map-side partial aggregation."""
+    df = q("decontaminate_semantic", spark, sf_dir)
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in physical
+    assert "CartesianProduct" not in physical
+    assert "BroadcastNestedLoopJoin" not in physical
+    assert "partial_sum" in physical or "partial_max" in physical, physical
+    plan = explain_str(df, "formatted")
+    emb_rs = [
+        l for l in plan.splitlines()
+        if "ReadSchema" in l and "embedding" in l
+    ]
+    assert emb_rs and all("label" not in l for l in emb_rs), emb_rs

@@ -2370,3 +2370,126 @@ def test_dedup_report_funnel_on_planted_stage_failures(spark, tmp_path):
         p, c = got[prev], got[cur]
         assert p["n_docs"] - c["n_removed"] == c["n_docs"]
         assert c["removed_fx"] == c["n_removed"] * REPORT_SCALE // p["n_docs"]
+
+
+def test_dedup_paragraph_keep_first_and_reassembly(spark, tmp_path):
+    """dedup_paragraph on a planted corpus == a pure-Python evaluation
+    of the declared contract: paragraphs are PARA_W-token windows,
+    keep-first is lexicographic (doc_id, pos) across the corpus
+    (within-doc repeats drop too), and each doc reassembles from its
+    surviving paragraphs in order. Covers: cross-doc boilerplate, a
+    within-doc repeat, a ragged tail window, a doc losing everything,
+    and a zero-token doc."""
+    from collections import defaultdict
+
+    from spark_graft.operators.dedup import PARA_RATE_SCALE, PARA_W
+    from spark_graft.registry import REGISTRY
+
+    A = "alpha beta gamma delta epsilon zeta eta theta"      # 8 tokens
+    B = "one two three four five six seven eight"            # 8 tokens
+    rows = [
+        (1, f"{A} {B}", "en", "s"),          # A@1, B@2 — both originals
+        (2, f"{A} unique words here", "en", "s"),   # A dup; ragged tail kept
+        (3, f"{B} {A} {A}", "en", "s"),      # all three windows are dups
+        (4, "totally fresh prose with nine little tokens", "en", "s"),
+        (5, "!!! ...", "en", "s"),           # zero tokens
+    ]
+    d = tmp_path / "paras"
+    d.mkdir()
+    _write_docs(spark, rows, d)
+
+    # pure-Python contract evaluation
+    import re
+
+    paras = {}
+    for doc_id, text, _, _ in rows:
+        ts = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        paras[doc_id] = [
+            " ".join(ts[i : i + PARA_W]) for i in range(0, len(ts), PARA_W)
+        ]
+    first = {}
+    for doc_id in sorted(paras):
+        for pos, p in enumerate(paras[doc_id], start=1):
+            first.setdefault(p, (doc_id, pos))
+    expected = {}
+    for doc_id, ps in paras.items():
+        kept = [
+            p for pos, p in enumerate(ps, start=1) if first[p] == (doc_id, pos)
+        ]
+        n, r = len(ps), len(ps) - len(kept)
+        expected[doc_id] = (
+            n, r, (r * PARA_RATE_SCALE // n) if n else 0, " ".join(kept)
+        )
+
+    got = {
+        row["doc_id"]: (
+            row["n_paras"], row["n_removed"], row["removed_fx"], row["kept_text"]
+        )
+        for row in REGISTRY["dedup_paragraph"].fn(spark, str(d)).collect()
+    }
+    assert got == expected
+    # spot-assert the planted semantics so the test fails loudly if the
+    # fixture stops exercising them
+    assert got[3] == (3, 3, PARA_RATE_SCALE, "")   # doc 3 loses everything
+    assert got[2][3] == "unique words here"        # ragged tail survives
+    assert got[5] == (0, 0, 0, "")                 # zero-token doc
+
+
+def test_decontaminate_semantic_flags_planted_paraphrase_leak(spark, tmp_path):
+    """decontaminate_semantic on a planted embedding corpus: a train
+    vector sitting next to an eval-decile vector (the paraphrase-leak
+    case the n-gram `decontaminate` misses) MUST be flagged with that
+    eval item as its nearest hit; every flagged row must respect the
+    train/eval decile convention; and the flag set must be a subset of
+    the global (blocking-free) brute-force answer."""
+    import hashlib
+
+    import numpy as np
+
+    from spark_graft.operators.pipeline import EVAL_MOD, SEM_DECON_THRESHOLD
+    from spark_graft.registry import REGISTRY
+
+    dim, n = 8, 48
+
+    def vec(i: int) -> list[float]:
+        if i == 10:   # eval decile item: a fixed distinctive direction
+            return [3.0, 1.0, 0.0, 0.0, 2.0, 0.0, 1.0, 0.0]
+        if i == 11:   # the paraphrase leak: eval item + one tiny nudge
+            return [3.0, 1.0, 0.05, 0.0, 2.0, 0.0, 1.0, 0.0]
+        return [
+            int(hashlib.md5(f"{i}:{k}".encode()).hexdigest()[:8], 16) / 2**31
+            - 1.0
+            for k in range(dim)
+        ]
+
+    d = tmp_path / "semleak"
+    d.mkdir()
+    spark.createDataFrame(
+        [(i, i % 4, vec(i)) for i in range(n)],
+        "vec_id bigint, label int, embedding array<float>",
+    ).write.mode("overwrite").parquet(str(d / "embeddings.parquet"))
+
+    out = REGISTRY["decontaminate_semantic"].fn(spark, str(d)).collect()
+    flagged = {r["vec_id"]: r for r in out}
+    assert 11 in flagged, out
+    assert flagged[11]["near_eval_id"] == 10
+    assert flagged[11]["max_cos"] >= 0.999
+    for r in out:
+        assert r["vec_id"] % EVAL_MOD != 0          # only train rows flag
+        assert r["near_eval_id"] % EVAL_MOD == 0    # against eval items
+        assert r["n_eval_hits"] >= 1 and r["max_cos"] <= 1.0
+
+    # blocking can only NARROW the brute-force answer, never invent hits
+    M = np.array([vec(i) for i in range(n)], dtype=np.float64)
+    nrm = np.linalg.norm(M, axis=1)
+    ids = np.arange(n)
+    brute = set()
+    for t in ids[ids % EVAL_MOD != 0]:
+        for e in ids[ids % EVAL_MOD == 0]:
+            if nrm[t] and nrm[e]:
+                cos = float(M[t] @ M[e] / (nrm[t] * nrm[e]))
+                if cos >= SEM_DECON_THRESHOLD:
+                    brute.add((int(t), int(e)))
+    assert set(flagged) <= {t for t, _ in brute}
+    for v, r in flagged.items():
+        assert (v, r["near_eval_id"]) in brute

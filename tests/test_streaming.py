@@ -2379,3 +2379,57 @@ def test_topk_stream_exact_under_capacity_and_deterministic(spark, tmp_path):
         .orderBy("rank").collect()
     ]
     assert twin == [(rk, t, c) for rk, t, c, _ in got]
+
+
+def test_gopher_rules_stream_equals_batch_battery(spark, sf_dir, tmp_path):
+    """Streaming Gopher gate == the batch rule battery, bit-exact:
+    replay the documents table as 3 micro-batches through
+    gopher_rules_stream and the appended rows must equal
+    pipeline_gopher_rules exactly — per-rule booleans, n_fail, keep —
+    since both plans build from the one shared gopher_rule_frame
+    expression battery. STATELESS like quality_score_stream (no
+    watermark, no state store node), so the gate is pure map
+    parallelism on the ingest path."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_graft.sources import table
+    from spark_graft.streaming import gopher_rules_stream, run_stream_to_memory
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    src = tmp_path / "gopher_src"
+    src.mkdir()
+    schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+    cuts = [0, len(docs) // 3, 2 * len(docs) // 3, len(docs)]
+    now = time.time()
+    for i in range(3):
+        pq.write_table(
+            pa.Table.from_pandas(
+                docs.iloc[cuts[i]:cuts[i + 1]], preserve_index=False
+            ).cast(schema),
+            str(src / f"c{i}.parquet"),
+        )
+        os.utime(src / f"c{i}.parquet", (now + i * 10, now + i * 10))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    gated = gopher_rules_stream(stream)
+    logical = gated._jdf.queryExecution().logical().toString()
+    assert "EventTimeWatermark" not in logical  # stateless narrow map
+    out = run_stream_to_memory(gated, mode="append")
+    batch = REGISTRY["pipeline_gopher_rules"].fn(spark, sf_dir)
+    assert_frames_match(
+        out.toPandas(), batch.toPandas(), "gopher stream==batch battery"
+    )
+    assert out.count() == len(docs)
