@@ -63,6 +63,18 @@ def main() -> None:
     # driver assumption, and in local[] mode the driver JVM is every
     # executor; 32 concurrent tasks over 6M-row lineitem kill a 1g heap
     # before anything can spill. Heap size is not a semantics conf.
+    #
+    # Arrow-batched toPandas (r16, VERDICT r15 item 7): the sweep's
+    # wall-time was dominated by the COMPARATOR's materialization, not
+    # the plans — ts_resample's 13.8M-row result took 424 s through the
+    # row-pickling default path vs a 6.6 s plan. Arrow is a TRANSPORT
+    # conf, not a semantics conf: the same IEEE doubles / int64s /
+    # decimals cross in columnar batches, so values are bit-identical
+    # and tests/compare.assert_frames_match is unchanged (still a
+    # FULL-value compare, strictly stronger than a hash compare).
+    # fallback.enabled keeps any Arrow-unsupported result type on the
+    # old path automatically. Measured: BENCH_SF1
+    # "sweep_comparator_arrow_r16", verdicts unchanged.
     from spark_graft.session import _default_driver_memory
 
     spark = (
@@ -71,6 +83,8 @@ def main() -> None:
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_memory()))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.fallback.enabled", "true")
         .getOrCreate()
     )
     con = duckdb.connect()
