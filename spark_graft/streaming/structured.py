@@ -550,7 +550,10 @@ def minhash_novelty_stream(
     round 14 — google.protobuf still absent on pyspark 4.1.2; re-probed
     round 15 with a live rate-source query — the class imports but the
     driver worker still crashes at runtime, STREAM_FAILED/XXKST
-    "TransformWithStateInPySpark driver worker exited unexpectedly"),
+    "TransformWithStateInPySpark driver worker exited unexpectedly";
+    re-probed round 16 with a ValueState counter over a parquet
+    availableNow stream — same XXKST runtime crash, container
+    unchanged),
     so the per-executor cache is the implemented path and the migration
     is a mechanical swap of the probe function when the dependency is
     available."""
