@@ -2042,7 +2042,19 @@ def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-paragraph membership scan), then an ordered element_at gather.
     removed_fx is per-doc bounded (n_removed <= paragraphs of one doc),
     so plain int64 `div` has headroom without the decimal(38,0) route.
-    """
+
+    The (doc_id, paras) table is localCheckpoint-STAGED, and not only
+    for its three consumers (decision stream x2 + rebuild): posexplode
+    over a DERIVED array column trips `InferFiltersFromGenerate`, which
+    adds size(input) > 0 and pushes it below the projections — inlining
+    the whole tokenize+window derivation (interpreted HOF lambdas, so
+    no CSE) into a per-row Filter evaluated BEFORE the projection:
+    O(tokens x paras) per doc, measured 8.7 -> 2.9 s at sf1 and
+    super-linear sf3/sf1 before staging. Post-checkpoint the inferred
+    filter probes a materialized attribute, and text is scanned ONCE
+    (plan-pinned: the full query's physical plan has zero FileScans
+    downstream of the checkpoint). At 100 TB this is the persisted
+    paragraph staging table a CCNet run writes anyway."""
     docs = table(spark, sf_dir, "documents")
     n_p = F.ceil(F.size("toks") / F.lit(PARA_W)).cast("int")
     base = docs.select("doc_id", tokens("text").alias("toks")).select(
@@ -2059,7 +2071,7 @@ def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .alias("paras"),
-    )
+    ).localCheckpoint()
     slim = base.select(
         "doc_id", F.posexplode("paras").alias("pos", "para")
     ).select(
