@@ -1979,6 +1979,39 @@ PARA_W = 8
 PARA_RATE_SCALE = 1_000_000  # fixed-point scale for per-doc removal rates
 
 
+def paragraph_at(toks: Column, i: Column) -> Column:
+    """The ONE paragraph-window recipe: tokens [(i-1)*W+1 .. i*W]
+    space-joined (1-based window index i). Shared by `paragraph_table`
+    (array form, batch) and `streaming.paragraph_dedup_stream` (row
+    form, ingest) so the twins cannot disagree on paragraph content."""
+    return F.array_join(F.slice(toks, (i - F.lit(1)) * PARA_W + 1, PARA_W), " ")
+
+
+def paragraph_index(toks: Column) -> Column:
+    """array<int> of 1-based paragraph window indices for a token
+    array: 1..ceil(n/W), [] for zero tokens (sequence(1, 0) is
+    DESCENDING in Spark, not empty — the shingles_from_tokens guard)."""
+    n_p = F.ceil(F.size(toks) / F.lit(PARA_W)).cast("int")
+    return F.when(F.size(toks) == 0, F.array().cast("array<int>")).otherwise(
+        F.sequence(F.lit(1), F.greatest(n_p, F.lit(1)))
+    )
+
+
+def paragraph_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, paras): each document's normalized {PARA_W}-token
+    paragraph windows as an array, from any (doc_id, text, ...) frame.
+    Pure narrow expressions — callers that consume it more than once
+    (or posexplode it — see dedup_paragraph's InferFiltersFromGenerate
+    note) must stage it themselves."""
+    return docs.select("doc_id", tokens("text").alias("toks")).select(
+        "doc_id",
+        F.transform(
+            paragraph_index(F.col("toks")),
+            lambda i: paragraph_at(F.col("toks"), i),
+        ).alias("paras"),
+    )
+
+
 @query(
     "dedup_paragraph",
     oracle=f"""
@@ -2056,22 +2089,7 @@ def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream of the checkpoint). At 100 TB this is the persisted
     paragraph staging table a CCNet run writes anyway."""
     docs = table(spark, sf_dir, "documents")
-    n_p = F.ceil(F.size("toks") / F.lit(PARA_W)).cast("int")
-    base = docs.select("doc_id", tokens("text").alias("toks")).select(
-        "doc_id",
-        # sequence(1, 0) is DESCENDING in Spark, not empty — zero-token
-        # docs must yield [] explicitly (the shingles_from_tokens guard)
-        F.when(F.size("toks") == 0, F.array().cast("array<string>"))
-        .otherwise(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(n_p, F.lit(1))),
-                lambda i: F.array_join(
-                    F.slice(F.col("toks"), (i - 1) * PARA_W + 1, PARA_W), " "
-                ),
-            )
-        )
-        .alias("paras"),
-    ).localCheckpoint()
+    base = paragraph_table(docs).localCheckpoint()
     slim = base.select(
         "doc_id", F.posexplode("paras").alias("pos", "para")
     ).select(

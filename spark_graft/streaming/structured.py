@@ -973,6 +973,91 @@ def gopher_rules_stream(docs: DataFrame) -> DataFrame:
     return gopher_rule_frame(docs)
 
 
+def paragraph_dedup_stream(docs: DataFrame) -> DataFrame:
+    """Streaming paragraph-level dedup gate — the ingest twin of batch
+    `dedup_paragraph` (operators/dedup.py): as documents arrive, every
+    normalized {PARA_W}-token paragraph window is checked against the
+    accumulated corpus; repeats emit a DROP row (doc_id, pos,
+    keep_doc_id, keep_pos) naming the keeper — CCNet's main volume
+    reducer running ON the ingest stream, so the sink can excise
+    boilerplate paragraphs (and count removal pressure per source) the
+    moment a page lands instead of in a nightly batch. Accepted
+    paragraphs = arrivals minus emitted drops; per-doc reassembly is
+    the sink's array gather over its drop positions (the batch twin's
+    rebuild expression).
+
+    Paragraph content comes from the SAME `paragraph_at` /
+    `paragraph_index` recipe the batch query plans (row form here —
+    explode the index array, derive each window after the Generate —
+    because a stream cannot localCheckpoint its way around the
+    InferFiltersFromGenerate inlining the batch side staging avoids;
+    the row form keeps the inferred filter O(tokens) per doc). State:
+    ONE (keep_doc_id, keep_pos) pair per distinct paragraph hash —
+    the minhash_novelty_stream band-index shape, growing with the
+    distinct-paragraph vocabulary (16 bytes + key per entry), the
+    irreducible memory of any exact streaming dedup. Within a
+    micro-batch, rows apply in (doc_id, pos) order, so a doc-ordered
+    replay reproduces the batch twin's lexicographic keep-first
+    EXACTLY (equivalence-tested). At-least-once re-delivery: a
+    re-delivered keeper emits nothing; a re-delivered duplicate
+    re-emits its identical drop row — the change log is idempotent by
+    content, dedupe by (doc_id, pos) at the sink."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from spark_graft.operators.dedup import paragraph_at, paragraph_index
+    from spark_graft.functions import tokens
+
+    rows = (
+        docs.select("doc_id", tokens("text").alias("toks"))
+        .select("doc_id", "toks", F.explode(paragraph_index(F.col("toks"))).alias("pos"))
+        .select(
+            "doc_id",
+            "pos",
+            F.md5(paragraph_at(F.col("toks"), F.col("pos"))).alias("fp"),
+        )
+    )
+
+    _EMPTY = pd.DataFrame(
+        {
+            "doc_id": pd.Series(dtype="int64"),
+            "pos": pd.Series(dtype="int32"),
+            "keep_doc_id": pd.Series(dtype="int64"),
+            "keep_pos": pd.Series(dtype="int32"),
+        }
+    )
+
+    def update(key, pdfs, state: GroupState):
+        kd, kp = state.get if state.exists else (None, None)
+        chunks = [c for c in pdfs if len(c)]
+        drops = []
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True).sort_values(
+                ["doc_id", "pos"]
+            )
+            for doc_id, pos in zip(batch["doc_id"], batch["pos"]):
+                doc_id, pos = int(doc_id), int(pos)
+                if kd is None:
+                    kd, kp = doc_id, pos
+                elif (doc_id, pos) != (kd, kp):
+                    drops.append((doc_id, pos, kd, kp))
+            state.update((kd, kp))
+        if not drops:
+            yield _EMPTY
+        else:
+            yield pd.DataFrame(
+                drops, columns=["doc_id", "pos", "keep_doc_id", "keep_pos"]
+            )
+
+    return rows.groupBy("fp").applyInPandasWithState(
+        update,
+        "doc_id bigint, pos int, keep_doc_id bigint, keep_pos int",
+        "keep_doc_id bigint, keep_pos int",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def bpe_encode_stream(docs: DataFrame, merges_path: str) -> DataFrame:
     """Streaming BPE corpus encoding from a persisted
     `spark_graft.artifacts` merge list — TOKENIZE-ON-INGEST, the

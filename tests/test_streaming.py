@@ -2433,3 +2433,128 @@ def test_gopher_rules_stream_equals_batch_battery(spark, sf_dir, tmp_path):
         out.toPandas(), batch.toPandas(), "gopher stream==batch battery"
     )
     assert out.count() == len(docs)
+
+
+def _paragraph_replay_src(spark, sf_dir, tmp_path, name):
+    """documents replayed doc-ordered as 3 micro-batch parquet files."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_graft.sources import table
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    src = tmp_path / name
+    src.mkdir()
+    schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+    cuts = [0, len(docs) // 3, 2 * len(docs) // 3, len(docs)]
+    now = time.time()
+    for i in range(3):
+        pq.write_table(
+            pa.Table.from_pandas(
+                docs.iloc[cuts[i]:cuts[i + 1]], preserve_index=False
+            ).cast(schema),
+            str(src / f"c{i}.parquet"),
+        )
+        os.utime(src / f"c{i}.parquet", (now + i * 10, now + i * 10))
+    return src, docs
+
+
+def test_paragraph_dedup_stream_equals_batch_twin(spark, sf_dir, tmp_path):
+    """paragraph_dedup_stream over a doc-ordered 3-micro-batch replay ==
+    the oracle-checked batch dedup_paragraph: the emitted drop rows,
+    grouped per doc, must reproduce the batch twin's n_removed exactly,
+    and rebuilding each doc's kept_text from the emitted drop positions
+    must equal the batch kept_text — the stream and the batch can't
+    disagree on what a paragraph is (shared paragraph_at/
+    paragraph_index recipe) or which occurrence wins (lexicographic
+    keep-first under doc-ordered arrival)."""
+    import re
+    from collections import defaultdict
+
+    from spark_graft.operators.dedup import PARA_W
+    from spark_graft.streaming import paragraph_dedup_stream, run_stream_to_memory
+
+    src, docs = _paragraph_replay_src(spark, sf_dir, tmp_path, "para_src")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = run_stream_to_memory(paragraph_dedup_stream(stream), mode="update").toPandas()
+
+    batch = {
+        r["doc_id"]: r
+        for r in REGISTRY["dedup_paragraph"].fn(spark, sf_dir).collect()
+    }
+    drops_by_doc = defaultdict(set)
+    for r in out.itertuples():
+        drops_by_doc[r.doc_id].add(r.pos)
+        # every drop names a keeper that is lexicographically earlier
+        assert (r.keep_doc_id, r.keep_pos) < (r.doc_id, r.pos)
+    assert set(drops_by_doc) <= set(batch)
+    for doc_id, row in batch.items():
+        assert len(drops_by_doc.get(doc_id, ())) == row["n_removed"], doc_id
+    # rebuild kept_text from the stream's drop positions
+    for r in docs.itertuples():
+        ts = [t for t in re.split(r"[^a-z0-9]+", r.text.lower()) if t]
+        paras = [
+            " ".join(ts[i : i + PARA_W]) for i in range(0, len(ts), PARA_W)
+        ]
+        kept = " ".join(
+            p for i, p in enumerate(paras, start=1)
+            if i not in drops_by_doc.get(r.doc_id, ())
+        )
+        assert kept == batch[r.doc_id]["kept_text"], r.doc_id
+
+
+def test_paragraph_dedup_stream_redelivery_idempotent(spark, tmp_path):
+    """At-least-once semantics: re-delivering batch 1 verbatim emits
+    ONLY rows already emitted (keepers emit nothing; duplicate rows
+    re-emit identical drop content), so a sink deduping by (doc_id,
+    pos) is exact. Also pins within-doc repeats dropping against the
+    doc's own first window."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_graft.streaming import paragraph_dedup_stream, run_stream_to_memory
+
+    A = "alpha beta gamma delta epsilon zeta eta theta"
+    rows1 = [(1, f"{A} {A}"), (2, "fresh words entirely")]
+    rows2 = [(1, f"{A} {A}"), (2, "fresh words entirely")]  # verbatim redelivery
+    src = tmp_path / "para_redeliver"
+    src.mkdir()
+    schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+    now = time.time()
+    for i, rows in enumerate([rows1, rows2]):
+        pq.write_table(
+            pa.table(
+                {"doc_id": [r[0] for r in rows], "text": [r[1] for r in rows]},
+                schema=schema,
+            ),
+            str(src / f"c{i}.parquet"),
+        )
+        os.utime(src / f"c{i}.parquet", (now + i * 10, now + i * 10))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = run_stream_to_memory(paragraph_dedup_stream(stream), mode="update").toPandas()
+    got = {
+        (r.doc_id, r.pos, r.keep_doc_id, r.keep_pos) for r in out.itertuples()
+    }
+    # the within-doc repeat drops against the doc's own first window;
+    # re-delivery adds NO new distinct rows
+    assert got == {(1, 2, 1, 1)}
+    assert len(out) == 2  # the re-delivered duplicate re-emits identically
