@@ -1990,9 +1990,15 @@ def paragraph_at(toks: Column, i: Column) -> Column:
 def paragraph_index(toks: Column) -> Column:
     """array<int> of 1-based paragraph window indices for a token
     array: 1..ceil(n/W), [] for zero tokens (sequence(1, 0) is
-    DESCENDING in Spark, not empty — the shingles_from_tokens guard)."""
-    n_p = F.ceil(F.size(toks) / F.lit(PARA_W)).cast("int")
-    return F.when(F.size(toks) == 0, F.array().cast("array<int>")).otherwise(
+    DESCENDING in Spark, not empty — the shingles_from_tokens guard).
+    NULL token arrays (NULL text) count as zero: without the coalesce,
+    size(NULL) = NULL slips past the == 0 guard, greatest(NULL, 1)
+    SKIPS the null, and the doc gets one [NULL] paragraph — while the
+    DuckDB oracle's generate_series(1, NULL) unnests to zero rows
+    (caught by a NULL-text probe, r16 self-review)."""
+    n = F.coalesce(F.size(toks), F.lit(0))
+    n_p = F.ceil(n / F.lit(PARA_W)).cast("int")
+    return F.when(n == 0, F.array().cast("array<int>")).otherwise(
         F.sequence(F.lit(1), F.greatest(n_p, F.lit(1)))
     )
 

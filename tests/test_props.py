@@ -2434,6 +2434,32 @@ def test_dedup_paragraph_keep_first_and_reassembly(spark, tmp_path):
     assert got[2][3] == "unique words here"        # ragged tail survives
     assert got[5] == (0, 0, 0, "")                 # zero-token doc
 
+    # NULL text counts as zero paragraphs on BOTH engines: Spark's
+    # size(NULL) slips past an == 0 guard and greatest() skips NULLs,
+    # which minted one [NULL] paragraph before paragraph_index's
+    # coalesce (r16 self-review); the oracle unnests zero rows.
+    nd = tmp_path / "paras_null"
+    nd.mkdir()
+    spark.createDataFrame(
+        [(1, None, "en", "s", 0), (2, "real words here", "en", "s", 15)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.mode("overwrite").parquet(str(nd / "documents.parquet"))
+    import duckdb
+
+    sp = REGISTRY["dedup_paragraph"].fn(spark, str(nd)).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{nd}/documents.parquet/*.parquet'"
+    )
+    from compare import assert_frames_match
+
+    assert_frames_match(
+        sp, con.execute(REGISTRY["dedup_paragraph"].oracle).df(),
+        "dedup_paragraph:null-text",
+    )
+    byid = {r.doc_id: r for r in sp.itertuples()}
+    assert (byid[1].n_paras, byid[1].kept_text) == (0, "")
+
 
 def test_decontaminate_semantic_flags_planted_paraphrase_leak(spark, tmp_path):
     """decontaminate_semantic on a planted embedding corpus: a train
