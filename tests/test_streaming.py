@@ -2558,3 +2558,64 @@ def test_paragraph_dedup_stream_redelivery_idempotent(spark, tmp_path):
     # re-delivery adds NO new distinct rows
     assert got == {(1, 2, 1, 1)}
     assert len(out) == 2  # the re-delivered duplicate re-emits identically
+
+
+def test_paragraph_dedup_stream_state_survives_checkpoint_restart(spark, tmp_path):
+    """paragraph_dedup_stream's keeper map must round-trip the state
+    store across a PROCESS restart: run 1 ingests the original doc
+    (emits nothing — everything is first); run 2 is a BRAND-NEW query
+    object on the same checkpoint reading ONLY a later copy. The copy's
+    windows can only be flagged as drops against keepers restored from
+    state — a lost or mis-typed state schema would admit the copy as
+    original (zero drops)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_graft.streaming import paragraph_dedup_stream
+
+    src, out = tmp_path / "para_ckpt_src", tmp_path / "para_ckpt_out"
+    src.mkdir()
+    ckpt = str(tmp_path / "para_ckpt")
+    schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+    A = "alpha beta gamma delta epsilon zeta eta theta"
+
+    def add_file(name, rows):
+        pq.write_table(
+            pa.table(
+                {"doc_id": [r[0] for r in rows], "text": [r[1] for r in rows]},
+                schema=schema,
+            ),
+            str(src / name),
+        )
+
+    def run_query():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+
+        def write_batch(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(str(out))
+
+        q = (
+            paragraph_dedup_stream(stream)
+            .writeStream.foreachBatch(write_batch)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    add_file("f0.parquet", [(1, f"{A} one two three four five six seven eight")])
+    run_query()
+    assert spark.read.parquet(str(out)).count() == 0  # all first occurrences
+
+    add_file("f1.parquet", [(7, A)])  # later copy of doc 1's first window
+    run_query()
+    got = {
+        (r["doc_id"], r["pos"], r["keep_doc_id"], r["keep_pos"])
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    assert got == {(7, 1, 1, 1)}  # keeper restored from checkpointed state
