@@ -818,6 +818,146 @@ def eval_gram_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def eval_cell_index(
+    spark: SparkSession, sf_dir: str, centroids_path: str
+) -> DataFrame:
+    """The STATIC side of `semantic_decon_stream`: the eval decile's
+    vectors assigned to cells by the PERSISTED quantizer (the same
+    centroids the streaming gate assigns arrivals with, loaded from
+    `spark_graft.artifacts`). In production this is built once per
+    benchmark-suite release, right after the quantizer is trained."""
+    from spark_graft import artifacts
+    from spark_graft.operators.clustering import assignment_udf
+    from spark_graft.operators.pipeline import EVAL_MOD
+
+    cents = artifacts.load_kmeans_centroids(centroids_path, sf_dir=sf_dir)
+    emb = table(spark, sf_dir, "embeddings")
+    return emb.filter((F.col("vec_id") % EVAL_MOD) == 0).select(
+        assignment_udf(cents, spark)("embedding")["cluster"].alias("cell"),
+        F.col("vec_id").alias("eval_id"),
+        F.col("embedding").alias("eval_emb"),
+    )
+
+
+def semantic_decon_stream(
+    vecs: DataFrame,
+    eval_cells: DataFrame,
+    centroids_path: str,
+    *,
+    ingest_col: str = "ingest_ts",
+    watermark: str = "10 minutes",
+    window: str = "10 minutes",
+) -> DataFrame:
+    """Streaming EMBEDDING-SPACE decontamination — the stream-static
+    twin of batch `decontaminate_semantic` (operators/pipeline.py), and
+    the semantic complement of `decontaminate_stream`'s exact-gram gate
+    below: every arriving train vector is assigned to its trained
+    quantizer cell (centroids loaded once from `spark_graft.artifacts`
+    and baked into the Arrow assignment kernel — the train-once/
+    serve-many contract), stream-static joined against the broadcast
+    `eval_cell_index` (bounded: one row per eval item, a benchmark
+    suite), and flagged when any same-cell eval cosine reaches
+    SEM_DECON_THRESHOLD — paraphrase-level leaks caught ON the ingest
+    stream, before a contaminated batch ever lands in training storage.
+
+    Cosines are pure JVM expressions (zip_with product folded
+    left-to-right by F.aggregate over a double accumulator — the same
+    fold order as the batch twin's numpy cumsum, so stream == batch
+    BIT-FOR-BIT), clamped to [-1, 1]; the hit gate carries an explicit
+    ~isnan conjunct because Spark SQL orders NaN ABOVE every double —
+    a zero-norm vector's NaN cosine would pass a bare >= threshold
+    here even though numpy (batch) and DuckDB (oracle) both drop it.
+
+    State is BOUNDED exactly like decontaminate_stream (same
+    (ingest-window, vec_id) watermark eviction, same caveat for
+    caller-supplied ingest columns — late rows drop UNEVALUATED, so
+    size the watermark above the source's ingest disorder; the
+    'semdecon_ingest' observation reports each batch's spread). At
+    100 TB the per-arrival work is one k x dim assignment matmul and
+    ~|cell members of the eval suite| dot products — map-side only,
+    no stream-side shuffle before the windowed per-vector collapse."""
+    from spark_graft import artifacts
+    from spark_graft.operators.clustering import assignment_udf
+    from spark_graft.operators.pipeline import EVAL_MOD, SEM_DECON_THRESHOLD
+
+    if ingest_col in vecs.columns:
+        import warnings
+
+        warnings.warn(
+            f"semantic_decon_stream: caller-supplied {ingest_col!r} — rows "
+            f"later than the {watermark!r} watermark are dropped "
+            f"UNEVALUATED (a leaked vector would pass the gate silently). "
+            f"Size the watermark above the source's maximum ingest "
+            f"disorder; per-batch spread is reported via the "
+            f"'semdecon_ingest' observation.",
+            stacklevel=2,
+        )
+        stamped = vecs.observe(
+            "semdecon_ingest",
+            F.count(F.lit(1)).alias("rows"),
+            F.min(ingest_col).alias("min_ingest"),
+            F.max(ingest_col).alias("max_ingest"),
+        )
+    else:
+        stamped = vecs.withColumn(ingest_col, F.current_timestamp())
+
+    cents = artifacts.load_kmeans_centroids(centroids_path)
+    assigned = stamped.filter((F.col("vec_id") % EVAL_MOD) != 0).select(
+        "vec_id",
+        ingest_col,
+        "embedding",
+        assignment_udf(cents)("embedding")["cluster"].alias("cell"),
+    )
+    joined = assigned.join(F.broadcast(eval_cells), "cell")
+    # per-element double widening + left-to-right fold == the batch
+    # twin's float64 cumsum, so the cosine bits match exactly
+    dot = F.aggregate(
+        F.zip_with(
+            "embedding", "eval_emb",
+            lambda a, b: a.cast("double") * b.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sqnorm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    cos = F.least(
+        F.greatest(dot / (sqnorm(F.col("embedding")) * sqnorm(F.col("eval_emb"))),
+                   F.lit(-1.0)),
+        F.lit(1.0),
+    )
+    scored = joined.select(
+        "vec_id",
+        "cell",
+        ingest_col,
+        "eval_id",
+        cos.alias("_cos"),
+    ).filter(~F.isnan("_cos") & (F.col("_cos") >= SEM_DECON_THRESHOLD))
+    agg = (
+        scored.withColumn("_cos_r", F.round("_cos", 4))
+        .withWatermark(ingest_col, watermark)
+        .groupBy(F.window(ingest_col, window), "vec_id", "cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval_hits"),
+            # lexicographic struct max: highest rounded cosine, then
+            # the LOWEST eval id among ties (negated so max picks it)
+            F.max(F.struct(F.col("_cos_r"), (-F.col("eval_id")).alias("ne"))).alias("b"),
+        )
+    )
+    return agg.select(
+        "vec_id",
+        "cell",
+        "n_eval_hits",
+        F.col("b._cos_r").alias("max_cos"),
+        (-F.col("b.ne")).alias("near_eval_id"),
+    )
+
+
 def decontaminate_stream(
     docs: DataFrame,
     eval_grams: DataFrame,

@@ -2619,3 +2619,78 @@ def test_paragraph_dedup_stream_state_survives_checkpoint_restart(spark, tmp_pat
         for r in spark.read.parquet(str(out)).collect()
     }
     assert got == {(7, 1, 1, 1)}  # keeper restored from checkpointed state
+
+
+def test_semantic_decon_stream_equals_batch(spark, sf_dir, tmp_path):
+    """Stream-static semantic gate == batch decontaminate_semantic,
+    bit-exact: train vectors replay as 3 micro-batches against the
+    STATIC eval-cell index built from the SAME persisted centroids
+    (k = dedup's _emb_k sizing, so the artifact equals the quantizer
+    the batch query trains in-query); the final per-vector emissions
+    must equal the oracle-checked batch frame exactly — the JVM
+    zip_with/aggregate cosine fold reproduces the batch numpy cumsum
+    bit-for-bit. The static side must broadcast (the pattern's plan
+    requirement)."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_graft import artifacts
+    from spark_graft.operators.dedup import _emb_k
+    from spark_graft.sources import table
+    from spark_graft.streaming import (
+        eval_cell_index,
+        run_stream_to_memory,
+        semantic_decon_stream,
+    )
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pdf = emb.orderBy("vec_id").toPandas()
+    cpath = str(tmp_path / "semdecon_cents")
+    artifacts.train_and_save_centroids(spark, sf_dir, cpath, k=_emb_k(len(pdf)))
+    static_cells = eval_cell_index(spark, sf_dir, cpath).localCheckpoint()
+
+    src = tmp_path / "semdecon_src"
+    src.mkdir()
+    schema = pa.schema(
+        [("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32()))]
+    )
+    cuts = [0, len(pdf) // 3, 2 * len(pdf) // 3, len(pdf)]
+    now = time.time()
+    for i in range(3):
+        chunk = pdf.iloc[cuts[i]:cuts[i + 1]]
+        pq.write_table(
+            pa.Table.from_pandas(chunk, preserve_index=False).cast(schema),
+            str(src / f"c{i}.parquet"),
+        )
+        os.utime(src / f"c{i}.parquet", (now + i * 10, now + i * 10))
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = semantic_decon_stream(stream, static_cells, cpath)
+    from spark_graft.plans import explain_str
+
+    assert "BroadcastHashJoin" in explain_str(out, "simple")
+    emitted = run_stream_to_memory(out, mode="update")
+    # each vector's hits finalize in its arrival batch; keep the last
+    # emission per vector in case a file split re-emits
+    final = (
+        emitted.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.desc("n_eval_hits"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    batch = REGISTRY["decontaminate_semantic"].fn(spark, sf_dir)
+    assert_frames_match(
+        final.toPandas(), batch.toPandas(), "semdecon stream==batch"
+    )
+    assert batch.count() > 0  # the equivalence is not vacuous
