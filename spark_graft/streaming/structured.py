@@ -832,10 +832,17 @@ def eval_cell_index(
 
     cents = artifacts.load_kmeans_centroids(centroids_path, sf_dir=sf_dir)
     emb = table(spark, sf_dir, "embeddings")
-    return emb.filter((F.col("vec_id") % EVAL_MOD) == 0).select(
-        assignment_udf(cents, spark)("embedding")["cluster"].alias("cell"),
-        F.col("vec_id").alias("eval_id"),
-        F.col("embedding").alias("eval_emb"),
+    return (
+        emb.filter((F.col("vec_id") % EVAL_MOD) == 0)
+        # the similarity-family NONZERO contract: a zero-norm vector has
+        # no defined cosine — excluded here so the streaming gate's
+        # division can never see a zero divisor (ANSI DIVIDE_BY_ZERO)
+        .filter(F.exists("embedding", lambda x: x != F.lit(0.0)))
+        .select(
+            assignment_udf(cents, spark)("embedding")["cluster"].alias("cell"),
+            F.col("vec_id").alias("eval_id"),
+            F.col("embedding").alias("eval_emb"),
+        )
     )
 
 
@@ -863,10 +870,12 @@ def semantic_decon_stream(
     Cosines are pure JVM expressions (zip_with product folded
     left-to-right by F.aggregate over a double accumulator — the same
     fold order as the batch twin's numpy cumsum, so stream == batch
-    BIT-FOR-BIT), clamped to [-1, 1]; the hit gate carries an explicit
-    ~isnan conjunct because Spark SQL orders NaN ABOVE every double —
-    a zero-norm vector's NaN cosine would pass a bare >= threshold
-    here even though numpy (batch) and DuckDB (oracle) both drop it.
+    BIT-FOR-BIT), clamped to [-1, 1]; the hit gate tests ~isnan on the
+    RAW quotient BEFORE the clamp, because Spark SQL orders NaN ABOVE
+    every double — NaN >= t is true AND least(greatest(NaN,-1),1)
+    launders NaN into a perfect 1.0 — while numpy (batch) and DuckDB
+    (oracle) both drop the zero-norm pair (planted-zero-vector
+    tested).
 
     State is BOUNDED exactly like decontaminate_stream (same
     (ingest-window, vec_id) watermark eviction, same caveat for
@@ -902,11 +911,19 @@ def semantic_decon_stream(
         stamped = vecs.withColumn(ingest_col, F.current_timestamp())
 
     cents = artifacts.load_kmeans_centroids(centroids_path)
-    assigned = stamped.filter((F.col("vec_id") % EVAL_MOD) != 0).select(
-        "vec_id",
-        ingest_col,
-        "embedding",
-        assignment_udf(cents)("embedding")["cluster"].alias("cell"),
+    assigned = (
+        stamped.filter((F.col("vec_id") % EVAL_MOD) != 0)
+        # NONZERO contract, stream side: under ANSI (the Spark 4
+        # default) a zero-norm arrival would DIVIDE_BY_ZERO-crash the
+        # whole QUERY at the cosine — not just mis-flag (planted-zero
+        # tested); batch drops the same pairs via its numpy NaN gate
+        .filter(F.exists("embedding", lambda x: x != F.lit(0.0)))
+        .select(
+            "vec_id",
+            ingest_col,
+            "embedding",
+            assignment_udf(cents)("embedding")["cluster"].alias("cell"),
+        )
     )
     joined = assigned.join(F.broadcast(eval_cells), "cell")
     # per-element double widening + left-to-right fold == the batch
@@ -926,18 +943,27 @@ def semantic_decon_stream(
             lambda acc, x: acc + x,
         )
     )
-    cos = F.least(
-        F.greatest(dot / (sqnorm(F.col("embedding")) * sqnorm(F.col("eval_emb"))),
-                   F.lit(-1.0)),
-        F.lit(1.0),
+    raw = dot / (sqnorm(F.col("embedding")) * sqnorm(F.col("eval_emb")))
+    # the isnan gate MUST test the RAW quotient: Spark's least/greatest
+    # order NaN above every double, so least(greatest(NaN,-1),1) is a
+    # laundered 1.0 — a zero-norm vector would flag as a PERFECT match
+    # if clamped first — and NaN >= t is itself true (probed r16; the
+    # batch twin's numpy clip keeps NaN and NaN >= t is false there).
+    # Gating raw vs clamped is threshold-equivalent for t in (-1, 1].
+    scored = (
+        joined.select(
+            "vec_id",
+            "cell",
+            ingest_col,
+            "eval_id",
+            raw.alias("_raw"),
+        )
+        .filter(~F.isnan("_raw") & (F.col("_raw") >= SEM_DECON_THRESHOLD))
+        .withColumn(
+            "_cos",
+            F.least(F.greatest(F.col("_raw"), F.lit(-1.0)), F.lit(1.0)),
+        )
     )
-    scored = joined.select(
-        "vec_id",
-        "cell",
-        ingest_col,
-        "eval_id",
-        cos.alias("_cos"),
-    ).filter(~F.isnan("_cos") & (F.col("_cos") >= SEM_DECON_THRESHOLD))
     agg = (
         scored.withColumn("_cos_r", F.round("_cos", 4))
         .withWatermark(ingest_col, watermark)

@@ -2694,3 +2694,99 @@ def test_semantic_decon_stream_equals_batch(spark, sf_dir, tmp_path):
         final.toPandas(), batch.toPandas(), "semdecon stream==batch"
     )
     assert batch.count() > 0  # the equivalence is not vacuous
+
+
+def test_semantic_decon_stream_drops_zero_norm_pairs(spark, tmp_path):
+    """Planted zero-norm vectors (train AND eval): their NaN cosines
+    must be DROPPED, matching the batch twin — before the r16 raw-gate
+    fix, Spark's NaN-above-everything ordering made NaN >= t true and
+    least(greatest(NaN,-1),1) laundered the cosine into a perfect 1.0,
+    so a zero-norm train vector flagged as a certain leak. The stream's
+    flags must equal batch decontaminate_semantic on the same planted
+    corpus (which includes one real leak as the positive control)."""
+    import hashlib
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_graft import artifacts
+    from spark_graft.operators.dedup import _emb_k
+    from spark_graft.streaming import (
+        eval_cell_index,
+        run_stream_to_memory,
+        semantic_decon_stream,
+    )
+
+    dim, n = 8, 48
+
+    def vec(i: int) -> list[float]:
+        if i == 10:   # eval item: distinctive direction
+            return [3.0, 1.0, 0.0, 0.0, 2.0, 0.0, 1.0, 0.0]
+        if i == 11:   # the planted leak (positive control)
+            return [3.0, 1.0, 0.05, 0.0, 2.0, 0.0, 1.0, 0.0]
+        if i in (13, 20):  # zero-norm train (13) and eval (20)
+            return [0.0] * dim
+        return [
+            int(hashlib.md5(f"{i}:{k}".encode()).hexdigest()[:8], 16) / 2**31
+            - 1.0
+            for k in range(dim)
+        ]
+
+    d = tmp_path / "semzero"
+    d.mkdir()
+    spark.createDataFrame(
+        [(i, i % 4, vec(i)) for i in range(n)],
+        "vec_id bigint, label int, embedding array<float>",
+    ).write.mode("overwrite").parquet(str(d / "embeddings.parquet"))
+
+    cpath = str(tmp_path / "semzero_cents")
+    artifacts.train_and_save_centroids(spark, str(d), cpath, k=_emb_k(n))
+    static_cells = eval_cell_index(spark, str(d), cpath).localCheckpoint()
+
+    src = tmp_path / "semzero_src"
+    src.mkdir()
+    schema = pa.schema(
+        [("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32()))]
+    )
+    rows = [(i, vec(i)) for i in range(n)]
+    now = time.time()
+    for b in range(2):
+        chunk = rows[b * n // 2:(b + 1) * n // 2]
+        pq.write_table(
+            pa.table(
+                {"vec_id": [r[0] for r in chunk],
+                 "embedding": [r[1] for r in chunk]},
+                schema=schema,
+            ),
+            str(src / f"c{b}.parquet"),
+        )
+        os.utime(src / f"c{b}.parquet", (now + b * 10, now + b * 10))
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = run_stream_to_memory(
+        semantic_decon_stream(stream, static_cells, cpath), mode="update"
+    ).toPandas()
+    assert 13 not in set(out.vec_id)          # zero-norm train never flags
+    assert (out.near_eval_id != 20).all()     # zero-norm eval never a hit
+    assert 11 in set(out.vec_id)              # the real leak still flags
+    batch = REGISTRY["decontaminate_semantic"].fn(spark, str(d))
+    final = (
+        spark.createDataFrame(out)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.desc("n_eval_hits"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    assert_frames_match(
+        final.toPandas(), batch.toPandas(), "semdecon zero-norm stream==batch"
+    )
