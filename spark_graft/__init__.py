@@ -30,52 +30,32 @@ __all__ = ["REGISTRY", "QuerySpec", "query", "load_all_queries"]
 #   tier 0 — never driver-verified, or modified this round (an edit to
 #            a query fn or its oracle invalidates prior verification,
 #            so edited queries must re-enter the window);
-#   tier 1 — hash-green last in CORRECTNESS_r13 (3 rounds stale,
+#   tier 1 — hash-green last in CORRECTNESS_r14 (3 rounds stale,
 #            highest priority among unmodified queries);
-#   tier 2 — hash-green last in CORRECTNESS_r14 (2 rounds stale);
-#   tier 3 — hash-green in CORRECTNESS_r15 on code unchanged since.
+#   tier 2 — hash-green last in CORRECTNESS_r15 (2 rounds stale);
+#   tier 3 — hash-green in CORRECTNESS_r16 on code unchanged since.
 # Refresh these sets from CORRECTNESS_r{N}.json at the start of each
 # round, and add every query touched during the round to
 # _MODIFIED_THIS_ROUND.
 
-# Queries whose implementation changed during ROUND 16 — tier 0, the
+# Queries whose implementation changed during ROUND 17 — tier 0, the
 # driver must re-verify them on the new code:
-# - events_rfm: ADVICE r15 item 1 — the Spark-side purchase guard now
-#   states ~isnan(value) explicitly, mirroring the oracle's isfinite()
-#   instead of leaning on NaN-ordering semantics. Behavior identical;
-#   edited-this-round queries re-enter the window by rule.
-# - pipeline_gopher_rules: its rule battery was extracted into the
-#   shared gopher_rule_frame so the new gopher_rules_stream twin plans
-#   the identical expressions (the quality_score_stream composition
-#   pattern). Behavior identical; re-enters the window by rule.
-# (The two queries NEW in round 16 — dedup_paragraph,
-# decontaminate_semantic — are tier 0 automatically via the
-# never-driver-verified fallback: 4 tier-0 (2 modified + 2 new) +
-# 45 tier-1 + 1 tier-2 fill = the 50-slot window, so every r13-stale
-# query rotates in this round — VERDICT r15 item 1.)
-_MODIFIED_THIS_ROUND = frozenset(["events_rfm", "pipeline_gopher_rules"])
+# - dedup_paragraph: VERDICT r16 item 3 — the operator gained a
+#   `boundary` parameter (newline/blank-line paragraph splitting
+#   alongside the original fixed 8-token window form). The declared
+#   query keeps the window form so the oracle/hash semantics are
+#   unchanged, but the fn body was edited, so it re-enters by rule.
+# (Queries NEW in round 17 — dsir_select — are tier 0 automatically
+# via the never-driver-verified fallback. Tier-0 total + 46 tier-1
+# must fit the ~50-slot window: VERDICT r16 item 1 demands the full
+# 46-name r14-stale set rotates in, so this round's tier-0 budget
+# is 4.)
+_MODIFIED_THIS_ROUND = frozenset(["dedup_paragraph"])
 
-# Green last in CORRECTNESS_r13.json — 3 rounds stale, the full
-# 45-name set VERDICT r15 item 1 lists; they rotate into round 16's
+# Green last in CORRECTNESS_r14.json — 3 rounds stale, the full
+# 46-name set VERDICT r16 item 1 lists; they rotate into round 17's
 # window right after the tier-0 set. After this round's driver run
-# nothing should be older than r14.
-_VERIFIED_R13_ONLY = frozenset(
-    """agg_approx agg_approx_percentile agg_bool_all agg_corr_exact
-    agg_distinct agg_percentile agg_sketch_kmv dedup_clusters dedup_exact
-    dedup_semantic dedup_simhash dedup_span_fraction events_paths
-    events_pattern events_retention events_user_features filter_in_null
-    filter_pred fn_json grouping_sets multimodal_neardup
-    pipeline_embed_index pipeline_media_corpus profile_skew profile_table
-    sample_coreset sample_importance scan_project sim_ann_ivf_trained
-    sim_hardneg sim_knn_graph stream_sliding text_bm25 text_lines
-    text_scrub text_tfidf ts_anomaly udf_compat udf_compat_iterative
-    udf_pandas_tokens vocab_bpe_apply vocab_bpe_train win_dist
-    win_gaps_islands word_count""".split()
-)
-
-# Green last in CORRECTNESS_r14.json — 2 rounds stale; the first
-# 50 - |tier0| - 45 of these (registration order) fill the rest of
-# round 16's window, the remainder roll to round 17.
+# nothing should be older than r15.
 _VERIFIED_R14_ONLY = frozenset(
     """agg_pivot agg_q1 agg_sketch_hll agg_skew_salted decontaminate
     dedup_incremental dedup_incremental_minhash dedup_minhash
@@ -87,17 +67,15 @@ _VERIFIED_R14_ONLY = frozenset(
     pipeline_curriculum pipeline_pack_sequences
     pipeline_preference_pairs rank_fusion sample_reservoir
     sample_stratified set_ops sim_ann_pq source_stats text_chunks
-    text_diversity text_fingerprint text_lm_score text_repetition
-    text_split topk_per_group unpivot_measures vocab_fertility
+    text_diversity text_lm_score text_repetition text_split
+    topk_per_group unpivot_measures vocab_fertility
     vocab_pair_counts""".split()
 )
 
-# Green (rows+schema+hash) in CORRECTNESS_r15.json — freshest; these
-# sit out round 16's window provided their code does not change.
-# (events_rfm and pipeline_gopher_rules — r15-green — are EXCLUDED
-# because round-16 edits moved them to _MODIFIED_THIS_ROUND; the sets
-# stay disjoint so the simulated window arithmetic is exact.)
-_VERIFIED_R15 = frozenset(
+# Green last in CORRECTNESS_r15.json — 2 rounds stale; any window
+# slots left after tier 0 + tier 1 fill from here in registration
+# order, the remainder roll to round 18.
+_VERIFIED_R15_ONLY = frozenset(
     """agg_histogram agg_sketch_cms agg_weighted_quantile
     dedup_containment dedup_embedding dedup_ngram_jaccard dedup_url
     events_attribution events_funnel fill_forward fn_array fn_datetime
@@ -112,16 +90,37 @@ _VERIFIED_R15 = frozenset(
     win_running""".split()
 )
 
+# Green (rows+schema+hash) in CORRECTNESS_r16.json — freshest; these
+# sit out round 17's window provided their code does not change.
+# (dedup_paragraph — r16-green — is EXCLUDED because the round-17
+# boundary-mode edit moved it to _MODIFIED_THIS_ROUND; the sets stay
+# disjoint so the simulated window arithmetic is exact.)
+_VERIFIED_R16 = frozenset(
+    """agg_approx agg_approx_percentile agg_bool_all agg_corr_exact
+    agg_distinct agg_percentile agg_sketch_kmv decontaminate_semantic
+    dedup_clusters dedup_exact dedup_semantic
+    dedup_simhash dedup_span_fraction events_paths events_pattern
+    events_retention events_rfm events_user_features filter_in_null
+    filter_pred fn_json grouping_sets multimodal_neardup
+    pipeline_embed_index pipeline_gopher_rules pipeline_media_corpus
+    profile_skew profile_table sample_coreset sample_importance
+    scan_project sim_ann_ivf_trained sim_hardneg sim_knn_graph
+    stream_sliding text_bm25 text_fingerprint text_lines text_scrub
+    text_tfidf ts_anomaly udf_compat udf_compat_iterative
+    udf_pandas_tokens vocab_bpe_apply vocab_bpe_train win_dist
+    win_gaps_islands word_count""".split()
+)
+
 
 def _staleness_tier(name: str) -> int:
     """0 = needs verification now … 3 = freshest verification."""
     if name in _MODIFIED_THIS_ROUND:
         return 0
-    if name in _VERIFIED_R13_ONLY:
-        return 1
     if name in _VERIFIED_R14_ONLY:
+        return 1
+    if name in _VERIFIED_R15_ONLY:
         return 2
-    if name in _VERIFIED_R15:
+    if name in _VERIFIED_R16:
         return 3
     return 0  # never driver-verified
 
