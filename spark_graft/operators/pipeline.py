@@ -171,6 +171,219 @@ def sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------------------------- dsir_select
+
+# DSIR (Data Selection via Importance Resampling, Xie et al. 2023):
+# select raw-pool documents whose hashed n-gram distribution looks like
+# a target exemplar corpus. The published recipe fits bag-of-hashed-
+# ngram unigram models over D buckets on target and raw, then weights
+# each doc by its log-likelihood ratio. The cross-engine hash gate
+# can't bind logs (transcendental, engine-dependent libm), so the
+# score here is the LINEARIZED form: the count-weighted mean of the
+# per-bucket probability ratio p_target(b)/p_raw(b) in fixed point —
+# a ratio of integer counts, no transcendentals, same ordering
+# intuition (target-heavy buckets push the mean above 1).
+DSIR_DIM = 64  # hashed n-gram buckets (feature dimensionality)
+DSIR_SCALE = 10**6  # fixed-point scale for per-bucket ratios
+DSIR_CAP = 100  # per-bucket ratio clamp: w_b <= 100x (Laplace +1 bounds below)
+DSIR_PIVOT = 2  # keep probability saturates at score = PIVOT * SCALE
+_DSIR_DOMAIN = 4294967296  # 2^32, md5_bucket_raw's value domain
+# exemplar target sources — in production an external curated corpus
+# (Wikipedia/books in the paper); in-fixture two source partitions so
+# the whole contract is oracle-checkable
+DSIR_TARGET_SOURCES = ("src0", "src1")
+
+_DSIR_TGT_SQL = ", ".join(f"'{s}'" for s in DSIR_TARGET_SOURCES)
+
+
+@query(
+    "dsir_select",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, source IN ({_DSIR_TGT_SQL}) AS is_t, {_TOK} AS ts
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, is_t, unnest(ts) AS g FROM toks
+            UNION ALL
+            SELECT doc_id, is_t, ts[i] || ' ' || ts[i + 1] AS g
+            FROM toks,
+                 unnest(generate_series(1, greatest(len(ts) - 1, 0))) AS u(i)
+        ),
+        feat AS (
+            SELECT doc_id, is_t,
+                   CAST(CAST(('0x' || substr(md5('dsirf:' || g), 1, 8)) AS BIGINT)
+                        % {DSIR_DIM} AS INT) AS dim,
+                   count(*) AS c
+            FROM grams GROUP BY 1, 2, 3
+        ),
+        buckets AS (
+            SELECT dim,
+                   CAST(sum(CASE WHEN is_t THEN c ELSE 0 END) AS BIGINT) AS t_b,
+                   CAST(sum(CASE WHEN NOT is_t THEN c ELSE 0 END) AS BIGINT) AS r_b
+            FROM feat GROUP BY dim
+        ),
+        tot AS (SELECT CAST(sum(t_b) AS BIGINT) AS t_tot,
+                       CAST(sum(r_b) AS BIGINT) AS r_tot FROM buckets),
+        ratios AS (
+            -- HUGEINT mirrors the Spark side's DECIMAL(38,0) route:
+            -- the numerator grows as corpus^2 * 10^6 and leaves int64
+            -- around sf10 of this fixture
+            SELECT dim,
+                   least(CAST(t_b + 1 AS HUGEINT) * (r_tot + {DSIR_DIM})
+                         * {DSIR_SCALE}
+                         // (CAST(r_b + 1 AS HUGEINT) * (t_tot + {DSIR_DIM})),
+                         {DSIR_CAP * DSIR_SCALE}) AS w
+            FROM buckets, tot
+        ),
+        scored AS (
+            SELECT f.doc_id,
+                   CAST(sum(f.c) AS BIGINT) AS n_feat,
+                   CAST(sum(f.c * r.w) // sum(f.c) AS BIGINT) AS score
+            FROM feat f JOIN ratios r USING (dim)
+            WHERE NOT f.is_t
+            GROUP BY f.doc_id
+        )
+        SELECT doc_id, n_feat, score,
+               round({float(_DSIR_DOMAIN)} /
+                     (least(score, {DSIR_PIVOT * DSIR_SCALE}) * {_DSIR_DOMAIN}
+                      // {DSIR_PIVOT * DSIR_SCALE}), 6) AS weight
+        FROM scored
+        WHERE CAST(('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT)
+              < least(score, {DSIR_PIVOT * DSIR_SCALE}) * {_DSIR_DOMAIN}
+                // {DSIR_PIVOT * DSIR_SCALE}
+    """,
+)
+def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023): each raw-pool
+    document keeps itself with probability proportional to how
+    target-like its hashed n-gram (unigram + bigram) distribution is.
+    Composes text_hash_features' hashing trick (md5 -> {DSIR_DIM}
+    buckets, vocabulary-free and append-stable) with
+    sample_importance's deterministic keep/weight contract
+    (u = md5(doc_id) < floor(p * 2^32), Horvitz-Thompson weight 1/p
+    from the SAME integer threshold, so weight * p == 1 exactly).
+
+    Fixed-point, log-free score: per bucket b, the Laplace-smoothed
+    probability ratio w_b = ((t_b+1) * (R+D) * S) div ((r_b+1) * (T+D))
+    clamped to {DSIR_CAP}x, where t/r are target/raw bucket counts and
+    T/R their totals; per doc, score = (sum c_b * w_b) div (sum c_b) —
+    the feature-mass-weighted mean ratio in S = 10^6 units. Keep
+    probability = min(score / ({DSIR_PIVOT} * S), 1): a doc whose
+    features are {DSIR_PIVOT}x more target-like than the raw pool is
+    always kept. Integer arithmetic end to end; the oracle stays in
+    BIGINT (DuckDB raises on overflow rather than wrapping) while the
+    Spark side routes the two wide products through DECIMAL(38,0) —
+    t_b * R * S grows as corpus^2 and wraps int64 long before 100 TB
+    (the decimal_scaled_div_fx headroom rule); the gate product is
+    safe in int64 at ANY scale because score is pre-clamped to
+    {DSIR_PIVOT} * 10^6 by least() before the 2^32 multiply.
+
+    Plan shape: three hash aggregates, all map-side partial-combining
+    — (doc_id, dim) counts, the {DSIR_DIM}-row bucket table, the
+    per-doc score — zero windows. The bucket/ratio table attaches back
+    via an explicit {DSIR_DIM}-row broadcast join (never a shuffle of
+    the corpus on dim), totals via a 1-row broadcast crossJoin (the
+    sample_temperature shape). The keep gate and weight are narrow
+    expressions; rows where score floors the threshold to 0 can never
+    satisfy u < 0, so the weight division is guarded by construction
+    (sample_importance's argument). At 100 TB the only corpus-sized
+    shuffle is the (doc_id, dim, c) aggregate — at most {DSIR_DIM}
+    rows of (8-byte id, int, count) per document, independent of
+    vocabulary; everything downstream is O(docs) or O({DSIR_DIM})."""
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.col("source").isin(*DSIR_TARGET_SOURCES).alias("is_t"),
+        tokens("text").alias("ts"),
+    )
+    ts = F.col("ts")
+    # non-distinct bigrams (DSIR counts features with multiplicity —
+    # shingles_from_tokens dedups, so built locally; same guard for
+    # docs shorter than the gram: sequence(1, 0) is DESCENDING, not
+    # empty). ts is an attribute from its own projection, so the HOF
+    # lambda does not re-derive the tokenizer (CollapseProject keeps
+    # multi-referenced non-trivial expressions staged).
+    bigrams = F.when(F.size(ts) < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(ts) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(ts, i), F.element_at(ts, i + F.lit(1))
+            ),
+        )
+    )
+    grams = base.select(
+        "doc_id", "is_t", F.explode(F.concat(ts, bigrams)).alias("g")
+    )
+    # feat is consumed by THREE branches (bucket totals, their 1-row
+    # sum, and the per-doc score) — without staging, each branch
+    # re-runs the scan + tokenize + gram explode + (doc, dim) aggregate
+    # (3 FileScans / 3 Generates, no exchange reuse; measured 9.8 s ->
+    # 3.4 s at sf1 after staging). The staged table is tiny: at most
+    # DSIR_DIM rows of (id, bool, int, count) per document — this is
+    # the fitted-feature table a real DSIR run persists anyway.
+    feat = (
+        grams.groupBy(
+            "doc_id",
+            "is_t",
+            (_md5_bucket_raw("dsirf:", F.col("g")) % DSIR_DIM)
+            .cast("int")
+            .alias("dim"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    buckets = feat.groupBy("dim").agg(
+        F.sum(F.when(F.col("is_t"), F.col("c")).otherwise(F.lit(0))).alias("t_b"),
+        F.sum(F.when(~F.col("is_t"), F.col("c")).otherwise(F.lit(0))).alias("r_b"),
+    )
+    tot = buckets.agg(
+        F.sum("t_b").alias("t_tot"), F.sum("r_b").alias("r_tot")
+    )
+    ratios = buckets.crossJoin(F.broadcast(tot)).select(
+        "dim",
+        F.least(
+            F.expr(
+                f"CAST(CAST(t_b + 1 AS DECIMAL(38,0)) * (r_tot + {DSIR_DIM})"
+                f" * {DSIR_SCALE} div (CAST(r_b + 1 AS DECIMAL(38,0))"
+                f" * (t_tot + {DSIR_DIM})) AS BIGINT)"
+            ),
+            F.lit(DSIR_CAP * DSIR_SCALE),
+        ).alias("w"),
+    )
+    scored = (
+        feat.filter(~F.col("is_t"))
+        .join(F.broadcast(ratios), "dim")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_feat"),
+            F.expr(
+                "CAST(sum(CAST(c AS DECIMAL(38,0)) * w)"
+                " div sum(CAST(c AS DECIMAL(38,0))) AS BIGINT)"
+            ).alias("score"),
+        )
+    )
+    # score <= PIVOT * SCALE after least(), so * 2^32 tops out at
+    # ~8.6e15 — inside int64 at any corpus scale (no decimal needed)
+    thresh = F.expr(
+        f"least(score, {DSIR_PIVOT * DSIR_SCALE}) * {_DSIR_DOMAIN}"
+        f" div {DSIR_PIVOT * DSIR_SCALE}"
+    )
+    return (
+        scored.withColumn("_thresh", thresh)
+        .filter(_md5_bucket_raw("dsir:", F.col("doc_id")) < F.col("_thresh"))
+        .select(
+            "doc_id",
+            "n_feat",
+            "score",
+            F.round(F.lit(float(_DSIR_DOMAIN)) / F.col("_thresh"), 6).alias(
+                "weight"
+            ),
+        )
+    )
+
+
 # -------------------------------------------------------- sample_temperature
 
 # Temperature resampling (the mC4/XLM-R multilingual recipe): a domain's

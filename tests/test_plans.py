@@ -1261,3 +1261,36 @@ def test_decontaminate_semantic_blocked_bipartite(spark, sf_dir):
         if "ReadSchema" in l and "embedding" in l
     ]
     assert emb_rs and all("label" not in l for l in emb_rs), emb_rs
+
+
+def test_dsir_select_three_partial_aggs_broadcast_ratios(spark, sf_dir):
+    """dsir_select is three partial-combining hash aggregates with zero
+    windows; the 64-row ratio table attaches via BroadcastHashJoin (and
+    the 1-row totals via a broadcast nested loop) — never a sort-merge
+    join, and gram strings never appear as an Exchange key: the only
+    corpus-sized shuffle carries (doc_id, is_t, dim) partial counts.
+    The feat table must be localCheckpoint-staged (three consumer
+    branches would otherwise each re-run the scan + tokenize + gram
+    explode — measured 3 FileScans without it), so the post-staging
+    plan reads ExistingRDD and never re-scans parquet or re-tokenizes."""
+    import inspect
+
+    from spark_graft.operators import pipeline
+
+    assert ".localCheckpoint()" in inspect.getsource(pipeline.dsir_select)
+    df = q("dsir_select", spark, sf_dir)
+    plan = explain_str(df, "formatted")
+    assert "Window" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("partial_count") + plan.count("partial_sum") >= 3, plan
+    assert _window_partition_keys(df) == set()
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in physical, physical
+    assert "FileScan" not in physical, physical   # staged: text read once
+    assert "split(lower" not in physical, physical  # tokenizer never re-runs
+    ex_on_gram = [
+        l for l in physical.splitlines()
+        if "Exchange hashpartitioning(g#" in l
+    ]
+    assert not ex_on_gram, physical

@@ -2519,3 +2519,102 @@ def test_decontaminate_semantic_flags_planted_paraphrase_leak(spark, tmp_path):
     assert set(flagged) <= {t for t, _ in brute}
     for v, r in flagged.items():
         assert (v, r["near_eval_id"]) in brute
+
+
+def test_dsir_select_matches_exact_formula_and_discriminates(spark, tmp_path):
+    """dsir_select on a planted two-vocabulary corpus: every returned
+    row (membership, n_feat, score, weight) must equal the pure-Python
+    evaluation of the declared integer contract, every target-like
+    candidate must strictly outscore every off-vocabulary candidate,
+    and off-vocabulary scores must sit below parity (SCALE)."""
+    import re
+
+    from spark_graft.operators.pipeline import (
+        DSIR_CAP,
+        DSIR_DIM,
+        DSIR_PIVOT,
+        DSIR_SCALE,
+        DSIR_TARGET_SOURCES,
+    )
+    from spark_graft.registry import REGISTRY
+
+    d = tmp_path / "dsir"
+    d.mkdir()
+    vocab_a = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    vocab_b = ["zulu", "yankee", "xray", "whiskey", "victor"]
+    rows, like, unlike = [], [], []
+    i = 0
+    for _ in range(30):  # target exemplars: vocabulary A
+        rows.append(
+            (i, " ".join(vocab_a[(i + j) % 5] for j in range(12)), "en",
+             DSIR_TARGET_SOURCES[0])
+        )
+        i += 1
+    for _ in range(20):  # target-like candidates
+        rows.append(
+            (i, " ".join(vocab_a[(i + j) % 5] for j in range(12)), "en", "raw")
+        )
+        like.append(i)
+        i += 1
+    for _ in range(20):  # off-vocabulary candidates
+        rows.append(
+            (i, " ".join(vocab_b[(i + j) % 5] for j in range(12)), "en", "raw")
+        )
+        unlike.append(i)
+        i += 1
+    _write_docs(spark, rows, d)
+
+    # pure-Python evaluation of the declared integer contract
+    def toks(t):
+        return [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+
+    feats, is_t = {}, {}
+    for doc_id, text, _, src in rows:
+        ts = toks(text)
+        grams = ts + [f"{a} {b}" for a, b in zip(ts, ts[1:])]
+        cnt = {}
+        for g in grams:
+            k = _md5_raw_py("dsirf:", g) % DSIR_DIM
+            cnt[k] = cnt.get(k, 0) + 1
+        feats[doc_id] = cnt
+        is_t[doc_id] = src in DSIR_TARGET_SOURCES
+    t_b, r_b = [0] * DSIR_DIM, [0] * DSIR_DIM
+    for doc_id, cnt in feats.items():
+        acc = t_b if is_t[doc_id] else r_b
+        for k, c in cnt.items():
+            acc[k] += c
+    T, R = sum(t_b), sum(r_b)
+    w = [
+        min(
+            ((t_b[k] + 1) * (R + DSIR_DIM) * DSIR_SCALE)
+            // ((r_b[k] + 1) * (T + DSIR_DIM)),
+            DSIR_CAP * DSIR_SCALE,
+        )
+        for k in range(DSIR_DIM)
+    ]
+    expected, scores = {}, {}
+    for doc_id, cnt in feats.items():
+        if is_t[doc_id]:
+            continue
+        n_feat = sum(cnt.values())
+        score = sum(c * w[k] for k, c in cnt.items()) // n_feat
+        scores[doc_id] = score
+        thresh = (
+            min(score, DSIR_PIVOT * DSIR_SCALE) * 4294967296
+            // (DSIR_PIVOT * DSIR_SCALE)
+        )
+        if _md5_raw_py("dsir:", doc_id) < thresh:
+            expected[doc_id] = (n_feat, score, thresh)
+
+    got = {
+        r["doc_id"]: r
+        for r in REGISTRY["dsir_select"].fn(spark, str(d)).collect()
+    }
+    assert set(got) == set(expected)
+    for doc_id, (n_feat, score, thresh) in expected.items():
+        assert got[doc_id]["n_feat"] == n_feat
+        assert got[doc_id]["score"] == score
+        assert abs(got[doc_id]["weight"] - 4294967296.0 / thresh) < 1e-6
+    # discrimination: the two candidate populations must separate
+    assert min(scores[i] for i in like) > max(scores[i] for i in unlike)
+    assert max(scores[i] for i in unlike) < DSIR_SCALE
