@@ -2003,99 +2003,58 @@ def paragraph_index(toks: Column) -> Column:
     )
 
 
-def paragraph_table(docs: DataFrame) -> DataFrame:
-    """(doc_id, paras): each document's normalized {PARA_W}-token
-    paragraph windows as an array, from any (doc_id, text, ...) frame.
-    Pure narrow expressions — callers that consume it more than once
-    (or posexplode it — see dedup_paragraph's InferFiltersFromGenerate
-    note) must stage it themselves."""
-    return docs.select("doc_id", tokens("text").alias("toks")).select(
-        "doc_id",
-        F.transform(
-            paragraph_index(F.col("toks")),
-            lambda i: paragraph_at(F.col("toks"), i),
-        ).alias("paras"),
-    )
+def paragraph_table(docs: DataFrame, boundary: str = "window") -> DataFrame:
+    """(doc_id, paras): each document's normalized paragraphs as an
+    array, from any (doc_id, text, ...) frame. Pure narrow expressions
+    — callers that consume it more than once (or posexplode it — see
+    dedup_paragraph's InferFiltersFromGenerate note) must stage it
+    themselves.
 
-
-@query(
-    "dedup_paragraph",
-    oracle=f"""
-        WITH toks AS (SELECT doc_id, {_TOK} AS ts FROM documents),
-        paras AS (
-            SELECT doc_id, i AS pos,
-                   array_to_string(ts[(i-1)*{PARA_W}+1 : i*{PARA_W}], ' ') AS para
-            FROM toks,
-                 unnest(generate_series(1, (len(ts) + {PARA_W - 1}) // {PARA_W}))
-                     AS u(i)
-        ),
-        ranked AS (
-            SELECT doc_id, pos, para,
-                   row_number() OVER (PARTITION BY md5(para)
-                                      ORDER BY doc_id, pos) AS rn
-            FROM paras
-        ),
-        agg AS (
-            SELECT doc_id,
-                   count(*) AS n_paras,
-                   count(CASE WHEN rn > 1 THEN 1 END) AS n_removed,
-                   coalesce(string_agg(CASE WHEN rn = 1 THEN para END,
-                                       ' ' ORDER BY pos), '') AS kept_text
-            FROM ranked GROUP BY doc_id
+    boundary:
+      "window"  — consecutive {PARA_W}-token windows of the normalized
+                  token stream (the shared paragraph_at recipe; the
+                  alignment a newline-free fixture gets).
+      "newline" — REAL paragraph boundaries: blank-line-separated
+                  blocks (split on 2+ consecutive newlines, the CCNet
+                  granularity on an actual crawl corpus), each block
+                  normalized exactly like the window form (lowercase
+                  alphanumeric tokens, space-joined) so the md5
+                  fingerprint discipline is identical; blocks that
+                  normalize to zero tokens drop. Single newlines stay
+                  INSIDE a paragraph — the tokenizer eats them.
+    Everything downstream (keep-first, reassembly, the stream twin's
+    state contract) is agnostic to how the boundaries were drawn."""
+    if boundary == "window":
+        return docs.select("doc_id", tokens("text").alias("toks")).select(
+            "doc_id",
+            F.transform(
+                paragraph_index(F.col("toks")),
+                lambda i: paragraph_at(F.col("toks"), i),
+            ).alias("paras"),
         )
-        SELECT t.doc_id,
-               coalesce(a.n_paras, 0) AS n_paras,
-               coalesce(a.n_removed, 0) AS n_removed,
-               CASE WHEN a.n_paras IS NULL OR a.n_paras = 0 THEN 0
-                    ELSE (a.n_removed * {PARA_RATE_SCALE}) // a.n_paras
-               END AS removed_fx,
-               coalesce(a.kept_text, '') AS kept_text
-        FROM toks t LEFT JOIN agg a USING (doc_id)
-    """,
-)
-def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Paragraph-level dedup — the granularity CCNet actually ships
-    (Wenzek et al. 2020), between `dedup_exact` (whole doc, dedup.py:206)
-    and `dedup_substring` (arbitrary repeated span, dedup.py:1290):
-    keep the FIRST occurrence of every normalized paragraph ACROSS the
-    corpus (lexicographic (doc_id, pos) — within-doc repeats drop too)
-    and reassemble each document from its surviving paragraphs, with
-    removal counts. Boilerplate paragraphs (nav chrome, license blocks,
-    cookie banners) repeat across millions of pages; dropping the
-    repeats while keeping each page's unique prose is CCNet's main
-    volume reducer. Paragraphs here are {PARA_W}-token windows (see
-    PARA_W note above).
+    if boundary == "newline":
+        norm = F.transform(
+            F.split(F.col("text"), r"\n{2,}"),
+            lambda b: F.array_join(tokens(b), " "),
+        )
+        # coalesce: NULL text must yield zero paragraphs, mirroring
+        # paragraph_index's NULL discipline
+        return docs.select(
+            "doc_id",
+            F.coalesce(
+                F.filter(norm, lambda p: p != F.lit("")),
+                F.array().cast("array<string>"),
+            ).alias("paras"),
+        )
+    raise ValueError(f"unknown paragraph boundary mode: {boundary!r}")
 
-    Scale shape: the keep-first decision is the dedup_url contract
-    (dedup.py:1897) on paragraph hashes — the decision stream carries
-    ONLY (doc_id, pos, 16-byte md5), one Exchange keyed on fp for the
-    min-(doc_id, pos) aggregate and its join back (the exchange is
-    reused, not repeated); paragraph TEXT never rides an fp shuffle.
-    Dropped positions collapse to a per-doc int list (bounded by the
-    doc's own paragraph count, non-empty only for docs that lost
-    something), and the rebuild joins that small table back on doc_id —
-    the ONE shuffle that moves text, avoidable entirely when AQE
-    broadcasts the drop list. Reassembly is in-array expression work:
-    array_except over the position sequence (hash-set, O(paras +
-    drops) per doc — the dedup_substring sorted-sweep lesson, no
-    per-paragraph membership scan), then an ordered element_at gather.
-    removed_fx is per-doc bounded (n_removed <= paragraphs of one doc),
-    so plain int64 `div` has headroom without the decimal(38,0) route.
 
-    The (doc_id, paras) table is localCheckpoint-STAGED, and not only
-    for its three consumers (decision stream x2 + rebuild): posexplode
-    over a DERIVED array column trips `InferFiltersFromGenerate`, which
-    adds size(input) > 0 and pushes it below the projections — inlining
-    the whole tokenize+window derivation (interpreted HOF lambdas, so
-    no CSE) into a per-row Filter evaluated BEFORE the projection:
-    O(tokens x paras) per doc, measured 8.7 -> 2.9 s at sf1 and
-    super-linear sf3/sf1 before staging. Post-checkpoint the inferred
-    filter probes a materialized attribute, and text is scanned ONCE
-    (plan-pinned: the full query's physical plan has zero FileScans
-    downstream of the checkpoint). At 100 TB this is the persisted
-    paragraph staging table a CCNet run writes anyway."""
-    docs = table(spark, sf_dir, "documents")
-    base = paragraph_table(docs).localCheckpoint()
+def paragraph_dedup_frame(base: DataFrame) -> DataFrame:
+    """Corpus-wide keep-FIRST paragraph dedup + per-doc reassembly over
+    a STAGED (doc_id, paras) table (callers localCheckpoint it first —
+    dedup_paragraph's InferFiltersFromGenerate note). Shared by both
+    boundary modes of `dedup_paragraph`; the scale shape (fp-only
+    decision shuffle, in-array rebuild) is documented there."""
     slim = base.select(
         "doc_id", F.posexplode("paras").alias("pos", "para")
     ).select(
@@ -2141,3 +2100,91 @@ def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("removed_fx"),
         kept_text.alias("kept_text"),
     )
+
+
+@query(
+    "dedup_paragraph",
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+        paras AS (
+            SELECT doc_id, i AS pos,
+                   array_to_string(ts[(i-1)*{PARA_W}+1 : i*{PARA_W}], ' ') AS para
+            FROM toks,
+                 unnest(generate_series(1, (len(ts) + {PARA_W - 1}) // {PARA_W}))
+                     AS u(i)
+        ),
+        ranked AS (
+            SELECT doc_id, pos, para,
+                   row_number() OVER (PARTITION BY md5(para)
+                                      ORDER BY doc_id, pos) AS rn
+            FROM paras
+        ),
+        agg AS (
+            SELECT doc_id,
+                   count(*) AS n_paras,
+                   count(CASE WHEN rn > 1 THEN 1 END) AS n_removed,
+                   coalesce(string_agg(CASE WHEN rn = 1 THEN para END,
+                                       ' ' ORDER BY pos), '') AS kept_text
+            FROM ranked GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               coalesce(a.n_paras, 0) AS n_paras,
+               coalesce(a.n_removed, 0) AS n_removed,
+               CASE WHEN a.n_paras IS NULL OR a.n_paras = 0 THEN 0
+                    ELSE (a.n_removed * {PARA_RATE_SCALE}) // a.n_paras
+               END AS removed_fx,
+               coalesce(a.kept_text, '') AS kept_text
+        FROM toks t LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def dedup_paragraph(
+    spark: SparkSession, sf_dir: str, boundary: str = "window"
+) -> DataFrame:
+    """Paragraph-level dedup — the granularity CCNet actually ships
+    (Wenzek et al. 2020), between `dedup_exact` (whole doc, dedup.py:206)
+    and `dedup_substring` (arbitrary repeated span, dedup.py:1290):
+    keep the FIRST occurrence of every normalized paragraph ACROSS the
+    corpus (lexicographic (doc_id, pos) — within-doc repeats drop too)
+    and reassemble each document from its surviving paragraphs, with
+    removal counts. Boilerplate paragraphs (nav chrome, license blocks,
+    cookie banners) repeat across millions of pages; dropping the
+    repeats while keeping each page's unique prose is CCNet's main
+    volume reducer. The DECLARED query uses `boundary="window"`
+    ({PARA_W}-token windows — the fixture carries no newline marks; see
+    PARA_W note above); `boundary="newline"` draws REAL blank-line
+    paragraph boundaries instead (paragraph_table's doc), and
+    everything downstream — decision stream, rebuild, oracle shape —
+    is identical (property-tested on a planted multi-paragraph
+    corpus).
+
+    Scale shape: the keep-first decision is the dedup_url contract
+    (dedup.py:1897) on paragraph hashes — the decision stream carries
+    ONLY (doc_id, pos, 16-byte md5), one Exchange keyed on fp for the
+    min-(doc_id, pos) aggregate and its join back (the exchange is
+    reused, not repeated); paragraph TEXT never rides an fp shuffle.
+    Dropped positions collapse to a per-doc int list (bounded by the
+    doc's own paragraph count, non-empty only for docs that lost
+    something), and the rebuild joins that small table back on doc_id —
+    the ONE shuffle that moves text, avoidable entirely when AQE
+    broadcasts the drop list. Reassembly is in-array expression work:
+    array_except over the position sequence (hash-set, O(paras +
+    drops) per doc — the dedup_substring sorted-sweep lesson, no
+    per-paragraph membership scan), then an ordered element_at gather.
+    removed_fx is per-doc bounded (n_removed <= paragraphs of one doc),
+    so plain int64 `div` has headroom without the decimal(38,0) route.
+
+    The (doc_id, paras) table is localCheckpoint-STAGED, and not only
+    for its three consumers (decision stream x2 + rebuild): posexplode
+    over a DERIVED array column trips `InferFiltersFromGenerate`, which
+    adds size(input) > 0 and pushes it below the projections — inlining
+    the whole tokenize+window derivation (interpreted HOF lambdas, so
+    no CSE) into a per-row Filter evaluated BEFORE the projection:
+    O(tokens x paras) per doc, measured 8.7 -> 2.9 s at sf1 and
+    super-linear sf3/sf1 before staging. Post-checkpoint the inferred
+    filter probes a materialized attribute, and text is scanned ONCE
+    (plan-pinned: the full query's physical plan has zero FileScans
+    downstream of the checkpoint). At 100 TB this is the persisted
+    paragraph staging table a CCNet run writes anyway."""
+    docs = table(spark, sf_dir, "documents")
+    base = paragraph_table(docs, boundary).localCheckpoint()
+    return paragraph_dedup_frame(base)

@@ -2618,3 +2618,84 @@ def test_dsir_select_matches_exact_formula_and_discriminates(spark, tmp_path):
     # discrimination: the two candidate populations must separate
     assert min(scores[i] for i in like) > max(scores[i] for i in unlike)
     assert max(scores[i] for i in unlike) < DSIR_SCALE
+
+
+def test_dedup_paragraph_newline_boundary_mode(spark, tmp_path):
+    """dedup_paragraph(boundary="newline") on a planted multi-paragraph
+    corpus (real blank-line marks) == a pure-Python evaluation of the
+    contract: paragraphs are 2+-newline-separated blocks normalized
+    exactly like the window form, single newlines stay INSIDE a
+    paragraph, punctuation/case variants of a block fingerprint
+    identically, whitespace-only blocks vanish, and keep-first +
+    reassembly behave as in window mode. Window mode on the same
+    corpus must differ (the fixture's paragraphs are not 8-token
+    aligned), proving the boundary parameter changes only the
+    boundary."""
+    import re
+
+    from spark_graft.operators.dedup import PARA_RATE_SCALE
+    from spark_graft.registry import REGISTRY
+
+    boiler = "All Rights Reserved.\nSee license for details."  # internal \n
+    rows = [
+        (1, f"first unique prose here\n\n{boiler}\n\nmore unique text", "en", "s"),
+        # same boilerplate, different case/punct — must still dedup
+        (2, f"second document opening\n\n{boiler.upper()}!!!", "en", "s"),
+        # within-doc repeated paragraph + a whitespace-only block
+        (3, "repeat me now\n\n   \n\nrepeat me now\n\nfresh tail", "en", "s"),
+        # one paragraph only (no blank lines at all)
+        (4, "single block\nwith internal newline", "en", "s"),
+        (5, "!!! ...", "en", "s"),  # zero-token doc
+    ]
+    d = tmp_path / "nl"
+    d.mkdir()
+    _write_docs(spark, rows, d)
+
+    def norm_blocks(text):
+        out = []
+        for block in re.split(r"\n{2,}", text):
+            ts = [t for t in re.split(r"[^a-z0-9]+", block.lower()) if t]
+            if ts:
+                out.append(" ".join(ts))
+        return out
+
+    paras = {doc_id: norm_blocks(text) for doc_id, text, _, _ in rows}
+    first = {}
+    for doc_id in sorted(paras):
+        for pos, p in enumerate(paras[doc_id], start=1):
+            first.setdefault(p, (doc_id, pos))
+    expected = {}
+    for doc_id, ps in paras.items():
+        kept = [
+            p for pos, p in enumerate(ps, start=1) if first[p] == (doc_id, pos)
+        ]
+        n, r = len(ps), len(ps) - len(kept)
+        expected[doc_id] = (
+            n, r, (r * PARA_RATE_SCALE // n) if n else 0, " ".join(kept)
+        )
+
+    got = {
+        row["doc_id"]: (
+            row["n_paras"], row["n_removed"], row["removed_fx"], row["kept_text"]
+        )
+        for row in REGISTRY["dedup_paragraph"]
+        .fn(spark, str(d), boundary="newline")
+        .collect()
+    }
+    assert got == expected
+    # planted semantics, asserted loudly
+    assert got[1][0] == 3 and got[1][1] == 0          # all 3 paras original
+    assert got[2] == (2, 1, PARA_RATE_SCALE // 2,
+                      "second document opening")       # boilerplate deduped
+    assert got[3] == (3, 1, PARA_RATE_SCALE // 3,
+                      "repeat me now fresh tail")      # within-doc repeat
+    assert got[4][0] == 1                              # single \n: ONE para
+    assert got[5] == (0, 0, 0, "")
+
+    # the boundary parameter changes ONLY the boundary: window mode on
+    # the same corpus draws different paragraphs for the multi-block doc
+    win = {
+        row["doc_id"]: row["n_paras"]
+        for row in REGISTRY["dedup_paragraph"].fn(spark, str(d)).collect()
+    }
+    assert win[1] != got[1][0]
