@@ -64,6 +64,7 @@ _KINDS = {
     "pq_codebooks": "embeddings",
     "quality_weights": "documents",
     "novelty_seed_index": "documents",
+    "paragraph_seed_index": "documents",
     "mixture_reference": "documents",
 }
 
@@ -573,6 +574,58 @@ def load_novelty_seed_index(
     landing between the two would cache the new payload under the old
     sha (ADVICE r13)."""
     t, meta = _read(path, "novelty_seed_index", sf_dir, validate)
+    return (t, meta) if return_meta else t
+
+
+def save_paragraph_seed_index(
+    path: str, seed_df, *, sf_dir: str | None = None
+) -> None:
+    """Persist a `streaming.build_paragraph_seed_index` DataFrame —
+    the batch paragraph-dedup keeper table (fp, keep_doc_id, keep_pos),
+    one row per distinct paragraph md5 of an admitted corpus — under
+    the same artifact contract as the novelty seed (meta.json, payload
+    sha256, optional training-corpus fingerprint with ArtifactMismatch
+    staleness refusal, atomic swap). Feed the path to
+    `paragraph_dedup_stream(seed_index_path=...)` so a checkpoint-less
+    redeploy of the paragraph gate does not re-admit every paragraph
+    the old deployment knew (VERDICT r16 item 2). Size scope is
+    broadcast-able, same as the novelty seed: ~40 bytes per distinct
+    paragraph, loaded whole per executor (`streaming._para_seed_index`);
+    beyond that, preload the state store (transformWithState
+    initialState) instead."""
+    import pyarrow as pa
+
+    pdf = seed_df.toPandas()
+    _write(
+        path,
+        "paragraph_seed_index",
+        pa.Table.from_pandas(pdf, preserve_index=False).cast(
+            pa.schema(
+                [
+                    ("fp", pa.string()),
+                    ("keep_doc_id", pa.int64()),
+                    ("keep_pos", pa.int32()),
+                ]
+            )
+        ),
+        {"n_rows": len(pdf)},
+        sf_dir,
+    )
+
+
+def load_paragraph_seed_index(
+    path: str,
+    *,
+    sf_dir: str | None = None,
+    validate: bool | None = None,
+    return_meta: bool = False,
+):
+    """Load a paragraph-seed-index artifact as a pyarrow Table after
+    the full artifact checks (kind, format_version, payload sha256,
+    and — with `sf_dir` — the training-corpus fingerprint); the
+    `return_meta` contract matches `load_novelty_seed_index` (cache
+    keys derive from the payload ACTUALLY READ)."""
+    t, meta = _read(path, "paragraph_seed_index", sf_dir, validate)
     return (t, meta) if return_meta else t
 
 

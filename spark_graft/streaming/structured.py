@@ -416,15 +416,17 @@ _SEED_CACHE: dict = {}
 _SEED_CACHE_MAX = 4  # concurrent live seed indexes per worker process
 
 
-def _seed_index(path: str) -> dict:
+def _cached_seed_index(path: str, load_fn, to_index) -> dict:
     """Per-executor lazy load of a persisted seed-index ARTIFACT: one
     read per (path, version) per worker process, cached in module
     state — the same ship-the-dimension-once economics as a broadcast
-    join side. The read goes through artifacts.load_novelty_seed_index,
+    join side. The read goes through the artifacts loader (`load_fn`),
     so every executor re-verifies kind/format/payload-sha before
-    serving. Training-corpus fingerprint staleness is validated ONCE,
-    driver-side, at stream construction — and only when the caller
-    passes `minhash_novelty_stream(seed_sf_dir=...)`; omitting it is
+    serving; `to_index` turns the pyarrow payload into the probe dict.
+    Shared by every seeded stream (novelty + paragraph gates); the cap
+    covers their COMBINED residency. Training-corpus fingerprint
+    staleness is validated ONCE, driver-side, at stream construction —
+    and only when the caller passes `seed_sf_dir=`; omitting it is
     the explicit cross-corpus-serve contract, same as every other
     artifact loader (code-review r13: the previous docstring claimed an
     unconditional construction-time fingerprint check that no parameter
@@ -448,24 +450,14 @@ def _seed_index(path: str) -> dict:
         # micro-batch (FIFO thrash)
         _SEED_CACHE[key] = _SEED_CACHE.pop(key)
     else:
-        from spark_graft.artifacts import load_novelty_seed_index
-
-        tbl, meta = load_novelty_seed_index(path, return_meta=True)
+        tbl, meta = load_fn(path, return_meta=True)
         # re-derive the cache key from the meta of the payload ACTUALLY
         # READ: a re-save landing between the fingerprint probe above
         # and this load would otherwise cache the NEW payload under the
         # OLD sha, and one micro-batch could serve an index whose
         # version key misrepresents its contents (ADVICE r13)
         key = (path, meta.get("payload_sha256") or "")
-        t = tbl.to_pydict()
-        idx: dict = {}
-        rows = sorted(
-            zip(t["band"], t["sig"], t["doc_id"], t["sh"]), key=lambda r: r[2]
-        )
-        for band, sig, did, sh in rows:
-            ids, shs = idx.setdefault((band, sig), ([], []))
-            ids.append(int(did))
-            shs.append(sh)
+        idx = to_index(tbl)
         # evict SUPERSEDED versions of this path (re-seeding must not
         # serve stale data) and cap total residency — concurrent
         # streams with different seed paths must not thrash each other
@@ -480,6 +472,43 @@ def _seed_index(path: str) -> dict:
             del _SEED_CACHE[next(iter(_SEED_CACHE))]
         _SEED_CACHE[key] = idx
     return _SEED_CACHE[key]
+
+
+def _seed_index(path: str) -> dict:
+    """Novelty-gate seed: {(band, sig): ([doc_id...], [sh...])} from a
+    `save_novelty_seed_index` artifact — see `_cached_seed_index` for
+    the load/version/eviction discipline."""
+    from spark_graft.artifacts import load_novelty_seed_index
+
+    def to_index(tbl) -> dict:
+        t = tbl.to_pydict()
+        idx: dict = {}
+        rows = sorted(
+            zip(t["band"], t["sig"], t["doc_id"], t["sh"]), key=lambda r: r[2]
+        )
+        for band, sig, did, sh in rows:
+            ids, shs = idx.setdefault((band, sig), ([], []))
+            ids.append(int(did))
+            shs.append(sh)
+        return idx
+
+    return _cached_seed_index(path, load_novelty_seed_index, to_index)
+
+
+def _para_seed_index(path: str) -> dict:
+    """Paragraph-gate seed: {fp: (keep_doc_id, keep_pos)} from a
+    `save_paragraph_seed_index` artifact — see `_cached_seed_index`
+    for the load/version/eviction discipline."""
+    from spark_graft.artifacts import load_paragraph_seed_index
+
+    def to_index(tbl) -> dict:
+        t = tbl.to_pydict()
+        return {
+            fp: (int(d), int(p))
+            for fp, d, p in zip(t["fp"], t["keep_doc_id"], t["keep_pos"])
+        }
+
+    return _cached_seed_index(path, load_paragraph_seed_index, to_index)
 
 
 def minhash_novelty_stream(
@@ -1139,7 +1168,47 @@ def gopher_rules_stream(docs: DataFrame) -> DataFrame:
     return gopher_rule_frame(docs)
 
 
-def paragraph_dedup_stream(docs: DataFrame) -> DataFrame:
+def build_paragraph_seed_index(docs: DataFrame) -> DataFrame:
+    """(fp, keep_doc_id, keep_pos): the batch paragraph-dedup KEEPER
+    table of an admitted corpus — one row per distinct normalized
+    paragraph md5 with its lexicographic first occurrence — i.e.
+    `paragraph_dedup_stream`'s accumulated state made portable, written
+    once when a deployment is (re)bootstrapped from a curated corpus.
+    Persist with `spark_graft.artifacts.save_paragraph_seed_index`
+    (full artifact contract: meta.json, payload sha256, training-corpus
+    fingerprint with ArtifactMismatch refusal, atomic swap) and feed
+    the path to `paragraph_dedup_stream(seed_index_path=...)` so a
+    checkpoint-less restart does NOT re-admit paragraphs the old
+    deployment knew (VERDICT r16 item 2 — the gap the novelty gate
+    closed in r12). Paragraph content comes from the batch twin's
+    paragraph_table, so seed fingerprints and stream fingerprints can
+    never disagree; the table is localCheckpoint-staged for the same
+    InferFiltersFromGenerate reason dedup_paragraph documents."""
+    from spark_graft.operators.dedup import paragraph_table
+
+    base = paragraph_table(docs).localCheckpoint()
+    return (
+        base.select("doc_id", F.posexplode("paras").alias("pos", "para"))
+        .select(
+            "doc_id",
+            (F.col("pos") + 1).alias("pos"),
+            F.md5("para").alias("fp"),
+        )
+        .groupBy("fp")
+        .agg(F.min(F.struct("doc_id", "pos")).alias("k"))
+        .select(
+            "fp",
+            F.col("k.doc_id").alias("keep_doc_id"),
+            F.col("k.pos").cast("int").alias("keep_pos"),
+        )
+    )
+
+
+def paragraph_dedup_stream(
+    docs: DataFrame,
+    seed_index_path: str | None = None,
+    seed_sf_dir: str | None = None,
+) -> DataFrame:
     """Streaming paragraph-level dedup gate — the ingest twin of batch
     `dedup_paragraph` (operators/dedup.py): as documents arrive, every
     normalized {PARA_W}-token paragraph window is checked against the
@@ -1167,12 +1236,38 @@ def paragraph_dedup_stream(docs: DataFrame) -> DataFrame:
     EXACTLY (equivalence-tested). At-least-once re-delivery: a
     re-delivered keeper emits nothing; a re-delivered duplicate
     re-emits its identical drop row — the change log is idempotent by
-    content, dedupe by (doc_id, pos) at the sink."""
+    content, dedupe by (doc_id, pos) at the sink.
+
+    STATE BOOTSTRAP (round 17, VERDICT r16 item 2): `seed_index_path`
+    points at a persisted `build_paragraph_seed_index` ARTIFACT
+    (spark_graft.artifacts.save_paragraph_seed_index) — the keeper
+    table of everything a previous deployment admitted,
+    header-validated at stream construction and fingerprint-validated
+    against `seed_sf_dir` when given. A paragraph hash whose state
+    does not exist yet initializes its keeper from the seed before
+    deciding, so a restart WITHOUT a checkpoint still drops paragraphs
+    the old deployment knew (the drop row can name a keep_doc_id that
+    never flowed through this query's stream). The seed loads once per
+    executor process (`_para_seed_index`, the novelty gate's cache
+    discipline) and is never consulted again for a hash once its state
+    exists; beyond broadcast-able seed sizes the right primitive is
+    `transformWithStateInPandas(initialState=)` — still unusable in
+    this container (XXKST, re-probed r16; see minhash_novelty_stream's
+    probe history)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     from spark_graft.operators.dedup import paragraph_at, paragraph_index
     from spark_graft.functions import tokens
+
+    if seed_index_path is not None:
+        # fail at stream CONSTRUCTION, not inside an executor mid-batch
+        # (kind/format/payload-sha driver-side; plus the training-corpus
+        # fingerprint when seed_sf_dir is given — the novelty gate's
+        # contract verbatim)
+        from spark_graft.artifacts import load_paragraph_seed_index
+
+        load_paragraph_seed_index(seed_index_path, sf_dir=seed_sf_dir)
 
     rows = (
         docs.select("doc_id", tokens("text").alias("toks"))
@@ -1194,7 +1289,14 @@ def paragraph_dedup_stream(docs: DataFrame) -> DataFrame:
     )
 
     def update(key, pdfs, state: GroupState):
-        kd, kp = state.get if state.exists else (None, None)
+        if state.exists:
+            kd, kp = state.get
+        elif seed_index_path is not None:
+            kd, kp = _para_seed_index(seed_index_path).get(
+                key[0], (None, None)
+            )
+        else:
+            kd, kp = None, None
         chunks = [c for c in pdfs if len(c)]
         drops = []
         if chunks:

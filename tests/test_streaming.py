@@ -2790,3 +2790,122 @@ def test_semantic_decon_stream_drops_zero_norm_pairs(spark, tmp_path):
     assert_frames_match(
         final.toPandas(), batch.toPandas(), "semdecon zero-norm stream==batch"
     )
+
+
+def test_paragraph_dedup_stream_seeded_restart_equals_batch_twin(spark, tmp_path):
+    """Bootstrap-from-corpus (VERDICT r16 item 2): a fresh deployment
+    with NO checkpoint streams ONLY the new batch, seeded with the
+    persisted keeper table of the previously-admitted corpus
+    (`build_paragraph_seed_index`); the drop set must equal batch
+    `dedup_paragraph` over old+new TOGETHER, restricted to new docs.
+    The corpus engineers the three paths: a new doc repeating a SEED
+    paragraph (dropped purely from the seed — its keeper never flows
+    through this stream), a novel paragraph (kept), and a new doc
+    repeating that novel paragraph (in-stream keep-first, state written
+    on top of the seed). An UNSEEDED run over the same new-batch-only
+    stream re-admits the known paragraph — the seed is load-bearing.
+    A seed trained on a different corpus is refused at construction."""
+    from collections import defaultdict
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from spark_graft.artifacts import (
+        ArtifactMismatch,
+        save_paragraph_seed_index,
+    )
+    from spark_graft.streaming import (
+        build_paragraph_seed_index,
+        paragraph_dedup_stream,
+        run_stream_to_memory,
+    )
+
+    A = "alpha beta gamma delta epsilon zeta eta theta"     # 8 tokens
+    B = "one two three four five six seven eight"           # 8 tokens
+    old = [
+        (1, f"{A} old unique prose in the admitted corpus"),
+        (2, f"{B} other old content entirely its own words"),
+    ]
+    new = [
+        (10, f"{A} brand new trailing thoughts"),   # A repeats a SEED para
+        (11, f"{B} {B}"),                           # B seed-dropped, twice
+        (12, "completely novel paragraph window content here friends"),
+    ]
+    doc_dir = tmp_path / "docs"
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in old + new],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.mode("overwrite").parquet(str(doc_dir / "documents.parquet"))
+    batch = {
+        r["doc_id"]: r
+        for r in REGISTRY["dedup_paragraph"].fn(spark, str(doc_dir)).collect()
+    }
+
+    # the old deployment's admitted corpus -> persisted keeper table
+    seed_path = str(tmp_path / "para_seed_artifact")
+    save_paragraph_seed_index(
+        seed_path,
+        build_paragraph_seed_index(
+            spark.createDataFrame(old, "doc_id bigint, text string")
+        ),
+        sf_dir=str(doc_dir),
+    )
+
+    # the restarted deployment sees ONLY the new batch
+    src = tmp_path / "para_stream_new_only"
+    src.mkdir()
+    t = pa.Table.from_pandas(
+        pd.DataFrame(
+            {"doc_id": [i for i, _ in new], "text": [t for _, t in new]}
+        ),
+        preserve_index=False,
+    ).cast(pa.schema([("doc_id", pa.int64()), ("text", pa.string())]))
+    pq.write_table(t, str(src / "new.parquet"))
+
+    def run(seed):
+        stream = spark.readStream.schema("doc_id long, text string").parquet(
+            str(src)
+        )
+        out = run_stream_to_memory(
+            paragraph_dedup_stream(
+                stream,
+                seed_index_path=seed,
+                seed_sf_dir=str(doc_dir) if seed else None,
+            ),
+            mode="update",
+        ).toPandas()
+        return out
+
+    wrong = tmp_path / "para_wrongdocs"
+    wrong.mkdir()
+    spark.createDataFrame(
+        [(0, "some other corpus entirely", "en", "s", 26)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).coalesce(1).write.parquet(str(wrong / "documents.parquet"))
+    with pytest.raises(ArtifactMismatch):
+        paragraph_dedup_stream(
+            spark.readStream.schema("doc_id long, text string").parquet(str(src)),
+            seed_index_path=seed_path,
+            seed_sf_dir=str(wrong),
+        )
+
+    out = run(seed_path)
+    drops_by_doc = defaultdict(set)
+    for r in out.itertuples():
+        drops_by_doc[r.doc_id].add(r.pos)
+    # per-new-doc drop counts == the batch twin over old+new
+    for doc_id, _ in new:
+        assert len(drops_by_doc.get(doc_id, ())) == batch[doc_id]["n_removed"], doc_id
+    # the seed-para drops name keepers that never flowed through the
+    # stream (the old corpus' doc_ids)
+    seed_drops = [r for r in out.itertuples() if r.keep_doc_id in (1, 2)]
+    assert seed_drops and all(r.doc_id >= 10 for r in seed_drops)
+    # doc 11's second B-window drops with an in-seed keeper too
+    assert len(drops_by_doc[11]) == batch[11]["n_removed"] == 2
+    # ...and WITHOUT the seed the known paragraphs are re-admitted
+    out_unseeded = run(None)
+    unseeded_keepers = set(out_unseeded["keep_doc_id"])
+    assert not unseeded_keepers & {1, 2}
+    assert len(out_unseeded) < len(out)
