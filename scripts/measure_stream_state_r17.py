@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""VERDICT r16 item 5: measure the GROWING-STATE streams' state-store
+footprint on an sf1 replay — paragraph_dedup_stream (state = one
+(keep_doc_id, keep_pos) per distinct paragraph md5) and
+minhash_novelty_stream (state = (doc_id, shingle-set) member lists per
+(band, sig) bucket) — via StreamingQueryProgress stateOperators
+(numRowsTotal, stateMemory bytes). Results land in BENCH_SF1.json under
+`stream_state_sizing_r17` with derived bytes/1M-distinct-keys guidance.
+
+    python scripts/measure_stream_state_r17.py [--sf-dir /tmp/testdata/sf1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+import uuid
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def drain_and_measure(stream_df, mode):
+    name = f"sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # availableNow may run several micro-batches; recentProgress keeps
+    # them all — take the LAST progress carrying state operators
+    ops = []
+    for p in reversed(q.recentProgress):
+        if p["stateOperators"]:
+            ops = p["stateOperators"]
+            break
+    return [
+        {
+            "operator": o.get("operatorName"),
+            "numRowsTotal": o.get("numRowsTotal"),
+            "stateMemory_bytes": (o.get("customMetrics") or {}).get(
+                "stateOnCurrentVersionSizeBytes"
+            )
+            or o.get("memoryUsedBytes"),
+            "memoryUsedBytes": o.get("memoryUsedBytes"),
+        }
+        for o in ops
+    ]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/tmp/testdata/sf1")
+    ap.add_argument("--skip-minhash", action="store_true")
+    args = ap.parse_args()
+
+    from spark_graft.session import get_spark
+    from spark_graft.sources import table
+    from spark_graft.streaming import (
+        minhash_novelty_stream,
+        paragraph_dedup_stream,
+    )
+
+    spark = get_spark()
+    docs = (
+        table(spark, args.sf_dir, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = f"/tmp/stream_state_src_{uuid.uuid4().hex[:8]}"
+    os.makedirs(src)
+    schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+    pq.write_table(
+        pa.Table.from_pandas(docs, preserve_index=False).cast(schema),
+        f"{src}/docs.parquet",
+    )
+    n_docs = len(docs)
+    out = {
+        "what": (
+            "VERDICT r16 item 5: state-store footprint of the two "
+            "growing-state streams on a full replay, from "
+            "StreamingQueryProgress stateOperators. numRowsTotal = "
+            "distinct keys held; stateMemory = the provider's loaded-"
+            "map estimate (HDFSBackedStateStore here; RocksDB in "
+            "production keeps the working set off-heap and spills, "
+            "same per-row payload)."
+        ),
+        "sf_dir": args.sf_dir,
+        "n_docs": n_docs,
+    }
+
+    def run(label, builder, mode):
+        stream = (
+            spark.readStream.schema("doc_id long, text string").parquet(src)
+        )
+        t0 = time.perf_counter()
+        m = drain_and_measure(builder(stream), mode)
+        wall = round(time.perf_counter() - t0, 1)
+        for o in m:
+            rows = o["numRowsTotal"] or 0
+            mem = o["stateMemory_bytes"] or 0
+            o["bytes_per_row"] = round(mem / rows, 1) if rows else None
+            o["bytes_per_1M_keys_mb"] = (
+                round(mem / rows * 1_000_000 / 2**20, 1) if rows else None
+            )
+        out[label] = {"wall_s": wall, "state": m}
+        print(label, wall, "s", json.dumps(m))
+
+    run("paragraph_dedup_stream", paragraph_dedup_stream, "update")
+    if not args.skip_minhash:
+        run("minhash_novelty_stream", minhash_novelty_stream, "append")
+
+    path = os.path.join(REPO, "BENCH_SF1.json")
+    d = json.load(open(path))
+    d["stream_state_sizing_r17"] = out
+    json.dump(d, open(path, "w"), indent=1, sort_keys=True)
+    print("wrote BENCH_SF1.json: stream_state_sizing_r17")
+
+
+if __name__ == "__main__":
+    main()

@@ -557,7 +557,17 @@ def minhash_novelty_stream(
     `dedup_stream`'s job. At 100 TB/day the state store is RocksDB and
     each bucket's member list stays small because band signatures
     partition the corpus ~uniformly (the same property that makes the
-    batch equi-join scale).
+    batch equi-join scale). MEASURED (sf1 replay, 50k docs ->
+    179,883 (band, sig) buckets; BENCH_SF1 `stream_state_sizing_r17`):
+    155.5 MB of state = ~864 bytes per bucket = ~825 MB per MILLION
+    buckets — heavier per key than the paragraph gate's ~219 B because
+    each bucket's value carries member doc_ids PLUS their full
+    shingle-set strings for the exact-Jaccard verify. Corpus-scale
+    deployments (N_BANDS x admitted docs buckets -> tens of GB and up)
+    must run the RocksDB state-store provider
+    (spark.sql.streaming.stateStore.providerClass =
+    ...RocksDBStateStoreProvider); the default HDFS-backed provider
+    holds the whole loaded map on-heap.
 
     STATE BOOTSTRAP (round 12, VERDICT r11 item 8): `seed_index_path`
     points at a persisted `build_novelty_seed_index` ARTIFACT
@@ -1230,7 +1240,17 @@ def paragraph_dedup_stream(
     ONE (keep_doc_id, keep_pos) pair per distinct paragraph hash —
     the minhash_novelty_stream band-index shape, growing with the
     distinct-paragraph vocabulary (16 bytes + key per entry), the
-    irreducible memory of any exact streaming dedup. Within a
+    irreducible memory of any exact streaming dedup. MEASURED (sf1
+    replay, 50k docs -> 212,542 distinct paragraphs; BENCH_SF1
+    `stream_state_sizing_r17`): 46.6 MB of state = ~219 bytes per
+    distinct paragraph all-in (UnsafeRow key + value + store overhead)
+    = ~210 MB per MILLION distinct paragraphs. Vocabulary-scale
+    corpora (billions of distinct paragraphs -> hundreds of GB) must
+    run the RocksDB state-store provider
+    (spark.sql.streaming.stateStore.providerClass =
+    ...RocksDBStateStoreProvider) so state lives off-heap/on-disk with
+    the same semantics — the default HDFS-backed provider holds the
+    whole map on-heap. Within a
     micro-batch, rows apply in (doc_id, pos) order, so a doc-ordered
     replay reproduces the batch twin's lexicographic keep-first
     EXACTLY (equivalence-tested). At-least-once re-delivery: a
