@@ -45,17 +45,24 @@ __all__ = ["REGISTRY", "QuerySpec", "query", "load_all_queries"]
 #   alongside the original fixed 8-token window form). The declared
 #   query keeps the window form so the oracle/hash semantics are
 #   unchanged, but the fn body was edited, so it re-enters by rule.
+# - dedup_exact, text_fingerprint: NULL-text hardening (2 of the 8
+#   queries FIXTURES.md flagged in r16) — NULL text now normalizes to
+#   '' before hashing on the Spark side, matching the oracles'
+#   coalesce; fixture results identical (the fixture has no NULLs),
+#   re-enter by rule.
 # (Queries NEW in round 17 — dsir_select — are tier 0 automatically
 # via the never-driver-verified fallback. Tier-0 total + 46 tier-1
 # must fit the ~50-slot window: VERDICT r16 item 1 demands the full
 # 46-name r14-stale set rotates in, so this round's tier-0 budget
-# is 4.)
-_MODIFIED_THIS_ROUND = frozenset(["dedup_paragraph"])
+# is 4: 3 modified + 1 new.)
+_MODIFIED_THIS_ROUND = frozenset(
+    ["dedup_paragraph", "dedup_exact", "text_fingerprint"]
+)
 
 # Green last in CORRECTNESS_r14.json — 3 rounds stale, the full
 # 46-name set VERDICT r16 item 1 lists; they rotate into round 17's
-# window right after the tier-0 set. After this round's driver run
-# nothing should be older than r15.
+# window right after the tier-0 set (4 + 46 = exactly 50). After this
+# round's driver run nothing should be older than r15.
 _VERIFIED_R14_ONLY = frozenset(
     """agg_pivot agg_q1 agg_sketch_hll agg_skew_salted decontaminate
     dedup_incremental dedup_incremental_minhash dedup_minhash
@@ -92,20 +99,21 @@ _VERIFIED_R15_ONLY = frozenset(
 
 # Green (rows+schema+hash) in CORRECTNESS_r16.json — freshest; these
 # sit out round 17's window provided their code does not change.
-# (dedup_paragraph — r16-green — is EXCLUDED because the round-17
-# boundary-mode edit moved it to _MODIFIED_THIS_ROUND; the sets stay
+# (dedup_paragraph, dedup_exact, and text_fingerprint — r16-green —
+# are EXCLUDED because
+# round-17 edits moved them to _MODIFIED_THIS_ROUND; the sets stay
 # disjoint so the simulated window arithmetic is exact.)
 _VERIFIED_R16 = frozenset(
     """agg_approx agg_approx_percentile agg_bool_all agg_corr_exact
     agg_distinct agg_percentile agg_sketch_kmv decontaminate_semantic
-    dedup_clusters dedup_exact dedup_semantic
+    dedup_clusters dedup_semantic
     dedup_simhash dedup_span_fraction events_paths events_pattern
     events_retention events_rfm events_user_features filter_in_null
     filter_pred fn_json grouping_sets multimodal_neardup
     pipeline_embed_index pipeline_gopher_rules pipeline_media_corpus
     profile_skew profile_table sample_coreset sample_importance
     scan_project sim_ann_ivf_trained sim_hardneg sim_knn_graph
-    stream_sliding text_bm25 text_fingerprint text_lines text_scrub
+    stream_sliding text_bm25 text_lines text_scrub
     text_tfidf ts_anomaly udf_compat udf_compat_iterative
     udf_pandas_tokens vocab_bpe_apply vocab_bpe_train win_dist
     win_gaps_islands word_count""".split()

@@ -215,10 +215,22 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by normalized-content hash: group on md5 of the
     token-normalized text, keep the minimum doc_id. One shuffle on a
     16-byte key regardless of document size — at 100 TB you shuffle
-    hashes, never documents."""
+    hashes, never documents.
+
+    NULL text normalizes to '' BEFORE hashing (r17 NULL-hardening):
+    Spark's md5(NULL) is NULL, which would mint a separate NULL
+    fingerprint group while the oracle's coalesce folds NULL-text docs
+    into the empty-content group — on a real crawl (where NULL fields
+    happen; the fixture contract excludes them) the two contents are
+    the same "no content" class and dedup together."""
     docs = table(spark, sf_dir, "documents")
     return (
-        docs.select("doc_id", F.md5(F.array_join(tokens("text"), " ")).alias("fp"))
+        docs.select(
+            "doc_id",
+            F.md5(
+                F.coalesce(F.array_join(tokens("text"), " "), F.lit(""))
+            ).alias("fp"),
+        )
         .groupBy("fp")
         .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
         .drop("fp")

@@ -214,9 +214,19 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: md5 over the token-normalized text
     (exact-dup key robust to whitespace/punctuation) plus the minimum
     word-3-gram hash (a 1-hash MinHash — winnowing's degenerate case).
-    md5 is engine-portable, unlike Spark's murmur3 `hash()`."""
+    md5 is engine-portable, unlike Spark's murmur3 `hash()`.
+
+    NULL text tokenizes to the EMPTY array (r17 NULL-hardening): the
+    staged coalesce gives NULL-text docs content_fp = md5('') — the
+    oracle's coalesce semantics — instead of Spark's md5(NULL) = NULL;
+    min_shingle_fp stays NULL either way (no 3-gram exists)."""
     docs = table(spark, sf_dir, "documents")
-    return docs.select("doc_id", tokens("text").alias("toks")).select(
+    return docs.select(
+        "doc_id",
+        F.coalesce(tokens("text"), F.array().cast("array<string>")).alias(
+            "toks"
+        ),
+    ).select(
         "doc_id",
         F.md5(F.array_join("toks", " ")).alias("content_fp"),
         F.array_min(F.transform(shingles_from_tokens("toks", 3), F.md5)).alias(

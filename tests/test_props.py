@@ -2699,3 +2699,42 @@ def test_dedup_paragraph_newline_boundary_mode(spark, tmp_path):
         for row in REGISTRY["dedup_paragraph"].fn(spark, str(d)).collect()
     }
     assert win[1] != got[1][0]
+
+
+def test_null_text_hardening_dedup_exact_and_text_fingerprint(spark, tmp_path):
+    """r17 NULL-hardening (2 of the 8 FIXTURES.md-flagged queries):
+    on an out-of-fixture-contract corpus carrying a NULL text row,
+    dedup_exact and text_fingerprint must hash-match their oracles —
+    NULL text normalizes to '' before hashing, so NULL-text and
+    empty-text docs share one content fingerprint group instead of
+    Spark minting a separate md5(NULL) = NULL class."""
+    import duckdb
+
+    from compare import assert_frames_match
+    from spark_graft.registry import REGISTRY
+
+    d = tmp_path / "nullsafe"
+    d.mkdir()
+    spark.createDataFrame(
+        [
+            (1, None, "en", "s", 0),
+            (2, "", "en", "s", 0),
+            (3, "!!! ...", "en", "s", 7),       # tokenizes empty too
+            (4, "real words here", "en", "s", 15),
+            (5, "real words here", "en", "s", 15),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
+    )
+    for name in ("dedup_exact", "text_fingerprint"):
+        sp = REGISTRY[name].fn(spark, str(d)).toPandas()
+        assert_frames_match(sp, con.execute(REGISTRY[name].oracle).df(), name)
+    # the NULL/empty/punct-only docs form ONE exact-dup group (keep 1)
+    groups = {
+        (r["keep_doc_id"], r["n_copies"])
+        for r in REGISTRY["dedup_exact"].fn(spark, str(d)).collect()
+    }
+    assert groups == {(1, 3), (4, 2)}
