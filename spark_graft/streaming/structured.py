@@ -592,7 +592,9 @@ def minhash_novelty_stream(
     "TransformWithStateInPySpark driver worker exited unexpectedly";
     re-probed round 16 with a ValueState counter over a parquet
     availableNow stream — same XXKST runtime crash, container
-    unchanged),
+    unchanged; re-probed round 17 with the identical ValueState
+    counter probe — still STREAM_FAILED/XXKST "TransformWithStateInPySpark
+    driver worker exited unexpectedly (crashed)" on pyspark 4.1.2),
     so the per-executor cache is the implemented path and the migration
     is a mechanical swap of the probe function when the dependency is
     available."""
