@@ -66,6 +66,7 @@ _KINDS = {
     "novelty_seed_index": "documents",
     "paragraph_seed_index": "documents",
     "mixture_reference": "documents",
+    "dsir_ratios": "documents",
 }
 
 
@@ -627,6 +628,42 @@ def load_paragraph_seed_index(
     keys derive from the payload ACTUALLY READ)."""
     t, meta = _read(path, "paragraph_seed_index", sf_dir, validate)
     return (t, meta) if return_meta else t
+
+
+def save_dsir_ratios(path: str, ratios_df, *, sf_dir: str | None = None) -> None:
+    """Persist `operators.pipeline.dsir_ratio_table(..., dense=True)` —
+    the fitted DSIR model: one fixed-point target/raw probability ratio
+    per hashed n-gram bucket (DSIR_DIM rows, so the driver-side collect
+    is O(model), like kmeans centroids). Build it DENSE: a streamed doc
+    can hash new vocabulary into a bucket the fit corpus never touched,
+    and the serving plan needs a ratio for every dim. Feed the path to
+    `streaming.dsir_score_stream` for score-on-ingest selection with
+    the exact batch arithmetic."""
+    import pyarrow as pa
+
+    pdf = ratios_df.toPandas()
+    if len(pdf) != len(set(pdf["dim"])):
+        raise ValueError("dsir ratios carry duplicate dims")
+    _write(
+        path,
+        "dsir_ratios",
+        pa.Table.from_pandas(pdf, preserve_index=False).cast(
+            pa.schema([("dim", pa.int32()), ("w", pa.int64())])
+        ),
+        {"n_rows": len(pdf)},
+        sf_dir,
+    )
+
+
+def load_dsir_ratios(
+    path: str, *, sf_dir: str | None = None, validate: bool | None = None
+) -> dict[int, int]:
+    """{dim: w} after the full artifact checks — DSIR_DIM fixed-point
+    ratios, small enough to bake into a serving plan as literals (the
+    BPE-merges / quality-weights train-once/serve-many contract)."""
+    t, _ = _read(path, "dsir_ratios", sf_dir, validate)
+    d = t.to_pydict()
+    return {int(k): int(v) for k, v in zip(d["dim"], d["w"])}
 
 
 def train_and_save_pq(spark, sf_dir: str, path: str):

@@ -196,6 +196,84 @@ DSIR_TARGET_SOURCES = ("src0", "src1")
 _DSIR_TGT_SQL = ", ".join(f"'{s}'" for s in DSIR_TARGET_SOURCES)
 
 
+def dsir_grams(ts) -> "F.Column":
+    """unigrams || non-distinct bigrams from a STAGED token-array
+    column (attribute, not the tokens(...) tree — the
+    shingles_from_tokens performance contract). The ONE gram recipe:
+    shared by dsir_select's explode and dsir_score_stream's per-doc
+    fold so the two can never disagree on the feature stream. DSIR
+    counts features with multiplicity — shingles_from_tokens dedups,
+    so bigrams are built locally; same guard for docs shorter than
+    the gram (sequence(1, 0) is DESCENDING in Spark, not empty)."""
+    bigrams = F.when(F.size(ts) < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(ts) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(ts, i), F.element_at(ts, i + F.lit(1))
+            ),
+        )
+    )
+    return F.concat(ts, bigrams)
+
+
+def dsir_dim(g) -> "F.Column":
+    """gram -> hashed feature bucket (md5, engine-portable), the
+    text_hash_features recipe under the 'dsirf:' domain prefix."""
+    return (_md5_bucket_raw("dsirf:", g) % DSIR_DIM).cast("int")
+
+
+def dsir_feat_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, is_t, dim, c): per-document hashed n-gram bucket counts
+    with the target flag. Callers with more than one consumer must
+    stage it (dsir_select localCheckpoints — see its docstring)."""
+    base = docs.select(
+        "doc_id",
+        F.col("source").isin(*DSIR_TARGET_SOURCES).alias("is_t"),
+        tokens("text").alias("ts"),
+    )
+    grams = base.select(
+        "doc_id", "is_t", F.explode(dsir_grams(F.col("ts"))).alias("g")
+    )
+    return grams.groupBy(
+        "doc_id", "is_t", dsir_dim(F.col("g")).alias("dim")
+    ).agg(F.count(F.lit(1)).alias("c"))
+
+
+def dsir_ratio_table(feat: DataFrame, dense: bool = False) -> DataFrame:
+    """(dim, w): the fixed-point Laplace-smoothed target/raw ratio per
+    bucket, clamped to DSIR_CAP x — dsir_select's fitted model. With
+    dense=True every dim 0..DSIR_DIM-1 gets a row (absent buckets take
+    the t_b = r_b = 0 smoothing value), the serving form
+    `dsir_score_stream` needs: a streamed doc can hash new vocabulary
+    into a bucket the training corpus never touched."""
+    buckets = feat.groupBy("dim").agg(
+        F.sum(F.when(F.col("is_t"), F.col("c")).otherwise(F.lit(0))).alias("t_b"),
+        F.sum(F.when(~F.col("is_t"), F.col("c")).otherwise(F.lit(0))).alias("r_b"),
+    )
+    tot = buckets.agg(
+        F.sum("t_b").alias("t_tot"), F.sum("r_b").alias("r_tot")
+    )
+    if dense:
+        dims = feat.sparkSession.range(DSIR_DIM).select(
+            F.col("id").cast("int").alias("dim")
+        )
+        buckets = (
+            dims.join(buckets, "dim", "left")
+            .fillna(0, subset=["t_b", "r_b"])
+        )
+    return buckets.crossJoin(F.broadcast(tot)).select(
+        "dim",
+        F.least(
+            F.expr(
+                f"CAST(CAST(t_b + 1 AS DECIMAL(38,0)) * (r_tot + {DSIR_DIM})"
+                f" * {DSIR_SCALE} div (CAST(r_b + 1 AS DECIMAL(38,0))"
+                f" * (t_tot + {DSIR_DIM})) AS BIGINT)"
+            ),
+            F.lit(DSIR_CAP * DSIR_SCALE),
+        ).alias("w"),
+    )
+
+
 @query(
     "dsir_select",
     oracle=f"""
@@ -293,29 +371,6 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows of (8-byte id, int, count) per document, independent of
     vocabulary; everything downstream is O(docs) or O({DSIR_DIM})."""
     docs = table(spark, sf_dir, "documents")
-    base = docs.select(
-        "doc_id",
-        F.col("source").isin(*DSIR_TARGET_SOURCES).alias("is_t"),
-        tokens("text").alias("ts"),
-    )
-    ts = F.col("ts")
-    # non-distinct bigrams (DSIR counts features with multiplicity —
-    # shingles_from_tokens dedups, so built locally; same guard for
-    # docs shorter than the gram: sequence(1, 0) is DESCENDING, not
-    # empty). ts is an attribute from its own projection, so the HOF
-    # lambda does not re-derive the tokenizer (CollapseProject keeps
-    # multi-referenced non-trivial expressions staged).
-    bigrams = F.when(F.size(ts) < 2, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size(ts) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(ts, i), F.element_at(ts, i + F.lit(1))
-            ),
-        )
-    )
-    grams = base.select(
-        "doc_id", "is_t", F.explode(F.concat(ts, bigrams)).alias("g")
-    )
     # feat is consumed by THREE branches (bucket totals, their 1-row
     # sum, and the per-doc score) — without staging, each branch
     # re-runs the scan + tokenize + gram explode + (doc, dim) aggregate
@@ -323,35 +378,12 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 3.4 s at sf1 after staging). The staged table is tiny: at most
     # DSIR_DIM rows of (id, bool, int, count) per document — this is
     # the fitted-feature table a real DSIR run persists anyway.
-    feat = (
-        grams.groupBy(
-            "doc_id",
-            "is_t",
-            (_md5_bucket_raw("dsirf:", F.col("g")) % DSIR_DIM)
-            .cast("int")
-            .alias("dim"),
-        )
-        .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint()
-    )
-    buckets = feat.groupBy("dim").agg(
-        F.sum(F.when(F.col("is_t"), F.col("c")).otherwise(F.lit(0))).alias("t_b"),
-        F.sum(F.when(~F.col("is_t"), F.col("c")).otherwise(F.lit(0))).alias("r_b"),
-    )
-    tot = buckets.agg(
-        F.sum("t_b").alias("t_tot"), F.sum("r_b").alias("r_tot")
-    )
-    ratios = buckets.crossJoin(F.broadcast(tot)).select(
-        "dim",
-        F.least(
-            F.expr(
-                f"CAST(CAST(t_b + 1 AS DECIMAL(38,0)) * (r_tot + {DSIR_DIM})"
-                f" * {DSIR_SCALE} div (CAST(r_b + 1 AS DECIMAL(38,0))"
-                f" * (t_tot + {DSIR_DIM})) AS BIGINT)"
-            ),
-            F.lit(DSIR_CAP * DSIR_SCALE),
-        ).alias("w"),
-    )
+    # Gram/bucket/ratio recipes live in dsir_grams/dsir_dim/
+    # dsir_ratio_table, SHARED with the artifact-served
+    # streaming.dsir_score_stream so batch fit and ingest serve can
+    # never disagree.
+    feat = dsir_feat_table(docs).localCheckpoint()
+    ratios = dsir_ratio_table(feat)
     scored = (
         feat.filter(~F.col("is_t"))
         .join(F.broadcast(ratios), "dim")

@@ -1180,6 +1180,112 @@ def gopher_rules_stream(docs: DataFrame) -> DataFrame:
     return gopher_rule_frame(docs)
 
 
+def dsir_score_stream(docs: DataFrame, ratios_path: str) -> DataFrame:
+    """Streaming DSIR selection — SCORE-ON-INGEST from a persisted
+    fitted model, the streaming half of `dsir_select`'s
+    train-once/serve-many contract: the {dim: w} fixed-point ratio
+    table (`operators.pipeline.dsir_ratio_table(dense=True)`, saved via
+    `artifacts.save_dsir_ratios`) is loaded once on the driver and
+    baked into the plan as a DSIR_DIM-long array literal; each arriving
+    document folds its hashed unigram+bigram stream through it —
+    score = (sum over grams of w[dim(gram)]) div n_grams, the EXACT
+    batch arithmetic because sum_dim c_dim * w_dim == the per-gram fold
+    and the gram/bucket recipes are the shared `dsir_grams`/`dsir_dim`
+    expressions. The keep gate and Horvitz-Thompson weight are the same
+    md5-threshold contract; docs from the configured target sources
+    score too (serving is source-blind — a redeployed fit decides what
+    "target-like" means, the arriving corpus does not).
+
+    Emits (doc_id, n_feat, score, keep, weight): keep routes the sink
+    (selected corpus vs rest), weight is NULL on unkept rows (the
+    division is guarded — a 0 threshold can never satisfy the gate, and
+    under Spark 4 ANSI an unguarded x/0 would kill the query).
+    Zero-gram docs emit n_feat = 0, score = 0, keep = false (the batch
+    query never materializes a feature row for them; equivalence on
+    kept rows is exact and tested).
+
+    STATELESS like gopher_rules_stream: pure narrow expressions — no
+    state store, no watermark, no shuffle (append mode, exactly-once
+    per document under checkpointed sources/sinks); throughput is pure
+    map parallelism at any scale, and the fitted model ships once per
+    plan, not per row."""
+    from spark_graft.functions import md5_bucket_raw, tokens
+    from spark_graft.operators.pipeline import (
+        DSIR_DIM,
+        DSIR_PIVOT,
+        DSIR_SCALE,
+        dsir_dim,
+        dsir_grams,
+    )
+    from spark_graft import artifacts
+
+    ratios = artifacts.load_dsir_ratios(ratios_path)
+    missing = set(range(DSIR_DIM)) - set(ratios)
+    if missing:
+        raise ValueError(
+            f"dsir ratios artifact is not dense: missing dims {sorted(missing)[:5]}..."
+            " — build with dsir_ratio_table(feat, dense=True)"
+        )
+    w_arr = F.array(*[F.lit(ratios[i]) for i in range(DSIR_DIM)])
+    # two staging projections (the shingles_from_tokens performance
+    # contract): the bigram lambdas must reference a token ATTRIBUTE
+    # (an inlined tokens(text) tree would re-tokenize per element), and
+    # the fold must reference a grams attribute
+    staged = docs.select("doc_id", tokens("text").alias("ts")).select(
+        "doc_id", dsir_grams(F.col("ts")).alias("grams")
+    )
+    n_feat = F.coalesce(F.size("grams"), F.lit(0)).cast("bigint")
+    fold = F.aggregate(
+        F.transform(
+            F.col("grams"),
+            lambda g: F.element_at(w_arr, dsir_dim(g) + F.lit(1)),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    # the fold is staged as its own column so the score division sees
+    # an attribute; per-doc bounded: fold <= n_feat * CAP*SCALE (1e8),
+    # int64 headroom to ~9e10 grams per single document
+    scored = staged.select(
+        "doc_id",
+        n_feat.alias("n_feat"),
+        F.when(n_feat > 0, fold.cast("bigint"))
+        .otherwise(F.lit(0))
+        .alias("_fold"),
+    ).select(
+        "doc_id",
+        "n_feat",
+        F.when(
+            F.col("n_feat") > 0,
+            F.expr("_fold div n_feat"),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("score"),
+    )
+    thresh = F.expr(
+        f"least(score, {DSIR_PIVOT * DSIR_SCALE}) * {2**32}"
+        f" div {DSIR_PIVOT * DSIR_SCALE}"
+    )
+    out = scored.select(
+        "doc_id",
+        "n_feat",
+        "score",
+        thresh.alias("_thresh"),
+        (md5_bucket_raw("dsir:", F.col("doc_id")) < thresh).alias("keep"),
+    )
+    return out.select(
+        "doc_id",
+        "n_feat",
+        "score",
+        "keep",
+        F.when(
+            F.col("keep"),
+            F.round(F.lit(float(2**32)) / F.col("_thresh"), 6),
+        ).alias("weight"),
+    )
+
+
 def build_paragraph_seed_index(docs: DataFrame) -> DataFrame:
     """(fp, keep_doc_id, keep_pos): the batch paragraph-dedup KEEPER
     table of an admitted corpus — one row per distinct normalized

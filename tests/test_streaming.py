@@ -2909,3 +2909,87 @@ def test_paragraph_dedup_stream_seeded_restart_equals_batch_twin(spark, tmp_path
     unseeded_keepers = set(out_unseeded["keep_doc_id"])
     assert not unseeded_keepers & {1, 2}
     assert len(out_unseeded) < len(out)
+
+
+def test_dsir_score_stream_equals_batch_select(spark, sf_dir, tmp_path):
+    """dsir_score_stream over a 3-micro-batch replay of the candidate
+    (non-target) docs, serving the persisted dense ratio table fitted
+    by the batch recipe, == oracle-checked `dsir_select` bit-exactly:
+    kept set, n_feat, score, and weight all match (the per-gram fold
+    equals sum_dim c_dim * w_dim; shared dsir_grams/dsir_dim
+    expressions). Target-source docs score too (serving is
+    source-blind) but are excluded from the replay so the comparison
+    universe is the batch query's. A sparse (non-dense) ratio artifact
+    is refused at stream construction."""
+    import os
+    import time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from spark_graft.artifacts import save_dsir_ratios
+    from spark_graft.operators.pipeline import (
+        DSIR_TARGET_SOURCES,
+        dsir_feat_table,
+        dsir_ratio_table,
+    )
+    from spark_graft.sources import table
+    from spark_graft.streaming import dsir_score_stream, run_stream_to_memory
+
+    docs = table(spark, sf_dir, "documents")
+    feat = dsir_feat_table(docs).localCheckpoint()
+    ratios_path = str(tmp_path / "dsir_ratios_artifact")
+    save_dsir_ratios(
+        ratios_path, dsir_ratio_table(feat, dense=True), sf_dir=sf_dir
+    )
+    # a sparse artifact is refused at construction
+    sparse_path = str(tmp_path / "dsir_ratios_sparse")
+    save_dsir_ratios(sparse_path, dsir_ratio_table(feat, dense=True).limit(10))
+    dummy = spark.readStream.schema("doc_id long, text string").parquet(
+        str(tmp_path)
+    )
+    with pytest.raises(ValueError, match="not dense"):
+        dsir_score_stream(dummy, sparse_path)
+
+    cand = (
+        docs.filter(~F.col("source").isin(*DSIR_TARGET_SOURCES))
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    src = tmp_path / "dsir_src"
+    src.mkdir()
+    schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+    cuts = [0, len(cand) // 3, 2 * len(cand) // 3, len(cand)]
+    now = time.time()
+    for i in range(3):
+        pq.write_table(
+            pa.Table.from_pandas(
+                cand.iloc[cuts[i]:cuts[i + 1]], preserve_index=False
+            ).cast(schema),
+            str(src / f"c{i}.parquet"),
+        )
+        os.utime(src / f"c{i}.parquet", (now + i * 10, now + i * 10))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = run_stream_to_memory(
+        dsir_score_stream(stream, ratios_path), mode="append"
+    ).toPandas()
+    assert len(out) == len(cand)  # every arrival scored exactly once
+
+    batch = {
+        r["doc_id"]: r for r in REGISTRY["dsir_select"].fn(spark, sf_dir).collect()
+    }
+    kept = out[out["keep"]]
+    assert set(kept["doc_id"]) == set(batch)
+    for r in kept.itertuples():
+        b = batch[r.doc_id]
+        assert (r.n_feat, r.score) == (b["n_feat"], b["score"]), r.doc_id
+        assert abs(r.weight - b["weight"]) < 1e-12, r.doc_id
+    # unkept rows carry NULL weight (guarded division)
+    assert out[~out["keep"]]["weight"].isna().all()
