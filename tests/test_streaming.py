@@ -2993,3 +2993,115 @@ def test_dsir_score_stream_equals_batch_select(spark, sf_dir, tmp_path):
         assert abs(r.weight - b["weight"]) < 1e-12, r.doc_id
     # unkept rows carry NULL weight (guarded division)
     assert out[~out["keep"]]["weight"].isna().all()
+
+
+def test_paragraph_dedup_stream_seed_and_checkpoint_compose(spark, tmp_path):
+    """Seed + checkpoint interplay: a seeded deployment that checkpoints
+    batch 1 and then RESTARTS (same checkpoint, same seed) must treat
+    batch 2 correctly on BOTH kinds of keys — hashes whose state was
+    written in batch 1 (state wins, seed no longer consulted) and
+    hashes arriving for the first time after the restart (seed still
+    consulted). Emissions across the restart must equal the batch twin
+    over seed-corpus + both batches, restricted to streamed docs."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_graft.artifacts import save_paragraph_seed_index
+    from spark_graft.streaming import (
+        build_paragraph_seed_index,
+        paragraph_dedup_stream,
+    )
+
+    A = "alpha beta gamma delta epsilon zeta eta theta"   # seed para
+    B = "one two three four five six seven eight"         # seed para
+    old = [(1, A), (2, B)]
+    b1 = [(10, f"{A} fresh one tail"),                     # seed-hit in batch 1
+          (11, "novel paragraph content arriving first here batch one")]
+    b2 = [(20, f"{B} later arrival words"),                # FIRST seed-hit post-restart
+          (21, b1[1][1]),                                  # repeats batch-1 novel para
+          (22, f"{A} another copy after restart")]         # seed-para seen in b1 too
+    all_rows = old + b1 + b2
+
+    doc_dir = tmp_path / "docs"
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in all_rows],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.mode("overwrite").parquet(str(doc_dir / "documents.parquet"))
+    batch = {
+        r["doc_id"]: r
+        for r in REGISTRY["dedup_paragraph"].fn(spark, str(doc_dir)).collect()
+    }
+
+    seed_path = str(tmp_path / "seedck_artifact")
+    save_paragraph_seed_index(
+        seed_path,
+        build_paragraph_seed_index(
+            spark.createDataFrame(old, "doc_id bigint, text string")
+        ),
+    )
+
+    src = tmp_path / "seedck_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "seedck_ckpt")
+    out_dir = tmp_path / "seedck_out"
+    schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+
+    def write_src(rows, name):
+        pq.write_table(
+            pa.Table.from_pandas(
+                pd.DataFrame(
+                    {"doc_id": [i for i, _ in rows], "text": [t for _, t in rows]}
+                ),
+                preserve_index=False,
+            ).cast(schema),
+            str(src / name),
+        )
+
+    def run_once():
+        # foreachBatch parquet sink: the memory sink cannot recover
+        # from a checkpoint (the state-restart test's pattern)
+        stream = spark.readStream.schema("doc_id long, text string").parquet(
+            str(src)
+        )
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(str(out_dir))
+
+        q = (
+            paragraph_dedup_stream(stream, seed_index_path=seed_path)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(str(out_dir)).toPandas()
+
+    write_src(b1, "b1.parquet")
+    out1 = run_once()
+    write_src(b2, "b2.parquet")
+    os.utime(src / "b2.parquet", None)
+    total = run_once()   # RESTART from the checkpoint; only b2 is new
+    out2 = (
+        total.merge(out1, how="outer", indicator=True)
+        .query("_merge == 'left_only'")
+        .drop(columns="_merge")
+    )
+
+    drops = {}
+    for r in total.itertuples():
+        drops.setdefault(r.doc_id, set()).add(r.pos)
+    for doc_id, _ in b1 + b2:
+        assert len(drops.get(doc_id, ())) == batch[doc_id]["n_removed"], doc_id
+    # batch-2 paths, asserted loudly:
+    # doc 20: seed consulted for the FIRST time after the restart
+    assert any(r.doc_id == 20 and r.keep_doc_id == 2 for r in out2.itertuples())
+    # doc 21: dropped against batch-1 state restored from the checkpoint
+    assert any(r.doc_id == 21 and r.keep_doc_id == 11 for r in out2.itertuples())
+    # doc 22: A-paragraph keeper is STILL the seed's doc 1 (state written
+    # in batch 1 preserved the seed keeper, not doc 10)
+    assert any(r.doc_id == 22 and r.keep_doc_id == 1 for r in out2.itertuples())
