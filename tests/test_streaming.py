@@ -3105,3 +3105,74 @@ def test_paragraph_dedup_stream_seed_and_checkpoint_compose(spark, tmp_path):
     # doc 22: A-paragraph keeper is STILL the seed's doc 1 (state written
     # in batch 1 preserved the seed keeper, not doc 10)
     assert any(r.doc_id == 22 and r.keep_doc_id == 1 for r in out2.itertuples())
+
+
+def test_stateless_ingest_gates_plan_no_state_no_shuffle(spark, sf_dir, tmp_path):
+    """The score-on-ingest gates (gopher_rules_stream, dsir_score_stream)
+    must STAY stateless maps as they evolve: the micro-batch physical
+    plan contains no state-store operator and no Exchange — pure scan +
+    narrow expressions, so ingest throughput is map parallelism at any
+    scale. Captured from inside foreachBatch, where the micro-batch is
+    a plain DataFrame."""
+    import uuid
+
+    from spark_graft.artifacts import save_dsir_ratios
+    from spark_graft.operators.pipeline import dsir_feat_table, dsir_ratio_table
+    from spark_graft.sources import table
+    from spark_graft.streaming import dsir_score_stream, gopher_rules_stream
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = table(spark, sf_dir, "documents")
+    src = tmp_path / "gate_plan_src"
+    src.mkdir()
+    pdf = docs.select("doc_id", "text", "lang", "source").limit(50).toPandas()
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False).cast(
+            pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("text", pa.string()),
+                    ("lang", pa.string()),
+                    ("source", pa.string()),
+                ]
+            )
+        ),
+        str(src / "d.parquet"),
+    )
+    ratios_path = str(tmp_path / "gate_plan_ratios")
+    save_dsir_ratios(
+        ratios_path, dsir_ratio_table(dsir_feat_table(docs).localCheckpoint(), dense=True)
+    )
+
+    def build_gopher(stream):
+        return gopher_rules_stream(stream)
+
+    def build_dsir(stream):
+        return dsir_score_stream(stream, ratios_path)
+
+    for label, build in (("gopher", build_gopher), ("dsir", build_dsir)):
+        stream = spark.readStream.schema(
+            "doc_id long, text string, lang string, source string"
+        ).parquet(str(src))
+        plans = []
+
+        def sink(bdf, bid):
+            plans.append(bdf._jdf.queryExecution().executedPlan().toString())
+            bdf.count()
+
+        q = (
+            build(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"gate_ckpt_{uuid.uuid4().hex[:6]}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        assert plans, label
+        for p in plans:
+            assert "StateStore" not in p, (label, p)
+            assert "Exchange" not in p, (label, p)
+            assert "Generate" not in p, (label, p)  # no explode on the hot path
