@@ -2738,3 +2738,86 @@ def test_null_text_hardening_dedup_exact_and_text_fingerprint(spark, tmp_path):
         for r in REGISTRY["dedup_exact"].fn(spark, str(d)).collect()
     }
     assert groups == {(1, 3), (4, 2)}
+
+
+def test_dedup_paragraph_both_modes_random_corpus_vs_python(spark, tmp_path):
+    """Seeded randomized cross-check of BOTH boundary modes against a
+    pure-Python evaluation of the full contract: 80 docs of random
+    tokens from a small vocabulary (so cross-doc and within-doc window
+    repeats occur organically), random single/double newlines, random
+    punctuation, a few empty and whitespace-only docs. Catches
+    boundary-drawing bugs the handcrafted fixtures don't reach
+    (deterministic seed — no flakes)."""
+    import random
+    import re
+
+    from spark_graft.operators.dedup import PARA_RATE_SCALE, PARA_W
+    from spark_graft.registry import REGISTRY
+
+    rng = random.Random(170817)
+    vocab = ["ad", "be", "cat", "dog", "eel", "fox", "gnu", "hen"]
+    seps = [" ", " ", " ", "\n", "\n\n", ", ", "! ", "\n\n\n"]
+    rows = []
+    for i in range(80):
+        if i % 23 == 0:
+            rows.append((i, "", "en", "s"))
+            continue
+        if i % 29 == 0:
+            rows.append((i, " \n\n  \n ", "en", "s"))
+            continue
+        n = rng.randint(1, 40)
+        parts = []
+        for j in range(n):
+            parts.append(rng.choice(vocab))
+            parts.append(rng.choice(seps))
+        rows.append((i, "".join(parts), "en", "s"))
+    d = tmp_path / "randpara"
+    d.mkdir()
+    _write_docs(spark, rows, d)
+
+    def eval_contract(paras_by_doc):
+        first = {}
+        for doc_id in sorted(paras_by_doc):
+            for pos, p in enumerate(paras_by_doc[doc_id], start=1):
+                first.setdefault(p, (doc_id, pos))
+        out = {}
+        for doc_id, ps in paras_by_doc.items():
+            kept = [
+                p for pos, p in enumerate(ps, start=1)
+                if first[p] == (doc_id, pos)
+            ]
+            n, r = len(ps), len(ps) - len(kept)
+            out[doc_id] = (
+                n, r, (r * PARA_RATE_SCALE // n) if n else 0, " ".join(kept)
+            )
+        return out
+
+    def toks(t):
+        return [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+
+    win = {
+        i: [" ".join(toks(t)[k:k + PARA_W]) for k in range(0, len(toks(t)), PARA_W)]
+        for i, t, _, _ in rows
+    }
+    nl = {}
+    for i, t, _, _ in rows:
+        ps = []
+        for block in re.split(r"\n{2,}", t):
+            bt = toks(block)
+            if bt:
+                ps.append(" ".join(bt))
+        nl[i] = ps
+
+    for boundary, expected in (("window", eval_contract(win)), ("newline", eval_contract(nl))):
+        got = {
+            r["doc_id"]: (
+                r["n_paras"], r["n_removed"], r["removed_fx"], r["kept_text"]
+            )
+            for r in REGISTRY["dedup_paragraph"]
+            .fn(spark, str(d), boundary=boundary)
+            .collect()
+        }
+        assert got == expected, boundary
+    # the random corpus must actually exercise dedup in both modes
+    assert any(v[1] > 0 for v in eval_contract(win).values())
+    assert any(v[1] > 0 for v in eval_contract(nl).values())
