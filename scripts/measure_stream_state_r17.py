@@ -40,24 +40,45 @@ def drain_and_measure(stream_df, mode):
         if p["stateOperators"]:
             ops = p["stateOperators"]
             break
-    return [
-        {
-            "operator": o.get("operatorName"),
-            "numRowsTotal": o.get("numRowsTotal"),
-            "stateMemory_bytes": (o.get("customMetrics") or {}).get(
-                "stateOnCurrentVersionSizeBytes"
-            )
-            or o.get("memoryUsedBytes"),
-            "memoryUsedBytes": o.get("memoryUsedBytes"),
-        }
-        for o in ops
-    ]
+    out = []
+    for o in ops:
+        cm = o.get("customMetrics") or {}
+        # explicit None checks (r18, ADVICE): a legitimate 0-byte
+        # custom metric must report 0, not fall through an `or` to the
+        # fallback metric
+        v = cm.get("stateOnCurrentVersionSizeBytes")
+        if v is None:
+            # RocksDB provider: loaded-version footprint = pinned
+            # blocks + memtable; its SST size is the on-disk payload
+            v = cm.get("rocksdbTotalMemoryUsage")
+        if v is None:
+            v = o.get("memoryUsedBytes")
+        out.append(
+            {
+                "operator": o.get("operatorName"),
+                "numRowsTotal": o.get("numRowsTotal"),
+                "stateMemory_bytes": v,
+                "memoryUsedBytes": o.get("memoryUsedBytes"),
+                "rocksdbSstFileSize": cm.get("rocksdbSstFileSize"),
+                "rocksdbTotalMemoryUsage": cm.get("rocksdbTotalMemoryUsage"),
+            }
+        )
+    return out
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/tmp/testdata/sf1")
     ap.add_argument("--skip-minhash", action="store_true")
+    ap.add_argument(
+        "--provider",
+        choices=["hdfs", "rocksdb"],
+        default="hdfs",
+        help="state-store provider: default HDFSBackedStateStore or the "
+        "RocksDB provider (VERDICT r17 item 4 pilot — the 100 TB sizing "
+        "claim should not extrapolate from the on-heap provider alone); "
+        "results land under stream_state_sizing_{r17|rocksdb_r18}",
+    )
     args = ap.parse_args()
 
     from spark_graft.session import get_spark
@@ -68,6 +89,12 @@ def main() -> None:
     )
 
     spark = get_spark()
+    if args.provider == "rocksdb":
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming."
+            "state.RocksDBStateStoreProvider",
+        )
     docs = (
         table(spark, args.sf_dir, "documents")
         .select("doc_id", "text")
@@ -85,8 +112,18 @@ def main() -> None:
         f"{src}/docs.parquet",
     )
     n_docs = len(docs)
-    out = {
-        "what": (
+    if args.provider == "rocksdb":
+        what = (
+            "VERDICT r17 item 4: the SAME sf1 replay as "
+            "stream_state_sizing_r17 but under the RocksDB state-store "
+            "provider — stateMemory = rocksdbTotalMemoryUsage (pinned "
+            "blocks + memtable, the loaded working set); "
+            "rocksdbSstFileSize is the on-disk payload that spills "
+            "instead of living on-heap, the number that makes "
+            "vocabulary-scale state feasible."
+        )
+    else:
+        what = (
             "VERDICT r16 item 5: state-store footprint of the two "
             "growing-state streams on a full replay, from "
             "StreamingQueryProgress stateOperators. numRowsTotal = "
@@ -94,7 +131,10 @@ def main() -> None:
             "map estimate (HDFSBackedStateStore here; RocksDB in "
             "production keeps the working set off-heap and spills, "
             "same per-row payload)."
-        ),
+        )
+    out = {
+        "what": what,
+        "provider": args.provider,
         "sf_dir": args.sf_dir,
         "n_docs": n_docs,
     }
@@ -120,11 +160,16 @@ def main() -> None:
     if not args.skip_minhash:
         run("minhash_novelty_stream", minhash_novelty_stream, "append")
 
+    key = (
+        "stream_state_sizing_rocksdb_r18"
+        if args.provider == "rocksdb"
+        else "stream_state_sizing_r17"
+    )
     path = os.path.join(REPO, "BENCH_SF1.json")
     d = json.load(open(path))
-    d["stream_state_sizing_r17"] = out
+    d[key] = out
     json.dump(d, open(path, "w"), indent=1, sort_keys=True)
-    print("wrote BENCH_SF1.json: stream_state_sizing_r17")
+    print(f"wrote BENCH_SF1.json: {key}")
 
 
 if __name__ == "__main__":

@@ -30,58 +30,35 @@ __all__ = ["REGISTRY", "QuerySpec", "query", "load_all_queries"]
 #   tier 0 — never driver-verified, or modified this round (an edit to
 #            a query fn or its oracle invalidates prior verification,
 #            so edited queries must re-enter the window);
-#   tier 1 — hash-green last in CORRECTNESS_r14 (3 rounds stale,
+#   tier 1 — hash-green last in CORRECTNESS_r15 (3 rounds stale,
 #            highest priority among unmodified queries);
-#   tier 2 — hash-green last in CORRECTNESS_r15 (2 rounds stale);
-#   tier 3 — hash-green in CORRECTNESS_r16 on code unchanged since.
+#   tier 2 — hash-green last in CORRECTNESS_r16 (2 rounds stale);
+#   tier 3 — hash-green in CORRECTNESS_r17 on code unchanged since.
 # Refresh these sets from CORRECTNESS_r{N}.json at the start of each
 # round, and add every query touched during the round to
 # _MODIFIED_THIS_ROUND.
 
-# Queries whose implementation changed during ROUND 17 — tier 0, the
+# Queries whose implementation changed during ROUND 18 — tier 0, the
 # driver must re-verify them on the new code:
-# - dedup_paragraph: VERDICT r16 item 3 — the operator gained a
-#   `boundary` parameter (newline/blank-line paragraph splitting
-#   alongside the original fixed 8-token window form). The declared
-#   query keeps the window form so the oracle/hash semantics are
-#   unchanged, but the fn body was edited, so it re-enters by rule.
-# - dedup_exact, text_fingerprint: NULL-text hardening (2 of the 8
-#   queries FIXTURES.md flagged in r16) — NULL text now normalizes to
-#   '' before hashing on the Spark side, matching the oracles'
-#   coalesce; fixture results identical (the fixture has no NULLs),
-#   re-enter by rule.
-# (Queries NEW in round 17 — dsir_select — are tier 0 automatically
-# via the never-driver-verified fallback. Tier-0 total + 46 tier-1
-# must fit the ~50-slot window: VERDICT r16 item 1 demands the full
-# 46-name r14-stale set rotates in, so this round's tier-0 budget
-# is 4: 3 modified + 1 new.)
-_MODIFIED_THIS_ROUND = frozenset(
-    ["dedup_paragraph", "dedup_exact", "text_fingerprint"]
-)
+# - pipeline_curriculum, udf_pandas_tokens: NULL-text hardening
+#   (VERDICT r17 item 2, 2 of the 6 queries FIXTURES.md still flags).
+#   pipeline_curriculum counts NULL text as ZERO tokens on both
+#   engines (the unhardened form both dropped NULL rows from the
+#   equi-join AND shifted every stage boundary differently — Spark
+#   windows order NULLS FIRST, DuckDB NULLS LAST);
+#   udf_pandas_tokens's pandas UDF goes through nullable Int32 so a
+#   NULL row emits an Arrow null (the oracle's len(NULL) semantics)
+#   instead of crashing the batch. Fixture results identical (the
+#   fixture has no NULLs); both re-enter by rule.
+# (Tier-0 total + 48 tier-1 must fit the ~50-slot window: VERDICT r17
+# item 1 demands the full 48-name r15-stale set rotates in, so this
+# round's tier-0 budget is exactly 2.)
+_MODIFIED_THIS_ROUND = frozenset(["pipeline_curriculum", "udf_pandas_tokens"])
 
-# Green last in CORRECTNESS_r14.json — 3 rounds stale, the full
-# 46-name set VERDICT r16 item 1 lists; they rotate into round 17's
-# window right after the tier-0 set (4 + 46 = exactly 50). After this
-# round's driver run nothing should be older than r15.
-_VERIFIED_R14_ONLY = frozenset(
-    """agg_pivot agg_q1 agg_sketch_hll agg_skew_salted decontaminate
-    dedup_incremental dedup_incremental_minhash dedup_minhash
-    dedup_substring events_transitions fn_map global_sort graph_pagerank
-    graph_triangles grouping_cube grouping_rollup join_broadcast
-    join_multi join_outer join_skew_salted lm_next_token
-    min_unique_prefix mixture_weights multimodal_decode multimodal_dedup
-    multimodal_frames multimodal_meta pipeline_clean_corpus
-    pipeline_curriculum pipeline_pack_sequences
-    pipeline_preference_pairs rank_fusion sample_reservoir
-    sample_stratified set_ops sim_ann_pq source_stats text_chunks
-    text_diversity text_lm_score text_repetition text_split
-    topk_per_group unpivot_measures vocab_fertility
-    vocab_pair_counts""".split()
-)
-
-# Green last in CORRECTNESS_r15.json — 2 rounds stale; any window
-# slots left after tier 0 + tier 1 fill from here in registration
-# order, the remainder roll to round 18.
+# Green last in CORRECTNESS_r15.json — 3 rounds stale, the full
+# 48-name set VERDICT r17 item 1 lists; they rotate into round 18's
+# window right after the tier-0 set (2 + 48 = exactly 50). After this
+# round's driver run nothing should be older than r16.
 _VERIFIED_R15_ONLY = frozenset(
     """agg_histogram agg_sketch_cms agg_weighted_quantile
     dedup_containment dedup_embedding dedup_ngram_jaccard dedup_url
@@ -97,13 +74,13 @@ _VERIFIED_R15_ONLY = frozenset(
     win_running""".split()
 )
 
-# Green (rows+schema+hash) in CORRECTNESS_r16.json — freshest; these
-# sit out round 17's window provided their code does not change.
-# (dedup_paragraph, dedup_exact, and text_fingerprint — r16-green —
-# are EXCLUDED because
-# round-17 edits moved them to _MODIFIED_THIS_ROUND; the sets stay
-# disjoint so the simulated window arithmetic is exact.)
-_VERIFIED_R16 = frozenset(
+# Green last in CORRECTNESS_r16.json — 2 rounds stale; any window
+# slots left after tier 0 + tier 1 fill from here in registration
+# order, the remainder roll to round 19. (udf_pandas_tokens —
+# r16-green — is EXCLUDED: its round-18 NULL-hardening moved it to
+# _MODIFIED_THIS_ROUND; the sets stay disjoint so the simulated window
+# arithmetic is exact.)
+_VERIFIED_R16_ONLY = frozenset(
     """agg_approx agg_approx_percentile agg_bool_all agg_corr_exact
     agg_distinct agg_percentile agg_sketch_kmv decontaminate_semantic
     dedup_clusters dedup_semantic
@@ -115,8 +92,28 @@ _VERIFIED_R16 = frozenset(
     scan_project sim_ann_ivf_trained sim_hardneg sim_knn_graph
     stream_sliding text_bm25 text_lines text_scrub
     text_tfidf ts_anomaly udf_compat udf_compat_iterative
-    udf_pandas_tokens vocab_bpe_apply vocab_bpe_train win_dist
+    vocab_bpe_apply vocab_bpe_train win_dist
     win_gaps_islands word_count""".split()
+)
+
+# Green (rows+schema+hash) in CORRECTNESS_r17.json — freshest; these
+# sit out round 18's window provided their code does not change.
+# (pipeline_curriculum — r17-green — is EXCLUDED: its round-18
+# NULL-hardening moved it to _MODIFIED_THIS_ROUND.)
+_VERIFIED_R17 = frozenset(
+    """agg_pivot agg_q1 agg_sketch_hll agg_skew_salted decontaminate
+    dedup_exact dedup_incremental dedup_incremental_minhash
+    dedup_minhash dedup_paragraph dedup_substring dsir_select
+    events_transitions fn_map global_sort graph_pagerank graph_triangles
+    grouping_cube grouping_rollup join_broadcast join_multi join_outer
+    join_skew_salted lm_next_token min_unique_prefix mixture_weights
+    multimodal_decode multimodal_dedup multimodal_frames multimodal_meta
+    pipeline_clean_corpus pipeline_pack_sequences
+    pipeline_preference_pairs rank_fusion sample_reservoir
+    sample_stratified set_ops sim_ann_pq source_stats text_chunks
+    text_diversity text_fingerprint text_lm_score text_repetition
+    text_split topk_per_group unpivot_measures vocab_fertility
+    vocab_pair_counts""".split()
 )
 
 
@@ -124,11 +121,11 @@ def _staleness_tier(name: str) -> int:
     """0 = needs verification now … 3 = freshest verification."""
     if name in _MODIFIED_THIS_ROUND:
         return 0
-    if name in _VERIFIED_R14_ONLY:
-        return 1
     if name in _VERIFIED_R15_ONLY:
+        return 1
+    if name in _VERIFIED_R16_ONLY:
         return 2
-    if name in _VERIFIED_R16:
+    if name in _VERIFIED_R17:
         return 3
     return 0  # never driver-verified
 

@@ -579,7 +579,7 @@ def load_novelty_seed_index(
 
 
 def save_paragraph_seed_index(
-    path: str, seed_df, *, sf_dir: str | None = None
+    path: str, seed_df, *, sf_dir: str | None = None, boundary: str = "window"
 ) -> None:
     """Persist a `streaming.build_paragraph_seed_index` DataFrame —
     the batch paragraph-dedup keeper table (fp, keep_doc_id, keep_pos),
@@ -593,9 +593,19 @@ def save_paragraph_seed_index(
     broadcast-able, same as the novelty seed: ~40 bytes per distinct
     paragraph, loaded whole per executor (`streaming._para_seed_index`);
     beyond that, preload the state store (transformWithState
-    initialState) instead."""
+    initialState) instead.
+
+    `boundary` (r18): record WHICH paragraph boundary mode produced the
+    seed's fingerprints — pass the same value given to
+    `build_paragraph_seed_index`. Window-mode and newline-mode
+    fingerprints are disjoint hash spaces, so a consumer must be able
+    to refuse the wrong mode (`paragraph_dedup_stream` is window-only
+    and rejects a newline seed at construction) rather than silently
+    matching nothing."""
     import pyarrow as pa
 
+    if boundary not in ("window", "newline"):
+        raise ValueError(f"unknown paragraph boundary mode: {boundary!r}")
     pdf = seed_df.toPandas()
     _write(
         path,
@@ -609,7 +619,7 @@ def save_paragraph_seed_index(
                 ]
             )
         ),
-        {"n_rows": len(pdf)},
+        {"n_rows": len(pdf), "boundary": boundary},
         sf_dir,
     )
 

@@ -26,7 +26,8 @@ CURRICULUM_STAGES = 4  # quartile stages: short -> long
 @query(
     "pipeline_curriculum",
     oracle=f"""
-        WITH lens AS (SELECT doc_id, len({_TOK}) AS n_tokens FROM documents),
+        WITH lens AS (SELECT doc_id, coalesce(len({_TOK}), 0) AS n_tokens
+                      FROM documents),
         hist AS (SELECT n_tokens, count(*) AS c FROM lens GROUP BY n_tokens),
         cum AS (
             SELECT n_tokens,
@@ -63,9 +64,25 @@ def pipeline_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy(n_tokens) with map-side partials plus a narrow join; raw
     rows never enter a window. (The single-partition window over the
     histogram is the bounded-cardinality exception, same justification
-    as mixture_weights.)"""
+    as mixture_weights.)
+
+    NULL text counts as ZERO tokens (r18 NULL-hardening): without the
+    coalesce a NULL-text doc yields n_tokens = NULL, which silently
+    DROPS from both engines' equi-joins while also shifting every stage
+    boundary differently (Spark windows order NULLS FIRST, DuckDB NULLS
+    LAST, so the NULL histogram row's count lands on opposite ends of
+    the cumulative sum). No-content docs belong in the shortest-length
+    stage with the empty-text docs — same class, stage 1."""
     docs = table(spark, sf_dir, "documents")
-    lens = docs.select("doc_id", F.size(tokens("text")).alias("n_tokens"))
+    lens = docs.select(
+        "doc_id",
+        # coalesce the ARRAY, not size()'s result: size(NULL) is -1
+        # under spark.sql.legacy.sizeOfNull, so the array-level
+        # coalesce is the config-independent zero
+        F.size(
+            F.coalesce(tokens("text"), F.array().cast("array<string>"))
+        ).alias("n_tokens"),
+    )
     hist = lens.groupBy("n_tokens").agg(F.count(F.lit(1)).alias("c"))
     wcum = Window.orderBy("n_tokens").rowsBetween(
         Window.unboundedPreceding, Window.currentRow

@@ -243,11 +243,18 @@ def udf_pandas_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched pandas UDF tokenizer, oracle-matched against the SQL
     tokenizer — the template for Python-side text ops (real BPE, model
     scoring) that can't be expressed in SQL. Vectorized per Arrow batch;
-    never row-at-a-time Python."""
+    never row-at-a-time Python.
+
+    NULL text maps to NULL n_tokens (r18 NULL-hardening): the count
+    goes through pandas' NULLABLE Int32 so a NULL input row emits an
+    Arrow null instead of crashing the batch (plain ``astype("int32")``
+    raises IntCastingNaNError on the NaN that ``.str.len()`` yields for
+    None) — NULL-in/NULL-out is exactly the oracle's ``len(_TOK)`` and
+    the SQL twin ``text_tokens``'s ``F.size(tokens(...))`` semantics."""
 
     @pandas_udf("int")
     def n_tokens(s: pd.Series) -> pd.Series:
-        return s.str.lower().str.findall("[a-z0-9]+").str.len().astype("int32")
+        return s.str.lower().str.findall("[a-z0-9]+").str.len().astype("Int32")
 
     return table(spark, sf_dir, "documents").select(
         "doc_id", n_tokens("text").alias("n_tokens")

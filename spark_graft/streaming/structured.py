@@ -1232,9 +1232,17 @@ def dsir_score_stream(docs: DataFrame, ratios_path: str) -> DataFrame:
     # (an inlined tokens(text) tree would re-tokenize per element), and
     # the fold must reference a grams attribute
     staged = docs.select("doc_id", tokens("text").alias("ts")).select(
-        "doc_id", dsir_grams(F.col("ts")).alias("grams")
+        "doc_id",
+        # coalesce the ARRAY, not size()'s result (r18, ADVICE): under
+        # spark.sql.legacy.sizeOfNull=true size(NULL) is -1, not NULL,
+        # so a NULL-text doc would emit n_feat=-1; the array-level
+        # coalesce makes the zero-gram guard config-independent (same
+        # pattern as text_fingerprint's toks staging)
+        F.coalesce(
+            dsir_grams(F.col("ts")), F.array().cast("array<string>")
+        ).alias("grams"),
     )
-    n_feat = F.coalesce(F.size("grams"), F.lit(0)).cast("bigint")
+    n_feat = F.size("grams").cast("bigint")
     fold = F.aggregate(
         F.transform(
             F.col("grams"),
@@ -1286,7 +1294,9 @@ def dsir_score_stream(docs: DataFrame, ratios_path: str) -> DataFrame:
     )
 
 
-def build_paragraph_seed_index(docs: DataFrame) -> DataFrame:
+def build_paragraph_seed_index(
+    docs: DataFrame, boundary: str = "window"
+) -> DataFrame:
     """(fp, keep_doc_id, keep_pos): the batch paragraph-dedup KEEPER
     table of an admitted corpus — one row per distinct normalized
     paragraph md5 with its lexicographic first occurrence — i.e.
@@ -1301,10 +1311,18 @@ def build_paragraph_seed_index(docs: DataFrame) -> DataFrame:
     closed in r12). Paragraph content comes from the batch twin's
     paragraph_table, so seed fingerprints and stream fingerprints can
     never disagree; the table is localCheckpoint-staged for the same
-    InferFiltersFromGenerate reason dedup_paragraph documents."""
+    InferFiltersFromGenerate reason dedup_paragraph documents.
+
+    `boundary` is dedup_paragraph's boundary mode (r18, ADVICE item):
+    a seed built from a newline-mode batch dedup carries DIFFERENT
+    fingerprints than window-mode state, so the mode must travel with
+    the artifact — pass the same value to
+    `save_paragraph_seed_index(boundary=...)` so the meta records it
+    and `paragraph_dedup_stream` (window-only today) can REFUSE a
+    mismatched seed instead of silently never matching."""
     from spark_graft.operators.dedup import paragraph_table
 
-    base = paragraph_table(docs).localCheckpoint()
+    base = paragraph_table(docs, boundary).localCheckpoint()
     return (
         base.select("doc_id", F.posexplode("paras").alias("pos", "para"))
         .select(
@@ -1393,9 +1411,27 @@ def paragraph_dedup_stream(
         # (kind/format/payload-sha driver-side; plus the training-corpus
         # fingerprint when seed_sf_dir is given — the novelty gate's
         # contract verbatim)
-        from spark_graft.artifacts import load_paragraph_seed_index
+        from spark_graft.artifacts import (
+            ArtifactMismatch,
+            load_paragraph_seed_index,
+        )
 
-        load_paragraph_seed_index(seed_index_path, sf_dir=seed_sf_dir)
+        _, seed_meta = load_paragraph_seed_index(
+            seed_index_path, sf_dir=seed_sf_dir, return_meta=True
+        )
+        # this stream's state fingerprints are WINDOW-mode paragraphs;
+        # a newline-mode seed would never match (disjoint hash spaces)
+        # — refuse it instead of silently admitting every duplicate
+        # (r18, ADVICE item; pre-r18 seeds carry no boundary field and
+        # are window-built by construction)
+        seed_boundary = (seed_meta.get("params") or {}).get("boundary", "window")
+        if seed_boundary != "window":
+            raise ArtifactMismatch(
+                f"{seed_index_path}: seed built with paragraph boundary mode "
+                f"{seed_boundary!r}, but paragraph_dedup_stream matches "
+                "window-mode fingerprints — rebuild the seed with "
+                "build_paragraph_seed_index(boundary='window')"
+            )
 
     rows = (
         docs.select("doc_id", tokens("text").alias("toks"))

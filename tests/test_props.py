@@ -2821,3 +2821,57 @@ def test_dedup_paragraph_both_modes_random_corpus_vs_python(spark, tmp_path):
     # the random corpus must actually exercise dedup in both modes
     assert any(v[1] > 0 for v in eval_contract(win).values())
     assert any(v[1] > 0 for v in eval_contract(nl).values())
+
+
+def test_null_text_hardening_curriculum_and_pandas_tokens(spark, tmp_path):
+    """r18 NULL-hardening (2 more of the FIXTURES.md-flagged queries;
+    4 remain): on an out-of-fixture-contract corpus carrying a NULL
+    text row, pipeline_curriculum and udf_pandas_tokens must hash-match
+    their oracles. pipeline_curriculum counts NULL text as ZERO tokens
+    on both engines — the unhardened form both DROPPED the NULL row
+    from the stage equi-join and shifted every stage boundary
+    differently (Spark cumulative windows order NULLS FIRST, DuckDB
+    NULLS LAST); udf_pandas_tokens's pandas UDF goes through nullable
+    Int32 so NULL-in emits an Arrow null (the oracle's len(NULL)
+    semantics) instead of raising IntCastingNaNError mid-batch."""
+    import duckdb
+
+    from compare import assert_frames_match
+    from spark_graft.registry import REGISTRY
+
+    d = tmp_path / "nullsafe18"
+    d.mkdir()
+    spark.createDataFrame(
+        [
+            (1, None, "en", "s", 0),
+            (2, "", "en", "s", 0),
+            (3, "!!! ...", "en", "s", 7),       # tokenizes empty too
+            (4, "one two", "en", "s", 7),
+            (5, "one two three four five six", "en", "s", 27),
+            (6, "a b c d e f g h i j k l", "en", "s", 23),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
+    )
+    for name in ("pipeline_curriculum", "udf_pandas_tokens"):
+        sp = REGISTRY[name].fn(spark, str(d)).toPandas()
+        assert_frames_match(sp, con.execute(REGISTRY[name].oracle).df(), name)
+    # NULL text shares the ZERO-length bucket with the empty/punct-only
+    # docs (lengths 0,0,0,2,6,12: cum(0)=3 of 6 -> stage ceil(4*3/6)=2,
+    # same for all three) and the NULL row must APPEAR in the output,
+    # not drop from the join
+    stages = {
+        r["doc_id"]: (r["n_tokens"], r["stage"])
+        for r in REGISTRY["pipeline_curriculum"].fn(spark, str(d)).collect()
+    }
+    assert set(stages) == {1, 2, 3, 4, 5, 6}
+    assert stages[1] == (0, 2) and stages[1] == stages[2] == stages[3]
+    # and the pandas tokenizer is NULL-in/NULL-out like its SQL twin
+    toks = {
+        r["doc_id"]: r["n_tokens"]
+        for r in REGISTRY["udf_pandas_tokens"].fn(spark, str(d)).collect()
+    }
+    assert toks[1] is None and toks[2] == 0 and toks[5] == 6

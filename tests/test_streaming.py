@@ -3176,3 +3176,67 @@ def test_stateless_ingest_gates_plan_no_state_no_shuffle(spark, sf_dir, tmp_path
             assert "StateStore" not in p, (label, p)
             assert "Exchange" not in p, (label, p)
             assert "Generate" not in p, (label, p)  # no explode on the hot path
+
+
+def test_paragraph_seed_boundary_mode_travels_with_artifact(spark, tmp_path):
+    """r18 (ADVICE item): the paragraph boundary mode is part of a seed
+    artifact's identity — window-mode and newline-mode fingerprints are
+    disjoint hash spaces, so a newline-built seed fed to the
+    window-matching stream would silently never match (re-admitting
+    every known paragraph). The mode now travels in the artifact meta:
+    `paragraph_dedup_stream` REFUSES a newline seed at construction,
+    a window seed (explicit or pre-r18 default) is accepted, and the
+    saver rejects unknown modes outright."""
+    import pytest
+
+    from spark_graft.artifacts import (
+        ArtifactMismatch,
+        save_paragraph_seed_index,
+    )
+    from spark_graft.streaming import (
+        build_paragraph_seed_index,
+        paragraph_dedup_stream,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma\n\ndelta epsilon zeta eta theta iota kappa"),
+            (2, "one two three four five six seven eight nine ten"),
+        ],
+        "doc_id bigint, text string",
+    )
+    # the two modes genuinely fingerprint differently on this corpus
+    fps = {
+        b: {
+            r["fp"]
+            for r in build_paragraph_seed_index(corpus, boundary=b).collect()
+        }
+        for b in ("window", "newline")
+    }
+    assert fps["window"] != fps["newline"]
+
+    nl_path = str(tmp_path / "seed_nl")
+    save_paragraph_seed_index(
+        nl_path, build_paragraph_seed_index(corpus, boundary="newline"),
+        boundary="newline",
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src)
+    )
+    with pytest.raises(ArtifactMismatch, match="boundary mode 'newline'"):
+        paragraph_dedup_stream(stream, seed_index_path=nl_path)
+
+    ok_path = str(tmp_path / "seed_win")
+    save_paragraph_seed_index(
+        ok_path, build_paragraph_seed_index(corpus), boundary="window"
+    )
+    paragraph_dedup_stream(stream, seed_index_path=ok_path)  # accepted
+
+    with pytest.raises(ValueError, match="unknown paragraph boundary"):
+        save_paragraph_seed_index(
+            str(tmp_path / "seed_bad"),
+            build_paragraph_seed_index(corpus),
+            boundary="sentence",
+        )
