@@ -176,6 +176,54 @@ def doc_texts(rng: random.Random, n_docs: int, word=None) -> list[str]:
     return texts
 
 
+# text_nl boilerplate pool: canned paragraphs that repeat ACROSS
+# documents — the nav-chrome/cookie-banner/license-block shape whose
+# cross-page repetition is exactly what newline-mode paragraph dedup
+# (CCNet granularity) exists to remove. Lowercase alnum so they
+# normalize to themselves under the shared tokenizer.
+NL_BOILERPLATE = [
+    "accept all cookies to continue reading this site",
+    "copyright 2024 example corp all rights reserved worldwide",
+    "subscribe to our newsletter for weekly data updates",
+    "home products pricing docs blog about contact us",
+    "this page was generated automatically do not edit",
+    "share this article on your favorite social network",
+]
+
+
+def doc_texts_nl(texts: list[str], rng: random.Random) -> list[str]:
+    """Newline-marked variants of the document texts (VERDICT r17
+    item 3): the same word stream regrouped into blank-line-separated
+    paragraph BLOCKS (4-11 tokens each), with boilerplate paragraphs
+    from the shared NL_BOILERPLATE pool planted across ~45% of docs
+    (prepended and/or appended) and an occasional within-doc repeat of
+    the doc's own first block — so `dedup_paragraph(boundary="newline")`
+    has REAL cross-doc and within-doc duplicate paragraphs to find on
+    fixture data, not only on planted pytest corpora.
+
+    Driven by its OWN rng stream (callers pass a fresh Random seeded
+    independently of the main generator) so adding this column does not
+    shift a single draw of the pre-existing columns — regenerated
+    fixtures keep every other column's values bit-identical."""
+    out = []
+    for i, t in enumerate(texts):
+        words = t.split()
+        blocks: list[str] = []
+        if rng.random() < 0.35:
+            blocks.append(rng.choice(NL_BOILERPLATE))
+        j = 0
+        while j < len(words):
+            k = rng.randrange(4, 12)
+            blocks.append(" ".join(words[j : j + k]))
+            j += k
+        if words and rng.random() < 0.05:
+            blocks.append(blocks[1] if len(blocks) > 1 else blocks[0])
+        if rng.random() < 0.2:
+            blocks.append(rng.choice(NL_BOILERPLATE))
+        out.append("\n\n".join(blocks))
+    return out
+
+
 def gen(sf: float, out: str, seed: int = 42, doc_vocab: str = "bounded") -> None:
     rng = random.Random(seed)
     n = row_counts(sf)
@@ -360,8 +408,11 @@ def gen(sf: float, out: str, seed: int = 42, doc_vocab: str = "bounded") -> None
 
     # documents: see doc_texts — near-dup tail + families + empties;
     # vocabulary shape selected by doc_vocab (bounded mirrors the driver
-    # corpus; zipf is the open-vocabulary realism mode)
+    # corpus; zipf is the open-vocabulary realism mode). text_nl rides
+    # its own rng stream (doc_texts_nl's determinism note) so the r18
+    # column addition left every pre-existing column bit-identical.
     texts = doc_texts(rng, n["documents"], word_sampler(doc_vocab, n["documents"]))
+    texts_nl = doc_texts_nl(texts, random.Random(seed * 7919 + 18))
     write(
         "documents",
         {
@@ -370,6 +421,7 @@ def gen(sf: float, out: str, seed: int = 42, doc_vocab: str = "bounded") -> None
             "lang": [rng.choice(LANGS) for _ in range(n["documents"])],
             "source": [f"src{rng.randrange(20)}" for _ in range(n["documents"])],
             "n_chars": [rng.randrange(50, 500) for _ in range(n["documents"])],
+            "text_nl": texts_nl,
         },
         pa.schema(
             [
@@ -378,6 +430,7 @@ def gen(sf: float, out: str, seed: int = 42, doc_vocab: str = "bounded") -> None
                 ("lang", pa.string()),
                 ("source", pa.string()),
                 ("n_chars", pa.int64()),
+                ("text_nl", pa.string()),
             ]
         ),
     )

@@ -116,11 +116,14 @@ def main() -> None:
         what = (
             "VERDICT r17 item 4: the SAME sf1 replay as "
             "stream_state_sizing_r17 but under the RocksDB state-store "
-            "provider — stateMemory = rocksdbTotalMemoryUsage (pinned "
-            "blocks + memtable, the loaded working set); "
-            "rocksdbSstFileSize is the on-disk payload that spills "
-            "instead of living on-heap, the number that makes "
-            "vocabulary-scale state feasible."
+            "provider. memoryUsedBytes here is the loaded-version "
+            "MEMORY footprint (pyspark 4.1.2 does not emit "
+            "rocksdbTotalMemoryUsage; the probe keeps the key for "
+            "builds that do) — compare it to the HDFS provider's "
+            "all-on-heap bytes/row to see what moved off-heap; "
+            "sst_bytes_per_row is the on-DISK payload per distinct "
+            "key, the number that makes vocabulary-scale state "
+            "feasible."
         )
     else:
         what = (
@@ -153,6 +156,15 @@ def main() -> None:
             o["bytes_per_1M_keys_mb"] = (
                 round(mem / rows * 1_000_000 / 2**20, 1) if rows else None
             )
+            sst = o.get("rocksdbSstFileSize")
+            if rows and sst is not None:
+                # the RocksDB on-DISK payload per key — the number that
+                # replaces the HDFS provider's on-heap bytes/row in the
+                # 100 TB sizing argument
+                o["sst_bytes_per_row"] = round(sst / rows, 1)
+                o["sst_bytes_per_1M_keys_mb"] = round(
+                    sst / rows * 1_000_000 / 2**20, 1
+                )
         out[label] = {"wall_s": wall, "state": m}
         print(label, wall, "s", json.dumps(m))
 

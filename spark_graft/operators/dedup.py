@@ -2114,6 +2114,58 @@ def paragraph_dedup_frame(base: DataFrame) -> DataFrame:
     )
 
 
+def paragraph_newline_oracle(text_col: str = "text") -> str:
+    """DuckDB oracle for `dedup_paragraph(boundary="newline")` — the
+    blank-line-boundary twin of the declared window-mode oracle below,
+    parameterized on the text column so it can run over a
+    newline-marked fixture column (`text_nl`, scripts/gen_testdata.py,
+    r18) or a rewritten documents table. Block recipe mirrors
+    paragraph_table's newline arm exactly: split on 2+ consecutive
+    newlines, normalize each block with the shared tokenizer, drop
+    blocks that normalize empty; pos indexes the FILTERED block list.
+    NULL text yields a NULL block list -> generate_series(1, NULL)
+    unnests to zero rows -> the 0/'' no-paragraph row, matching the
+    Spark side's array-level coalesce. Kept as a module function (not
+    yet a declared @query) because the driver fixture's `text` carries
+    no newline marks — see FIXTURES.md; declaration is queued for a
+    round with driver-window budget."""
+    norm = (
+        f"list_filter(list_transform(regexp_split_to_array({text_col},"
+        " '\\n{2,}'), b -> array_to_string(list_filter("
+        "regexp_split_to_array(lower(b), '[^a-z0-9]+'), t -> t <> ''),"
+        " ' ')), p -> p <> '')"
+    )
+    return f"""
+        WITH parr AS (SELECT doc_id, {norm} AS ps FROM documents),
+        paras AS (
+            SELECT doc_id, i AS pos, ps[i] AS para
+            FROM parr, unnest(generate_series(1, len(ps))) AS u(i)
+        ),
+        ranked AS (
+            SELECT doc_id, pos, para,
+                   row_number() OVER (PARTITION BY md5(para)
+                                      ORDER BY doc_id, pos) AS rn
+            FROM paras
+        ),
+        agg AS (
+            SELECT doc_id,
+                   count(*) AS n_paras,
+                   count(CASE WHEN rn > 1 THEN 1 END) AS n_removed,
+                   coalesce(string_agg(CASE WHEN rn = 1 THEN para END,
+                                       ' ' ORDER BY pos), '') AS kept_text
+            FROM ranked GROUP BY doc_id
+        )
+        SELECT p.doc_id,
+               coalesce(a.n_paras, 0) AS n_paras,
+               coalesce(a.n_removed, 0) AS n_removed,
+               CASE WHEN a.n_paras IS NULL OR a.n_paras = 0 THEN 0
+                    ELSE (a.n_removed * {PARA_RATE_SCALE}) // a.n_paras
+               END AS removed_fx,
+               coalesce(a.kept_text, '') AS kept_text
+        FROM parr p LEFT JOIN agg a USING (doc_id)
+    """
+
+
 @query(
     "dedup_paragraph",
     oracle=f"""

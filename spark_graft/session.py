@@ -67,6 +67,22 @@ def get_spark(app_name: str = "spark-graft", shuffle_partitions: int | None = No
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Dlog4j2.level=warn")
     )
+    # Growing-state streams (the paragraph/novelty dedup gates) hold one
+    # state row per distinct key; the default HDFSBackedStateStore keeps
+    # that map ON-HEAP (~219 B/distinct paragraph measured at sf1 —
+    # BENCH_SF1 stream_state_sizing_r17). At vocabulary scale run the
+    # RocksDB provider: the r18 pilot (stream_state_sizing_rocksdb_r18,
+    # same sf1 replay, identical key counts and outputs) measured ~2.5 B
+    # on-heap + ~50 B on-disk SST per paragraph key (~87x less heap,
+    # ~6% wall overhead) — state spills instead of OOMing. Opt in with
+    # SPARK_GRAFT_STATE_STORE=rocksdb (any SparkSession conf works; the
+    # provider is read per streaming query at start).
+    if os.environ.get("SPARK_GRAFT_STATE_STORE", "").lower() == "rocksdb":
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming."
+            "state.RocksDBStateStoreProvider",
+        )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

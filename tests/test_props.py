@@ -2875,3 +2875,74 @@ def test_null_text_hardening_curriculum_and_pandas_tokens(spark, tmp_path):
         for r in REGISTRY["udf_pandas_tokens"].fn(spark, str(d)).collect()
     }
     assert toks[1] is None and toks[2] == 0 and toks[5] == 6
+
+
+def test_dedup_paragraph_newline_fixture_differential(spark, tmp_path):
+    """VERDICT r17 item 3: oracle-check `dedup_paragraph(
+    boundary="newline")` on REAL blank-line boundaries — the generated
+    fixture's `text_nl` column (scripts/gen_testdata.py, r18: blocks of
+    4-11 tokens separated by blank lines, with cross-doc boilerplate
+    paragraphs planted in ~45% of docs) — against the newline-mode
+    DuckDB oracle (`paragraph_newline_oracle`), the same strict
+    rows+schema+hash comparator the driver gate uses. Previously the
+    newline arm was exercised only on planted pytest corpora; this runs
+    it over a full 500-doc corpus shaped like a crawl."""
+    import os
+    import sys
+
+    import duckdb
+
+    from compare import assert_frames_match
+    from spark_graft.operators.dedup import paragraph_newline_oracle
+    from spark_graft.registry import REGISTRY
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from gen_testdata import gen
+
+    fix = tmp_path / "fixture"
+    gen(0.001, str(fix))
+    # a documents table whose `text` IS the newline-marked column, so
+    # the operator (which reads documents.text) sees real boundaries
+    nl_dir = tmp_path / "nl_docs"
+    nl_dir.mkdir()
+    con = duckdb.connect()
+    con.execute(
+        f"""COPY (SELECT doc_id, text_nl AS text, lang, source, n_chars
+                  FROM '{fix}/documents.parquet')
+            TO '{nl_dir}/documents.parquet' (FORMAT PARQUET)"""
+    )
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{nl_dir}/documents.parquet'"
+    )
+    sp = (
+        REGISTRY["dedup_paragraph"]
+        .fn(spark, str(nl_dir), boundary="newline")
+        .toPandas()
+    )
+    ora = con.execute(paragraph_newline_oracle()).df()
+    assert_frames_match(sp, ora, "dedup_paragraph_newline")
+    # the fixture must actually exercise the dedup: planted boilerplate
+    # repeats across docs, so removals happen and most docs multi-block
+    assert sp["n_removed"].sum() > 50
+    assert (sp["n_paras"] > 1).sum() > 400
+    # cross-DOC dups exist: some doc lost a paragraph it never repeats
+    # internally (its own paras are distinct yet something was removed)
+    import re
+
+    texts = con.execute(
+        "SELECT doc_id, text FROM documents ORDER BY doc_id"
+    ).fetchall()
+    removed = {r.doc_id: r.n_removed for r in sp.itertuples()}
+
+    def paras(t):
+        out = []
+        for b in re.split(r"\n{2,}", t or ""):
+            toks = [w for w in re.split(r"[^a-z0-9]+", b.lower()) if w]
+            if toks:
+                out.append(" ".join(toks))
+        return out
+
+    assert any(
+        removed[i] > 0 and len(set(paras(t))) == len(paras(t))
+        for i, t in texts
+    )

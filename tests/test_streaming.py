@@ -3240,3 +3240,63 @@ def test_paragraph_seed_boundary_mode_travels_with_artifact(spark, tmp_path):
             build_paragraph_seed_index(corpus),
             boundary="sentence",
         )
+
+
+def test_paragraph_gate_provider_independent_rocksdb(spark, tmp_path):
+    """r18 RocksDB pilot companion: the paragraph dedup gate must emit
+    the IDENTICAL drop set under the RocksDB state-store provider as
+    under the default HDFS-backed one — provider choice is a storage
+    decision (heap vs off-heap/disk, BENCH_SF1
+    stream_state_sizing_rocksdb_r18), never a semantics decision. Runs
+    the same replay twice, flipping only
+    spark.sql.streaming.stateStore.providerClass (read per query at
+    start), and compares full outputs."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_graft.streaming import paragraph_dedup_stream
+
+    A = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = [
+        (1, f"{A} unique first document prose right here"),
+        (2, f"{A} other trailing content of the second"),
+        (3, f"{A} {A}"),
+        (4, "completely novel paragraph window content here friends"),
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    t = pa.Table.from_pandas(
+        pd.DataFrame(
+            {"doc_id": [i for i, _ in docs], "text": [t for _, t in docs]}
+        ),
+        preserve_index=False,
+    ).cast(pa.schema([("doc_id", pa.int64()), ("text", pa.string())]))
+    pq.write_table(t, str(src / "docs.parquet"))
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming."
+        "state.RocksDBStateStoreProvider"
+    )
+    had = spark.conf.get(key, None)
+
+    def run():
+        stream = spark.readStream.schema("doc_id long, text string").parquet(
+            str(src)
+        )
+        out = run_stream_to_memory(
+            paragraph_dedup_stream(stream), mode="update"
+        ).toPandas()
+        return sorted(map(tuple, out.itertuples(index=False)))
+
+    try:
+        base = run()
+        spark.conf.set(key, rocks)
+        got = run()
+    finally:
+        if had is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, had)
+    assert base == got and len(base) > 0
