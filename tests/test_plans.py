@@ -1294,3 +1294,23 @@ def test_dsir_select_three_partial_aggs_broadcast_ratios(spark, sf_dir):
         if "Exchange hashpartitioning(g#" in l
     ]
     assert not ex_on_gram, physical
+
+
+def test_preference_rating_iterative_shape(spark, sf_dir):
+    """preference_rating's minorization loop (the R12 iterative-driver
+    family): judgments collapse to per-pair counts BEFORE the loop, the
+    per-round driver traffic is exactly the two renormalization scalars
+    (one .first(), no .collect()), rounds cut lineage with
+    localCheckpoint, and the returned frame is checkpoint-backed on
+    both join sides — no FileScan, no cartesian."""
+    import inspect
+
+    from spark_graft.operators import curriculum as cur
+
+    src = inspect.getsource(cur.preference_rating_frame)
+    assert "localCheckpoint" in src
+    assert src.count(".first()") == 1 and ".collect()" not in src
+    df = cur.preference_rating(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "FileScan" not in plan, plan
