@@ -67,6 +67,7 @@ _KINDS = {
     "paragraph_seed_index": "documents",
     "mixture_reference": "documents",
     "dsir_ratios": "documents",
+    "preference_ratings": "documents",
 }
 
 
@@ -693,3 +694,38 @@ def train_and_save_pq(spark, sf_dir: str, path: str):
     cb = _pq_codebooks(spark, e, int(first[0]) // PQ_M)
     save_pq_codebooks(path, cb, sf_dir=sf_dir)
     return cb
+
+
+def save_preference_ratings(path: str, ratings_df, *, sf_dir: str | None = None) -> None:
+    """Persist a fitted `operators.curriculum.preference_rating[_frame]`
+    result — (doc_id, rating_fx), the Bradley-Terry strength per rated
+    item — under the standard artifact contract. Feed the path to
+    `streaming.judgment_consistency_stream` to QA arriving pairwise
+    judgments against the frozen fitted order on ingest. O(rated items)
+    rows: bounded by sources x 2K for the default judgment stream, and
+    by the judged-item universe generally — the rating table of a
+    preference dataset, not of the corpus."""
+    import pyarrow as pa
+
+    pdf = ratings_df.toPandas()[["doc_id", "rating_fx"]]
+    if len(pdf) != len(set(pdf["doc_id"])):
+        raise ValueError("preference ratings carry duplicate doc_ids")
+    _write(
+        path,
+        "preference_ratings",
+        pa.Table.from_pandas(pdf, preserve_index=False).cast(
+            pa.schema([("doc_id", pa.int64()), ("rating_fx", pa.int64())])
+        ),
+        {"n_rows": len(pdf)},
+        sf_dir,
+    )
+
+
+def load_preference_ratings(
+    path: str, *, sf_dir: str | None = None, validate: bool | None = None
+):
+    """Load a preference-ratings artifact as a pyarrow Table after the
+    full artifact checks (kind, format_version, payload sha256, and —
+    with `sf_dir` — the training-corpus fingerprint)."""
+    t, _ = _read(path, "preference_ratings", sf_dir, validate)
+    return t

@@ -2036,3 +2036,74 @@ def topk_stream(docs: DataFrame) -> DataFrame:
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def judgment_consistency_stream(
+    judgments: DataFrame, ratings_path: str
+) -> DataFrame:
+    """Streaming annotator QA — score arriving pairwise preference
+    judgments against a FROZEN fitted Bradley-Terry order (the serving
+    half of `operators.curriculum.preference_rating`'s
+    fit-once/serve-many contract): each (chosen_id, rejected_id)
+    judgment broadcast-joins the persisted rating table
+    (`artifacts.save_preference_ratings`) on both legs and emits
+
+        (chosen_id, rejected_id, rating_chosen, rating_rejected,
+         margin_fx, verdict)
+
+    with verdict in {'consistent', 'contradicts', 'tie', 'unknown'}:
+    a judgment that inverts the fitted order flags 'contradicts' the
+    moment it lands — the annotator-drift / label-noise monitor a
+    preference-data pipeline wants ON the ingest stream, not in a
+    nightly audit ('unknown' = a leg the fit never rated, margin NULL
+    either way the fit can't margin it).
+
+    STATELESS: the rating table loads ONCE driver-side (full artifact
+    checks at stream construction — kind/format/sha, plus the
+    training-corpus fingerprint when the artifact was saved with one
+    and the caller validates) and enters the plan as a broadcast
+    static frame, so each micro-batch is two map-side
+    BroadcastHashJoins — no state store, no stream-side shuffle
+    (plan-pinned: StateStore-free and hashpartitioning-free), append
+    mode, throughput = map parallelism. The table is O(rated items) —
+    a preference DATASET's item universe, broadcast-able by
+    construction; a rating table past broadcast size would serve via
+    a bucketed warehouse table instead (the pagerank edge-layout
+    contract)."""
+    from spark_graft import artifacts
+
+    ratings = artifacts.load_preference_ratings(ratings_path).to_pandas()
+    spark = judgments.sparkSession
+    static = spark.createDataFrame(ratings, "doc_id bigint, rating_fx bigint")
+    rc = F.broadcast(
+        static.select(
+            F.col("doc_id").alias("chosen_id"),
+            F.col("rating_fx").alias("rating_chosen"),
+        )
+    )
+    rr = F.broadcast(
+        static.select(
+            F.col("doc_id").alias("rejected_id"),
+            F.col("rating_fx").alias("rating_rejected"),
+        )
+    )
+    joined = judgments.join(rc, "chosen_id", "left").join(
+        rr, "rejected_id", "left"
+    )
+    known = F.col("rating_chosen").isNotNull() & F.col(
+        "rating_rejected"
+    ).isNotNull()
+    return joined.select(
+        "chosen_id",
+        "rejected_id",
+        "rating_chosen",
+        "rating_rejected",
+        F.when(
+            known, F.col("rating_chosen") - F.col("rating_rejected")
+        ).alias("margin_fx"),
+        F.when(~known, F.lit("unknown"))
+        .when(F.col("rating_chosen") > F.col("rating_rejected"), F.lit("consistent"))
+        .when(F.col("rating_chosen") < F.col("rating_rejected"), F.lit("contradicts"))
+        .otherwise(F.lit("tie"))
+        .alias("verdict"),
+    )

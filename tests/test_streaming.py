@@ -3300,3 +3300,121 @@ def test_paragraph_gate_provider_independent_rocksdb(spark, tmp_path):
         else:
             spark.conf.set(key, had)
     assert base == got and len(base) > 0
+
+
+def test_judgment_consistency_stream_serves_frozen_fit(spark, tmp_path):
+    """r18, 19th streaming component: `judgment_consistency_stream`
+    scores arriving pairwise judgments against the persisted
+    Bradley-Terry fit — consistent/contradicts/tie/unknown verdicts,
+    exact margin_fx — and must (a) agree with the batch join over the
+    same rating table for EVERY verdict class, (b) plan as a stateless
+    broadcast map: no state store, no stream-side shuffle (only
+    BroadcastExchange for the O(items) rating table), and (c) refuse a
+    wrong-kind artifact at construction."""
+    import uuid
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from spark_graft.artifacts import (
+        ArtifactMismatch,
+        save_dsir_ratios,
+        save_preference_ratings,
+    )
+    from spark_graft.operators.curriculum import preference_rating_frame
+    from spark_graft.streaming import (
+        judgment_consistency_stream,
+        run_stream_to_memory,
+    )
+
+    # fit: A(1) >> B(2) >> C(3); D(4) never wins; E(5)/F(6) symmetric
+    # 1:1 so their ratings TIE exactly
+    fit_judgments = (
+        [(1, 2)] * 9 + [(2, 1)]
+        + [(2, 3)] * 9 + [(3, 2)]
+        + [(1, 3)] * 9 + [(3, 1)]
+        + [(1, 4)] * 5
+        + [(5, 6), (6, 5)]
+    )
+    fitted = preference_rating_frame(
+        spark.createDataFrame(
+            fit_judgments, "chosen_id bigint, rejected_id bigint"
+        )
+    )
+    ratings_path = str(tmp_path / "bt_ratings")
+    save_preference_ratings(ratings_path, fitted)
+    rating = {r["doc_id"]: r["rating_fx"] for r in fitted.collect()}
+    assert rating[5] == rating[6]  # the planted tie is real
+
+    # arriving judgments: one of each verdict class
+    arrive = [(1, 3), (3, 1), (5, 6), (1, 99)]
+    src = tmp_path / "judg_src"
+    src.mkdir()
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "chosen_id": [c for c, _ in arrive],
+                    "rejected_id": [r for _, r in arrive],
+                }
+            ),
+            preserve_index=False,
+        ).cast(
+            pa.schema([("chosen_id", pa.int64()), ("rejected_id", pa.int64())])
+        ),
+        str(src / "j.parquet"),
+    )
+    stream = spark.readStream.schema(
+        "chosen_id long, rejected_id long"
+    ).parquet(str(src))
+    out = {
+        (r["chosen_id"], r["rejected_id"]): (r["verdict"], r["margin_fx"])
+        for r in run_stream_to_memory(
+            judgment_consistency_stream(stream, ratings_path), mode="append"
+        ).collect()
+    }
+    m = rating[1] - rating[3]
+    assert out == {
+        (1, 3): ("consistent", m),
+        (3, 1): ("contradicts", -m),
+        (5, 6): ("tie", 0),
+        (1, 99): ("unknown", None),
+    }
+
+    # plan pin: stateless broadcast map. (foreachBatch hands this
+    # join-bearing micro-batch over as an already-executed
+    # Scan ExistingRDD, hiding the shape — read the last micro-batch's
+    # physical plan off the streaming query itself instead.)
+    stream2 = spark.readStream.schema(
+        "chosen_id long, rejected_id long"
+    ).parquet(str(src))
+    q = (
+        judgment_consistency_stream(stream2, ratings_path)
+        .writeStream.format("memory")
+        .queryName(f"judg_plan_{uuid.uuid4().hex[:6]}")
+        .outputMode("append")
+        .option(
+            "checkpointLocation",
+            str(tmp_path / f"judg_ckpt_{uuid.uuid4().hex[:6]}"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    p = q._jsq.explainInternal(False)
+    assert "StateStore" not in p, p
+    assert "hashpartitioning" not in p, p  # no stream-side shuffle
+    assert "BroadcastHashJoin" in p, p
+
+    # wrong-kind artifact refused at construction
+    wrong = str(tmp_path / "not_ratings")
+    save_dsir_ratios(
+        wrong,
+        spark.createDataFrame(
+            [(i, 1_000_000) for i in range(64)], "dim int, w bigint"
+        ),
+    )
+    with pytest.raises(ArtifactMismatch, match="kind"):
+        judgment_consistency_stream(stream2, wrong)
