@@ -388,6 +388,15 @@ def preference_rating_frame(pairs: DataFrame, rounds: int = BT_ROUNDS) -> DataFr
         )
         .localCheckpoint()
     )
+    if items.isEmpty():
+        # no judgments -> no rated items; short-circuit before the
+        # round loop would interpolate a NULL renorm total into SQL
+        return items.select(
+            F.col("i").alias("doc_id"),
+            F.col("wins").alias("n_wins"),
+            F.col("games").alias("n_games"),
+            F.col("wins").alias("rating_fx"),
+        )
     r = items.select("i", F.lit(S).cast("bigint").alias("p"))
     for _ in range(rounds):
         pi = r.select(F.col("i").alias("ii"), F.col("p").alias("p_i"))

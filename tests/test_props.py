@@ -3035,3 +3035,20 @@ def test_preference_rating_planted_vs_python_reference(spark):
     # the rating uses ALL judgments, not just the sign: the minority
     # (flipped) judgments keep every rating strictly inside (0, max)
     assert ratings[3] > ratings[4] >= 0
+
+
+def test_preference_rating_empty_and_self_judgments(spark):
+    """Degenerate inputs: an empty judgment stream (or one made
+    entirely of self-judgments, which the frame filters) yields an
+    EMPTY rating table with the output schema intact — not a SQL
+    error from interpolating a NULL renormalization total."""
+    from spark_graft.operators.curriculum import preference_rating_frame
+
+    empty = spark.createDataFrame([], "chosen_id bigint, rejected_id bigint")
+    selfj = spark.createDataFrame(
+        [(7, 7), (8, 8)], "chosen_id bigint, rejected_id bigint"
+    )
+    for pairs in (empty, selfj):
+        out = preference_rating_frame(pairs)
+        assert out.columns == ["doc_id", "n_wins", "n_games", "rating_fx"]
+        assert out.count() == 0
