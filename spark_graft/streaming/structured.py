@@ -2039,7 +2039,11 @@ def topk_stream(docs: DataFrame) -> DataFrame:
 
 
 def judgment_consistency_stream(
-    judgments: DataFrame, ratings_path: str
+    judgments: DataFrame,
+    ratings_path: str,
+    *,
+    sf_dir: str | None = None,
+    validate: bool | None = None,
 ) -> DataFrame:
     """Streaming annotator QA — score arriving pairwise preference
     judgments against a FROZEN fitted Bradley-Terry order (the serving
@@ -2059,9 +2063,10 @@ def judgment_consistency_stream(
     either way the fit can't margin it).
 
     STATELESS: the rating table loads ONCE driver-side (full artifact
-    checks at stream construction — kind/format/sha, plus the
-    training-corpus fingerprint when the artifact was saved with one
-    and the caller validates) and enters the plan as a broadcast
+    checks at stream construction — kind/format/sha; pass `sf_dir` /
+    `validate` to also enforce the training-corpus fingerprint, the
+    same serve-time staleness contract as every artifact consumer)
+    and enters the plan as a broadcast
     static frame, so each micro-batch is two map-side
     BroadcastHashJoins — no state store, no stream-side shuffle
     (plan-pinned: StateStore-free and hashpartitioning-free), append
@@ -2072,7 +2077,9 @@ def judgment_consistency_stream(
     contract)."""
     from spark_graft import artifacts
 
-    ratings = artifacts.load_preference_ratings(ratings_path).to_pandas()
+    ratings = artifacts.load_preference_ratings(
+        ratings_path, sf_dir=sf_dir, validate=validate
+    ).to_pandas()
     spark = judgments.sparkSession
     static = spark.createDataFrame(ratings, "doc_id bigint, rating_fx bigint")
     rc = F.broadcast(

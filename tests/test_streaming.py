@@ -3418,3 +3418,51 @@ def test_judgment_consistency_stream_serves_frozen_fit(spark, tmp_path):
     )
     with pytest.raises(ArtifactMismatch, match="kind"):
         judgment_consistency_stream(stream2, wrong)
+
+
+def test_dsir_score_stream_null_text_is_zero_gram_class(spark, sf_dir, tmp_path):
+    """r18 (ADVICE item companion): a NULL-text doc arriving at the
+    DSIR ingest gate must land in the zero-gram class — n_feat = 0,
+    score = 0, keep = false — exactly like empty text, because the
+    grams ARRAY is coalesced (dsir_grams(NULL) is NULL; an
+    un-coalesced size() would emit NULL n_feat, or -1 under
+    spark.sql.legacy.sizeOfNull)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_graft.artifacts import save_dsir_ratios
+    from spark_graft.operators.pipeline import dsir_feat_table, dsir_ratio_table
+    from spark_graft.sources import table
+    from spark_graft.streaming import dsir_score_stream, run_stream_to_memory
+
+    ratios_path = str(tmp_path / "nulltext_ratios")
+    save_dsir_ratios(
+        ratios_path,
+        dsir_ratio_table(
+            dsir_feat_table(table(spark, sf_dir, "documents")).localCheckpoint(),
+            dense=True,
+        ),
+    )
+    src = tmp_path / "nulltext_src"
+    src.mkdir()
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.DataFrame(
+                {"doc_id": [1, 2, 3], "text": [None, "", "spark data rows"]}
+            ),
+            preserve_index=False,
+        ).cast(pa.schema([("doc_id", pa.int64()), ("text", pa.string())])),
+        str(src / "d.parquet"),
+    )
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src)
+    )
+    out = {
+        r["doc_id"]: (r["n_feat"], r["score"], r["keep"])
+        for r in run_stream_to_memory(
+            dsir_score_stream(stream, ratios_path), mode="append"
+        ).collect()
+    }
+    assert out[1] == (0, 0, False) and out[1] == out[2]
+    assert out[3][0] > 0
