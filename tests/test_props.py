@@ -3052,3 +3052,67 @@ def test_preference_rating_empty_and_self_judgments(spark):
         out = preference_rating_frame(pairs)
         assert out.columns == ["doc_id", "n_wins", "n_games", "rating_fx"]
         assert out.count() == 0
+
+
+def test_preference_rating_random_graphs_vs_python_reference(spark):
+    """Seeded randomized cross-check of the full Bradley-Terry integer
+    contract (the dedup_paragraph randomized-cross-check discipline):
+    three random judgment graphs — including DISCONNECTED components,
+    repeated pairs, mutual (contradictory) judgments, and heavy skew —
+    must match the pure-Python arbitrary-precision replay BIT-exactly.
+    Randomized shapes catch floor/renormalization edge interactions a
+    single planted graph cannot."""
+    import random
+
+    from spark_graft.operators.curriculum import (
+        BT_ROUNDS,
+        BT_SCALE,
+        preference_rating_frame,
+    )
+
+    def bt_ref(js, rounds=BT_ROUNDS, S=BT_SCALE):
+        from collections import Counter
+
+        d = Counter((c, r) for c, r in js if c != r)
+        keys = {k for k in d} | {(j, i) for i, j in d}
+        g = {k: d.get(k, 0) for k in keys}
+        n = {(i, j): g[(i, j)] + g[(j, i)] for (i, j) in keys}
+        items = sorted({i for i, _ in keys})
+        wins = {i: sum(w for (a, _), w in g.items() if a == i) for i in items}
+        games = {i: sum(n[k] for k in keys if k[0] == i) for i in items}
+        p = {i: S for i in items}
+        for _ in range(rounds):
+            den = {
+                i: sum(
+                    (n[(a, j)] * S * S) // (p[a] + p[j])
+                    for (a, j) in keys
+                    if a == i
+                )
+                for i in items
+            }
+            u = {i: max((wins[i] * S * S) // den[i], 1) for i in items}
+            tot, m = sum(u.values()), len(items)
+            p = {i: (u[i] * m * S) // tot for i in items}
+        return {i: (wins[i], games[i], p[i]) for i in items}
+
+    for seed in (7, 18, 2026):
+        rng = random.Random(seed)
+        judgments = []
+        # two disconnected communities (1..12 and 100..106) plus a
+        # dominant item that wins nearly everything it plays
+        for _ in range(250):
+            a, b = rng.sample(range(1, 13), 2)
+            judgments.append((a, b) if rng.random() < 0.7 else (b, a))
+        for _ in range(60):
+            a, b = rng.sample(range(100, 107), 2)
+            judgments.append((a, b))
+        judgments += [(1, rng.randrange(2, 13)) for _ in range(40)]
+        got = {
+            r["doc_id"]: (r["n_wins"], r["n_games"], r["rating_fx"])
+            for r in preference_rating_frame(
+                spark.createDataFrame(
+                    judgments, "chosen_id bigint, rejected_id bigint"
+                )
+            ).collect()
+        }
+        assert got == bt_ref(judgments), seed
