@@ -341,6 +341,15 @@ def preference_rating_frame(pairs: DataFrame, rounds: int = BT_ROUNDS) -> DataFr
     test keeps the oracle an unrolled CTE chain; on the fixture the
     ranking is stable from round 3 (property-tested).
 
+    Headroom: the rating itself stays int64 — post-renormalization
+    p <= m*S (all mass on one item), and the PRE-norm update is
+    bounded by u <= 2*m*S (den_i >= n_i*S^2 / (2*max_p) with
+    max_p <= m*S from the previous round's renorm), so the
+    CAST(... AS BIGINT) holds to ~4.6e12 RATED ITEMS at S = 10^6 —
+    three orders past any preference dataset's item universe; the
+    corpus-scale quantities (judgment counts, sums of terms) ride
+    DECIMAL(38,0)/HUGEINT throughout.
+
     Scale shape (the R12 iterative-driver family, quality_classifier's
     contract): the judgment aggregation is one groupBy on (i, j); the
     per-round work is two broadcast-able joins of the games table
