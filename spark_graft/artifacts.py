@@ -68,6 +68,7 @@ _KINDS = {
     "mixture_reference": "documents",
     "dsir_ratios": "documents",
     "preference_ratings": "documents",
+    "curriculum_thresholds": "documents",
 }
 
 
@@ -729,3 +730,38 @@ def load_preference_ratings(
     with `sf_dir` — the training-corpus fingerprint)."""
     t, _ = _read(path, "preference_ratings", sf_dir, validate)
     return t
+
+
+def save_curriculum_thresholds(path: str, thresholds, *, sf_dir: str | None = None) -> None:
+    """Persist a fitted curriculum stage map — the CURRICULUM_STAGES-1
+    length thresholds `operators.curriculum.curriculum_thresholds`
+    derives from a fit corpus (L_k = min token length whose fitted
+    stage exceeds k; CURRICULUM_SENTINEL when none does) — so
+    `streaming.curriculum_stage_stream` can assign training stages on
+    ingest with the EXACT fitted quantile boundaries. O(stages) ints:
+    the whole model bakes into the serving plan as literals."""
+    import pyarrow as pa
+
+    ts = [int(t) for t in thresholds]
+    if ts != sorted(ts):
+        raise ValueError(f"curriculum thresholds must be nondecreasing: {ts}")
+    _write(
+        path,
+        "curriculum_thresholds",
+        pa.table(
+            {"k": list(range(1, len(ts) + 1)), "max_len": ts},
+            schema=pa.schema([("k", pa.int32()), ("max_len", pa.int64())]),
+        ),
+        {"n_stages": len(ts) + 1},
+        sf_dir,
+    )
+
+
+def load_curriculum_thresholds(
+    path: str, *, sf_dir: str | None = None, validate: bool | None = None
+) -> list[int]:
+    """The fitted [u_1..u_{S-1}] length thresholds after the full
+    artifact checks, ordered by k."""
+    t, _ = _read(path, "curriculum_thresholds", sf_dir, validate)
+    rows = sorted(zip(t["k"].to_pylist(), t["max_len"].to_pylist()))
+    return [int(v) for _, v in rows]

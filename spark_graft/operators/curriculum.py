@@ -530,3 +530,61 @@ def preference_rating_oracle(rounds: int = BT_ROUNDS) -> str:
         FROM items it JOIN r{rounds} ON it.i = r{rounds}.i"""
     )
     return "".join(parts)
+
+
+CURRICULUM_SENTINEL = 2**62  # "no fitted length reaches stage > k"
+
+
+def curriculum_thresholds(spark: SparkSession, sf_dir: str) -> list[int]:
+    """The fitted curriculum stage map as CURRICULUM_STAGES-1 length
+    thresholds: L_k = MIN n_tokens whose fitted quartile stage
+    exceeds k (CURRICULUM_SENTINEL when no fitted length does). The
+    serving rule stage(v) = 1 + #{k : v >= L_k} reproduces the batch
+    stage function EXACTLY on every fitted length — stage is monotone
+    in length, so v >= L_k iff stage(v) > k — and extends it as the
+    batch cum() step function to lengths the fit corpus never saw:
+    between fitted lengths v takes the floor-fitted stage (cum only
+    jumps AT fitted lengths), above the fitted maximum the maximum
+    fitted stage, and below the fitted minimum stage 1 (shortest goes
+    first — the serving convention for out-of-support shortness; the
+    batch formula is 0/undefined there). Persist with
+    `artifacts.save_curriculum_thresholds` and serve with
+    `streaming.curriculum_stage_stream`; the driver pull is O(stages)
+    ints (the fit-once/serve-many artifact for pipeline_curriculum,
+    like dsir_ratio_table is for dsir_select)."""
+    docs = table(spark, sf_dir, "documents")
+    lens = docs.select(
+        F.size(
+            F.coalesce(tokens("text"), F.array().cast("array<string>"))
+        ).alias("n_tokens"),
+    )
+    hist = lens.groupBy("n_tokens").agg(F.count(F.lit(1)).alias("c"))
+    wcum = Window.orderBy("n_tokens").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    stages = hist.select(
+        "n_tokens",
+        F.sum("c").over(wcum).alias("cum_c"),
+        F.sum("c").over(wall).alias("n_total"),
+    ).select(
+        "n_tokens",
+        F.expr(
+            f"({CURRICULUM_STAGES} * cum_c + n_total - 1) div n_total"
+        ).alias("stage"),
+    )
+    # O(stages) driver pull: one min per stage bucket
+    per_stage = {
+        r["stage"]: r["mn"]
+        for r in stages.groupBy("stage")
+        .agg(F.min("n_tokens").alias("mn"))
+        .collect()
+    }
+    out = []
+    best = CURRICULUM_SENTINEL
+    for k in range(CURRICULUM_STAGES - 1, 0, -1):
+        # L_k = min length with stage > k: scan stages high to low
+        if k + 1 in per_stage:
+            best = min(best, per_stage[k + 1])
+        out.append(best)
+    return list(reversed(out))

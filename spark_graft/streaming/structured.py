@@ -2114,3 +2114,57 @@ def judgment_consistency_stream(
         .otherwise(F.lit("tie"))
         .alias("verdict"),
     )
+
+
+def curriculum_stage_stream(
+    docs: DataFrame,
+    thresholds_path: str,
+    *,
+    sf_dir: str | None = None,
+    validate: bool | None = None,
+) -> DataFrame:
+    """Streaming curriculum stage assignment — the serving half of
+    `operators.curriculum.pipeline_curriculum`'s fit-once/serve-many
+    contract: arriving documents take their training stage 1..4 from
+    the FROZEN quantile boundaries of the fit corpus
+    (`operators.curriculum.curriculum_thresholds` persisted via
+    `artifacts.save_curriculum_thresholds`), so an ingest pipeline can
+    route documents into stage buckets the moment they land — the
+    schedule does not drift as the arriving mixture does (recompute
+    and redeploy the artifact to re-anchor, exactly the DSIR serving
+    posture).
+
+    Emits (doc_id, n_tokens, stage) with
+    stage(v) = 1 + sum_k [v >= L_k] over the fitted L_k = min length
+    whose stage exceeds k: the batch stage function EXACTLY on every
+    fitted length (stage is monotone, so v >= L_k iff stage(v) > k —
+    equivalence-tested over the fit corpus) and the batch cum() step
+    extension elsewhere — between fitted lengths the floor-fitted
+    stage, above the fitted maximum the maximum fitted stage, below
+    the fitted minimum stage 1 (shortest goes first). NULL text counts
+    as zero tokens (the batch twin's r18 NULL rule, array-level
+    coalesce).
+
+    STATELESS, and not even a join: the whole fitted model is
+    CURRICULUM_STAGES-1 ints baked into the plan as literals (the
+    dsir_score_stream posture, smaller) — no state store, no shuffle,
+    no broadcast, pure codegen comparisons; throughput is map
+    parallelism at any scale."""
+    from spark_graft import artifacts
+    from spark_graft.functions import tokens
+
+    us = artifacts.load_curriculum_thresholds(
+        thresholds_path, sf_dir=sf_dir, validate=validate
+    )
+    n_tokens = F.size(
+        F.coalesce(tokens("text"), F.array().cast("array<string>"))
+    ).cast("bigint")
+    staged = docs.select("doc_id", n_tokens.alias("n_tokens"))
+    stage = F.lit(1)
+    for u in us:
+        stage = stage + F.when(
+            F.col("n_tokens") >= F.lit(int(u)), 1
+        ).otherwise(0)
+    return staged.select(
+        "doc_id", "n_tokens", stage.cast("bigint").alias("stage")
+    )

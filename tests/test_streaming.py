@@ -3466,3 +3466,153 @@ def test_dsir_score_stream_null_text_is_zero_gram_class(spark, sf_dir, tmp_path)
     }
     assert out[1] == (0, 0, False) and out[1] == out[2]
     assert out[3][0] > 0
+
+
+def test_curriculum_stage_stream_serves_frozen_quantiles(spark, sf_dir, tmp_path):
+    """r18, 20th streaming component: `curriculum_stage_stream` must
+    (a) reproduce batch `pipeline_curriculum` EXACTLY when the fit
+    corpus itself is replayed (the threshold encoding L_k = min length
+    with stage > k is a lossless rewrite of the monotone stage
+    function), (b) step-extend to unseen lengths — between fitted
+    lengths the floor-fitted stage, above-max the max fitted stage,
+    below-min stage 1, with empty leading stages (a shortest bucket
+    that already spans quartiles) exercised, (c) plan as a pure
+    stateless map: no
+    state store, no Exchange, no Generate, and (d) refuse a
+    wrong-kind artifact."""
+    import uuid
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from spark_graft.artifacts import (
+        ArtifactMismatch,
+        save_curriculum_thresholds,
+        save_preference_ratings,
+    )
+    from spark_graft.operators.curriculum import curriculum_thresholds
+    from spark_graft.registry import REGISTRY
+    from spark_graft.sources import table
+    from spark_graft.streaming import (
+        curriculum_stage_stream,
+        run_stream_to_memory,
+    )
+
+    # (a) fit on the fixture, replay the fixture
+    th_path = str(tmp_path / "cur_thresholds")
+    save_curriculum_thresholds(
+        th_path, curriculum_thresholds(spark, sf_dir), sf_dir=sf_dir
+    )
+    src = tmp_path / "cur_src"
+    src.mkdir()
+    pdf = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .toPandas()
+    )
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False).cast(
+            pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+        ),
+        str(src / "d.parquet"),
+    )
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src)
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["stage"])
+        for r in run_stream_to_memory(
+            curriculum_stage_stream(stream, th_path, sf_dir=sf_dir),
+            mode="append",
+        ).collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_tokens"], r["stage"])
+        for r in REGISTRY["pipeline_curriculum"].fn(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0
+
+    # (b) planted fit with an EMPTY leading stage: 6 docs at length 2
+    # (cum 6/10 -> stage 3: stages 1-2 empty), 4 at length 9 (stage 4)
+    planted = spark.createDataFrame(
+        [(i, "a b") for i in range(6)]
+        + [(i, "c " * 9) for i in range(6, 10)],
+        "doc_id bigint, text string",
+    )
+    th2 = str(tmp_path / "cur_th_planted")
+    d2 = tmp_path / "planted_docs"
+    d2.mkdir()
+    planted.write.mode("overwrite").parquet(str(d2 / "documents.parquet"))
+    save_curriculum_thresholds(th2, curriculum_thresholds(spark, str(d2)))
+    arrive = [(100, None), (101, "x"), (102, "a b"), (103, "w " * 5), (104, "w " * 40)]
+    src2 = tmp_path / "cur_src2"
+    src2.mkdir()
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.DataFrame(
+                {"doc_id": [i for i, _ in arrive], "text": [t for _, t in arrive]}
+            ),
+            preserve_index=False,
+        ).cast(pa.schema([("doc_id", pa.int64()), ("text", pa.string())])),
+        str(src2 / "d.parquet"),
+    )
+    stream2 = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src2)
+    )
+    got2 = {
+        r["doc_id"]: (r["n_tokens"], r["stage"])
+        for r in run_stream_to_memory(
+            curriculum_stage_stream(stream2, th2), mode="append"
+        ).collect()
+    }
+    # fitted stages: len 2 -> 3, len 9 -> 4, so L1 = L2 = 2, L3 = 9.
+    # Unseen: NULL/1-token below min -> stage 1 (shortest goes first);
+    # len 5 between fitted lengths -> floor-fitted stage (3); len 40
+    # above max -> the max fitted stage (4)
+    assert got2 == {
+        100: (0, 1),
+        101: (1, 1),
+        102: (2, 3),
+        103: (5, 3),
+        104: (40, 4),
+    }
+
+    # (c) stateless pure-map plan (no join at all, so foreachBatch
+    # shows the real micro-batch operators)
+    stream3 = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src)
+    )
+    plans = []
+
+    def sink(bdf, bid):
+        plans.append(bdf._jdf.queryExecution().executedPlan().toString())
+        bdf.count()
+
+    q = (
+        curriculum_stage_stream(stream3, th_path)
+        .writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option(
+            "checkpointLocation",
+            str(tmp_path / f"cur_ckpt_{uuid.uuid4().hex[:6]}"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert plans
+    for p in plans:
+        assert "StateStore" not in p, p
+        assert "Exchange" not in p, p
+        assert "Generate" not in p, p
+
+    # (d) wrong-kind artifact refused
+    wrong = str(tmp_path / "cur_wrong_kind")
+    save_preference_ratings(
+        wrong,
+        spark.createDataFrame([(1, 5)], "doc_id bigint, rating_fx bigint"),
+    )
+    with pytest.raises(ArtifactMismatch, match="kind"):
+        curriculum_stage_stream(stream3, wrong)
