@@ -31,6 +31,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--n", type=int, default=50)
+    ap.add_argument("names", nargs="*", help="gate only these queries")
     args = ap.parse_args()
 
     import duckdb
@@ -52,7 +53,7 @@ def main() -> None:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{args.sf_dir}/{t}.parquet'"
         )
-    names = list(qs)[: args.n]
+    names = args.names if args.names else list(qs)[: args.n]
     n_pass = n_fail = 0
     for name in names:
         t0 = time.perf_counter()

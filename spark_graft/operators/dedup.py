@@ -1543,23 +1543,29 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf1 (>9 min), while this one re-runs the pair CTE plus two joins."""
     emb = table(spark, sf_dir, "embeddings").select("vec_id")
     pairs = dedup_embedding(spark, sf_dir).select("vec_a", "vec_b")
-    deg = (
-        pairs.select(F.col("vec_a").alias("vec_id"))
-        .unionAll(pairs.select(F.col("vec_b").alias("vec_id")))
-        .groupBy("vec_id")
-        .agg(F.count(F.lit(1)).alias("_n"))
+    # ONE reference to `pairs`, ONE aggregation, ONE join (r18): the
+    # previous deg-union (2 refs) + dropped-distinct (a 3rd ref) each
+    # embedded — and re-executed — the full trained-cell pair-discovery
+    # pipeline (exchange reuse does not fire across the differently
+    # pruned subtrees). Exploding each pair into both endpoints with an
+    # is_b flag lets a single groupBy produce degree AND dropped-ness:
+    # n_dups = count of endpoint rows (== union count), dropped iff the
+    # vector ever appears as vec_b (max(is_b)) — bit-identical outputs.
+    ends = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("vec_a").alias("vec_id"), F.lit(False).alias("is_b")),
+                F.struct(F.col("vec_b").alias("vec_id"), F.lit(True).alias("is_b")),
+            )
+        ).alias("e")
+    ).select("e.vec_id", "e.is_b")
+    agg = ends.groupBy("vec_id").agg(
+        F.count(F.lit(1)).alias("_n"), F.max("is_b").alias("_drop")
     )
-    dropped = pairs.select(F.col("vec_b").alias("vec_id")).distinct().withColumn(
-        "_drop", F.lit(True)
-    )
-    return (
-        emb.join(deg, "vec_id", "left")
-        .join(dropped, "vec_id", "left")
-        .select(
-            "vec_id",
-            F.coalesce("_n", F.lit(0)).alias("n_dups"),
-            F.col("_drop").isNull().alias("keep"),
-        )
+    return emb.join(agg, "vec_id", "left").select(
+        "vec_id",
+        F.coalesce("_n", F.lit(0)).alias("n_dups"),
+        (~F.coalesce("_drop", F.lit(False))).alias("keep"),
     )
 
 

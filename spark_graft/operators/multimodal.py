@@ -398,9 +398,18 @@ def multimodal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    partners = pairs.select(F.col("da").alias("doc_id"), F.col("db").alias("p")).unionByName(
-        pairs.select(F.col("db").alias("doc_id"), F.col("da").alias("p"))
-    )
+    # ONE reference to `pairs` (r18): the two-branch union re-executed
+    # the band-bucket + chunked-pair-verify pipeline once per branch;
+    # exploding each pair into both (doc, partner) directions yields the
+    # identical multiset from a single pass.
+    partners = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("da").alias("doc_id"), F.col("db").alias("p")),
+                F.struct(F.col("db").alias("doc_id"), F.col("da").alias("p")),
+            )
+        ).alias("e")
+    ).select("e.doc_id", "e.p")
     agg = partners.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_neardups"), F.min("p").alias("nearest_id")
     )
@@ -800,16 +809,27 @@ def pipeline_media_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    deg = (
-        pairs.select(F.col("da").alias("doc_id"))
-        .unionByName(pairs.select(F.col("db").alias("doc_id")))
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_near_partners"))
+    # ONE reference to `pairs`, ONE aggregation, ONE join (r18): the
+    # deg-union (2 refs) + dropped-distinct (3rd ref) re-executed the
+    # band/verify pair pipeline per reference. A doc drops iff it ever
+    # appears as the greater id db (max(is_b)); its degree is its
+    # endpoint count — same values as the union + anti-join form.
+    ends = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("da").alias("doc_id"), F.lit(False).alias("is_b")),
+                F.struct(F.col("db").alias("doc_id"), F.lit(True).alias("is_b")),
+            )
+        ).alias("e")
+    ).select("e.doc_id", "e.is_b")
+    nd = ends.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_near_partners"), F.max("is_b").alias("_drop")
     )
-    dropped = pairs.select(F.col("db").alias("doc_id")).distinct()
 
-    kept = surv.join(dropped, "doc_id", "left_anti")
-    return kept.join(deg, "doc_id", "left").select(
+    kept = surv.join(nd, "doc_id", "left").filter(
+        ~F.coalesce("_drop", F.lit(False))
+    )
+    return kept.select(
         "doc_id",
         "digest",
         "kind",

@@ -1795,9 +1795,13 @@ def pipeline_train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(thin.withColumnsRenamed({"doc_id": "doc_b", "split": "split_b"}), "doc_b")
         .filter(F.col("split_a") != F.col("split_b"))
     )
+    # ONE reference to `cross`: a two-branch union would embed — and
+    # execute — the entire upstream minhash band/verify DAG once per
+    # branch (measured r18: 40 Exchanges in the plan ≈ 2x dedup_minhash's
+    # 14 + own; the explode halves the query). Same multiset of split
+    # labels, so the counts are bit-identical.
     leaks = (
-        cross.select(F.col("split_a").alias("split"))
-        .unionAll(cross.select(F.col("split_b").alias("split")))
+        cross.select(F.explode(F.array("split_a", "split_b")).alias("split"))
         .groupBy("split")
         .agg(F.count(F.lit(1)).alias("n"))
     )
