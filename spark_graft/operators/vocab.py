@@ -272,35 +272,58 @@ def vocab_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_BPE_SENT), F.array_join(tokens("text"), _BPE_SENT), F.lit(_BPE_SENT)
         ).alias("s")
     )
-    out: list[tuple[int, str, str, int, int]] = []
+    # Round r's job aggregates corpus state C_r ONCE and yields BOTH
+    # decisions that need it: the argmax pair of C_r and the total token
+    # count of C_r — the latter IS round r-1's n_tokens_after (C_r is
+    # the post-merge corpus of round r-1), recorded via a NULL-key
+    # sentinel row (one struct per doc, weight = size(ts); the groupBy
+    # folds them into one NULL-group row whose sum is the corpus token
+    # count). This halves the driver loop's full corpus passes —
+    # 2*rounds jobs (pair count + separate recount) become rounds+1
+    # (the final round's n_after still needs one recount over the last
+    # merged state). Arithmetic is unchanged: sum of per-occurrence
+    # weight 1 == count(1), and the recount expression is the same
+    # sum(size(ts)) over the same corpus state, so results (and the
+    # oracle hash) are bit-identical. Guide §1.2/§2.4: remove passes.
+    out: list[list] = []  # [rnd, x, y, n, n_after (filled next round)]
+    ts = F.filter(F.split("s", _BPE_SENT), lambda t: t != F.lit(""))
+    _PAIR_T = "array<struct<x:string,y:string,w:bigint>>"
     for rnd in range(1, BPE_ROUNDS + 1):
-        ts = F.filter(F.split("s", _BPE_SENT), lambda t: t != F.lit(""))
         staged = corpus.select(ts.alias("ts"))
-        pairs = staged.select(
-            F.explode(
-                F.when(
-                    F.size("ts") < 2, F.array().cast("array<struct<x:string,y:string>>")
-                ).otherwise(
-                    F.transform(
-                        F.sequence(F.lit(1), F.size("ts") - 1),
-                        lambda i: F.struct(
-                            F.element_at("ts", i).alias("x"),
-                            F.element_at("ts", i + F.lit(1)).alias("y"),
-                        ),
-                    )
-                )
-            ).alias("p")
-        ).select("p.x", "p.y")
-        top = (
-            pairs.groupBy("x", "y")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .orderBy(F.desc("n"), "x", "y")
-            .limit(1)
+        sentinel = F.array(
+            F.struct(
+                F.lit(None).cast("string").alias("x"),
+                F.lit(None).cast("string").alias("y"),
+                F.size("ts").cast("bigint").alias("w"),
+            )
+        )
+        pair_arr = F.when(F.size("ts") < 2, F.array().cast(_PAIR_T)).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ts") - 1),
+                lambda i: F.struct(
+                    F.element_at("ts", i).alias("x"),
+                    F.element_at("ts", i + F.lit(1)).alias("y"),
+                    F.lit(1).cast("bigint").alias("w"),
+                ),
+            )
+        )
+        rows = staged.select(
+            F.explode(F.concat(sentinel, pair_arr)).alias("p")
+        ).select("p.x", "p.y", "p.w")
+        # sentinel (x IS NULL) sorts first, best pair second
+        top2 = (
+            rows.groupBy("x", "y")
+            .agg(F.sum("w").alias("n"))
+            .orderBy(F.col("x").isNotNull(), F.desc("n"), "x", "y")
+            .limit(2)
             .collect()
         )
-        if not top:
-            break
-        x, y, n = top[0]["x"], top[0]["y"], top[0]["n"]
+        n_tokens_now = top2[0]["n"] if top2 else 0
+        if out:
+            out[-1][4] = n_tokens_now
+        if len(top2) < 2:
+            break  # pairs dried up (or empty corpus): no merge this round
+        x, y, n = top2[1]["x"], top2[1]["y"], top2[1]["n"]
         corpus = corpus.select(
             F.replace(
                 "s",
@@ -308,12 +331,15 @@ def vocab_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(f"#{x} {y}#"),
             ).alias("s")
         )
-        n_after = corpus.select(
+        out.append([rnd, x, y, n, None])
+    if out and out[-1][4] is None:
+        # final round's post-merge recount — the one pass the sentinel
+        # of a following round would have provided
+        out[-1][4] = corpus.select(
             F.coalesce(F.sum(F.size(ts)), F.lit(0)).cast("bigint").alias("nta")
         ).collect()[0]["nta"]
-        out.append((rnd, x, y, n, n_after))
     return spark.createDataFrame(
-        out,
+        [tuple(r) for r in out],
         "merge_round int, x string, y string, n_occurrences bigint, n_tokens_after bigint",
     )
 
