@@ -873,36 +873,45 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries every type) — the statistics a query optimizer, data-quality
     monitor, or ingestion gate reads first.
 
-    ONE pass, one shuffle: every per-column aggregate (including the
-    count-distincts) computes in a single multi-aggregate over one scan
-    — Catalyst plans multi-distinct with one Expand — and the wide
-    1-row result is unpivoted to the long (col, stats) layout AFTER
-    aggregation, when it is 1 row x k columns. The oracle's UNION ALL
-    form re-scans the table per column; at 100 TB the single-pass form
-    is k scans cheaper, which is the point of emitting it this way."""
+    One branch per column, each a SINGLE-distinct aggregate (r18):
+    k count-distincts in one multi-aggregate force Catalyst's Expand,
+    which multiplies every input row (k+1)-fold BEFORE the shuffle —
+    the one shuffle carried 6x the table (measured: the whole 3.9s
+    query was that stage at sf0.1). A per-column branch plans the
+    classic two-phase distinct rewrite instead (partial groupBy(col),
+    so the shuffle carries each column's DISTINCT values with map-side
+    combining), and parquet prunes each branch's scan to its one
+    column — k single-column scans read the same total bytes as one
+    k-column scan, while the shuffle shrinks from 6x|rows| padded-wide
+    rows to sum(|distinct values|). The branches are independent
+    stages, so they also overlap (guide §2.3 aggregate-before-shuffle,
+    §2.6). Values are identical aggregates — the unioned long layout
+    matches the oracle's UNION ALL row-for-row."""
     o = table(spark, sf_dir, "orders")
-    aggs = []
+    branches = []
     for c in PROFILE_COLS:
-        aggs += [
-            F.count(F.lit(1)).alias(f"{c}__n_rows"),
-            F.count(c).alias(f"{c}__n_nonnull"),
-            F.countDistinct(c).alias(f"{c}__n_distinct"),
-            F.min(c).cast("string").alias(f"{c}__min_str"),
-            F.max(c).cast("string").alias(f"{c}__max_str"),
-        ]
-    wide = o.agg(*aggs)
-    stat_struct = [
-        F.struct(
-            F.lit(c).alias("col"),
-            F.col(f"{c}__n_rows").alias("n_rows"),
-            F.col(f"{c}__n_nonnull").alias("n_nonnull"),
-            F.col(f"{c}__n_distinct").alias("n_distinct"),
-            F.col(f"{c}__min_str").alias("min_str"),
-            F.col(f"{c}__max_str").alias("max_str"),
+        branches.append(
+            o.select(c)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count(c).alias("n_nonnull"),
+                F.countDistinct(c).alias("n_distinct"),
+                F.min(c).cast("string").alias("min_str"),
+                F.max(c).cast("string").alias("max_str"),
+            )
+            .select(
+                F.lit(c).alias("col"),
+                "n_rows",
+                "n_nonnull",
+                "n_distinct",
+                "min_str",
+                "max_str",
+            )
         )
-        for c in PROFILE_COLS
-    ]
-    return wide.select(F.explode(F.array(*stat_struct)).alias("s")).select("s.*")
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionAll(b)
+    return out
 
 
 HIST_N_BUCKETS = 10
