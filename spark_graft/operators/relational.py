@@ -325,7 +325,6 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     vc = li.groupBy("l_returnflag", "l_extendedprice").agg(
         F.count(F.lit(1)).alias("c")
     )
-    n = vc.groupBy("l_returnflag").agg(F.sum("c").alias("n"))
     from pyspark.sql import Window
 
     w = (
@@ -333,9 +332,16 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("l_extendedprice")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    # value v covers 0-based sorted positions [cum_end - c, cum_end - 1]
-    ranked = vc.withColumn("cum_end", F.sum("c").over(w)).join(
-        F.broadcast(n), "l_returnflag"
+    # value v covers 0-based sorted positions [cum_end - c, cum_end - 1].
+    # The per-group total n rides the SAME window partitioning as an
+    # unbounded-frame sum (agg_weighted_quantile's proven shape, r18)
+    # instead of a second aggregate + broadcast join — one fewer
+    # exchange and one fewer join, identical value (sum of the distinct-
+    # value counts per flag IS the group row count).
+    ranked = vc.select(
+        "*",
+        F.sum("c").over(w).alias("cum_end"),
+        F.sum("c").over(Window.partitionBy("l_returnflag")).alias("n"),
     )
 
     fracs = [("p50", 0.5), ("p90", 0.9), ("p99", 0.99)]
