@@ -1384,19 +1384,35 @@ def _pretrain_stage_frames(spark: SparkSession, sf_dir: str) -> dict:
     )
     # the survivor set feeds FOUR downstream consumers (minhash band
     # path, two verify sides, the gate anti-joins); without a lineage
-    # cut Spark re-executes the tokenize+window chain once per
-    # reference (observed: the whole fp-window subtree duplicated in
-    # the executed plan). localCheckpoint materializes it once — at
+    # cut Spark re-executes the tokenize chain once per reference
+    # (observed: the whole exact-dedup subtree duplicated in the
+    # executed plan). localCheckpoint materializes it once — at
     # 100 TB this is the persisted post-dedup staging table every
     # curation run writes anyway.
-    s1 = (
-        kept.withColumn(
-            "rk", F.row_number().over(Window.partitionBy("fp").orderBy("doc_id"))
+    # Keep-first is a min_by AGGREGATE, not a row_number window (r18):
+    # same shuffle key (fp) but hash-aggregated with map-side partials
+    # instead of shuffle+sort+filter, and doc_id is unique so
+    # min_by(..., doc_id) is exactly the rk=1 row. The group size rides
+    # along as n_copies, which lets pipeline_dedup_report derive the
+    # pre-dedup survivor count from THIS checkpointed table
+    # (sum(n_copies)) instead of re-running the tokenize+stopword pass
+    # a second time (guide §1.2: don't recompute what a kept pass
+    # already knows).
+    s1full = (
+        kept.groupBy("fp")
+        .agg(
+            F.min_by(F.struct("doc_id", "toks", "n_tokens"), "doc_id").alias("_r"),
+            F.count(F.lit(1)).alias("n_copies"),
         )
-        .filter(F.col("rk") == 1)
-        .select("doc_id", "toks", "n_tokens")
+        .select(
+            F.col("_r.doc_id").alias("doc_id"),
+            F.col("_r.toks").alias("toks"),
+            F.col("_r.n_tokens").alias("n_tokens"),
+            "n_copies",
+        )
         .localCheckpoint()
     )
+    s1 = s1full.drop("n_copies")
     # near-dup gate: dedup_minhash's machinery over the survivors
     per_doc = minhash_doc_table_from_toks(s1.select("doc_id", "toks"))
     buckets = (
@@ -1451,7 +1467,14 @@ def _pretrain_stage_frames(spark: SparkSession, sf_dir: str) -> dict:
         "n_tokens",
         (_md5_bucket_raw("pack:", F.col("doc_id")) % PACK_SHARDS).alias("shard"),
     )
-    return {"base": base, "kept": kept, "s1": s1, "s2": s2, "s3": s3}
+    return {
+        "base": base,
+        "kept": kept,
+        "s1": s1,
+        "s1full": s1full,
+        "s2": s2,
+        "s3": s3,
+    }
 
 
 @query("pipeline_pretrain_corpus", oracle=_pretrain_oracle())
@@ -1875,7 +1898,18 @@ def pipeline_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames = _pretrain_stage_frames(spark, sf_dir)
     counts = None
     for i, (label, key) in enumerate(_REPORT_STAGES):
-        c = frames[key].agg(F.count(F.lit(1)).alias("n")).select(
+        if key == "kept":
+            # the pre-dedup survivor count is the sum of the exact-dedup
+            # groups' sizes, read from the CHECKPOINTED s1 table instead
+            # of re-running the tokenize+stopword pass (r18; the base
+            # count below prunes tokens() away entirely, so the report
+            # adds zero extra tokenize passes to the chain)
+            agg = frames["s1full"].agg(
+                F.coalesce(F.sum("n_copies"), F.lit(0)).cast("bigint").alias("n")
+            )
+        else:
+            agg = frames[key].agg(F.count(F.lit(1)).alias("n"))
+        c = agg.select(
             F.lit(i).alias("stage_idx"), F.lit(label).alias("stage"), "n"
         )
         counts = c if counts is None else counts.unionAll(c)

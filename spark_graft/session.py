@@ -63,6 +63,11 @@ def get_spark(app_name: str = "spark-graft", shuffle_partitions: int | None = No
         # sources.tables.ensure_session_confs
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.shuffle.spill.compress", "true")
+        # guide §3.1/§9: let the planner pick shuffled-hash join when its
+        # size conditions hold (sort-merge only wins when both sides are
+        # huge per partition; AQE still falls back when the build side
+        # does not fit)
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         # local runs: keep the UI off and logs quiet
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Dlog4j2.level=warn")
