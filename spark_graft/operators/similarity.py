@@ -1416,45 +1416,63 @@ def sim_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject per-partition heaps. No shuffle of vectors at
     any corpus size; MaxSim costs M^2 = {M_SUB * M_SUB} dot products
     per doc instead of 1, the known late-interaction tradeoff."""
+    import numpy as np
+    import pandas as pd
+
     probe_vec = _probe_vector(spark, sf_dir)
     if probe_vec is None:
         return spark.createDataFrame([], "vec_id bigint, maxsim double")
-    # the M_SUB doc slices are staged ONCE as projection columns (the
-    # family's HOF staging convention); measured A/B vs inline slices
-    # in BENCH_SF1.json `maxsim_slice_staging_ab_r15` — Catalyst CSE
-    # already dedupes most of the re-evaluation, staging keeps the
-    # remaining 3-10% and the convention
+    # Scoring is an Arrow-batched numpy kernel (r18, guide §4.2): the
+    # M_SUB x M_SUB per-row slice cosines were interpreted HOF lambdas
+    # (zip_with + aggregate folds get no codegen and re-evaluate per
+    # element — measured ~2.2s for 2000 rows at sf0.1; the numpy batch
+    # form of the same arithmetic runs the whole corpus in
+    # milliseconds). Bit-exactness is preserved the same way
+    # dedup_embedding's kernel proves: float32 widens to float64
+    # losslessly, np.cumsum adds left-to-right — the exact fold order
+    # of the SQL dot()/norm() aggregates — the divide/clamp sequence is
+    # identical, per-term max == greatest, and the M_SUB terms sum in
+    # the same fixed order (zero query slices contribute literal 0.0 in
+    # position). Rounding and top-k stay relational.
+    q = np.asarray(probe_vec, dtype=np.float64)
+    q_slices = [q[i * SUB_DIM : (i + 1) * SUB_DIM] for i in range(M_SUB)]
+    q_norms = [
+        np.sqrt(np.cumsum(s * s)[-1]) if np.any(s != 0.0) else None
+        for s in q_slices
+    ]
+
+    def maxsim_batches(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            d_slices = [m[:, j * SUB_DIM : (j + 1) * SUB_DIM] for j in range(M_SUB)]
+            d_nonzero = [np.any(dj != 0.0, axis=1) for dj in d_slices]
+            d_norms = [
+                np.sqrt(np.cumsum(dj * dj, axis=1)[:, -1]) for dj in d_slices
+            ]
+            score = np.zeros(len(pdf), dtype=np.float64)
+            for i in range(M_SUB):
+                if q_norms[i] is None:
+                    continue  # zero query slice: + 0.0 in this position
+                cands = []
+                for j in range(M_SUB):
+                    dots = np.cumsum(d_slices[j] * q_slices[i], axis=1)[:, -1]
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        raw = dots / (d_norms[j] * q_norms[i])
+                    c = np.clip(raw, -1.0, 1.0)
+                    cands.append(np.where(d_nonzero[j], c, -2.0))
+                score = score + np.max(np.stack(cands), axis=0)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "_s": score})
+
     e = (
         table(spark, sf_dir, "embeddings")
         .filter(nonzero_vec(F.col("embedding")))
-        .select(
-            "vec_id",
-            *[
-                F.slice("embedding", j * SUB_DIM + 1, SUB_DIM).alias(f"_d{j}")
-                for j in range(M_SUB)
-            ],
-        )
+        .select("vec_id", "embedding")
     )
-    score = None
-    for i in range(M_SUB):
-        q = probe_vec[i * SUB_DIM:(i + 1) * SUB_DIM]
-        if any(x != 0.0 for x in q):
-            qlit = _lit_vec(q)
-            cands = []
-            for j in range(M_SUB):
-                dj = F.col(f"_d{j}")
-                cands.append(
-                    F.when(
-                        F.exists(dj, lambda x: x != F.lit(0.0)),
-                        cosine(dj, qlit),
-                    ).otherwise(F.lit(-2.0))
-                )
-            term = F.greatest(*cands)
-        else:
-            term = F.lit(0.0)
-        score = term if score is None else score + term
+    scored = e.mapInPandas(maxsim_batches, "vec_id bigint, _s double")
     return (
-        e.select("vec_id", F.round(score, 4).alias("maxsim"), score.alias("_s"))
+        scored.select("vec_id", F.round("_s", 4).alias("maxsim"), "_s")
         .orderBy(F.col("_s").desc(), "vec_id")
         .limit(TOP_K)
         .drop("_s")
