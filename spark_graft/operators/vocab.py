@@ -267,11 +267,18 @@ def vocab_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap recompute, exactly like graph_pagerank's localCheckpoint cuts —
     at {BPE_ROUNDS} rounds recompute is cheaper than a materialization."""
     docs = table(spark, sf_dir, "documents")
+    # localCheckpoint the sentinel corpus ONCE (r18): every round's
+    # pair-count job (and the final recount) re-derived it — scan +
+    # regex tokenize + join per job. The staged string is the
+    # checkpoint-every-k-rounds discipline the docstring promises at
+    # 100 TB, applied at round 0 where the win is the repeated
+    # tokenizer pass; the per-round replace() chain still composes
+    # lazily on top.
     corpus = docs.select(
         F.concat(
             F.lit(_BPE_SENT), F.array_join(tokens("text"), _BPE_SENT), F.lit(_BPE_SENT)
         ).alias("s")
-    )
+    ).localCheckpoint()
     # Round r's job aggregates corpus state C_r ONCE and yields BOTH
     # decisions that need it: the argmax pair of C_r and the total token
     # count of C_r — the latter IS round r-1's n_tokens_after (C_r is
@@ -422,8 +429,14 @@ def vocab_bpe_apply(
 def _bpe_apply_fused(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     """vocab_bpe_apply's fused train-and-encode path, with optional
     passthrough columns riding the narrow chain (vocab_fertility keeps
-    source/char counts so it never pays a corpus-wide join back)."""
-    corpus = _sentinel_corpus(docs, keep)
+    source/char counts so it never pays a corpus-wide join back).
+
+    The sentinel corpus is localCheckpoint-staged (r18): each of the
+    {BPE_ROUNDS} argmax jobs plus the final encode re-derived the scan +
+    regex tokenize otherwise. Batch-only staging at THIS call site —
+    `bpe_apply_merges` stays checkpoint-free so the artifact-served
+    chain keeps working on unbounded streams."""
+    corpus = _sentinel_corpus(docs, keep).localCheckpoint()
     ts = F.filter(F.split("s", _BPE_SENT), lambda t: t != F.lit(""))
     for _ in range(BPE_ROUNDS):
         pairs = corpus.select(ts.alias("ts")).select(
