@@ -228,13 +228,25 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     of 8 keys in the envelope covers tiny groups where relative error
     is undefined-ish but HLL++ sparse mode is exact anyway."""
     env = F.greatest(F.col("exact_parts") * APPROX_ENVELOPE, F.lit(8.0))
+    # Dedup (flag, partkey) with a PLAIN aggregate before the HLL (r18):
+    # mixing countDistinct with approx_count_distinct makes Catalyst's
+    # distinct rewrite key the partial aggregate by (flag, partkey) — so
+    # every one of those rows carried the rsd=0.02 sketch's 410-word
+    # register buffer (~3.3 KB/row) through the exchange; the sketch
+    # buffer must exist per GROUP, not per distinct value. HLL register
+    # updates are duplicate-insensitive (max of rank per bucket), so the
+    # estimate over the deduplicated value set is bit-identical, and
+    # count(l_partkey) over distinct rows IS countDistinct(l_partkey).
+    # Shuffle: narrow (flag, partkey) pairs + 3 sketch buffers total.
     return (
         table(spark, sf_dir, "lineitem")
         .where(md5_bucket("apx:", F.col("l_partkey")) < APPROX_SAMPLE_PCT)
+        .select("l_returnflag", "l_partkey")
+        .distinct()
         .groupBy("l_returnflag")
         .agg(
             F.approx_count_distinct("l_partkey", rsd=APPROX_RSD).alias("approx_parts"),
-            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.count("l_partkey").alias("exact_parts"),
         )
         .select(
             "l_returnflag",
