@@ -1389,27 +1389,34 @@ def _pretrain_stage_frames(spark: SparkSession, sf_dir: str) -> dict:
     # executed plan). localCheckpoint materializes it once — at
     # 100 TB this is the persisted post-dedup staging table every
     # curation run writes anyway.
-    # Keep-first is a min_by AGGREGATE, not a row_number window (r18):
-    # same shuffle key (fp) but hash-aggregated with map-side partials
-    # instead of shuffle+sort+filter, and doc_id is unique so
-    # min_by(..., doc_id) is exactly the rk=1 row. The group size rides
-    # along as n_copies, which lets pipeline_dedup_report derive the
-    # pre-dedup survivor count from THIS checkpointed table
-    # (sum(n_copies)) instead of re-running the tokenize+stopword pass
-    # a second time (guide §1.2: don't recompute what a kept pass
-    # already knows).
+    # Keep-first is a row_number window over fp WITH the group size
+    # riding the SAME window spec as an unbounded-frame count (r19,
+    # VERDICT item 1): the r18 min_by(struct(doc_id, toks, n_tokens))
+    # aggregate carried each doc's token ARRAY in its aggregation
+    # buffer — a non-mutable buffer type, so the planner fell back to
+    # SortAggregate, i.e. a sort on BOTH sides of the exchange (plan
+    # probe: SortAggregate x2 + Sort x2), and the driver measured it
+    # 23% slower than the window it replaced (fp is mostly unique, so
+    # map-side partials removed almost nothing). Sharing ONE
+    # (fp, doc_id) window spec plans a single Exchange + Sort + Window
+    # (guide §2.4: operations keyed the same way share one exchange);
+    # probe medians: min_by 1.13s, two-spec windows 1.12s, this 1.00s.
+    # n_copies still lets pipeline_dedup_report derive the pre-dedup
+    # survivor count from THIS checkpointed table (sum(n_copies))
+    # instead of re-running the tokenize+stopword pass (guide §1.2).
+    wfp = Window.partitionBy("fp").orderBy("doc_id")
     s1full = (
-        kept.groupBy("fp")
-        .agg(
-            F.min_by(F.struct("doc_id", "toks", "n_tokens"), "doc_id").alias("_r"),
-            F.count(F.lit(1)).alias("n_copies"),
+        kept.select(
+            "doc_id",
+            "toks",
+            "n_tokens",
+            F.count(F.lit(1))
+            .over(wfp.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+            .alias("n_copies"),
+            F.row_number().over(wfp).alias("_rk"),
         )
-        .select(
-            F.col("_r.doc_id").alias("doc_id"),
-            F.col("_r.toks").alias("toks"),
-            F.col("_r.n_tokens").alias("n_tokens"),
-            "n_copies",
-        )
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
         .localCheckpoint()
     )
     s1 = s1full.drop("n_copies")
