@@ -91,6 +91,13 @@ def main() -> None:
                 "queries": slowest,
                 "detail": detail_name,
                 "sf": sf,
+                # prove the parallelism contract (r19, VERDICT item 2):
+                # the effective master and scheduler parallelism, so a
+                # low-core driver run is distinguishable from local[32]
+                # in the artifact itself. Additions only — every field
+                # above is unchanged.
+                "master": spark.sparkContext.master,
+                "default_parallelism": spark.sparkContext.defaultParallelism,
             }
         )
     )
