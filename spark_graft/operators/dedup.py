@@ -1175,11 +1175,20 @@ def connected_components(pairs: DataFrame) -> tuple[DataFrame, int]:
         # round 1's pointer jump would be an identity join anyway, so
         # a plain-propagation round here loses nothing and saves one
         # full O(E) loop iteration.
+        # lazy (eager=False) checkpoints throughout the loop (r19): the
+        # convergence aggregate below is the FIRST action on each
+        # round's frame, so that one job both materializes the
+        # checkpoint (every partition — the global sum reads all rows;
+        # the RDD scan computes full rows, pruning cannot reach through
+        # a LogicalRDD) and returns the scalar. One job per round
+        # instead of two (eager checkpoint + separate sum) — guide
+        # §1.2: don't pay a scheduling pass to re-read data the
+        # materializing job already held.
         labels = (
             edges.groupBy(F.col("src").alias("id"))
             .agg(F.min("dst").alias("_mn"))
             .select("id", F.least("id", "_mn").alias("label"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         # convergence check: per-node labels only ever DECREASE (min of
         # self + neighbors + label's label), so sum(label) strictly
@@ -1211,7 +1220,7 @@ def connected_components(pairs: DataFrame) -> tuple[DataFrame, int]:
                 .union(lol)
                 .groupBy("id")
                 .agg(F.min("label").alias("label"))
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
             new_sum = _label_sum(labels)
             if new_sum == label_sum:

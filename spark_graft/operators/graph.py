@@ -153,6 +153,12 @@ def pagerank_round(edges_d: DataFrame, ranks: DataFrame, teleport: int) -> DataF
     )
 
 
+# bound lineage growth / recompute-on-failure between materializations;
+# rounds reference the previous frame once, so this is a durability
+# cadence, not a planner requirement (see the loop comment)
+PAGERANK_CHECKPOINT_EVERY = 8
+
+
 def _pagerank_rounds(
     spark: SparkSession, edges_d: DataFrame, n_iters: int
 ) -> DataFrame:
@@ -169,13 +175,21 @@ def _pagerank_rounds(
     ranks = edges_d.select(F.col("src").alias("id")).distinct().select(
         "id", F.lit(init).alias("r")
     )
-    for _ in range(n_iters):
-        # localCheckpoint per round = one eagerly-executed job per
-        # iteration (the R12 driver-loop shape) AND a lineage cut:
-        # the returned frame no longer references edges_d, so a
-        # caller's unpersist cannot trigger a full recompute of the
-        # minhash pipeline when the final plan runs.
-        ranks = pagerank_round(edges_d, ranks, teleport).localCheckpoint()
+    for i in range(1, n_iters + 1):
+        ranks = pagerank_round(edges_d, ranks, teleport)
+        # Checkpoint every CHECKPOINT_EVERY rounds, not every round
+        # (r19, guide §1.2): each round references the previous ranks
+        # exactly ONCE, so the un-checkpointed plan grows linearly (one
+        # join + one aggregate per round — no 3^rounds blowup like
+        # connected_components' self-referencing loop) and the rounds
+        # between checkpoints execute as stages of ONE job instead of
+        # one eagerly-scheduled job each. The periodic cut bounds
+        # recompute-on-failure at 100 TB; the cut on the LAST round is
+        # load-bearing at any scale — it materializes before the caller
+        # unpersists edges_d, so the returned frame no longer references
+        # the cached minhash pipeline.
+        if i == n_iters or i % PAGERANK_CHECKPOINT_EVERY == 0:
+            ranks = ranks.localCheckpoint()
     return ranks.select(
         F.col("id").alias("doc_id"),
         F.col("r").alias("rank_fx"),
