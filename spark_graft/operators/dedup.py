@@ -269,23 +269,33 @@ def minhash_doc_table_from_toks(base: DataFrame) -> DataFrame:
     pipeline_pretrain_corpus) that stage tokens once and feed multiple
     stages from the same projection, honoring `shingles_from_tokens`'
     attribute-not-expression performance contract."""
+    # The verify SET is the 60-bit md5-derived integer per shingle, not
+    # the shingle string (r19) — dedup_ngram_jaccard's established
+    # mapping ("the shuffles/joins/intersections move 8-byte longs
+    # instead of ~20-byte strings"), carved from the SAME md5 digest
+    # the signature already pays for (chars 1-15; h1/h2 are chars 1-8 /
+    # 9-16). Both engines apply the identical mapping, so the
+    # hash-match is unaffected (even a collision — ~n^2/2^61 odds —
+    # would alter both sides identically).
     hashed = (
         base.select(
             "doc_id", F.explode(shingles_from_tokens("toks", 3)).alias("s")
         )
-        .select("doc_id", "s", F.md5("s").alias("dg"))
+        .select("doc_id", F.md5("s").alias("dg"))
         .select(
             "doc_id",
-            "s",
             F.conv(F.substring("dg", 1, 8), 16, 10).cast("bigint").alias("h1"),
             F.conv(F.substring("dg", 9, 8), 16, 10).cast("bigint").alias("h2"),
+            F.conv(F.substring("dg", 1, 15), 16, 10).cast("bigint").alias("s60"),
         )
     )
     mins = [
         F.min((F.col("h1") + F.lit(p) * F.col("h2")) % MINHASH_PRIME).alias(f"mh{p}")
         for p in range(N_PERMS)
     ]
-    return hashed.groupBy("doc_id").agg(F.collect_set("s").alias("shingles"), *mins)
+    return hashed.groupBy("doc_id").agg(
+        F.collect_set("s60").alias("shingles"), *mins
+    )
 
 
 def minhash_bands(per_doc: DataFrame) -> DataFrame:
@@ -322,6 +332,12 @@ def minhash_bands(per_doc: DataFrame) -> DataFrame:
 MINHASH_PAIRS_CTES = f"""
         WITH toks AS (SELECT doc_id, {_TOK} AS toks FROM documents),
         sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM toks),
+        shi AS (
+            SELECT doc_id,
+                   list_transform(sh,
+                       s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS sh
+            FROM sh
+        ),
         shs AS (SELECT doc_id, unnest(sh) AS s FROM sh),
         hs AS (
             SELECT doc_id,
@@ -351,8 +367,8 @@ MINHASH_PAIRS_SELECT = f"""
                round(len(list_intersect(sa.sh, sb.sh)) * 1.0
                      / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) AS jaccard
         FROM cand c
-        JOIN sh sa ON sa.doc_id = c.doc_a
-        JOIN sh sb ON sb.doc_id = c.doc_b
+        JOIN shi sa ON sa.doc_id = c.doc_a
+        JOIN shi sb ON sb.doc_id = c.doc_b
         WHERE len(list_intersect(sa.sh, sb.sh)) * 1.0
               / len(list_distinct(list_concat(sa.sh, sb.sh))) >= {JACCARD_THRESHOLD}
 """
@@ -375,10 +391,17 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sides); column pruning specializes each reference's aggregate, so
     # exchange reuse does NOT deduplicate them — the pipeline executes
     # per reference, each pruned to the columns that reference needs.
-    # Measured and kept: a localCheckpoint that materializes it once was
-    # ~25% SLOWER (it ships full shingle arrays and defeats pruning).
-    # At 100 TB the verify sides read a persisted doc-signature table
-    # instead of recomputing — the band path alone stays in-plan.
+    # Measured and kept across THREE rounds of A/Bs: a localCheckpoint
+    # that materializes per_doc once was slower (string sets ~25%, int
+    # sets ~12%: the array-shipping materialization costs more than the
+    # pruned re-executions), and the r19 single-pass variant (shingle
+    # sets carried through the band buckets, verify inside the pair
+    # expansion — plan: 6 parquet scans -> 1, Exchange 7 -> 3) measured
+    # ~15% SLOWER at sf0.1 in 8-rep same-session probes: the
+    # collect_list of 4x per-doc set arrays outweighs the deleted
+    # re-executions at this scale. At 100 TB the verify sides read a
+    # persisted doc-signature table instead of recomputing — the band
+    # path alone stays in-plan.
     per_doc = minhash_doc_table(docs)
     bands = minhash_bands(per_doc)
     buckets = (
@@ -396,7 +419,9 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["doc_a", "doc_b"])
     )
     # same plan as the signature path -> ReuseExchange: the shingle
-    # aggregate is computed once and read twice
+    # aggregate is computed once and read twice. The sets are the
+    # 60-bit integers (see minhash_doc_table_from_toks), so the verify
+    # joins ship and intersect longs, not strings (guide §2.3).
     sets = per_doc.select("doc_id", F.col("shingles").alias("sh"))
     jac = (
         F.size(F.array_intersect("sa.sh", "sb.sh"))

@@ -1278,6 +1278,12 @@ def _pretrain_ctes() -> str:
             ) WHERE rk = 1
         ),
         sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM s1),
+        shi AS (
+            SELECT doc_id,
+                   list_transform(sh,
+                       s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS sh
+            FROM sh
+        ),
         shs AS (SELECT doc_id, unnest(sh) AS s FROM sh),
         hs AS (
             SELECT doc_id,
@@ -1303,8 +1309,8 @@ def _pretrain_ctes() -> str:
         near_drop AS (
             SELECT DISTINCT c.doc_b AS doc_id
             FROM cand c
-            JOIN sh sa ON sa.doc_id = c.doc_a
-            JOIN sh sb ON sb.doc_id = c.doc_b
+            JOIN shi sa ON sa.doc_id = c.doc_a
+            JOIN shi sb ON sb.doc_id = c.doc_b
             WHERE len(list_intersect(sa.sh, sb.sh)) * 1.0
                   / len(list_distinct(list_concat(sa.sh, sb.sh)))
                   >= {JACCARD_THRESHOLD}
@@ -1420,7 +1426,10 @@ def _pretrain_stage_frames(spark: SparkSession, sf_dir: str) -> dict:
         .localCheckpoint()
     )
     s1 = s1full.drop("n_copies")
-    # near-dup gate: dedup_minhash's machinery over the survivors
+    # near-dup gate: dedup_minhash's machinery over the survivors (the
+    # 3-reference shape re-reads the s1 CHECKPOINT per reference — an
+    # r19 single-pass variant carrying the sets through the band
+    # buckets measured slower here too, same probe as dedup_minhash's)
     per_doc = minhash_doc_table_from_toks(s1.select("doc_id", "toks"))
     buckets = (
         minhash_bands(per_doc)
@@ -1433,6 +1442,8 @@ def _pretrain_stage_frames(spark: SparkSession, sf_dir: str) -> dict:
         .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    # sets are the 60-bit shingle integers (guide §2.3: the verify
+    # joins ship and intersect longs, not strings)
     sets = per_doc.select("doc_id", F.col("shingles").alias("sh"))
     jac = (
         F.size(F.array_intersect("sa.sh", "sb.sh"))
