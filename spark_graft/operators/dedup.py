@@ -605,11 +605,25 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate-heavy corpus (where duplicated docs are exactly what
     explodes candidate volume: d copies of one doc used to turn each
     of its prefix buckets into a d-wide clique) candidate pairs now
-    scale with DISTINCT contents only. The member lists ride through
-    the bucket shuffle as a last struct field (sort order is decided
-    by the earlier n/pos/doc_id fields — doc_id is unique per bucket),
-    so expansion needs no join back; at 100 TB the groups table is the
-    staging asset you would persist once and share with dedup_exact."""
+    scale with DISTINCT contents only.
+
+    THIN CANDIDATES off a checkpointed groups table (r19, guide §8:
+    decide with small rows, attach payloads once — the restructure that
+    makes this query match dedup_containment's measured shape): the r18
+    form carried each doc's FULL shingle array and member list through
+    every prefix bucket and built them into every generated pair struct
+    — the pair-struct construction cost was paid on ALL generated
+    pairs (122k at sf0.1), BEFORE the length/positional filters could
+    prune, and a pair surviving in several buckets re-verified per
+    bucket. Now the groups table (rep, members, ss) is
+    localCheckpoint-staged once (the staging asset a 100 TB run
+    persists and shares with dedup_exact); candidates come from an
+    inverted-index SELF-JOIN of bare (n, pos, doc_id, s) prefix rows
+    with the length + strict-positional filters as join predicates;
+    survivors dedup to rep pairs and ONE pair of joins back to the
+    checkpointed sets verifies each distinct candidate exactly once.
+    Exact-equality was asserted against the r18 form on the full sf0.1
+    output before landing; the oracle needs no change."""
     docs = table(spark, sf_dir, "documents")
     all_sh = shingle_rows(docs).select(
         "doc_id",
@@ -630,7 +644,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         # every member of the group has the same ss by construction,
         # so first() is deterministic in value
         F.first("ss").alias("ss"),
-    )
+    ).localCheckpoint()
     # group-internal pairs: identical sets, jaccard exactly 1.0 — via
     # the chunked expansion so a degenerate corpus of 1e5 copies of one
     # doc cannot materialize a quadratic row
@@ -641,9 +655,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.b").alias("doc_b"),
         F.lit(1.0).alias("jaccard"),
     )
-    sh = groups.select(
-        F.col("rep").alias("doc_id"), "members", F.explode("ss").alias("s")
-    )
+    sh = groups.select(F.col("rep").alias("doc_id"), F.explode("ss").alias("s"))
     # global shingle document-frequencies, REPEATED-ONLY: a shingle
     # absent from this table has df=1 by construction, so filtering to
     # df>1 and left-join + coalesce(df,1) is EXACTLY equivalent to the
@@ -660,176 +672,128 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # one aggregate builds the rarity-ranked shingle list per rep
     # (struct sort = (df, s) lexicographic) — no window functions, no
-    # per-row sort shuffles. df now counts DISTINCT CONTENTS containing
+    # per-row sort shuffles. df counts DISTINCT CONTENTS containing
     # the shingle (reps, not raw docs) — a different but equally valid
     # global rarity order, and PPJoin's filters are exact under ANY
     # fixed global order.
     ranked_sets = (
         sh.join(freq, "s", "left")
-        .select("doc_id", "members", "s", F.coalesce("df", F.lit(1)).alias("df"))
+        .select("doc_id", "s", F.coalesce("df", F.lit(1)).alias("df"))
         .groupBy("doc_id")
-        .agg(
-            F.array_sort(F.collect_list(F.struct("df", "s"))).alias("ranked"),
-            F.first("members").alias("members"),
-        )
+        .agg(F.array_sort(F.collect_list(F.struct("df", "s"))).alias("ranked"))
     )
     n = F.size("ranked")
     prefix_arr = F.transform(
         F.slice(F.col("ranked"), 1, n - F.expr("(4 * size(ranked) + 4) div 5") + 1),
         lambda x: x["s"],
     )
-    # Carry each doc's full shingle array THROUGH the prefix buckets:
-    # exchange reuse across three references to ranked_sets is not
-    # guaranteed (measured: the whole scan->freq->agg pipeline re-ran
-    # per reference), so ship (doc_id, sh) into the bucket aggregate
-    # once and verify in-place — one pass over documents, zero joins
-    # back. Shuffle volume grows by |prefix| * |sh| strings per doc
-    # (~20% of the n^2 a full inverted index would ship), the price of
-    # single-pass verify; the alternative at petabyte scale is a
-    # persisted shingle-set table joined by doc_id.
-    # posexplode: the 0-based index of the bucket shingle within the
+    # posexplode: the 0-based index of the prefix shingle within the
     # doc's rarity-ranked list rides along for free (prefix_arr is a
     # prefix of `ranked`, so position-in-prefix == position-in-full-
-    # list) and arms the POSITIONAL filter below.
+    # list) and arms the POSITIONAL filter below. Only (n, pos, doc_id)
+    # enters the candidate join — the sets stay in the checkpointed
+    # groups table for the post-dedup verify joins.
     staged = ranked_sets.select(
+        F.size("ranked").alias("n"),
         "doc_id",
-        "members",
-        F.transform("ranked", lambda x: x["s"]).alias("sh"),
         F.posexplode(prefix_arr).alias("pos", "s"),
     )
-    # Jaccard is computed and thresholded IN the bucket-pair expansion,
-    # before any further shuffle: the only wide op after the buckets is
-    # a dropDuplicates over (doc_a, doc_b, jaccard) scalars for the few
-    # TRUE near-dup pairs — never the candidate pairs carrying their
-    # ~50-element shingle arrays (measured ~100 MB of shuffle at sf0.1
-    # when the distinct ran first). Duplicate candidates (pairs sharing
-    # several prefix shingles) re-verify redundantly, but verification
-    # is a narrow array op and redundancy is bounded by prefix length.
-    inter = F.size(F.array_intersect("p.a.sh", "p.b.sh"))
-    jac = inter * 1.0 / (F.size("p.a.sh") + F.size("p.b.sh") - inter)
-    # exploded_pairs (chunked) for the same reason as dedup_minhash: a
-    # prefix shingle shared by 1e5 boilerplate docs must not become one
-    # quadratic row. Members are (n, pos, doc_id, sh, mem) structs —
-    # the array_sort tie-breaks through pos then doc_id, but n stays
-    # the LEADING key, so the chunk sort still orders members by
-    # SHINGLE COUNT first and PPJoin's length/chunk filters below are
-    # unaffected by the positional and member-list fields riding along
-    # (doc_id is unique per bucket, so mem never participates in the
-    # sort).
-    bucketed = (
-        staged.groupBy("s")
-        .agg(
-            F.collect_list(
-                F.struct(
-                    F.size("sh").alias("n"),
-                    "pos",
-                    "doc_id",
-                    "sh",
-                    F.col("members").alias("mem"),
-                )
-            ).alias("ds")
-        )
-        .filter(F.size("ds") > 1)
-    )
-    # PPJoin length filter (Xiao et al. §3.1), in exact integer form:
+    # Candidate generation is the inverted-index SELF-JOIN on the
+    # prefix shingle (r19 — replaces collect_list buckets + chunked
+    # pair expansion): one exchange on s feeds both sides
+    # (ReusedExchange), SortMergeJoin streams the per-key pair
+    # enumeration, and the PPJoin filters run as join predicates on
+    # bare ints. A/B at sf0.1: 0.91 s vs 1.49 s for the identical
+    # 12,780-candidate set — the chunk machinery (array_sort + slices
+    # + nested transform per bucket) cost more than it saved on the
+    # many small buckets. Degenerate buckets are now the join's
+    # problem, which is the right owner: SMJ buffers one key group and
+    # SPILLS it (ExternalAppendOnlyUnsafeRowArray) where collect_list
+    # had to materialize the bucket as one in-memory array row, and
+    # AQE's skew-join splitting carves hot shingles across tasks —
+    # neither needed chunk bookkeeping. The dup-collapse above is
+    # still the real quadratic defense (d copies of a page collapse to
+    # one rep before any bucket forms).
+    #
+    # PPJoin length filter (Xiao et al. §3.1), exact integer form:
     # jaccard(a,b) <= min/max of the set sizes, so j >= 4/5 forces
-    # 5*|smaller| >= 4*|larger|. Sorting members by n makes a.n <= b.n
-    # within every generated pair, so the predicate is one integer
-    # compare — evaluated INSIDE the pair expression (survivors alone
-    # get exploded and intersected; on the redundant low-entropy corpus
-    # this drops ~3/4 of candidates before the expensive array op) —
-    # and at CHUNK level, where sortedness turns it into a range-
-    # disjointness test that skips whole 128x128 blocks of a
-    # boilerplate bucket in O(1). Integer arithmetic (not 0.8*n float)
-    # so the boundary pair 5*a.n == 4*b.n prunes identically to the
-    # oracle's exact-jaccard WHERE clause; conservative only — the
-    # output pair set is unchanged and the oracle needs no filter.
-    tn, td = 4, 5  # JACCARD_THRESHOLD as the exact rational 4/5
-    assert tn / td == JACCARD_THRESHOLD
-
-    # PPJoin POSITIONAL filter (Xiao et al. §3.2) in its STRICT
-    # first-occurrence form (round 9 — replaces the looser variant that
-    # granted min(pa, pb) phantom overlap before the probe): for the
-    # bucket shingle at 0-based positions (pa, pb), the overlap cannot
-    # exceed
+    # 5*|smaller| >= 4*|larger|. PPJoin POSITIONAL filter (§3.2) in
+    # its STRICT first-occurrence form (r9): for the shared shingle at
+    # 0-based ranked positions (pa, pb), the overlap cannot exceed
     #   ubound = 1 + min(na-1-pa, nb-1-pb) = min(na-pa, nb-pb)
     # IN THE BUCKET OF THE PAIR'S FIRST SHARED SHINGLE, because both
-    # lists are sorted by the same global (df, s) order, so zero common
+    # lists sort by the same global (df, s) order, so zero common
     # items precede the first shared one on either side. j >= tn/td
     # <=> (td+tn)*inter >= tn*(na+nb), so drop the pair wherever
-    # (td+tn)*ubound < tn*(na+nb). Conservative-only: a truly-qualifying
-    # pair survives in its first-shared bucket (that shingle is inside
-    # both prefixes by the prefix-filter theorem, and the bound there is
-    # >= the true intersection); other buckets may — and now usually do
-    # — drop it, which is pure win: it also cuts the REDUNDANT
-    # re-verification of true near-dup pairs from once per shared
-    # prefix shingle (~n/5 on boilerplate) to once per shingle in the
-    # tighter witness zone (~n/9 at t=0.8). This subsumes the paper's
-    # one-level suffix-filter partition at the probe element (common
-    # before = 0, common after = min of suffix lengths). The RECURSIVE
-    # suffix filter was evaluated and rejected for this engine: deeper
-    # partition steps need cross-doc order comparisons inside suffixes,
-    # i.e. carrying (df, s) structs through the bucket shuffle (2x
-    # width) plus an O(|suffix|) scan per candidate — the same order of
-    # work as the vectorized array_intersect verify it would save.
-    # Measured on the bounded-vocab corpus (the boilerplate model):
+    # (td+tn)*ubound < tn*(na+nb). Conservative-only: a
+    # truly-qualifying pair survives in its first-shared bucket (that
+    # shingle is inside both prefixes by the prefix-filter theorem,
+    # and the bound there is >= the true intersection); other buckets
+    # may drop it, which is pure win — it also cuts redundant
+    # generation of true pairs before the dropDuplicates. Integer
+    # arithmetic (not 0.8*n float) so the boundary pair 5*a.n == 4*b.n
+    # prunes identically to the oracle's exact-jaccard WHERE clause;
+    # conservative only — the output pair set is unchanged and the
+    # oracle needs no filter. Measured on the bounded-vocab corpus:
     # length filter leaves 3.09M of 7.63M raw candidates at sf1, the
-    # old positional form 2.73M, THIS form 1.13M (-59%; sf3: 27.0M ->
-    # 11.35M) — see ppjoin_filter_characterization in BENCH_SF1.json.
-    def _pair_filter(p):
-        na, nb = p["a"]["n"], p["b"]["n"]
-        pa, pb = p["a"]["pos"], p["b"]["pos"]
-        ubound = F.least(na - pa, nb - pb)
-        return (na * td >= nb * tn) & ((td + tn) * ubound >= tn * (na + nb))
-
-    # Chunk-level form of both filters (O(1)-per-block skip of whole
-    # 128x128 candidate blocks in a boilerplate bucket): members are
-    # sorted with n leading, so chunk length-compatibility is one range
-    # test; the positional bound lifts to blocks through each chunk's
-    # maximum witness capacity max(n - pos) vs the MINIMUM pair size
-    # sum — if even the best-positioned member of a chunk cannot reach
-    # the overlap the smallest cross pair requires, no pair in the
-    # block can.
-    def _witness_cap(c):
-        return F.array_max(F.transform(c, lambda m: m["n"] - m["pos"]))
-
-    def _chunk_prune(ca, cb):
-        nmin = F.element_at(ca, 1)["n"] + F.element_at(cb, 1)["n"]
-        return (
-            (F.element_at(ca, -1)["n"] * td >= F.element_at(cb, 1)["n"] * tn)
-            & ((td + tn) * _witness_cap(ca) >= tn * nmin)
-            & ((td + tn) * _witness_cap(cb) >= tn * nmin)
-        )
-
-    # Rep pairs dedup BEFORE member expansion (a pair surviving in
-    # several buckets must expand exactly once), then each rep pair
-    # fans out to the cross product of the two member lists — a narrow
-    # double explode over the few TRUE near-dup pairs, no join back.
-    # The two groups of a rep pair are disjoint (different set
+    # loose positional form 2.73M, THIS form 1.13M (-59%; sf3: 27.0M
+    # -> 11.35M) — see ppjoin_filter_characterization in
+    # BENCH_SF1.json. The RECURSIVE suffix filter stays rejected (r18):
+    # deeper partition steps need cross-doc order comparisons inside
+    # suffixes — the same order of work as the vectorized verify.
+    tn, td = 4, 5  # JACCARD_THRESHOLD as the exact rational 4/5
+    assert tn / td == JACCARD_THRESHOLD
+    pa_side = staged.select(
+        F.col("n").alias("na"),
+        F.col("doc_id").alias("da"),
+        F.col("pos").alias("pa"),
+        "s",
+    )
+    pb_side = staged.select(
+        F.col("n").alias("nb"),
+        F.col("doc_id").alias("db"),
+        F.col("pos").alias("pb"),
+        "s",
+    )
+    ubound = F.least(F.col("na") - F.col("pa"), F.col("nb") - F.col("pb"))
+    # Rep pairs dedup BEFORE verification AND member expansion: a pair
+    # surviving in several buckets is verified and expanded exactly
+    # once. The two groups of a rep pair are disjoint (different set
     # fingerprints cannot share a doc), so every expanded (a, b) is
     # unique and needs no second distinct.
-    cross_pairs = (
-        exploded_pairs(
-            bucketed,
-            "ds",
-            pair_filter=_pair_filter,
-            chunk_prune=_chunk_prune,
+    cand = (
+        pa_side.join(pb_side, "s")
+        .filter(
+            (F.col("da") < F.col("db"))
+            & (F.least("na", "nb") * td >= F.greatest("na", "nb") * tn)
+            & ((td + tn) * ubound >= tn * (F.col("na") + F.col("nb")))
         )
-        .select(
-            F.least("p.a.doc_id", "p.b.doc_id").alias("ra"),
-            F.greatest("p.a.doc_id", "p.b.doc_id").alias("rb"),
-            F.col("p.a.mem").alias("ma"),
-            F.col("p.b.mem").alias("mb"),
-            jac.alias("_j"),
-        )
-        .filter(F.col("_j") >= JACCARD_THRESHOLD)
+        .select(F.col("da").alias("ra"), F.col("db").alias("rb"))
         .dropDuplicates(["ra", "rb"])
+    )
+    sa = groups.select(
+        F.col("rep").alias("ra"),
+        F.col("ss").alias("ss_a"),
+        F.col("members").alias("ma"),
+    )
+    sb = groups.select(
+        F.col("rep").alias("rb"),
+        F.col("ss").alias("ss_b"),
+        F.col("members").alias("mb"),
+    )
+    inter = F.size(F.array_intersect("ss_a", "ss_b"))
+    jac = inter * 1.0 / (F.size("ss_a") + F.size("ss_b") - inter)
+    cross_pairs = (
+        cand.join(sa, "ra")
+        .join(sb, "rb")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("ma", "mb", F.round(jac, 4).alias("_j"))
         .select(F.explode("ma").alias("a"), "mb", "_j")
         .select("a", F.explode("mb").alias("b"), "_j")
         .select(
             F.least("a", "b").alias("doc_a"),
             F.greatest("a", "b").alias("doc_b"),
-            F.round("_j", 4).alias("jaccard"),
+            F.col("_j").alias("jaccard"),
         )
     )
     return cross_pairs.unionByName(dup_pairs)
