@@ -1687,7 +1687,12 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array_join(F.transform("ss", lambda x: x.cast("string")), ",")
             ),
         )
-        .localCheckpoint()
+        # lazy (r19): the collapse gate's scalar job below is the first
+        # action, so ONE job materializes the checkpoint and returns
+        # the two gate scalars (the same fusion as
+        # connected_components' convergence read); under
+        # "always"/"never" the first downstream job materializes it
+        .localCheckpoint(eager=False)
     )
     # GATE the exact-duplicate collapse on the MEASURED dup rate
     # (VERDICT r11 item 5): the fingerprint groupBy that makes
