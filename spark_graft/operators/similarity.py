@@ -1442,6 +1442,12 @@ def sim_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
 
     def maxsim_batches(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        # np.stack hard-fails on ragged/short embedding rows (ADVICE
+        # r18) — the deliberate repo-wide fixed-DIM data contract
+        # (dedup.py / pipeline.py kernels np.stack identically, and the
+        # NONZERO/DIM fixture invariant is enforced at generation). A
+        # corpus without that upstream guarantee must filter
+        # size(embedding) = DIM before this map; do not silently pad.
         for pdf in batches:
             if len(pdf) == 0:
                 continue

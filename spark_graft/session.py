@@ -63,11 +63,18 @@ def get_spark(app_name: str = "spark-graft", shuffle_partitions: int | None = No
         # sources.tables.ensure_session_confs
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.shuffle.spill.compress", "true")
-        # guide §3.1/§9: let the planner pick shuffled-hash join when its
-        # size conditions hold (sort-merge only wins when both sides are
-        # huge per partition; AQE still falls back when the build side
-        # does not fit)
-        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # spark.sql.join.preferSortMergeJoin stays at its DEFAULT (true)
+        # as of r19. The r18 session set it false (guide §3.1/§9 "allow
+        # shuffled-hash when it fits") justified only "within noise";
+        # the r19 sf1 A/B (VERDICT item 4, ADVICE r18) found exactly ONE
+        # query whose strategy the flag changes — join_outer, SHJ vs
+        # SMJ — and it is flat at sf0.1 AND sf1 (1.51 vs 1.45 s medians,
+        # 6-rep in-session pairs). A statically planned SHJ has no
+        # runtime fallback when the build-side size estimate is wrong
+        # (post-filter estimates often are) — an OOM risk with zero
+        # measured benefit is a bad default for a framework claiming
+        # 100 TB safety. Queries that KNOW a side fits should use a
+        # per-join SHUFFLE_HASH hint instead.
         # local runs: keep the UI off and logs quiet
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Dlog4j2.level=warn")
@@ -75,13 +82,22 @@ def get_spark(app_name: str = "spark-graft", shuffle_partitions: int | None = No
     # Growing-state streams (the paragraph/novelty dedup gates) hold one
     # state row per distinct key; the default HDFSBackedStateStore keeps
     # that map ON-HEAP (~219 B/distinct paragraph measured at sf1 —
-    # BENCH_SF1 stream_state_sizing_r17). At vocabulary scale run the
-    # RocksDB provider: the r18 pilot (stream_state_sizing_rocksdb_r18,
-    # same sf1 replay, identical key counts and outputs) measured ~2.5 B
-    # on-heap + ~50 B on-disk SST per paragraph key (~87x less heap,
-    # ~6% wall overhead) — state spills instead of OOMing. Opt in with
-    # SPARK_GRAFT_STATE_STORE=rocksdb (any SparkSession conf works; the
-    # provider is read per streaming query at start).
+    # BENCH_SF1 stream_state_sizing_r17). MEASURED RECOMMENDATION (r19,
+    # both sf1 replays in BENCH_SF1, identical key counts and outputs):
+    #   - paragraph_dedup_stream: 46.6 MB heap -> 0.54 MB heap +
+    #     10.6 MB SST (~87x less heap, ~2.5 B/key on-heap, ~50 B/key
+    #     on-disk), wall 23.5 -> 25.6 s (+9%).
+    #   - minhash_novelty_stream (member-list state, bigger values):
+    #     155 MB heap -> 1.65 MB heap + 66 MB SST, wall 77.8 -> 102.6 s
+    #     (+32% — RocksDB serializes each updated member list per put).
+    # Default stays HDFSBacked: at bench scale (and any state set that
+    # fits comfortably on-heap) it is strictly faster. Switch to
+    # RocksDB when projected state per executor core approaches heap
+    # share — e.g. >~10^8 distinct paragraph keys/executor at 219 B/key
+    # — where the on-heap map OOMs and RocksDB degrades to disk
+    # instead; the 9-32% throughput tax is the price of that headroom.
+    # Opt in with SPARK_GRAFT_STATE_STORE=rocksdb (any SparkSession
+    # conf works; the provider is read per streaming query at start).
     if os.environ.get("SPARK_GRAFT_STATE_STORE", "").lower() == "rocksdb":
         builder = builder.config(
             "spark.sql.streaming.stateStore.providerClass",
