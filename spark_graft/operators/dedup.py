@@ -1364,8 +1364,16 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs. Span derivation is O(n_tokens * SPAN_N) once per doc —
     linear for fixed span width. Spans stay STRINGS through the df
     shuffle (the 60-bit md5 mapping was measured slower on the pre-r13
-    shape, sf0.1 1.98 -> 2.61 s; with positions now join-derived the
-    trade-off may have moved — re-measure before hashing). Exactly
+    shape, sf0.1 1.98 -> 2.61 s; RE-MEASURED r19 on the join-derived
+    shape: Spark-native xxhash64 keys DO win ~0.4 s at sf0.1
+    (2.73 -> 2.31 median), but only as a SPARK-ONLY substitution — the
+    oracle joins raw strings, so a 64-bit collision would break the
+    hash gate instead of canceling like the both-engine 60-bit
+    mappings do, and an md5-based both-engine mapping re-pays the md5
+    that made the pre-r13 attempt slower. Kept strings: ~1e-7 gate
+    risk is a bad trade for a within-noise local win; at 100 TB hash
+    the spans on both sides of a REAL pipeline where no bit-exact
+    referee exists). Exactly
     reproducible, so the whole transform is hash-gated against the
     oracle — including the rewritten text."""
     docs = table(spark, sf_dir, "documents")

@@ -164,17 +164,24 @@ def _pagerank_rounds(
 ) -> DataFrame:
     """The driver loop over a ready (src, dst, d) edge table (cached or
     bucketed-on-disk — the caller owns the storage decision)."""
-    # first action: materializes any cache AND yields the node count
-    n_nodes = edges_d.select("src").distinct().count()
+    # ONE distinct serves both the node count and the rank init (r19):
+    # the count is the first action on the lazily-checkpointed node
+    # table, so a single job materializes the edge cache, the distinct,
+    # AND returns the scalar — round 1 then reads the checkpointed
+    # nodes instead of re-running the distinct inside its chain.
+    nodes = (
+        edges_d.select(F.col("src").alias("id"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_nodes = nodes.count()
     if n_nodes == 0:
         return spark.createDataFrame(
             [], "doc_id bigint, rank_fx bigint, rank double"
         )
     init = UNIT // n_nodes
     teleport = ((DAMP_DEN - DAMP_NUM) * init) // DAMP_DEN
-    ranks = edges_d.select(F.col("src").alias("id")).distinct().select(
-        "id", F.lit(init).alias("r")
-    )
+    ranks = nodes.select("id", F.lit(init).alias("r"))
     for i in range(1, n_iters + 1):
         ranks = pagerank_round(edges_d, ranks, teleport)
         # Checkpoint every CHECKPOINT_EVERY rounds, not every round
