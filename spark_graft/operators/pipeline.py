@@ -1426,11 +1426,19 @@ def _pretrain_stage_frames(spark: SparkSession, sf_dir: str) -> dict:
         .localCheckpoint()
     )
     s1 = s1full.drop("n_copies")
-    # near-dup gate: dedup_minhash's machinery over the survivors (the
-    # 3-reference shape re-reads the s1 CHECKPOINT per reference — an
+    # near-dup gate: dedup_minhash's machinery over the survivors (an
     # r19 single-pass variant carrying the sets through the band
-    # buckets measured slower here too, same probe as dedup_minhash's)
-    per_doc = minhash_doc_table_from_toks(s1.select("doc_id", "toks"))
+    # buckets measured slower here too, same probe as dedup_minhash's).
+    # UNLIKE dedup_minhash — whose per_doc is full-corpus-sized and
+    # measured slower checkpointed — the survivor per_doc here is
+    # small and already one checkpoint away from the scan, so a LAZY
+    # checkpoint wins: the s2 materialization job computes the
+    # shingle+signature aggregate once and its three downstream
+    # references read the persisted rows instead of re-running it
+    # (sf0.1 gate A/B: none 1.97 s / eager 1.99 s / lazy 1.66 s).
+    per_doc = minhash_doc_table_from_toks(
+        s1.select("doc_id", "toks")
+    ).localCheckpoint(eager=False)
     buckets = (
         minhash_bands(per_doc)
         .groupBy("band", "sig")
